@@ -1,0 +1,131 @@
+"""Vector top-k retrieval operators.
+
+Covers the reference's two retrieval paths (SURVEY.md §2.3):
+- J1 server-side: one query vector vs all rows, ORDER BY cosine distance
+  ASC LIMIT k (reference `query.txt:186-205`).
+- J2 client-side: NumPy cosine similarity DESC, top_k slice (reference
+  `rag_processor.py:26-75`).
+
+Spark-first design: the query vector is a *constant* — no join, just a
+projected expression; ``orderBy(...).limit(k)`` plans as
+TakeOrderedAndProject (per-partition heap + driver merge of k rows), which
+is exactly the scalable top-k: at 100 TB each task keeps a k-row heap and
+only k rows per partition cross the wire.  The N-query generalization
+broadcasts the (tiny) query side into a crossJoin — a broadcast
+nested-loop that scans the corpus once for all queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def topk_similarity(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_col: str = "similarity",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Client-semantics top-k: cosine similarity DESC (ties → id ASC).
+
+    Zero-norm rows rank NULL and are dropped, matching the reference's
+    nan-never-selected accident (`rag_processor.py:57-65`).
+    """
+    q = V.query_vector_lit(query_vec)
+    sim = V.round6(V.cosine_similarity(F.col(embedding_col), q))
+    out = (
+        df.select(id_col, *extra_cols, sim.alias(score_col))
+        .where(F.col(score_col).isNotNull())
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return out
+
+
+def topk_distance(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_col: str = "distance",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Server-semantics top-k: cosine distance ASC LIMIT k — pgvector `<=>`
+    parity (reference `query.txt:198-201`, which misnames the distance
+    column `similarity`; we do not repeat that)."""
+    q = V.query_vector_lit(query_vec)
+    dist = V.round6(V.cosine_distance(F.col(embedding_col), q))
+    return (
+        df.select(id_col, *extra_cols, dist.alias(score_col))
+        .where(F.col(score_col).isNotNull())
+        .orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    score_col: str = "similarity",
+) -> DataFrame:
+    """N-to-M brute-force KNN: for every query row, the k nearest corpus
+    rows by cosine similarity.
+
+    The query side is broadcast (queries ≪ corpus); the corpus streams
+    through once.  Ranking is a window per query — at scale Spark's
+    WindowExec is preceded by a shuffle on query_id, but the joined
+    relation is only |corpus|×|queries| rows *after* broadcast, and AQE
+    handles skew.  For corpus-to-corpus similarity use the LSH operators
+    instead (operators/lsh.py).
+    """
+    from pyspark.sql import Window
+
+    sim = V.round6(V.cosine_similarity(F.col(corpus_vec), F.col(query_vec)))
+    joined = (
+        corpus.select(corpus_id, corpus_vec)
+        .crossJoin(F.broadcast(queries.select(query_id, query_vec)))
+        .select(query_id, corpus_id, sim.alias(score_col))
+        .where(F.col(score_col).isNotNull())
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col(score_col).desc(), F.col(corpus_id).asc())
+    return joined.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def neighbors_above(
+    corpus: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "similarity",
+) -> DataFrame:
+    """All-pairs (a<b) with cosine similarity ≥ threshold — exact
+    embedding-near-duplicate detection.  O(N²): correct baseline for the
+    oracle; the scale path is operators/lsh.py (random-projection bucketing)
+    or operators/ivf.py (centroid-blocked join)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    sim = V.round6(V.cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias(score_col))
+        .where(F.col(score_col).isNotNull() & (F.col(score_col) >= threshold))
+    )

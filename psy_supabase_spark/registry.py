@@ -1,0 +1,45 @@
+"""Query registry — the driver contract surface.
+
+Every implemented operator from SURVEY.md §2 registers here as a pair:
+a PySpark builder ``(spark, sf_dir) -> DataFrame`` and (when
+SQL-expressible) an equivalent ANSI-SQL oracle string for DuckDB.
+``__spark_entry__.py`` re-exports these.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value hash):
+- every computed column is aliased identically in Spark and SQL;
+- float scores are rounded to 6 dp on both sides (both engines accumulate
+  in double after an explicit cast, so rounded values agree);
+- money aggregates are computed in DECIMAL on both sides then cast to
+  double (bit-exact regardless of summation order);
+- LIMIT/top-k queries carry a deterministic tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# import for side effects: each module registers its queries
+from .queries import dedup_queries  # noqa: E402,F401
+from .queries import relational_queries  # noqa: E402,F401
+from .queries import text_queries  # noqa: E402,F401
+from .queries import vector_queries  # noqa: E402,F401
+from .queries import window_queries  # noqa: E402,F401

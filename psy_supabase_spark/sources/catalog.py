@@ -1,0 +1,34 @@
+"""Parquet catalog over the driver testdata directory.
+
+One loader for every table in TESTDATA.md.  Reads are plain
+``spark.read.parquet`` so Catalyst can push filters and prune columns into
+the scan — callers must NOT ``.cache()`` by default (at 100 TB the scan is
+the cheap part; a cache of the raw table is not).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def sf_dir_from_env() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """Register every testdata table as a temp view (SQL surface parity with
+    the reference's per-user public views, `database.py:253-265`)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
