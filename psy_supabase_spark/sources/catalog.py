@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_TABLES
 
@@ -24,6 +25,16 @@ def sf_dir_from_env() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read nanos as long and truncate to microseconds — exactly
+        # what DuckDB (TIMESTAMP = µs) does on the same file, so oracle
+        # comparisons see identical values.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
