@@ -1,0 +1,77 @@
+"""Composed text-analysis operators (SURVEY.md §2.4 A1-A5 + the
+LLM-data-pipeline extensions: language-ID, quality scoring, token stats,
+document fingerprinting).
+
+All UDF-free: taxonomy classification is an explode + broadcast theta-join
++ windowed argmax (the Spark spelling of the reference's Python keyword
+loop, `prompt_selector.py:242-300`); fingerprints are a portable
+polynomial hash folded with ``aggregate``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from ..functions import text as TX
+
+
+def taxonomy_table(spark: SparkSession, taxonomy: dict[str, list[str]] | None = None) -> DataFrame:
+    tax = taxonomy or TX.TAXONOMY
+    rows = [(topic, kw) for topic, kws in tax.items() for kw in kws]
+    return spark.createDataFrame(rows, "topic string, keyword string")
+
+
+def classify_topics(
+    docs: DataFrame,
+    tax: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    default_topic: str = "emotional_support",
+) -> DataFrame:
+    """A1: per-doc topic argmax by keyword-hit count; ties → topic ASC;
+    zero hits → default topic (reference prompt_selector.py:294-300).
+
+    The taxonomy side is tiny and broadcast; the containment theta-join is
+    a BroadcastNestedLoopJoin — one corpus scan regardless of taxonomy
+    size, which is the scalable shape at 100 TB.
+    """
+    lowered = docs.select(id_col, F.lower(F.col(text_col)).alias("_t"))
+    hits = lowered.join(F.broadcast(tax), F.col("_t").contains(F.col("keyword")), "left")
+    scores = hits.groupBy(id_col, "topic").agg(F.count("keyword").alias("n_hits"))
+    w = Window.partitionBy(id_col).orderBy(F.col("n_hits").desc(), F.col("topic").asc())
+    return (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.coalesce(F.col("topic"), F.lit(default_topic)).alias("topic"),
+            F.col("n_hits"),
+        )
+    )
+
+
+def text_profile(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc text-analysis profile: token counts, length bucket,
+    stopword ratio, quality score, language guess."""
+    t = F.col(text_col)
+    return docs.select(
+        id_col,
+        TX.token_count(t).alias("n_tokens"),
+        F.size(F.array_distinct(TX.tokenize(t))).alias("n_distinct_tokens"),
+        TX.length_bucket(t).alias("length_bucket"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        TX.quality_score(t).alias("quality_score"),
+        TX.lang_id(t).alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash over the
+    cleaned text's code points (engine-portable, see functions/hashing)."""
+    return docs.select(
+        id_col,
+        hashing.poly_hash(TX.clean_text(F.col(text_col))).alias("fingerprint"),
+    )

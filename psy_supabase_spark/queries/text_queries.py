@@ -1,1 +1,277 @@
-"""Placeholder — filled in a later phase."""
+"""Text pack queries (SURVEY.md §2.8 T1-T9, §2.4 A1-A5 + LLM-pipeline text
+analysis) over `documents`.
+
+Oracle strings are BUILT FROM THE SAME CONSTANTS as the Spark expressions
+(taxonomy, stopwords, language markers, safety patterns) so the two sides
+cannot drift.  DuckDB regexp_replace needs the 'g' flag to match Spark's
+replace-all semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.hashing import POLY_BASE, POLY_MOD
+from ..operators import textanalysis
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in items) + "]"
+
+
+# tokens of lower(text): mirrors functions.text.tokenize
+_TOKENS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x != '')"
+_WS_COUNT_SQL = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))"
+
+
+@register(
+    "clean_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text, '[‘’]', '''', 'g'), '[“”]', '"', 'g'), '—', '-', 'g'), '…', '...', 'g'),
+             '[^a-zA-Z0-9\\s.,!?''"-]', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def clean_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: normalization chain (reference utilities/text_utils.py:26-48)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.clean_text(F.col("text")).alias("cleaned"))
+
+
+@register(
+    "strip_urls",
+    oracle=r"""
+    SELECT doc_id, regexp_replace(text, '(https?://\S+|www\.\S+)', '', 'g') AS no_urls
+    FROM documents
+    """,
+)
+def strip_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: URL removal (reference prompt_selector.py:68)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.strip_urls(F.col("text")).alias("no_urls"))
+
+
+def _safety_case_sql() -> str:
+    whens = "\n".join(
+        "WHEN regexp_matches(lower(text), '{}') THEN '{}'".format(pat.replace("'", "''"), cat)
+        for cat, _sev, pat in TX.SAFETY_PATTERNS
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
+@register(
+    "safety_classify_counts",
+    oracle=f"""
+    SELECT {_safety_case_sql()} AS category, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def safety_classify_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: ordered first-match-wins regex harm classifier, aggregated
+    (reference safety_handler.py:46-78); NULL = safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(TX.safety_category("text").alias("category")).agg(F.count("*").alias("n_docs"))
+
+
+def _template_case_sql() -> str:
+    whens = "\n".join(
+        f"WHEN regexp_matches(lower(text), '({'|'.join(kws)})') THEN '{name}'"
+        for name, kws in TX.TEMPLATE_KEYWORDS
+    )
+    return f"CASE {whens} ELSE 'Others' END"
+
+
+@register(
+    "template_select_counts",
+    oracle=f"""
+    SELECT {_template_case_sql()} AS template, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def template_select_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: keyword → template CASE, first match wins, default 'Others'
+    (reference prompt_selector.py:198-202)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(TX.select_template("text").alias("template")).agg(F.count("*").alias("n_docs"))
+
+
+def _taxonomy_values_sql() -> str:
+    rows = [
+        f"('{topic}', '{kw}')" for topic, kws in TX.TAXONOMY.items() for kw in kws
+    ]
+    return ", ".join(rows)
+
+
+@register(
+    "topic_classify_argmax",
+    oracle=f"""
+    WITH tax(topic, keyword) AS (VALUES {_taxonomy_values_sql()}),
+    lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+    hits AS (
+      SELECT l.doc_id, x.topic, COUNT(x.keyword) AS n_hits
+      FROM lowered l LEFT JOIN tax x ON contains(l.t, x.keyword)
+      GROUP BY l.doc_id, x.topic
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, topic ASC) AS rn
+      FROM hits
+    )
+    SELECT doc_id, COALESCE(topic, 'emotional_support') AS topic, n_hits
+    FROM ranked WHERE rn = 1
+    """,
+)
+def topic_classify_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-doc topic argmax over the taxonomy keyword join (reference
+    prompt_selector.py:242-300); default topic on zero hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    tax = textanalysis.taxonomy_table(spark)
+    return textanalysis.classify_topics(docs, tax)
+
+
+@register(
+    "length_buckets",
+    oracle=f"""
+    SELECT CASE WHEN {_WS_COUNT_SQL} < 20 THEN 'too_short'
+                WHEN {_WS_COUNT_SQL} <= 500 THEN 'appropriate'
+                ELSE 'too_long' END AS length_bucket,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: response-length buckets (reference prompt_selector.py:320-330)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(TX.length_bucket("text").alias("length_bucket")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@register(
+    "term_overlap_adjacent",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, list_distinct({_TOKENS_SQL}) AS t FROM documents)
+    SELECT a.doc_id,
+           CASE WHEN len(a.t) = 0 THEN NULL
+                ELSE ROUND(len(list_intersect(a.t, b.t))::DOUBLE / len(a.t), 6) END AS term_overlap
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def term_overlap_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: |Q∩R|/|Q| over distinct tokens (reference
+    prompt_selector.py:332-346), computed between consecutive documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.col("text").alias("ta"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("tb"))
+    return a.join(b, "doc_id").select(
+        "doc_id", F.round(TX.term_overlap("ta", "tb"), 6).alias("term_overlap")
+    )
+
+
+def _stopword_ratio_sql() -> str:
+    sw = _sql_list(TX.STOPWORDS)
+    return (
+        f"CASE WHEN len({_TOKENS_SQL}) = 0 THEN 0.0 "
+        f"ELSE len(list_filter({_TOKENS_SQL}, x -> list_contains({sw}, x)))::DOUBLE / len({_TOKENS_SQL}) END"
+    )
+
+
+@register(
+    "text_profile",
+    oracle=f"""
+    SELECT doc_id,
+           {_WS_COUNT_SQL} AS n_tokens,
+           len(list_distinct({_TOKENS_SQL})) AS n_distinct_tokens,
+           CASE WHEN {_WS_COUNT_SQL} < 20 THEN 'too_short'
+                WHEN {_WS_COUNT_SQL} <= 500 THEN 'appropriate'
+                ELSE 'too_long' END AS length_bucket,
+           ROUND({_stopword_ratio_sql()}, 6) AS stopword_ratio,
+           ROUND((
+             (CASE WHEN {_WS_COUNT_SQL} BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN length(text) = 0 THEN 0.0
+                     WHEN length(regexp_replace(text, '[^!?.,;:]', '', 'g'))::DOUBLE / length(text) <= 0.1 THEN 1.0
+                     ELSE 0.0 END)
+             + (CASE WHEN {_stopword_ratio_sql()} >= 0.05 THEN 1.0 ELSE 0.0 END)
+           ) / 3.0, 6) AS quality_score,
+           {{lang_case}} AS lang_guess
+    FROM documents
+    """.format(lang_case="{lang_case}"),
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis profile: token stats, length bucket, stopword ratio,
+    composite quality score, marker-based language guess."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textanalysis.text_profile(docs)
+
+
+def _lang_case_sql() -> str:
+    langs = sorted(TX.LANG_MARKERS.items())
+    scores = {
+        lang: f"len(list_intersect(list_distinct({_TOKENS_SQL}), {_sql_list(markers)}))"
+        for lang, markers in langs
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {best} > 0 AND {scores[lang]} = {best} THEN '{lang}'" for lang, _ in langs
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+# splice the language CASE into the text_profile oracle (kept out of the
+# decorator for readability)
+from ..registry import ORACLES  # noqa: E402
+
+ORACLES["text_profile"] = ORACLES["text_profile"].replace("{lang_case}", _lang_case_sql())
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text, '[‘’]', '''', 'g'), '[“”]', '"', 'g'), '—', '-', 'g'), '…', '...', 'g'),
+               '[^a-zA-Z0-9\\s.,!?''"-]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT, list_transform(string_split(c, ''), ch -> ord(ch)::BIGINT)),
+             (acc, cp) -> (acc * {POLY_BASE} + cp) % {POLY_MOD}
+           ) AS fingerprint
+    FROM cleaned
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over cleaned text code
+    points — bit-identical across engines (functions/hashing.poly_hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textanalysis.fingerprint(docs)
+
+
+@register(
+    "training_export_reshape",
+    oracle="""
+    SELECT event_id,
+           'Respond to a ' || event_type || ' event' AS instruction,
+           'user ' || CAST(user_id AS VARCHAR) AS input,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS label
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def training_export_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: projection + string-interpolation reshape to training format
+    (reference rag_processor.py:182-238), flat-column spelling."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id",
+        F.concat(F.lit("Respond to a "), F.col("event_type"), F.lit(" event")).alias("instruction"),
+        F.concat(F.lit("user "), F.col("user_id").cast("string")).alias("input"),
+        F.get_json_object("props", "$.k").cast("int").alias("label"),
+    )
