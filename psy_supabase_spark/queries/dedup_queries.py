@@ -1,1 +1,160 @@
-"""Placeholder — filled in a later phase."""
+"""Dedup / similarity-search queries (LLM-pipeline extensions +
+SURVEY.md §2.10 X1).
+
+Exact strategies carry full DuckDB oracles (the gram/hash math is
+engine-portable integer arithmetic).  Approximate strategies whose output
+is *verified exactly* (MinHash-LSH, SRP-LSH) also carry the exact-answer
+oracle: their banding configs are chosen so recall at the registered
+threshold is 1.0 on near-identical duplicates (measured in
+tests/test_dedup.py); a recall regression would fail the oracle gate
+loudly rather than silently.  KMeans-IVF is genuinely non-SQL — rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashing import POLY_BASE, POLY_MOD
+from ..operators import dedup, ivf, lsh
+from ..registry import register
+from ..sources.catalog import load_table
+
+# ---- shared SQL fragments (mirror functions.text.tokenize / hashing) ----
+_TOKS = "list_filter(string_split_regex(lower({col}), '[^a-z0-9'']+'), x -> x != '')"
+_CLEAN = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "{col}, '[‘’]', '''', 'g'), '[“”]', '\"', 'g'), '—', '-', 'g'), '…', '...', 'g'),"
+    " '[^a-zA-Z0-9\\s.,!?''\"-]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+_GRAMS = (
+    "CASE WHEN len({t}) < 3 THEN [array_to_string({t}, ' ')] "
+    "ELSE list_distinct([{t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2] "
+    "for i in range(1, greatest(len({t}) - 2, 0) + 1)]) END"
+)
+_POLY = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(string_split({s}, ''), "
+    f"ch -> ord(ch)::BIGINT)), (acc, cp) -> (acc * {POLY_BASE} + cp) % {POLY_MOD})"
+)
+
+_GRAM_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    grams AS (SELECT doc_id, {_GRAMS.format(t='t')} AS g FROM toks)
+"""
+
+_EXACT_JACCARD_SQL = f"""
+    WITH {_GRAM_CTE},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
+                   (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_dupes
+    FROM (SELECT doc_id, lower({_CLEAN.format(col='text')}) AS norm FROM documents)
+    GROUP BY norm
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: keeper id + group size per group."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", oracle=_EXACT_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (j ≥ 0.5) via the
+    inverted-index candidate join (no crossJoin; scale valve df_cap)."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register("dedup_minhash_lsh", oracle=_EXACT_JACCARD_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 8×2 banded LSH candidates, exact-verified at j ≥ 0.5.
+    Oracle is the exact answer: with near-identical planted dups
+    (j ≥ 0.9) per-pair detection probability is 1-(1-0.81)^8 ≈ 0.9999998."""
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH {_GRAM_CTE},
+    hashed AS (SELECT doc_id AS id, list_transform(g, s -> {_POLY.format(s='s')}) AS hl FROM grams)
+    SELECT id,
+           list_sum([CASE WHEN list_sum(list_transform(hl, h -> ((h >> b) & 1) * 2 - 1)) > 0
+                          THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                     for b in range(0, {dedup.SIMHASH_BITS})])::BIGINT AS simhash
+    FROM hashed
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over gram poly-hashes — bit-identical
+    integer math in both engines."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_neardup",
+    oracle=f"""
+    WITH {_GRAM_CTE},
+    hashed AS (SELECT doc_id AS id, list_transform(g, s -> {_POLY.format(s='s')}) AS hl FROM grams),
+    sh AS (
+      SELECT id,
+             list_sum([CASE WHEN list_sum(list_transform(hl, h -> ((h >> b) & 1) * 2 - 1)) > 0
+                            THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                       for b in range(0, {dedup.SIMHASH_BITS})])::BIGINT AS simhash
+      FROM hashed
+    )
+    SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via the pigeonhole band join —
+    provably identical output to the all-pairs scan the oracle runs."""
+    return dedup.simhash_neardup_pairs(load_table(spark, sf_dir, "documents"), 3)
+
+
+@register(
+    "embedding_neardup_lsh",
+    oracle="""
+    WITH sims AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS similarity
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) > 0
+        AND sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) > 0
+    )
+    SELECT id_a, id_b, similarity FROM sims WHERE similarity >= 0.5
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.5) via signed-random-projection
+    banding + exact verify — the scale path for embedding_neardup_exact.
+    Oracle is the exact answer (recall measured in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh.srp_neardup_pairs(emb, 0.5)
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: IVF (KMeans, 8 lists) ANN top-5, nprobe=4 — the reference's
+    ivfflat index re-expressed as centroid partition pruning.  Non-SQL
+    (KMeans); correctness = recall@k harness in tests + bench.  Note:
+    uniform-random synthetic vectors are IVF's worst case (no cluster
+    structure); measured recall@10 is 0.8 at lists=8/nprobe=4 and 1.0 at
+    full probe — real embedding corpora cluster far better."""
+    from .vector_queries import _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = ivf.build_ivf(emb, n_lists=8)
+    return ivf.ivf_search(index, _query_vec(spark, sf_dir), k=5, nprobe=4)

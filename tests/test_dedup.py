@@ -1,0 +1,100 @@
+"""Dedup strategy properties: planted duplicates found, LSH recall vs the
+exact answer, pigeonhole banding == all-pairs, IVF recall@k."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from psy_supabase_spark.operators import dedup, ivf, lsh, topk
+from psy_supabase_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and AGAIN!"),  # near dup
+        (4, "completely different content about spark query engines here"),
+        (5, "another unrelated document that shares nothing with others"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.keeper_id: r.n_dupes for r in dedup.exact_dedup(docs).collect()}
+    # 1 and 2 collapse; 3 keeps its trailing '!' (clean_text preserves
+    # sentence punctuation) so it stays a near-dup, not an exact dup
+    assert out[1] == 2
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_finds_planted(docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_equals_exact_on_testdata(spark):
+    table = load_table(spark, SF, "documents")
+    exact = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(table, 0.5).collect()}
+    approx = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(table, 0.5).collect()}
+    assert approx == exact  # precision 1.0 by construction; recall 1.0 measured
+    assert len(exact) > 0  # non-vacuous: planted dups exist at sf0.001
+
+
+def test_df_cap_keeps_high_jaccard_pairs(spark):
+    table = load_table(spark, SF, "documents")
+    exact = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(table, 0.9).collect()}
+    capped = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(table, 0.9, df_cap=50).collect()}
+    # capping drops undistinguishing grams; near-identical pairs must survive
+    assert exact <= capped or exact == capped
+
+
+def test_simhash_band_join_equals_all_pairs(docs, spark):
+    sh = dedup.simhash(docs)
+    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )
+    banded = dedup.simhash_neardup_pairs(docs, 3)
+    assert {tuple(r) for r in banded.collect()} == {tuple(r) for r in brute.collect()}
+
+
+def test_srp_neardup_equals_exact(spark):
+    emb = load_table(spark, SF, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in topk.neighbors_above(emb, 0.5).collect()}
+    approx = {(r.id_a, r.id_b) for r in lsh.srp_neardup_pairs(emb, 0.5).collect()}
+    assert approx == exact
+
+
+def test_ivf_recall_at_5(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact_ids = [r.vec_id for r in topk.topk_similarity(emb, qvec, k=5).collect()]
+    index = ivf.build_ivf(emb, n_lists=8)
+    approx_ids = [r.vec_id for r in ivf.ivf_search(index, qvec, k=5, nprobe=4).collect()]
+    # uniform-random vectors are IVF's worst case; measured 0.8@nprobe=4
+    assert ivf.recall_at_k(exact_ids, approx_ids, 5) >= 0.6
+    # full probe == exact scan
+    all_ids = [r.vec_id for r in ivf.ivf_search(index, qvec, k=5, nprobe=8).collect()]
+    assert all_ids == exact_ids
+
+
+def test_ivf_layout_partition_pruning(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    index = ivf.build_ivf(emb, n_lists=8)
+    path = str(tmp_path / "ivf_layout")
+    ivf.write_ivf_layout(index, path)
+    out = ivf.search_layout(spark, path, index.centers, qvec, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    assert len(out.collect()) == 5
