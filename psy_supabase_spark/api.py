@@ -1,0 +1,196 @@
+"""Reference-parity facade.
+
+One method per reference entry point (SURVEY.md §2 operator inventory →
+`database.py` / `rag_processor.py` surface), each returning a DataFrame.
+A user of the reference can run every query they run today against this
+class; under the hood everything is the DataFrame operators of
+``psy_supabase_spark.operators``.
+
+Score-naming contract (SURVEY.md §2.3 trap): ``find_similar_documents``
+returns ``distance`` ASC (server semantics, reference `query.txt:186-205`);
+``get_relevant_documents`` returns ``similarity`` DESC (client semantics,
+reference `rag_processor.py:26-75`).  Same ranking, honestly named scores.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import json_ops
+from .functions import text as TX
+from .operators import ivf as ivf_ops
+from .operators import ml_udfs, topk, windows
+from .sources.tenancy import DEFAULT_TENANT, TenantStore
+
+INTERACTIONS = "interactions"
+KNOWLEDGE_BASE = "knowledge_base"
+
+
+class PsyEngine:
+    """The engine's user-facing API (reference `DatabaseManager` +
+    `RAGProcessor` surface, Spark-native)."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.store = TenantStore(spark, warehouse_dir)
+        self._ivf_indexes: dict[str, ivf_ops.IVFIndex] = {}
+
+    # ---- ingest (reference database.py:96-198, 388-420) ----
+
+    def add_interaction(
+        self,
+        user_id: str,
+        *,
+        context: str | None,
+        question: str,
+        answer: str,
+        metadata: str | None = None,
+    ) -> None:
+        """S5: append one conversation turn; engine assigns created_at."""
+        df = self.spark.createDataFrame(
+            [(context, question, answer, metadata)],
+            "context string, question string, answer string, metadata string",
+        )
+        self.store.append(INTERACTIONS, df, user_id=user_id)
+
+    def add_documents(self, user_id: str, docs: DataFrame) -> None:
+        """S6: append (content, embedding) rows — native array column, no
+        '[...]' string codec (reference serializes vectors to text,
+        database.py:394-399)."""
+        self.store.append(KNOWLEDGE_BASE, docs.select("content", "embedding"), user_id=user_id)
+
+    # ---- scans (reference query.txt:109-138, database.py:282-314) ----
+
+    def get_conversation_history(self, user_id: str) -> DataFrame:
+        """S3/O1: full history ordered by created_at."""
+        return self.store.scan(INTERACTIONS, user_id=user_id).orderBy("created_at")
+
+    def get_recent_history(self, user_id: str, k: int = 5) -> DataFrame:
+        """W2: last-k turns (reference rag_processor.py:109), re-sorted asc."""
+        recent = windows.recent_per_key(
+            self.store.scan(INTERACTIONS, user_id=user_id),
+            k,
+            partition_by="user_id",
+            order_by=[F.col("created_at").desc()],
+        )
+        return recent.drop("rn").orderBy("created_at")
+
+    def get_all_documents_and_embeddings(self, user_id: str) -> DataFrame:
+        """S1/S2: knowledge-base scan; no vector-decode step needed."""
+        return self.store.scan(KNOWLEDGE_BASE, user_id=user_id).select("content", "embedding")
+
+    # ---- JSON metadata queries (reference query.txt:141-158, database.py:316-386) ----
+
+    def get_topic_interactions(self, user_id: str, topic: str, limit: int = 5) -> DataFrame:
+        """P1/P2+O2: case-insensitive topic match, recency top-k."""
+        df = self.store.scan(INTERACTIONS, user_id=user_id)
+        return (
+            df.where(json_ops.json_topic_matches("metadata", topic))
+            .orderBy(F.col("created_at").desc())
+            .limit(limit)
+        )
+
+    def get_high_quality_interactions(
+        self, user_id: str, topic: str, min_overlap: float = 0.7, limit: int = 100
+    ) -> DataFrame:
+        """P3+O2: compound JSON predicate with cast (reference
+        database.py:344-386)."""
+        df = self.store.scan(INTERACTIONS, user_id=user_id)
+        overlap = json_ops.json_get_float("metadata", "effectiveness.term_overlap")
+        adherence = json_ops.json_get("metadata", "effectiveness.template_adherence")
+        return (
+            df.where(
+                (json_ops.json_get("metadata", "topic") == topic)
+                & ((overlap >= min_overlap) | (adherence == "high"))
+            )
+            .orderBy(F.col("created_at").desc())
+            .limit(limit)
+        )
+
+    # ---- retrieval (reference query.txt:186-205, rag_processor.py:26-75) ----
+
+    def find_similar_documents(self, user_id: str, query_vec: Sequence[float], k: int = 5) -> DataFrame:
+        """J1 server semantics: cosine DISTANCE ASC LIMIT k.  Uses the IVF
+        index when built (reference builds ivfflat but never routes queries
+        through it — we fix that dead fast-path, SURVEY.md §3.1 step 8)."""
+        index = self._ivf_indexes.get(user_id)
+        if index is not None:
+            hits = ivf_ops.ivf_search(index, list(query_vec), k=k, id_col="content", vec_col="embedding")
+            return hits.select("content", (F.lit(1.0) - F.col("similarity")).alias("distance"))
+        kb = self.store.scan(KNOWLEDGE_BASE, user_id=user_id)
+        return topk.topk_distance(
+            kb, list(query_vec), k=k, id_col="content", embedding_col="embedding"
+        ).select("content", "distance")
+
+    def get_relevant_documents(self, user_id: str, query_vec: Sequence[float], k: int = 5) -> DataFrame:
+        """J2 client semantics: cosine SIMILARITY DESC top-k, with the
+        reference's default-KB fallback (rag_processor.py:125-126)."""
+        kb = self.store.scan(KNOWLEDGE_BASE, user_id=user_id)
+        if kb.isEmpty():
+            kb = self.store.scan(KNOWLEDGE_BASE, user_id=DEFAULT_TENANT)
+        return topk.topk_similarity(
+            kb, list(query_vec), k=k, id_col="content", embedding_col="embedding"
+        ).select("content", "similarity")
+
+    def create_vector_index(self, user_id: str, n_lists: int = 8) -> None:
+        """X1: the reference's per-request `CREATE INDEX ivfflat` becomes
+        an explicit batch KMeans build (reference query.txt:208-226)."""
+        kb = self.store.scan(KNOWLEDGE_BASE, user_id=user_id)
+        self._ivf_indexes[user_id] = ivf_ops.build_ivf(
+            kb, n_lists=n_lists, id_col="content", vec_col="embedding"
+        )
+
+    # ---- pipeline scalars (reference safety_handler / prompt_selector) ----
+
+    def classify_safety(self, questions: DataFrame, col: str = "question") -> DataFrame:
+        """T5: first-match-wins harm classifier + canned routing."""
+        return questions.withColumn("safety", TX.safety_struct(col)).withColumn(
+            "blocked", F.col("safety").isNotNull()
+        )
+
+    def analyze_response_effectiveness(
+        self, df: DataFrame, *, question_col: str = "question", answer_col: str = "answer",
+        template_col: str = "template"
+    ) -> DataFrame:
+        """A2/A3/T9 (reference prompt_selector.py:302-361)."""
+        return df.select(
+            "*",
+            F.round(TX.term_overlap(question_col, answer_col), 6).alias("term_overlap"),
+            TX.token_count(answer_col).alias("response_length"),
+            TX.length_bucket(answer_col).alias("length_quality"),
+            TX.template_adherence(template_col, answer_col).alias("template_adherence"),
+        )
+
+    def build_context(self, user_id: str, max_context_turns: int = 3) -> DataFrame:
+        """W1: rolling conversation context (reference
+        utilities/text_utils.py:78-120)."""
+        df = self.store.scan(INTERACTIONS, user_id=user_id).withColumn(
+            "interactionID", F.monotonically_increasing_id()
+        )
+        return windows.rolling_context(
+            df,
+            partition_by="user_id",
+            order_by=["created_at"],
+            render=F.format_string("Q: %s A: %s", F.col("question"), F.col("answer")),
+            n_turns=max_context_turns,
+        )
+
+    def generate_training_examples(self, user_id: str, topic: str) -> DataFrame:
+        """P5: high-quality filter + reshape to (instruction, input,
+        output) training rows (reference rag_processor.py:182-238)."""
+        hq = self.get_high_quality_interactions(user_id, topic)
+        return hq.select(
+            F.concat(
+                F.lit("You are a helpful assistant. Topic: "),
+                F.coalesce(json_ops.json_get("metadata", "topic"), F.lit("general")),
+            ).alias("instruction"),
+            F.col("question").alias("input"),
+            F.col("answer").alias("output"),
+        )
+
+    def is_toxic(self, df: DataFrame, col: str = "answer") -> DataFrame:
+        """M3: toxicity gate (stub model; real signature identical)."""
+        return df.withColumn("toxic", ml_udfs.is_toxic(col))

@@ -1,0 +1,90 @@
+"""Model-backed scalar operators (SURVEY.md §2.9 M1-M3) as Arrow-batched
+pandas UDFs with deterministic stub models.
+
+The reference runs a HuggingFace phi-1_5 LM for embeddings/generation
+(reference `text_generator.py:301-319, 102-147`) and a RoBERTa toxicity
+classifier (`text_generator.py:270-299`).  Torch is not in this container,
+so each operator ships with a DETERMINISTIC STUB whose contract (iterator
+pandas UDF, executor-singleton model object, batch shape, output type)
+matches the real thing — swap ``_load_model`` for the torch load in
+production and nothing else changes.
+
+M2 online generation/serving is a documented non-goal for the batch
+engine (SURVEY.md §2.9) — ``generate_stub`` exists to exercise the prompt
+templating path offline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import POLY_BASE, POLY_MOD
+
+EMBED_DIM_DEFAULT = 64
+
+
+def _seed_for(text: str) -> int:
+    return int.from_bytes(hashlib.sha256(text.encode("utf-8")).digest()[:8], "big")
+
+
+def hash_embedding_udf(dim: int = EMBED_DIM_DEFAULT):
+    """M1 stub: deterministic unit-norm embedding from a SHA-256-seeded
+    generator.  Iterator form so a real model would load ONCE per executor
+    (the 'model' here is the RNG construction) — the pattern the reference
+    reimplements with its GPU lifecycle manager (`model_manager.py:15-42`),
+    which Spark replaces with executor-local singletons."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # executor-singleton section: real impl loads the torch model here
+        for series in batches:
+            def one(text: str | None) -> list[float] | None:
+                if text is None:
+                    return None
+                rng = np.random.default_rng(_seed_for(text))
+                v = rng.standard_normal(dim)
+                v /= np.linalg.norm(v) or 1.0
+                return [float(x) for x in v]
+
+            yield series.map(one)
+
+    return embed
+
+
+def toxicity_score(col: Column | str) -> Column:
+    """M3 stub, fully native: pseudo-probability from the portable
+    polynomial hash (so a SQL oracle reproduces it bit-for-bit).
+    Real impl: RoBERTa classifier pandas UDF with the same signature."""
+    c = F.col(col) if isinstance(col, str) else col
+    cps = F.transform(F.split(F.lower(c), ""), lambda ch: F.ascii(ch).cast("bigint"))
+    h = F.aggregate(
+        cps, F.lit(0).cast("bigint"), lambda acc, cp: (acc * F.lit(POLY_BASE) + cp) % F.lit(POLY_MOD)
+    )
+    return F.round((h % 1000).cast("double") / 1000.0, 6)
+
+
+def is_toxic(col: Column | str, *, threshold: float = 0.7, min_words: int = 5) -> Column:
+    """M3 semantics parity: texts under min_words are never flagged
+    (reference text_generator.py:273-275); threshold 0.7
+    (text_generator.py:294)."""
+    from ..functions.text import token_count
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(token_count(c) < min_words, F.lit(False)).otherwise(toxicity_score(c) > threshold)
+
+
+def generate_stub(question: Column | str, template_name: Column | str) -> Column:
+    """M2 stub: deterministic 'generation' = rendered prompt template
+    (reference prompt templating, `text_generator.py:330-345`); offline
+    batch only."""
+    q = F.col(question) if isinstance(question, str) else question
+    t = F.col(template_name) if isinstance(template_name, str) else template_name
+    return F.format_string("[%s] Response to: %s", t, q)

@@ -1,0 +1,78 @@
+"""Pipeline queries: multimodal plumbing + model-stub gates.
+
+``multimodal_features`` runs a REAL Arrow-batched ``mapInPandas`` over
+binary payloads; the fake decode is a pure function of payload size, so
+DuckDB reproduces it from octet_length — the UDF plumbing is what's under
+test.  ``toxicity_gate`` mirrors the reference's safety→toxicity routing
+with the portable-hash stub score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import POLY_BASE, POLY_MOD
+from ..operators import ml_udfs, multimodal
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           (octet_length(encode(text)) % 640) + 1 AS fake_width,
+           ((octet_length(encode(text)) * 7) % 480) + 1 AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas (decode stubbed —
+    operators/multimodal docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_blob_features(multimodal.attach_blobs(docs))
+
+
+@register(
+    "toxicity_gate",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             ROUND((list_reduce(list_prepend(0::BIGINT,
+                      list_transform(string_split(lower(text), ''), ch -> ord(ch)::BIGINT)),
+                      (acc, cp) -> (acc * {POLY_BASE} + cp) % {POLY_MOD}) % 1000)::DOUBLE / 1000.0,
+                   6) AS tox_score,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_words
+      FROM documents
+    )
+    SELECT doc_id, tox_score,
+           CASE WHEN n_words < 5 THEN FALSE ELSE tox_score > 0.7 END AS toxic
+    FROM scored
+    """,
+)
+def toxicity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 parity: toxicity gate with the <5-words short-circuit (reference
+    text_generator.py:273-275, 294); deterministic stub score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ml_udfs.toxicity_score("text").alias("tox_score"),
+        ml_udfs.is_toxic("text").alias("toxic"),
+    )
+
+
+@register("embed_documents_stub")
+def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: batch embedding generation through the real pandas-UDF path
+    (deterministic hash-stub model; rows-only — the RNG isn't SQL).
+    Returns (doc_id, dim, norm≈1) as a self-check projection."""
+    from ..functions import vector as V
+
+    docs = load_table(spark, sf_dir, "documents")
+    embed = ml_udfs.hash_embedding_udf(64)
+    out = docs.select("doc_id", embed(F.col("text")).alias("embedding"))
+    return out.select(
+        "doc_id", F.size("embedding").alias("dim"), F.round(V.l2_norm("embedding"), 3).alias("norm")
+    )

@@ -1,0 +1,107 @@
+"""Structured Streaming ingest (SURVEY.md §2.11, §7 Phase 7).
+
+The reference has no streaming engine, but its write path IS a stream:
+every request appends one interaction row (reference `rag_processor.py:170`
+via the `add_interaction` RPC, `query.txt:161-183`) and its reads are
+recency-windowed.  Spark-native upgrade:
+
+- ``stream_events``: file-source stream over an events directory
+  (at production scale this is Kafka/Kinesis — same downstream code).
+- ``append_stream``: watermarked append into the interactions store
+  (exactly-once via checkpoint; replaces per-request INSERT).
+- ``hourly_rollup_stream``: tumbling event-time window aggregate with
+  late-data handling — the streaming twin of the batch
+  ``events_hourly_rollup`` query (equivalence tested).
+- ``session_window_stream``: conversation-session grouping via
+  ``session_window`` — the streaming twin of ``operators.windows
+  .sessionize`` (equivalence tested with an all-data watermark).
+
+Every aggregate here keeps state bounded by the watermark: at 100 TB/day
+the state store holds only open windows, not history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, directory: str, *, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of event rows (schema fixed — streaming sources
+    never infer)."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(directory)
+
+
+def append_stream(events: DataFrame, path: str, checkpoint: str, *, watermark: str = "10 minutes"):
+    """Watermarked append sink — the reference's per-request insert (S5)
+    as a continuous exactly-once ingest."""
+    return (
+        events.withWatermark("ts", watermark)
+        .writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour event-time rollup; late rows beyond the watermark
+    are dropped, state is bounded to open windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_window_stream(events: DataFrame, *, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session-window aggregate per user (reference's conversation-session
+    notion, SURVEY.md §2.11); gap semantics match operators.windows
+    .sessionize with strict-> comparison."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, *, out_table: str, output_mode: str = "complete") -> None:
+    """Drain everything currently available into an in-memory table and
+    stop — the batch-equivalence harness used by tests ('complete' for
+    aggregates, 'append' for row streams)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

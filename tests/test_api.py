@@ -1,0 +1,112 @@
+"""End-to-end reference-parity lifecycle through the PsyEngine facade:
+ingest → history → JSON queries → retrieval (both score semantics) → IVF
+→ context building → training export (the §3.1 /chat flow, batch)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from psy_supabase_spark.api import PsyEngine
+from psy_supabase_spark.operators import ml_udfs
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    eng = PsyEngine(spark, str(tmp_path_factory.mktemp("warehouse")))
+    meta = json.dumps(
+        {"topic": "anxiety", "effectiveness": {"term_overlap": 0.9, "template_adherence": "high"}}
+    )
+    low = json.dumps(
+        {"topic": "anxiety", "effectiveness": {"term_overlap": 0.1, "template_adherence": "medium"}}
+    )
+    eng.add_interaction("alice", context=None, question="how to handle worry?", answer="breathe slowly", metadata=meta)
+    eng.add_interaction("alice", context=None, question="still worried", answer="try journaling", metadata=low)
+    eng.add_interaction("alice", context=None, question="about my marriage", answer="talk openly", metadata=json.dumps({"topic": "relationships"}))
+    eng.add_interaction("bob", context=None, question="bob q", answer="bob a", metadata=meta)
+    kb = spark.createDataFrame(
+        [("doc east", [1.0, 0.0, 0.0]), ("doc north", [0.0, 1.0, 0.0]), ("doc diag", [1.0, 1.0, 0.0])],
+        "content string, embedding array<double>",
+    )
+    eng.add_documents("alice", kb)
+    return eng
+
+
+def test_tenancy_isolation(engine):
+    assert engine.get_conversation_history("alice").count() == 3
+    assert engine.get_conversation_history("bob").count() == 1
+
+
+def test_topic_and_quality_filters(engine):
+    topical = engine.get_topic_interactions("alice", "ANXIETY")  # case-insensitive
+    assert topical.count() == 2
+    hq = engine.get_high_quality_interactions("alice", "anxiety", min_overlap=0.7)
+    assert hq.count() == 1
+    assert hq.head().question == "how to handle worry?"
+
+
+def test_retrieval_both_semantics(engine):
+    q = [1.0, 0.1, 0.0]
+    by_dist = engine.find_similar_documents("alice", q, k=2).collect()
+    by_sim = engine.get_relevant_documents("alice", q, k=2).collect()
+    assert [r.content for r in by_dist] == [r.content for r in by_sim]
+    assert by_dist[0].distance == pytest.approx(1.0 - by_sim[0].similarity, abs=1e-9)
+    assert by_dist[0].content == "doc east"
+
+
+def test_default_kb_fallback(engine, spark):
+    default_kb = spark.createDataFrame(
+        [("shared doc", [0.0, 0.0, 1.0])], "content string, embedding array<double>"
+    )
+    engine.add_documents("default", default_kb)
+    out = engine.get_relevant_documents("carol_has_no_kb", [0.0, 0.0, 1.0], k=1).collect()
+    assert out[0].content == "shared doc"
+
+
+def test_ivf_route(engine):
+    engine.create_vector_index("alice", n_lists=2)
+    hits = engine.find_similar_documents("alice", [1.0, 0.0, 0.0], k=1).collect()
+    assert hits[0].content == "doc east"
+
+
+def test_build_context_rolls_three_turns(engine):
+    ctx = engine.build_context("alice").orderBy("created_at").collect()
+    assert ctx[0].context is None
+    assert "Q: how to handle worry?" in (ctx[1].context or "")
+
+
+def test_training_export_shape(engine):
+    rows = engine.generate_training_examples("alice", "anxiety").collect()
+    assert len(rows) == 1
+    assert rows[0].instruction.endswith("anxiety")
+    assert rows[0].input == "how to handle worry?"
+
+
+def test_safety_and_toxicity_gates(engine, spark):
+    qs = spark.createDataFrame(
+        [("I want to kill myself",), ("a perfectly calm question about gardens",)], "question string"
+    )
+    routed = engine.classify_safety(qs).collect()
+    assert routed[0].blocked and routed[0].safety.category == "suicide"
+    assert not routed[1].blocked
+    tox = engine.is_toxic(qs, "question")
+    assert dict(tox.dtypes)["toxic"] == "boolean"
+
+
+def test_effectiveness_analysis(engine, spark):
+    df = spark.createDataFrame(
+        [("is it all ok?", "yes it is ok?", "Question")], "question string, answer string, template string"
+    )
+    row = engine.analyze_response_effectiveness(df).head()
+    assert row.template_adherence == "high"
+    assert row.term_overlap == pytest.approx(0.75)
+    assert row.length_quality == "too_short"
+
+
+def test_hash_embedding_udf_deterministic(spark):
+    df = spark.createDataFrame([("same text",), ("same text",), ("other",)], "t string")
+    out = df.select(ml_udfs.hash_embedding_udf(16)(F.col("t")).alias("e")).collect()
+    assert out[0].e == out[1].e != out[2].e
+    assert len(out[0].e) == 16

@@ -1,0 +1,81 @@
+"""Structured Streaming ↔ batch equivalence: the streaming rollup and
+session windows must produce the batch answers when the stream drains
+fully (availableNow) — plus the watermarked append ingest round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from psy_supabase_spark.operators import windows
+from psy_supabase_spark.sources.catalog import load_table
+from psy_supabase_spark.streaming import ingest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-land events as a plain-µs parquet directory (stream sources read
+    directories; the raw testdata file is ns-typed)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_hourly_rollup_matches_batch(spark, events_dir):
+    stream = ingest.stream_events(spark, events_dir)
+    ingest.run_available_now(ingest.hourly_rollup_stream(stream), out_table="hourly_s")
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("hourly_s").collect()
+    }
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    want = {(r.hour, r.event_type): (r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_session_window_matches_batch_sessionize(spark, events_dir):
+    stream = ingest.stream_events(spark, events_dir)
+    ingest.run_available_now(
+        ingest.session_window_stream(stream, gap="30 minutes"), out_table="sessions_s"
+    )
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in spark.table("sessions_s").collect()
+    }
+    batch = (
+        windows.sessionize(load_table(spark, SF, "events"), gap_seconds=1800)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.min("ts").alias("session_start"),
+        )
+    )
+    want = {(r.user_id, r.session_start): (r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_append_stream_roundtrip(spark, events_dir, tmp_path):
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ingest.stream_events(spark, events_dir, max_files_per_trigger=2)
+    q = ingest.append_stream(stream, out, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination()
+    landed = spark.read.parquet(out)
+    src = load_table(spark, SF, "events")
+    assert landed.count() == src.count()
+    # exactly-once: re-running the drained stream adds nothing
+    q2 = ingest.append_stream(ingest.stream_events(spark, events_dir), out, ckpt).trigger(
+        availableNow=True
+    ).start()
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == src.count()
