@@ -46,6 +46,17 @@ def word_ngrams(tokens: ColumnOrName, n: int = 3) -> Column:
     )
 
 
+def md5_hash32(col: ColumnOrName) -> Column:
+    """Portable 32-bit integer hash: first 8 hex digits of md5.
+
+    Identical in any engine with md5 (DuckDB:
+    ``CAST('0x' || substr(md5(s),1,8) AS BIGINT)``), and — unlike a
+    per-character fold — a single codegen'd JVM expression, so it stays
+    inside whole-stage codegen instead of an interpreted lambda loop.
+    The hash of choice for dedup shingles/fingerprints."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("bigint")
+
+
 def poly_hash(col: ColumnOrName) -> Column:
     """Polynomial rolling hash over unicode code points, mod 2^31-1.
 

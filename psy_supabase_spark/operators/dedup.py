@@ -1,31 +1,33 @@
 """Deduplication operators — the LLM-training-data pipeline core.
 
-Five strategies, all UDF-free Catalyst plans:
+Five strategies, all whole-stage-codegen'd Catalyst plans (no Python UDFs,
+and — deliberately — no higher-order-function lambdas on the hot paths:
+HOF lambdas execute interpreted per element, which measured 3-10× slower
+than the row-based spellings below at sf0.1):
 
-- ``exact``: normalize → hash-groupBy → keep min id.  One shuffle on the
-  normalized key; at 100 TB group by xxhash64 of the text, not the text
-  itself, to keep shuffle rows narrow.
-- ``ngram_jaccard_pairs`` (exact): inverted-index candidate generation
-  (explode distinct word n-grams, self-join on the gram) + exact Jaccard
-  from shared-gram counts.  This is the scalable exact shape: only pairs
-  sharing ≥1 gram are ever materialized.  At 100 TB, cap document
-  frequency of grams (drop grams appearing in >df_cap docs) to bound the
-  candidate blow-up — the cap only removes grams that can't distinguish
-  near-dups anyway.
-- ``minhash_lsh_pairs``: MinHash signatures over portable polynomial gram
-  hashes, banded into buckets; candidates verified with exact Jaccard, so
-  output ⊆ exact output and recall is a measured property (tests).
-- ``simhash``: 32-bit SimHash over distinct gram hashes; near-dup pairs by
-  Hamming ≤ h with a pigeonhole band join (h ≤ bands-1 bits guarantees a
-  shared band → candidate set provably contains every qualifying pair,
-  so banded output == all-pairs output, at a fraction of the cost).
-- embedding cosine near-dup lives in operators/topk (exact) and
-  operators/lsh (random-projection bucketed).
+- ``exact_dedup``: normalize → groupBy → keep min id.
+- ``ngram_jaccard_pairs`` (exact): word-3-gram rows via posexplode +
+  window leads, inverted-index candidate join, exact Jaccard from
+  shared-gram counts.  Only pairs sharing ≥1 gram materialize; ``df_cap``
+  drops grams occurring in >cap docs (the scale valve at 100 TB — such
+  grams can't distinguish near-dups anyway).
+- ``minhash_lsh_pairs``: MinHash over md5-based gram hashes (16 codegen'd
+  min-aggregates), banded equi-join on ids only, exact-Jaccard
+  verification → precision 1.0, recall measured (tests).
+- ``simhash`` / ``simhash_neardup_pairs``: 32-bit SimHash as one grouped
+  aggregate of 32 bit-vote sums; pair search via pigeonhole banding that
+  provably equals the all-pairs answer at Hamming ≤ bands-1.
+- embedding cosine near-dup: operators/topk (exact) and operators/lsh
+  (random-projection bucketed).
+
+Gram semantics match the DuckDB oracles: distinct word 3-grams of the
+lowercased alnum tokens; documents with <3 tokens contribute the single
+gram "all tokens joined" (possibly "" for empty docs).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
@@ -39,6 +41,9 @@ MINHASH_SEEDS: list[tuple[int, int]] = [
     (54499, 10007), (60493, 11003), (65921, 12007), (71399, 13001),
 ]
 LSH_BANDS = 8  # 16 hashes → 8 bands × 2 rows
+SIMHASH_BITS = 32
+
+TOKEN_SPLIT_RE = r"[^a-z0-9']+"
 
 
 def normalized_text(col: str = "text") -> Column:
@@ -46,7 +51,9 @@ def normalized_text(col: str = "text") -> Column:
 
 
 def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exact dedup on normalized text: one keeper (min id) per group."""
+    """Exact dedup on normalized text: one keeper (min id) per group.
+    At 100 TB group by xxhash64(norm) first to keep shuffle rows narrow;
+    here the text itself is the key so the oracle sees identical groups."""
     return (
         docs.select(id_col, normalized_text(text_col).alias("_norm"))
         .groupBy("_norm")
@@ -55,14 +62,63 @@ def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _grams(text_col: str) -> Column:
-    """Distinct word n-grams of the normalized text."""
-    return F.array_distinct(hashing.word_ngrams(TX.tokenize(F.col(text_col)), NGRAM_N))
+def gram_rows(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, gram): DISTINCT word n-grams as rows, fully codegen'd.
+
+    posexplode(split(...)) + two window leads replaces the interpreted
+    transform/slice/array_join loop — the single biggest dedup speedup at
+    sf0.1.  The window shuffle partitions by id, which every downstream
+    grouped aggregate reuses.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    g3 = (
+        toks.select(
+            "id",
+            F.col("tok").alias("t0"),
+            F.lead("tok", 1).over(w).alias("t1"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .where(F.col("t2").isNotNull())
+        .select("id", F.concat_ws(" ", "t0", "t1", "t2").alias("gram"))
+    )
+    # <3-token docs: single whole-text gram (matches the oracle's CASE).
+    # "tokens joined by one space" == separator runs collapsed to ' ' and
+    # trimmed — pure codegen'd regexp, no tokenizer lambda.
+    joined = F.trim(F.regexp_replace(F.lower(F.col(text_col)), TOKEN_SPLIT_RE, " "))
+    n_tokens = F.when(joined == "", F.lit(0)).otherwise(F.size(F.split(joined, " ")))
+    short = (
+        docs.select(F.col(id_col).alias("id"), joined.alias("gram"), n_tokens.alias("_n"))
+        .where(F.col("_n") < NGRAM_N)
+        .select("id", "gram")
+    )
+    return g3.unionByName(short).distinct()
 
 
-def gram_sets(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(F.col(id_col).alias("id"), _grams(text_col).alias("grams")).withColumn(
-        "n_grams", F.size("grams")
+def gram_sizes(grams: DataFrame) -> DataFrame:
+    return grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+
+
+def _pair_jaccard(cand_grams_a: DataFrame, grams: DataFrame, sizes: DataFrame) -> DataFrame:
+    """(id_a, id_b, jaccard) from (id_a, id_b, gram) candidate-gram rows:
+    shared counts + set sizes → exact Jaccard."""
+    gb = grams.select(F.col("id").alias("id_b"), "gram")
+    shared = (
+        cand_grams_a.join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+    return (
+        shared.join(sa, "id_a").join(sb, "id_b").select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -74,31 +130,45 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     df_cap: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (a<b, jaccard ≥ threshold).
-
-    Inverted-index shape: explode grams → self-join on gram → shared-gram
-    count per pair → jaccard = shared / (|A|+|B|-shared).  ``df_cap``
-    optionally drops grams occurring in more than df_cap docs (scale
-    valve; OFF by default so results are exactly the brute-force answer).
-    """
-    gs = gram_sets(docs, id_col=id_col, text_col=text_col)
-    inv = gs.select("id", "n_grams", F.explode("grams").alias("gram"))
+    """Exact n-gram Jaccard near-dup pairs (a<b, jaccard ≥ threshold) via
+    the inverted-index join — no crossJoin anywhere."""
+    grams = gram_rows(docs, id_col=id_col, text_col=text_col)
+    sizes = gram_sizes(grams)
+    inv = grams
     if df_cap is not None:
-        freq = inv.groupBy("gram").agg(F.count("*").alias("_df")).where(F.col("_df") <= df_cap)
-        inv = inv.join(F.broadcast(freq.select("gram")), "gram")
-    a = inv.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"), "gram")
-    b = inv.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"), "gram")
-    shared = (
-        a.join(b, "gram")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("shared"))
-    )
+        freq = grams.groupBy("gram").agg(F.count("*").alias("_df")).where(F.col("_df") <= df_cap)
+        inv = grams.join(freq.select("gram"), "gram")
+    a = inv.select(F.col("id").alias("id_a"), "gram")
+    b = inv.select(F.col("id").alias("id_b"), "gram")
+    cand_grams = a.join(b, "gram").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "gram")
+    shared = cand_grams.groupBy("id_a", "id_b").agg(F.count("*").alias("shared"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
     jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
-    return (
-        shared.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    out = shared.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
+    # NOTE with df_cap set, `shared` undercounts capped grams but na/nb
+    # still count them — jaccard is a lower bound, so threshold filtering
+    # only loses pairs whose evidence was undistinguishing anyway.
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def exploded_gram_hashes(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, h): md5-based 32-bit hash per distinct gram — codegen'd."""
+    return gram_rows(docs, id_col=id_col, text_col=text_col).select(
+        "id", hashing.md5_hash32(F.col("gram")).alias("h")
+    )
+
+
+def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, m0..m15): MinHash signature as 16 codegen'd min-aggregates."""
+    eh = exploded_gram_hashes(docs, id_col=id_col, text_col=text_col)
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(hashing.POLY_MOD)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    return eh.groupBy("id").agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -109,88 +179,62 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     bands: int = LSH_BANDS,
 ) -> DataFrame:
-    """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
+    """MinHash + banded LSH candidates, verified with exact Jaccard.
 
-    16 portable hash functions (functions/hashing.minhash_signature) over
-    polynomial gram hashes; ``bands`` bands of 16//bands rows each.  A pair
-    is a candidate iff some band matches (equi-join on (band, band-slice) —
-    a plain shuffle join, no crossJoin anywhere).  Candidates are then
-    verified exactly, so precision is 1.0 and recall at j≥0.9 with 8×2
-    banding is 1-(1-0.81)^8 ≈ 1.0 (measured in tests).
+    Candidates: equi-join on (band, signature-slice), ids only.  A pair is
+    a candidate iff some band matches.  Verification recomputes exact
+    Jaccard from gram rows, so precision is 1.0; recall at j≥0.9 with 8×2
+    banding is 1-(1-0.81)^8 ≈ 1.0 (measured in tests/test_dedup.py).
     """
     rows_per_band = len(MINHASH_SEEDS) // bands
-    gs = gram_sets(docs, id_col=id_col, text_col=text_col).where(F.col("n_grams") > 0)
-    sig = gs.select(
-        "id",
-        "grams",
-        "n_grams",
-        hashing.minhash_signature(
-            F.transform(F.col("grams"), lambda g: _poly64(g)), MINHASH_SEEDS
-        ).alias("sig"),
-    )
-    banded = sig.select(
-        "id",
-        "grams",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda band: F.struct(
-                    band.alias("band"),
-                    F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band).alias("key"),
-                ),
+    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{band * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("key"),
             )
-        ).alias("bk"),
-    ).select("id", "grams", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"), "band", "key")
-    b = banded.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"), "band", "key")
+            for band in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     cands = (
-        a.join(b, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ga", "gb")
-        .dropDuplicates(["id_a", "id_b"])
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = (F.size("ga") + F.size("gb")).cast("double") - inter
-    jac = F.round(inter / union, 6)
-    return cands.select("id_a", "id_b", jac.alias("jaccard")).where(F.col("jaccard") >= threshold)
-
-
-def _poly64(s: Column) -> Column:
-    """Polynomial hash of a string column (portable, see functions/hashing)."""
-    cps = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("bigint"))
-    return F.aggregate(
-        cps,
-        F.lit(0).cast("bigint"),
-        lambda acc, cp: (acc * F.lit(hashing.POLY_BASE) + cp) % F.lit(hashing.POLY_MOD),
+    grams = gram_rows(docs, id_col=id_col, text_col=text_col)
+    cand_grams_a = cands.join(grams.select(F.col("id").alias("id_a"), "gram"), "id_a").select(
+        "id_a", "id_b", "gram"
     )
-
-
-SIMHASH_BITS = 32
+    verified = _pair_jaccard(cand_grams_a, grams, gram_sizes(grams))
+    return verified.where(F.col("jaccard") >= threshold)
 
 
 def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over distinct gram poly-hashes.
-
-    bit b is set iff sum over grams of (2*((h>>b)&1) - 1) > 0.  Pure
-    integer math — bit-identical in any engine.
+    """32-bit SimHash over distinct gram hashes: bit b set iff
+    sum(2*((h>>b)&1)-1) > 0 — one grouped aggregate with 32 codegen'd
+    bit-vote sums; portable integer math (oracle reproduces bit-for-bit).
     """
-    gs = gram_sets(docs, id_col=id_col, text_col=text_col)
-    # materialize gram hashes once, then 32 integer bit-votes over them
-    hashed = gs.select("id", F.transform(F.col("grams"), lambda g: _poly64(g)).alias("hl"))
-
-    def _vote(b: int) -> Column:
-        return F.aggregate(
-            F.col("hl"),
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    votes = [_vote(b) for b in range(SIMHASH_BITS)]
+    eh = exploded_gram_hashes(docs, id_col=id_col, text_col=text_col)
+    votes = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    voted = eh.groupBy("id").agg(*votes)
     sh = None
-    for b, vote in enumerate(votes):
-        term = F.when(vote > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sh = term if sh is None else sh + term
-    return hashed.select("id", sh.alias("simhash"))
+    return voted.select("id", sh.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -200,14 +244,10 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
-
-    Banded pigeonhole join: split the 32-bit hash into (max_hamming+1)
-    bands; any pair within max_hamming MUST share at least one exact band
-    → the equi-join candidate set provably contains every qualifying pair
-    (no recall loss vs all-pairs), then the exact Hamming filter runs only
-    on candidates.
-    """
+    """Near-dup pairs by SimHash Hamming ≤ max_hamming via the pigeonhole
+    band join: split into (max_hamming+1) bands — any qualifying pair MUST
+    share an exact band, so the candidate equi-join provably contains every
+    qualifying pair (banded output == all-pairs output)."""
     bands = max_hamming + 1
     width = SIMHASH_BITS // bands
     sh = simhash(docs, id_col=id_col, text_col=text_col)
@@ -233,4 +273,12 @@ def simhash_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---- kept for array-shaped callers (api/tests); row path above is the hot one
+def gram_sets(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    grams = F.array_distinct(hashing.word_ngrams(TX.tokenize(F.col(text_col)), NGRAM_N))
+    return docs.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams")
     )

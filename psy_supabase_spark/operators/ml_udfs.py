@@ -61,14 +61,13 @@ def hash_embedding_udf(dim: int = EMBED_DIM_DEFAULT):
 
 def toxicity_score(col: Column | str) -> Column:
     """M3 stub, fully native: pseudo-probability from the portable
-    polynomial hash (so a SQL oracle reproduces it bit-for-bit).
-    Real impl: RoBERTa classifier pandas UDF with the same signature."""
+    md5-based hash (so a SQL oracle reproduces it bit-for-bit, and the
+    expression stays codegen'd).  Real impl: RoBERTa classifier pandas UDF
+    with the same signature."""
+    from ..functions.hashing import md5_hash32
+
     c = F.col(col) if isinstance(col, str) else col
-    cps = F.transform(F.split(F.lower(c), ""), lambda ch: F.ascii(ch).cast("bigint"))
-    h = F.aggregate(
-        cps, F.lit(0).cast("bigint"), lambda acc, cp: (acc * F.lit(POLY_BASE) + cp) % F.lit(POLY_MOD)
-    )
-    return F.round((h % 1000).cast("double") / 1000.0, 6)
+    return F.round((md5_hash32(F.lower(c)) % 1000).cast("double") / 1000.0, 6)
 
 
 def is_toxic(col: Column | str, *, threshold: float = 0.7, min_words: int = 5) -> Column:

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.hashing import POLY_BASE, POLY_MOD
+from ..functions.hashing import POLY_MOD  # minhash affine modulus
 from ..operators import dedup, ivf, lsh
 from ..registry import register
 from ..sources.catalog import load_table
@@ -31,10 +31,7 @@ _GRAMS = (
     "ELSE list_distinct([{t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2] "
     "for i in range(1, greatest(len({t}) - 2, 0) + 1)]) END"
 )
-_POLY = (
-    "list_reduce(list_prepend(0::BIGINT, list_transform(string_split({s}, ''), "
-    f"ch -> ord(ch)::BIGINT)), (acc, cp) -> (acc * {POLY_BASE} + cp) % {POLY_MOD})"
-)
+_MD5_32 = "CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
 
 _GRAM_CTE = f"""
     toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
@@ -85,7 +82,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_fingerprints",
     oracle=f"""
     WITH {_GRAM_CTE},
-    hashed AS (SELECT doc_id AS id, list_transform(g, s -> {_POLY.format(s='s')}) AS hl FROM grams)
+    hashed AS (SELECT doc_id AS id, list_transform(g, s -> {_MD5_32.format(s='s')}) AS hl FROM grams)
     SELECT id,
            list_sum([CASE WHEN list_sum(list_transform(hl, h -> ((h >> b) & 1) * 2 - 1)) > 0
                           THEN (1::BIGINT << b) ELSE 0::BIGINT END
@@ -103,7 +100,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_neardup",
     oracle=f"""
     WITH {_GRAM_CTE},
-    hashed AS (SELECT doc_id AS id, list_transform(g, s -> {_POLY.format(s='s')}) AS hl FROM grams),
+    hashed AS (SELECT doc_id AS id, list_transform(g, s -> {_MD5_32.format(s='s')}) AS hl FROM grams),
     sh AS (
       SELECT id,
              list_sum([CASE WHEN list_sum(list_transform(hl, h -> ((h >> b) & 1) * 2 - 1)) > 0

@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import POLY_BASE, POLY_MOD
 from ..operators import ml_udfs, multimodal
 from ..registry import register
 from ..sources.catalog import load_table
@@ -37,12 +36,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "toxicity_gate",
-    oracle=f"""
+    oracle="""
     WITH scored AS (
       SELECT doc_id,
-             ROUND((list_reduce(list_prepend(0::BIGINT,
-                      list_transform(string_split(lower(text), ''), ch -> ord(ch)::BIGINT)),
-                      (acc, cp) -> (acc * {POLY_BASE} + cp) % {POLY_MOD}) % 1000)::DOUBLE / 1000.0,
+             ROUND((CAST(('0x' || substr(md5(lower(text)), 1, 8)) AS BIGINT) % 1000)::DOUBLE / 1000.0,
                    6) AS tox_score,
              len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_words
       FROM documents

@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions.hashing import POLY_BASE, POLY_MOD
 from ..operators import textanalysis
 from ..registry import register
 from ..sources.catalog import load_table
@@ -231,7 +230,7 @@ ORACLES["text_profile"] = ORACLES["text_profile"].replace("{lang_case}", _lang_c
 
 @register(
     "doc_fingerprint",
-    oracle=f"""
+    oracle="""
     WITH cleaned AS (
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -240,16 +239,13 @@ ORACLES["text_profile"] = ORACLES["text_profile"].replace("{lang_case}", _lang_c
       FROM documents
     )
     SELECT doc_id,
-           list_reduce(
-             list_prepend(0::BIGINT, list_transform(string_split(c, ''), ch -> ord(ch)::BIGINT)),
-             (acc, cp) -> (acc * {POLY_BASE} + cp) % {POLY_MOD}
-           ) AS fingerprint
+           CAST(('0x' || substr(md5(c), 1, 8)) AS BIGINT) AS fingerprint
     FROM cleaned
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: polynomial rolling hash over cleaned text code
-    points — bit-identical across engines (functions/hashing.poly_hash)."""
+    """Document fingerprint: md5-based 32-bit hash of cleaned text —
+    bit-identical across engines (functions/hashing.md5_hash32)."""
     docs = load_table(spark, sf_dir, "documents")
     return textanalysis.fingerprint(docs)
 

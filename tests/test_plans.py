@@ -1,0 +1,51 @@
+"""Physical-plan regression tests: the properties that make these
+operators scale (pushdown, top-k heaps, broadcast strategies, no
+accidental cartesian products) must survive refactors."""
+
+from __future__ import annotations
+
+import pytest
+
+from psy_supabase_spark.plans import assert_plan_contains
+from psy_supabase_spark.plans.explain import assert_plan_lacks
+from psy_supabase_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "name,fragments",
+    [
+        ("pricing_summary", ["PushedFilters: [IsNotNull(l_shipdate)", "partial_sum"]),
+        ("vector_topk_similarity", ["TakeOrderedAndProject"]),
+        ("vector_topk_distance", ["TakeOrderedAndProject"]),
+        ("recency_topk_orders", ["TakeOrderedAndProject"]),
+        ("json_filter_recency_topk", ["TakeOrderedAndProject"]),
+        ("top_orders_by_revenue", ["TakeOrderedAndProject"]),
+        ("revenue_by_nation", ["BroadcastHashJoin"]),
+        ("customers_without_orders", ["BroadcastHashJoin", "LeftAnti"]),
+        ("orders_with_discounted_items", ["LeftSemi", "PushedFilters: [IsNotNull(l_discount)"]),
+        # taxonomy containment join: broadcast nested loop over the tiny side
+        ("topic_classify_argmax", ["BroadcastNestedLoopJoin"]),
+    ],
+)
+def test_plan_shape(spark, name, fragments):
+    assert_plan_contains(QUERIES[name](spark, SF), *fragments)
+
+
+def test_topk_never_global_sorts(spark):
+    # top-k must be a per-partition heap, not Sort + GlobalLimit
+    df = QUERIES["vector_topk_similarity"](spark, SF)
+    assert_plan_lacks(df, "GlobalLimit")
+
+
+def test_scan_prunes_columns(spark):
+    # 2-column projection must not read all 11 lineitem columns
+    df = QUERIES["top_orders_by_revenue"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_lsh_paths_have_no_cartesian(spark):
+    for name in ("dedup_minhash_lsh", "simhash_neardup", "embedding_neardup_lsh", "dedup_ngram_jaccard"):
+        assert_plan_lacks(QUERIES[name](spark, SF), "CartesianProduct")
