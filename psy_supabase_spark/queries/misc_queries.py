@@ -1,0 +1,225 @@
+"""Coverage pack: SQL-surface parity (S4), set operations (§2.7),
+remaining text scalars (T3 approximation, T8, T10, T12), quantiles,
+and deterministic sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..registry import register
+from ..sources.catalog import load_table, register_views
+
+# keep-words parity (reference utilities/keep_words.py:16-19): pronouns +
+# be/have/do forms survive stopword stripping.
+KEEP_WORDS = ["i", "you", "he", "she", "we", "they", "me", "my", "your",
+              "am", "is", "are", "was", "were", "be", "have", "has", "do", "does"]
+
+
+@register(
+    "sql_surface_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def sql_surface_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 parity: the raw-SQL escape hatch (reference query.txt:41-56
+    `sql(command)`) is simply Spark SQL over registered views — same
+    Catalyst plan as the DataFrame API."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """
+    )
+
+
+@register(
+    "event_user_setops",
+    oracle="""
+    SELECT user_id, 'click_and_purchase' AS cohort FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT user_id, 'view_no_error' AS cohort FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+)
+def event_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: INTERSECT / EXCEPT / UNION ALL cohorts (the reference has no
+    set operations; the engine exposes Spark's)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return ev.where(F.col("event_type") == t).select("user_id").distinct()
+
+    both = users("click").intersect(users("purchase")).withColumn("cohort", F.lit("click_and_purchase"))
+    clean = users("view").exceptAll(users("error")).withColumn("cohort", F.lit("view_no_error"))
+    return both.unionAll(clean)
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in items) + "]"
+
+
+@register(
+    "tokens_stopstripped",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x != '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(t, x -> NOT list_contains({_sql_list(TX.STOPWORDS)}, x)
+                                OR list_contains({_sql_list(KEEP_WORDS)}, x))) AS n_kept
+    FROM toks
+    """,
+)
+def tokens_stopstripped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (cheap approximation of the reference's spaCy lemma+stop strip,
+    utilities/text_utils.py:51-75): tokenize, drop stopwords EXCEPT the
+    keep-words list (utilities/keep_words.py) — the reference's signature
+    quirk, preserved.  The spaCy lemmatizer itself is a pandas-UDF
+    extension point (gated import, not in this container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokenize(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in TX.STOPWORDS])
+    keep = F.array(*[F.lit(w) for w in KEEP_WORDS])
+    kept = F.filter(toks, lambda t: ~F.array_contains(sw, t) | F.array_contains(keep, t))
+    return docs.select("doc_id", F.size(kept).alias("n_kept"))
+
+
+@register(
+    "category_info",
+    oracle="""
+    WITH cats AS (
+      SELECT doc_id,
+             list_filter([
+               CASE WHEN regexp_matches(lower(text), '(anxious|anxiety|panic)') THEN 'anxiety' END,
+               CASE WHEN regexp_matches(lower(text), '(depressed|depression|hopeless)') THEN 'depression' END,
+               CASE WHEN regexp_matches(lower(text), '(relationship|partner|marriage)') THEN 'relationships' END,
+               CASE WHEN regexp_matches(lower(text), '(stress|overwhelmed|burnout)') THEN 'stress' END
+             ], x -> x IS NOT NULL) AS cl
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(cl) = 0 THEN 'Others' ELSE array_to_string(cl, ',') END AS categories
+    FROM cats
+    """,
+)
+def category_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: keyword-group category generator, guaranteed non-empty with
+    'Others' default (reference prompt_selector.py:99-159)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    entries = [
+        F.when(t.rlike("(anxious|anxiety|panic)"), F.lit("anxiety")),
+        F.when(t.rlike("(depressed|depression|hopeless)"), F.lit("depression")),
+        F.when(t.rlike("(relationship|partner|marriage)"), F.lit("relationships")),
+        F.when(t.rlike("(stress|overwhelmed|burnout)"), F.lit("stress")),
+    ]
+    cl = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    cats = F.when(F.size(cl) == 0, F.lit("Others")).otherwise(F.array_join(cl, ","))
+    return docs.select("doc_id", cats.alias("categories"))
+
+
+@register(
+    "prompt_render",
+    oracle="""
+    SELECT event_id,
+           'Template[' || event_type || ']: respond to user ' || CAST(user_id AS VARCHAR) ||
+           ' about ' || COALESCE(json_extract_string(props, '$.k'), 'general') AS prompt
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: prompt templating as format_string/concat (reference
+    text_generator.py:330-345 + therapeutic_promt.py templates)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") == "signup").select(
+        "event_id",
+        F.concat(
+            F.lit("Template["),
+            F.col("event_type"),
+            F.lit("]: respond to user "),
+            F.col("user_id").cast("string"),
+            F.lit(" about "),
+            F.coalesce(F.get_json_object("props", "$.k"), F.lit("general")),
+        ).alias("prompt"),
+    )
+
+
+@register(
+    "embedding_codec_roundtrip",
+    oracle="SELECT vec_id, TRUE AS roundtrip_ok FROM embeddings",
+)
+def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 compat codec: the reference ships vectors as '[0.1,...]' strings
+    (database.py:394-399, 296-301); our engine stores native arrays and
+    only provides the codec for interop.  The query PROVES the round-trip
+    is lossless: serialize → parse → compare to the original, per row
+    (oracle asserts all-true)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    serialized = F.concat(F.lit("["), F.array_join(F.col("embedding").cast("array<string>"), ","), F.lit("]"))
+    parsed = F.from_json(serialized, "array<float>")
+    return emb.select("vec_id", (parsed == F.col("embedding")).alias("roundtrip_ok"))
+
+
+@register(
+    "event_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont("value", 0.5), 6) AS p50,
+           ROUND(quantile_cont("value", 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (Spark `percentile` ≡ DuckDB
+    quantile_cont).  At 100 TB swap for approx_percentile and accept the
+    documented error bound — kept exact here so the oracle gates it."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based deterministic ~10% sample — reproducible across engines
+    and runs (unlike rand()-based sampling), the right primitive for
+    training-data subset carving."""
+    from ..functions.hashing import md5_hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(md5_hash32(F.col("doc_id").cast("string")) % 100 < 10).select("doc_id", "lang")
+
+
+@register("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (engine-specific sketch → rows-only
+    check; the exact twin `distinct_users_by_type` is oracle-gated)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )

@@ -39,6 +39,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # import for side effects: each module registers its queries
 from .queries import dedup_queries  # noqa: E402,F401
+from .queries import misc_queries  # noqa: E402,F401
 from .queries import pipeline_queries  # noqa: E402,F401
 from .queries import relational_queries  # noqa: E402,F401
 from .queries import text_queries  # noqa: E402,F401

@@ -1,0 +1,104 @@
+"""Property-based invariants (SURVEY.md §5.3), hypothesis-generated.
+
+One shared SparkSession; each property materializes a small DataFrame per
+example, so examples are capped to keep runtime sane."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from psy_supabase_spark.functions import text as TX
+from psy_supabase_spark.functions import vector as V
+from psy_supabase_spark.operators import topk
+
+SLOW = settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+
+finite_floats = st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False)
+vectors = st.lists(finite_floats, min_size=2, max_size=8)
+texts = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=["Cs", "Cc"]), max_size=120
+)
+
+
+@SLOW
+@given(v=vectors)
+def test_self_similarity_is_one(spark, v):
+    df = spark.createDataFrame([(v,)], "e array<double>")
+    out = df.select(V.cosine_similarity("e", "e").alias("s")).head().s
+    if all(x == 0 for x in v):
+        assert out is None
+    else:
+        assert out == pytest.approx(1.0, abs=1e-9)
+
+
+@SLOW
+@given(a=vectors, b=vectors)
+def test_cosine_symmetric_and_bounded(spark, a, b):
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        V.cosine_similarity("a", "b").alias("ab"), V.cosine_similarity("b", "a").alias("ba")
+    ).head()
+    if row.ab is not None:
+        assert row.ab == pytest.approx(row.ba, abs=1e-12)
+        assert -1.0 - 1e-9 <= row.ab <= 1.0 + 1e-9
+
+
+@SLOW
+@given(vs=st.lists(st.tuples(st.integers(0, 1 << 30), vectors), min_size=1, max_size=8))
+def test_topk_stable_under_permutation(spark, vs):
+    dim = len(vs[0][1])
+    rows = [(i, v[:dim] + [0.0] * (dim - len(v))) for i, (_, v) in enumerate(vs)]
+    q = rows[0][1]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df2 = spark.createDataFrame(list(reversed(rows)), "vec_id long, embedding array<double>")
+    r1 = [(r.vec_id, r.similarity) for r in topk.topk_similarity(df1, q, k=3).collect()]
+    r2 = [(r.vec_id, r.similarity) for r in topk.topk_similarity(df2, q, k=3).collect()]
+    assert r1 == r2
+
+
+@SLOW
+@given(t=texts)
+def test_clean_text_idempotent(spark, t):
+    df = spark.createDataFrame([(t,)], "text string")
+    once = df.select(TX.clean_text("text").alias("c")).head().c
+    twice = spark.createDataFrame([(once,)], "text string").select(
+        TX.clean_text("text").alias("c")
+    ).head().c
+    assert once == twice
+
+
+@SLOW
+@given(t=texts)
+def test_token_count_matches_tokenize_upper_bound(spark, t):
+    df = spark.createDataFrame([(t,)], "text string")
+    row = df.select(
+        TX.token_count("text").alias("n"), F.size(TX.tokenize("text")).alias("m")
+    ).head()
+    assert row.n >= 0 and row.m >= 0
+
+
+@SLOW
+@given(
+    d=st.dictionaries(
+        # word-char keys: get_json_object's $['k'] path syntax can't quote
+        # quotes/backslashes — a path-language limit, not engine logic
+        st.text(st.characters(codec="ascii", categories=["L", "N"]), min_size=1, max_size=8),
+        st.integers(-1000, 1000),
+        max_size=4,
+    )
+)
+def test_json_roundtrip_identity(spark, d):
+    import json
+
+    s = json.dumps(d)
+    df = spark.createDataFrame([(s,)], "j string")
+    for k, v in d.items():
+        got = df.select(F.get_json_object("j", f"$['{k}']").alias("v")).head().v
+        assert got == str(v)
