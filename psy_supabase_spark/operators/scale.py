@@ -1,0 +1,92 @@
+"""Scale-engineering operators: bucketed co-located joins and skew salting.
+
+These are the two levers the 100 TB plan needs beyond stock AQE:
+
+- **Bucketing** removes the shuffle from repeated big-big joins.  The
+  lineitem⨝orders join shuffles both sides on every run; bucketing both
+  tables by the join key at write time makes every subsequent join
+  shuffle-free (SortMergeJoin with zero Exchange) — the Spark spelling of
+  co-located storage.  Verified by plan assertion in tests.
+- **Salting** spreads one hot key over N synthetic sub-keys.  AQE's skew
+  join handles skewed *partitions* at runtime; explicit salting is still
+  the right tool when a single key exceeds one executor's memory in an
+  aggregation, or when the skew is known ahead of time.  The two-phase
+  salted aggregation below is algebraically exact for decomposable
+  aggregates (sum/count/min/max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    *,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key.
+    Buckets are the unit of co-location: joins/aggs on bucket_col against
+    another table with the SAME bucketing need no Exchange."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: str) -> DataFrame:
+    """Join two co-bucketed tables — plans as SortMergeJoin with no
+    shuffle on either side (asserted in tests/test_scale.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def salted_agg(
+    df: DataFrame,
+    key_col: str,
+    agg_exprs: list[Column],
+    final_exprs: list[Column],
+    *,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with salt: groupBy(key, salt) → partial, then
+    groupBy(key) → final.  Exact for decomposable aggregates; caps any one
+    reducer's share of a hot key at 1/n_salts.
+
+    agg_exprs: partial aggregates (e.g. [sum(x).alias('s'), count('*')
+    .alias('c')]); final_exprs: how to merge partials (e.g.
+    [sum('s').alias('total'), sum('c').alias('n')]).
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    partial = salted.groupBy(key_col, "_salt").agg(*agg_exprs)
+    return partial.groupBy(key_col).agg(*final_exprs)
+
+
+def salted_join_hot_keys(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    hot_keys: list,
+    *,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew join: replicate the dim rows of known-hot keys n_salts times,
+    salt the fact side, join on (key, salt).  Non-hot keys use salt 0 on
+    both sides, so the result is row-identical to the plain join
+    (asserted in tests)."""
+    is_hot = F.col(on).isin(hot_keys)
+    facts_salted = facts.withColumn(
+        "_salt",
+        F.when(is_hot, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))).otherwise(
+            F.lit(0)
+        ),
+    )
+    explode_salts = F.when(is_hot, F.array(*[F.lit(i) for i in range(n_salts)])).otherwise(
+        F.array(F.lit(0))
+    )
+    dim_replicated = dim.withColumn("_salt", F.explode(explode_salts))
+    out = facts_salted.join(dim_replicated, [on, "_salt"]).drop("_salt")
+    return out
