@@ -23,21 +23,41 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the reference's RAG retrieval (SURVEY.md §3.1 step 8)
-    — cosine top-k over the knowledge base, joined back to document text.
-    Broadcast join of the k-row result side; corpus scanned once."""
+    """Flagship query: the reference's /chat lifecycle (SURVEY.md §3.1) as
+    ONE lazy DataFrame DAG — safety gate (step 4), template selection
+    (step 5), cosine top-k retrieval (step 8), prompt build (step 9 input),
+    toxicity gate (step 10) — over the sf0.001 tables.  The reference runs
+    these as sequential Python calls with an RPC per step; here Catalyst
+    fuses the scalar stages into the scan and the only exchanges are the
+    top-k merge and the broadcast of the k retrieved rows."""
     from pyspark.sql import functions as F
 
-    from psy_supabase_spark.operators import topk
+    from psy_supabase_spark.functions import text as TX
+    from psy_supabase_spark.operators import ml_udfs, topk
     from psy_supabase_spark.queries.vector_queries import TOPK, _query_vec
     from psy_supabase_spark.sources.catalog import load_table
 
     emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
     docs = load_table(spark, SMOKE_SF_DIR, "documents")
     hits = topk.topk_similarity(emb, _query_vec(spark, SMOKE_SF_DIR), k=TOPK)
+    retrieved = docs.join(F.broadcast(hits), docs.doc_id == hits.vec_id, "inner")
     return (
-        docs.join(F.broadcast(hits), docs.doc_id == hits.vec_id, "inner")
-        .select("vec_id", "similarity", "text", "lang", "source")
+        retrieved.select(
+            "vec_id",
+            "similarity",
+            "text",
+            "lang",
+            "source",
+            TX.safety_category("text").alias("safety_category"),
+            TX.select_template("text").alias("template"),
+            ml_udfs.is_toxic("text").alias("toxic"),
+        )
+        .withColumn(
+            "prompt",
+            F.when(F.col("safety_category").isNotNull(), F.lit(None).cast("string")).otherwise(
+                ml_udfs.generate_stub(F.col("text"), F.col("template"))
+            ),
+        )
         .orderBy(F.col("similarity").desc(), F.col("vec_id").asc())
     )
 

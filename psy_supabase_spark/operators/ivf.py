@@ -42,7 +42,8 @@ def build_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    max_iter: int = 20,
+    max_iter: int = 8,
+    fit_sample_fraction: float | None = None,
 ) -> IVFIndex:
     """KMeans(k=n_lists) on the corpus; rows tagged with their centroid.
 
@@ -63,8 +64,9 @@ def build_ivf(
         array_to_vector(
             F.coalesce(unit, F.col(vec_col).cast("array<double>")).cast("array<double>")
         ).alias("features"),
-    )
-    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(vecs)
+    ).cache()
+    fit_input = vecs.sample(fit_sample_fraction, seed=seed) if fit_sample_fraction else vecs
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(fit_input)
     centers = [list(map(float, c)) for c in model.clusterCenters()]
     assigned = (
         model.transform(vecs)

@@ -17,6 +17,8 @@ These are the two levers the 100 TB plan needs beyond stock AQE:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +34,16 @@ def write_bucketed(
     """Persist a table bucketed (and optionally sorted) by the join key.
     Buckets are the unit of co-location: joins/aggs on bucket_col against
     another table with the SAME bucketing need no Exchange."""
+    import shutil
+
+    spark = df.sparkSession
+    # idempotent re-create: a dangling managed-table location (metadata died
+    # with a previous session, files survived) blocks saveAsTable
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
