@@ -17,7 +17,6 @@ templating path offline.
 from __future__ import annotations
 
 import hashlib
-import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -25,8 +24,6 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-from ..functions.hashing import POLY_BASE, POLY_MOD
 
 EMBED_DIM_DEFAULT = 64
 
@@ -55,6 +52,37 @@ def hash_embedding_udf(dim: int = EMBED_DIM_DEFAULT):
                 return [float(x) for x in v]
 
             yield series.map(one)
+
+    return embed
+
+
+def real_embedding_udf(model_name: str = "microsoft/phi-1_5", dim: int = 2048):
+    """M1 real path (gated): mean-pooled last-hidden-state embeddings
+    (reference text_generator.py:301-319).  Requires torch+transformers,
+    not present in this container — the stub above has the identical
+    pandas-UDF contract, so swapping is a one-line change."""
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+    except ImportError as e:  # pragma: no cover - torch absent by design
+        raise ImportError(
+            "real_embedding_udf needs torch+transformers; use "
+            "hash_embedding_udf (identical signature) in this environment"
+        ) from e
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:  # pragma: no cover
+        from transformers import AutoModel, AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_name)  # executor singleton
+        model = AutoModel.from_pretrained(model_name).eval()
+        with torch.no_grad():
+            for series in batches:
+                enc = tok(list(series), truncation=True, max_length=512, padding=True, return_tensors="pt")
+                hidden = model(**enc).last_hidden_state
+                mask = enc["attention_mask"].unsqueeze(-1)
+                pooled = (hidden * mask).sum(1) / mask.sum(1).clamp(min=1)
+                yield pd.Series([v.tolist() for v in pooled])
 
     return embed
 

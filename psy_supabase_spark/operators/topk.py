@@ -119,10 +119,18 @@ def neighbors_above(
     """All-pairs (a<b) with cosine similarity ≥ threshold — exact
     embedding-near-duplicate detection.  O(N²): correct baseline for the
     oracle; the scale path is operators/lsh.py (random-projection bucketing)
-    or operators/ivf.py (centroid-blocked join)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    sim = V.round6(V.cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+    or operators/ivf.py (centroid-blocked join).
+
+    Norms are precomputed per row (N sqrt+dot instead of N² each) — same
+    doubles as inline computation, one third the per-pair flops."""
+    withnorm = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), V.l2_norm(vec_col).alias("nrm")
+    )
+    a = withnorm.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("na"))
+    b = withnorm.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nb"))
+    sim = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(None).cast("double")).otherwise(
+        V.round6(V.dot(F.col("vec_a"), F.col("vec_b")) / (F.col("na") * F.col("nb")))
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))

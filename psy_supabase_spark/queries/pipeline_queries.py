@@ -60,11 +60,16 @@ def toxicity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embed_documents_stub")
+@register(
+    "embed_documents_stub",
+    oracle="SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS norm FROM documents",
+)
 def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: batch embedding generation through the real pandas-UDF path
-    (deterministic hash-stub model; rows-only — the RNG isn't SQL).
-    Returns (doc_id, dim, norm≈1) as a self-check projection."""
+    (deterministic hash-stub model).  The RNG values aren't SQL, but the
+    CONTRACT is: every embedding has dim 64 and unit norm — the oracle
+    asserts exactly that, so a broken UDF (nan, wrong dim, missing rows)
+    fails the gate."""
     from ..functions import vector as V
 
     docs = load_table(spark, sf_dir, "documents")
