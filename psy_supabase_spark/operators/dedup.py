@@ -271,7 +271,7 @@ def simhash_neardup_pairs(
         a.join(b, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", ham.alias("hamming"))
+        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
 

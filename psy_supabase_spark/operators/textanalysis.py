@@ -59,8 +59,8 @@ def text_profile(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "te
     t = F.col(text_col)
     return docs.select(
         id_col,
-        TX.token_count(t).alias("n_tokens"),
-        F.size(F.array_distinct(TX.tokenize(t))).alias("n_distinct_tokens"),
+        TX.token_count(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(TX.tokenize(t))).cast("bigint").alias("n_distinct_tokens"),
         TX.length_bucket(t).alias("length_bucket"),
         F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
         TX.quality_score(t).alias("quality_score"),

@@ -105,7 +105,7 @@ def knn_join(
         .where(F.col(score_col).isNotNull())
     )
     w = Window.partitionBy(query_id).orderBy(F.col(score_col).desc(), F.col(corpus_id).asc())
-    return joined.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return joined.withColumn("rank", F.row_number().over(w).cast("bigint")).where(F.col("rank") <= k)
 
 
 def neighbors_above(

@@ -108,7 +108,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                        for b in range(0, {dedup.SIMHASH_BITS})])::BIGINT AS simhash
       FROM hashed
     )
-    SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.simhash, b.simhash)) AS hamming
+    SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sh a JOIN sh b ON a.id < b.id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,

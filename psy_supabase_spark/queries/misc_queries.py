@@ -99,7 +99,7 @@ def tokens_stopstripped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = F.array(*[F.lit(w) for w in TX.STOPWORDS])
     keep = F.array(*[F.lit(w) for w in KEEP_WORDS])
     kept = F.filter(toks, lambda t: ~F.array_contains(sw, t) | F.array_contains(keep, t))
-    return docs.select("doc_id", F.size(kept).alias("n_kept"))
+    return docs.select("doc_id", F.size(kept).cast("bigint").alias("n_kept"))
 
 
 @register(

@@ -62,7 +62,7 @@ def toxicity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_documents_stub",
-    oracle="SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS norm FROM documents",
+    oracle="SELECT doc_id, CAST(64 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS norm FROM documents",
 )
 def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: batch embedding generation through the real pandas-UDF path
@@ -76,5 +76,5 @@ def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     embed = ml_udfs.hash_embedding_udf(64)
     out = docs.select("doc_id", embed(F.col("text")).alias("embedding"))
     return out.select(
-        "doc_id", F.size("embedding").alias("dim"), F.round(V.l2_norm("embedding"), 3).alias("norm")
+        "doc_id", F.size("embedding").cast("bigint").alias("dim"), F.round(V.l2_norm("embedding"), 3).alias("norm")
     )

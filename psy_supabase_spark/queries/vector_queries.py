@@ -90,7 +90,7 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         V.round6(V.l2_norm("embedding")).alias("l2_norm"),
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
     )
 
 
@@ -108,7 +108,7 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id ASC) AS rank
       FROM scored
     )
-    SELECT query_id, vec_id, similarity, rank FROM ranked WHERE rank <= 3
+    SELECT query_id, vec_id, similarity, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
     """,
 )
 def knn_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,7 +56,7 @@ def last5_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = windows.recent_per_key(
         ev, 5, partition_by="user_id", order_by=[F.col("ts").desc(), F.col("event_id").desc()]
     )
-    return out.select("event_id", "user_id", "event_type", "rn")
+    return out.select("event_id", "user_id", "event_type", F.col("rn").cast("bigint").alias("rn"))
 
 
 @register(
@@ -72,8 +72,8 @@ def last5_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
       FROM flagged
     )
     SELECT user_id, session_idx, COUNT(*) AS n_events,
