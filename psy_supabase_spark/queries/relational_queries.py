@@ -290,3 +290,74 @@ def json_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k.cast("int")).cast("bigint").alias("sum_k"),
         F.count(k).alias("n_with_k"),
     )
+
+
+@register(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH costs AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal,
+             MIN(s.s_acctbal) OVER (PARTITION BY p.p_partkey) AS min_bal
+      FROM part p
+      JOIN supplier s ON s.s_suppkey = 1 + (p.p_partkey % (SELECT COUNT(*) FROM supplier))
+    )
+    SELECT p_partkey, p_name, s_name, s_acctbal
+    FROM costs WHERE s_acctbal = min_bal AND p_partkey < 200
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated 'min per group' subquery, decorrelated to
+    a window (the Catalyst-friendly spelling; testdata has no partsupp so
+    a deterministic part→supplier pairing stands in)."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    n_supp = supp.count()
+    joined = part.join(supp, supp.s_suppkey == 1 + (part.p_partkey % n_supp))
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.select("p_partkey", "p_name", "s_name", "s_acctbal", F.min("s_acctbal").over(w).alias("_mb"))
+        .where((F.col("s_acctbal") == F.col("_mb")) & (F.col("p_partkey") < 200))
+        .drop("_mb")
+    )
+
+
+@register(
+    "large_orders_having",
+    oracle="""
+    SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    """,
+)
+def large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: GROUP BY + HAVING on a decimal sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_tq"))
+        .where(F.col("_tq") > 150)
+        .select("l_orderkey", F.col("_tq").cast("double").alias("total_qty"))
+    )
+
+
+@register(
+    "events_cube",
+    oracle="""
+    SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY CUBE(event_type, CAST(user_id % 10 AS BIGINT))
+    """,
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, user bucket) — all four
+    grouping combinations in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", (F.col("user_id") % 10).cast("bigint").alias("user_bucket"))
+        .cube("event_type", "user_bucket")
+        .agg(F.count("*").alias("n_events"))
+    )

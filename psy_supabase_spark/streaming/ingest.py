@@ -93,6 +93,17 @@ def session_window_stream(events: DataFrame, *, gap: str = "30 minutes", waterma
     )
 
 
+def dedup_stream(events: DataFrame, *, key_cols: list[str] | None = None, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event within
+    the watermark horizon (``dropDuplicatesWithinWatermark`` keeps state
+    only for the watermark window — bounded, unlike dropDuplicates which
+    remembers keys forever).  The streaming twin of
+    operators/dedup.exact_dedup for an at-least-once ingest feed."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
+
+
 def run_available_now(stream_df: DataFrame, *, out_table: str, output_mode: str = "complete") -> None:
     """Drain everything currently available into an in-memory table and
     stop — the batch-equivalence harness used by tests ('complete' for

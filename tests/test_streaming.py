@@ -79,3 +79,19 @@ def test_append_stream_roundtrip(spark, events_dir, tmp_path):
     ).start()
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == src.count()
+
+
+def test_dedup_stream_drops_redeliveries(spark, events_dir, tmp_path):
+    # land the same files twice → an at-least-once feed with full replays
+    dup_dir = str(tmp_path / "dup")
+    src = load_table(spark, SF, "events")
+    src.write.mode("overwrite").parquet(dup_dir)
+    src.write.mode("append").parquet(dup_dir)
+    assert spark.read.parquet(dup_dir).count() == 2 * src.count()
+    stream = ingest.stream_events(spark, dup_dir)
+    ingest.run_available_now(
+        ingest.dedup_stream(stream), out_table="dedup_s", output_mode="append"
+    )
+    deduped = spark.table("dedup_s")
+    assert deduped.count() == src.count()
+    assert deduped.select("event_id").distinct().count() == src.count()
