@@ -223,3 +223,51 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
     )
+
+
+@register(
+    "asof_join_purchase_click",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    clicks AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id AS click_id_asof, c.ts AS ts_asof
+    FROM purchases p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior (or
+    simultaneous) click — operators/asof union-trick spelling (one
+    shuffle + window, zero joins); oracle is DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return asof_join(purchases, clicks, on="user_id", ts="ts")
+
+
+@register(
+    "range_join_clicks_after_signup",
+    oracle="""
+    WITH signups AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+    clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT s.event_id, s.user_id, s.ts,
+           CAST(COUNT(c.ts) AS BIGINT) AS n_in_range
+    FROM signups s LEFT JOIN clicks c
+      ON s.user_id = c.user_id AND c.ts >= s.ts AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+    GROUP BY s.event_id, s.user_id, s.ts
+    """,
+)
+def range_join_clicks_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks within 1h after each signup, per user —
+    operators/asof.range_join_count bucketed spelling (equi-join on
+    (key, time-bucket), candidates bounded by temporal locality); the
+    oracle runs the plain inequality join."""
+    from ..operators.asof import range_join_count
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    return range_join_count(signups, clicks, on="user_id", ts="ts", window_seconds=3600)
