@@ -142,3 +142,74 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness baseline — the scale path is LSH bucketing (operators/lsh)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return topk.neighbors_above(emb, 0.5)
+
+
+@register(
+    "ann_pruned_topk_fixed_centroids",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_ID}),
+    cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    qdist AS (
+      SELECT cid,
+             1 - list_dot_product(cv::DOUBLE[], qv::DOUBLE[]) /
+                 (sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[])) *
+                  sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) AS d
+      FROM cents, q
+    ),
+    probes AS (SELECT cid FROM qdist ORDER BY d ASC NULLS LAST, cid ASC LIMIT 2),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY 1 - list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) /
+                          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                           sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))) ASC NULLS LAST,
+                          c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT e.vec_id, ROUND({_COS_SQL}, 6) AS similarity
+    FROM embeddings e
+    JOIN assigned a ON a.vec_id = e.vec_id
+    JOIN probes p ON p.cid = a.cid
+    CROSS JOIN q
+    WHERE sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
+      AND sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) > 0
+    ORDER BY similarity DESC, e.vec_id ASC
+    LIMIT {TOPK}
+    """,
+)
+def ann_pruned_topk_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 pruning logic, ORACLE-GATED: IVF with a deterministic centroid
+    set (the 8 vectors vec_id<8) instead of KMeans — assignment via
+    broadcast distance-rank window, probe selection via distance top-2,
+    pruned exact top-k within.  Proves the prune/assign/rank machinery
+    bit-for-bit; the KMeans twin (ann_ivf_topk) adds learned centroids."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qvec = _query_vec(spark, sf_dir)
+    qlit = V.query_vector_lit(qvec)
+
+    d_assign = F.lit(1.0) - V.cosine_similarity(F.col("embedding"), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(d_assign.asc_nulls_last(), F.col("cid").asc())
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    d_query = F.lit(1.0) - V.cosine_similarity(F.col("cv"), qlit)
+    probes = (
+        cents.select("cid", d_query.alias("d"))
+        .orderBy(F.col("d").asc_nulls_last(), F.col("cid").asc())
+        .limit(2)
+        .select("cid")
+    )
+    pruned = emb.join(assigned, "vec_id").join(F.broadcast(probes), "cid")
+    return topk.topk_similarity(pruned, qvec, k=TOPK)

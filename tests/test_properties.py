@@ -30,7 +30,9 @@ texts = st.text(
 def test_self_similarity_is_one(spark, v):
     df = spark.createDataFrame([(v,)], "e array<double>")
     out = df.select(V.cosine_similarity("e", "e").alias("s")).head().s
-    if all(x == 0 for x in v):
+    # subnormal components square-underflow to 0 — the zero-norm guard
+    # then correctly yields NULL (the reference's NumPy would emit nan)
+    if sum(x * x for x in v) == 0.0:
         assert out is None
     else:
         assert out == pytest.approx(1.0, abs=1e-9)
