@@ -40,7 +40,7 @@ _COS_SQL = (
     "vector_topk_similarity",
     oracle=f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_ID})
-    SELECT e.vec_id, ROUND({_COS_SQL}, 6) AS similarity
+    SELECT e.vec_id, (ROUND({_COS_SQL}, 6) + 0.0) AS similarity
     FROM embeddings e, q
     WHERE sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
       AND sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) > 0
@@ -59,7 +59,7 @@ def vector_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector_topk_distance",
     oracle=f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_ID})
-    SELECT e.vec_id, ROUND(1.0 - {_COS_SQL}, 6) AS distance
+    SELECT e.vec_id, (ROUND(1.0 - {_COS_SQL}, 6) + 0.0) AS distance
     FROM embeddings e, q
     WHERE sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
       AND sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) > 0
@@ -99,7 +99,7 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
     scored AS (
-      SELECT q.query_id, e.vec_id, ROUND({_COS_SQL}, 6) AS similarity
+      SELECT q.query_id, e.vec_id, (ROUND({_COS_SQL}, 6) + 0.0) AS similarity
       FROM embeddings e, q
       WHERE sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
         AND sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) > 0
@@ -170,7 +170,7 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e CROSS JOIN cents c
       ) WHERE rn = 1
     )
-    SELECT e.vec_id, ROUND({_COS_SQL}, 6) AS similarity
+    SELECT e.vec_id, (ROUND({_COS_SQL}, 6) + 0.0) AS similarity
     FROM embeddings e
     JOIN assigned a ON a.vec_id = e.vec_id
     JOIN probes p ON p.cid = a.cid
