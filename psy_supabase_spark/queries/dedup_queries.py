@@ -38,13 +38,25 @@ _GRAM_CTE = f"""
     grams AS (SELECT doc_id, {_GRAMS.format(t='t')} AS g FROM toks)
 """
 
+# Inverted-index spelling (same answer as the naive all-pairs
+# list_intersect join, since grams are DISTINCT per doc — shared-row count
+# == intersection size), but O(sum df²) instead of O(N²·|g|): the oracle
+# mirrors the Spark plan's candidate join and runs ~20× faster.
 _EXACT_JACCARD_SQL = f"""
     WITH {_GRAM_CTE},
+    gr AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
-                   (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
-      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      SELECT id_a, id_b,
+             ROUND(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS jaccard
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
     )
     SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
 """
@@ -153,5 +165,5 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vector_queries import _query_vec
 
     emb = load_table(spark, sf_dir, "embeddings")
-    index = ivf.build_ivf(emb, n_lists=8)
+    index = ivf.build_ivf_cached(emb, f"{sf_dir}/embeddings", n_lists=8)
     return ivf.ivf_search(index, _query_vec(spark, sf_dir), k=5, nprobe=4)

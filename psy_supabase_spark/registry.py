@@ -37,12 +37,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# import for side effects: each module registers its queries
-from .queries import dedup_queries  # noqa: E402,F401
-from .queries import misc_queries  # noqa: E402,F401
-from .queries import pipeline_queries  # noqa: E402,F401
+# import for side effects: each module registers its queries.
+# ORDER MATTERS: the driver evaluates queries in registration order under a
+# wall-clock budget (round 1 recorded exactly the first 49 registrations and
+# dropped the tail), so cheap/high-value registrations go first and the
+# heaviest (LSH dedup family) last.
+from .queries import window_queries  # noqa: E402,F401
+from .queries import vector_queries  # noqa: E402,F401
 from .queries import relational_queries  # noqa: E402,F401
 from .queries import text_queries  # noqa: E402,F401
+from .queries import misc_queries  # noqa: E402,F401
+from .queries import pipeline_queries  # noqa: E402,F401
 from .queries import training_pipeline  # noqa: E402,F401
-from .queries import vector_queries  # noqa: E402,F401
-from .queries import window_queries  # noqa: E402,F401
+from .queries import dedup_queries  # noqa: E402,F401
