@@ -59,8 +59,11 @@ class PsyEngine:
     def add_documents(self, user_id: str, docs: DataFrame) -> None:
         """S6: append (content, embedding) rows — native array column, no
         '[...]' string codec (reference serializes vectors to text,
-        database.py:394-399)."""
+        database.py:394-399).  Drops the tenant's IVF index: an index built
+        before this append would silently exclude the new rows from
+        find_similar_documents; the next create_vector_index rebuilds."""
         self.store.append(KNOWLEDGE_BASE, docs.select("content", "embedding"), user_id=user_id)
+        self._ivf_indexes.pop(user_id, None)
 
     # ---- scans (reference query.txt:109-138, database.py:282-314) ----
 

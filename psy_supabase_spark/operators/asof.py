@@ -43,7 +43,16 @@ def range_join_count(
     def bucket(c: str):
         return F.floor(F.unix_micros(F.col(c)) / F.lit(window_seconds * 1_000_000))
 
-    l = left.select(on, F.col(ts).alias("_lts"), F.struct(*left.columns).alias("_left"), bucket(ts).alias("_b"))
+    # _lid keeps fully-duplicate left rows distinct through the groupBy —
+    # the contract is one output row per left INPUT row, not per distinct
+    # left value (uniqueness within this query is all that's needed).
+    l = left.select(
+        F.monotonically_increasing_id().alias("_lid"),
+        on,
+        F.col(ts).alias("_lts"),
+        F.struct(*left.columns).alias("_left"),
+        bucket(ts).alias("_b"),
+    )
     r = right.select(on, F.col(ts).alias("_rts"), bucket(ts).alias("_rb"))
     # a [t, t+w) window starting in bucket b only touches buckets b and b+1
     r0 = r.select(on, "_rts", F.col("_rb").alias("_jb"))
@@ -52,7 +61,7 @@ def range_join_count(
     in_range = (F.col("_rts") >= F.col("_lts")) & (
         F.unix_micros(F.col("_rts")) < F.unix_micros(F.col("_lts")) + window_seconds * 1_000_000
     )
-    counted = cand.groupBy(on, "_lts", "_left").agg(
+    counted = cand.groupBy("_lid", on, "_lts", "_left").agg(
         F.sum(F.when(in_range, 1).otherwise(0)).cast("bigint").alias(count_col)
     )
     return counted.select(F.col("_left.*"), count_col)
@@ -74,21 +83,26 @@ def asof_join(
     Left rows with no prior right row keep NULL payloads.
     """
     payload = right_cols or [c for c in right.columns if c not in (on, ts)]
+    # The whole right payload travels as ONE struct so a single
+    # last(ignorenulls) carries it: every output column comes from the
+    # same, truly-latest right row, and a genuinely-NULL payload field in
+    # that row stays NULL (per-column carry would back-fill it from an
+    # older right row — diverging from ASOF JOIN semantics).
+    r_struct = F.struct(F.col(ts).alias("_rts"), *[F.col(c) for c in payload])
+    r_struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType.simpleString()
     l_tag = left.select(
         on,
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_is_right"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in payload],
-        F.lit(None).cast("timestamp").alias("_r_ts"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tag = right.select(
         on,
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_is_right"),
         F.lit(None).cast(l_tag.schema["_left"].dataType.simpleString()).alias("_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
-        F.col(ts).alias("_r_ts"),
+        r_struct.alias("_r"),
     )
     # right rows sort BEFORE left rows at equal ts (_is_right DESC) so an
     # exact-tie right row is visible to the left row — ASOF `<=` semantics
@@ -101,12 +115,11 @@ def asof_join(
         on,
         "_is_right",
         "_left",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}") for c in payload],
-        F.last("_r_ts", ignorenulls=True).over(w).alias(f"ts{suffix}"),
+        F.last("_r", ignorenulls=True).over(w).alias("_c"),
     )
     out = carried.where(F.col("_is_right") == 0).select(
         F.col("_left.*"),
-        *[F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in payload],
-        f"ts{suffix}",
+        *[F.col(f"_c.{c}").alias(f"{c}{suffix}") for c in payload],
+        F.col("_c._rts").alias(f"ts{suffix}"),
     )
     return out

@@ -39,6 +39,32 @@ def test_asof_takes_latest_not_any(spark):
     assert row.payload_asof == 29
 
 
+def test_asof_null_payload_in_latest_row_stays_null(spark):
+    # the latest matching right row has payload NULL and note set; BOTH
+    # carried columns must come from that row — no per-column back-fill
+    # from the older (payload=7, note='old') row.
+    left = spark.createDataFrame([(1, _t(30), "L")], "user_id long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _t(10), 7, "old"), (1, _t(20), None, "new")],
+        "user_id long, ts timestamp, payload long, note string",
+    )
+    row = asof_join(left, right, on="user_id").head()
+    assert row.payload_asof is None
+    assert row.note_asof == "new"
+    assert row.ts_asof == _t(20)
+
+
+def test_range_join_keeps_duplicate_left_rows(spark):
+    # two fully-identical left rows must produce two output rows, each with
+    # its OWN count — not one collapsed row with a doubled count.
+    left = spark.createDataFrame(
+        [(1, _t(0), "dup"), (1, _t(0), "dup")], "user_id long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame([(1, _t(5))], "user_id long, ts timestamp")
+    rows = range_join_count(left, right, on="user_id", ts="ts", window_seconds=600).collect()
+    assert [r.n_in_range for r in rows] == [1, 1]
+
+
 def test_range_join_equals_inequality_join(spark):
     left = spark.createDataFrame(
         [(u, _t(m), f"s{u}{m}") for u in (1, 2) for m in (0, 30, 59)],
