@@ -84,15 +84,21 @@ def knn_join(
     query_id: str = "query_id",
     query_vec: str = "query_embedding",
     score_col: str = "similarity",
+    n_salts: int = 32,
 ) -> DataFrame:
     """N-to-M brute-force KNN: for every query row, the k nearest corpus
     rows by cosine similarity.
 
     The query side is broadcast (queries ≪ corpus); the corpus streams
-    through once.  Ranking is a window per query — at scale Spark's
-    WindowExec is preceded by a shuffle on query_id, but the joined
-    relation is only |corpus|×|queries| rows *after* broadcast, and AQE
-    handles skew.  For corpus-to-corpus similarity use the LSH operators
+    through once.  Ranking is a TWO-PHASE salted top-k: a single window
+    per query_id would shuffle the whole |corpus|×|queries| scored
+    relation into |queries| reducers (each sorting ~|corpus| rows — the
+    scale-killer).  Instead phase 1 ranks within (query_id, salt) — n_salts
+    reducers per query, |corpus|/n_salts rows each — and phase 2 ranks the
+    surviving ≤ k·n_salts rows per query.  Both phases order by
+    (score DESC, id ASC), so the final ranking is identical to the
+    single-window answer: every global top-k row is a top-k row of its own
+    salt bucket.  For corpus-to-corpus similarity use the LSH operators
     instead (operators/lsh.py).
     """
     from pyspark.sql import Window
@@ -104,8 +110,16 @@ def knn_join(
         .select(query_id, corpus_id, sim.alias(score_col))
         .where(F.col(score_col).isNotNull())
     )
-    w = Window.partitionBy(query_id).orderBy(F.col(score_col).desc(), F.col(corpus_id).asc())
-    return joined.withColumn("rank", F.row_number().over(w).cast("bigint")).where(F.col("rank") <= k)
+    order = [F.col(score_col).desc(), F.col(corpus_id).asc()]
+    w1 = Window.partitionBy(query_id, "_salt").orderBy(*order)
+    partial = (
+        joined.withColumn("_salt", F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_salts)))
+        .withColumn("_pr", F.row_number().over(w1))
+        .where(F.col("_pr") <= k)
+        .drop("_salt", "_pr")
+    )
+    w2 = Window.partitionBy(query_id).orderBy(*order)
+    return partial.withColumn("rank", F.row_number().over(w2).cast("bigint")).where(F.col("rank") <= k)
 
 
 def neighbors_above(

@@ -46,6 +46,17 @@ def test_scan_prunes_columns(spark):
     assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
 
 
+def test_knn_join_topk_is_two_phase(spark):
+    # the scored relation must hit a salted partial top-k before the final
+    # per-query rank: two Window nodes, and the first shuffle over the
+    # scored relation partitions by (query_id, salt) — never query_id alone
+    # (|queries| reducers each sorting ~|corpus| rows).
+    df = QUERIES["knn_join_multi"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "_salt" in plan.split("Window")[-1]  # innermost window is salted
+
+
 def test_lsh_paths_have_no_cartesian(spark):
     for name in ("dedup_minhash_lsh", "simhash_neardup", "embedding_neardup_lsh", "dedup_ngram_jaccard"):
         assert_plan_lacks(QUERIES[name](spark, SF), "CartesianProduct")
