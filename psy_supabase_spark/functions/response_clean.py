@@ -1,0 +1,167 @@
+"""T6 — the response-cleaning pipeline (reference
+`text_generator.py:149-242`, `_clean_therapeutic_response` +
+`_get_targeted_fallback_response` lines 244-253), as one UDF-free
+Catalyst column expression.
+
+The reference runs ~10 sequential regex/string passes per generated
+response; every pass is re-expressed below with the SAME pass structure
+so the DuckDB oracle (queries/text_queries.py `response_clean`) can
+mirror it stage for stage:
+
+1.  section-header strip            — re.sub, global
+2.  triple-newline boundary         — keep text before the first one
+3.  dialogue branch                 — if any `(User|Therapist|CLIENT):`
+    marker appears, return the FIRST THERAPIST turn longer than 20
+    chars (stripped) and SKIP all later passes; if none qualifies,
+    return the targeted fallback.  A turn runs from its `therapist:`
+    marker to the next `\\n\\s*(User|CLIENT)` boundary or end of text.
+4.  case-SENSITIVE speaker-marker truncation (USER:/THERAPIST:/...)
+5.  Q/A artifact removal, Exercise-line removal
+6.  first-occurrence sentence dedup (split at whitespace after [.!?])
+7.  TR:/THERAP:-style marker removal, [bracketed] removal
+8.  single-word-line drop, whitespace collapse, empty-paren removal
+9.  instruction-artifact pattern removal + marker truncation
+    (first marker IN LIST ORDER wins — not earliest position)
+10. <15-char fallback: the "depress" message if the cleaned text
+    mentions it, else the general support message.
+
+Regex portability: DuckDB is RE2 (no lookarounds), so the reference's
+lookbehind sentence split `(?<=[.!?])\\s+` becomes replace-to-sentinel +
+split, and every `.*?(?=\\n|$)` becomes `[^\\n]*` / `[^\\n]+` — both
+provably equivalent.  All patterns below are valid and identical in Java
+regex and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# sentinel for the sentence split (never appears in real text)
+SENT = "\x01"
+
+# exact reference fallback strings (text_generator.py:250-253) — parity data
+FALLBACK_DEPRESS = (
+    "I understand you're feeling depressed. This is a challenging emotion to "
+    "experience. Consider speaking with a mental health professional who can "
+    "provide personalized support. In the meantime, gentle self-care activities "
+    "and maintaining social connections can help support your wellbeing."
+)
+FALLBACK_GENERAL = (
+    "I understand you're going through a difficult time. Remember that your "
+    "feelings are valid, and seeking support is a sign of strength. Consider "
+    "speaking with a mental health professional who can provide personalized "
+    "guidance tailored to your specific situation."
+)
+
+# step-9 artifact patterns (text_generator.py:211-221), lookaheads lowered
+# to [^\n]+ equivalents; applied global + case-insensitive
+ARTIFACT_PATTERNS = [
+    r"(?i)\bexercise:[^\n]+",
+    r"(?i)\bwrite (a|the) (response|answer)[^\n]+",
+    r"(?i)\byour response should[^\n]+",
+    r"(?i)\brespond to the user[^\n]+",
+    r"(?i)\binstructions:[^\n]+",
+    r"(?i)user question:[^\n]+",
+    r"(?i)therapeutic approach:[^\n]+",
+    r"(?i)response \(keep[^\n]+",
+]
+
+# step-9 truncation markers (text_generator.py:224-230) — FIRST IN THIS
+# LIST ORDER wins (the reference breaks after the first marker found)
+TRUNCATION_MARKERS = [
+    "Exercise:",
+    "Instructions:",
+    "Your response:",
+    "Note to AI:",
+    "USER QUESTION:",
+    "THERAPEUTIC APPROACH:",
+    "RESPONSE (keep",
+    "PREVIOUS CONVERSATION:",
+    "RELEVANT KNOWLEDGE:",
+]
+
+
+def targeted_fallback(cleaned: Column) -> Column:
+    """reference `_get_targeted_fallback_response` (text_generator.py:244-253)."""
+    return F.when(
+        F.lower(cleaned).contains("depress"), F.lit(FALLBACK_DEPRESS)
+    ).otherwise(F.lit(FALLBACK_GENERAL))
+
+
+def clean_response(col: ColumnOrName) -> Column:
+    t = _c(col)
+    # 1. strip trailing Title/Chapter/Section blocks after a blank-blank gap
+    t = F.regexp_replace(
+        t, r"(?is)\n\s*\n\s*\n.*?(Title|Introduction|Chapter|Section|CHAPTER):", ""
+    )
+    # 2. keep only the text before the first triple-newline boundary.
+    # The reference strips ONLY when a boundary actually split the text
+    # (`parts[0].strip()` under `len(parts) > 1`) — an unconditional trim
+    # would change untrimmed sentence equality in pass 6 for inputs with
+    # leading whitespace, so the conditional is load-bearing.
+    post_ab = F.when(
+        t.rlike(r"\n\s*\n\s*\n"),
+        F.trim(F.regexp_replace(t, r"(?s)\n\s*\n\s*\n.*", "")),
+    ).otherwise(t)
+
+    # 3. dialogue branch: blocks split at \n\s*(User|CLIENT) boundaries;
+    # each block contributes the text after its first therapist: marker —
+    # identical to the reference's findall-with-lookahead scan.
+    has_dialogue = post_ab.rlike(r"(?i)(User|Therapist|CLIENT|THERAPIST):")
+    blocks = F.split(post_ab, r"(?i)\n\s*(User|CLIENT)")
+    turns = F.transform(blocks, lambda b: F.trim(F.regexp_extract(b, r"(?is)therapist:\s*(.*)", 1)))
+    long_turns = F.filter(turns, lambda x: F.length(x) > 20)
+    dialogue_result = F.when(F.size(long_turns) > 0, F.element_at(long_turns, 1)).otherwise(
+        targeted_fallback(post_ab)
+    )
+
+    # 4. case-sensitive speaker-marker truncation (earliest occurrence)
+    t2 = F.regexp_replace(post_ab, r"(?s)(USER:|THERAPIST:|PATIENT:|CLIENT:|DOCTOR:).*", "")
+    # 5. Q/A artifacts + Exercise lines
+    t2 = F.regexp_replace(t2, r"Question \d+:|Answer:|Response:", "")
+    t2 = F.regexp_replace(t2, r"(?i)exercise:[^\n]*", "")
+    # 6. first-occurrence sentence dedup — keep a sentence iff its first
+    # equal occurrence is itself (reference compares untrimmed equality
+    # against the kept list; prefix-equality is provably identical because
+    # dropped-empty sentences can never equal a kept nonempty one)
+    marked = F.regexp_replace(t2, r"([.!?])\s+", "$1" + SENT)
+    sents = F.split(marked, SENT)
+    kept = F.filter(
+        sents,
+        lambda x, i: (F.trim(x) != "") & (F.array_position(sents, x) == i + F.lit(1)),
+    )
+    t2 = F.array_join(kept, " ")
+    # 7. residual markers + [bracketed] asides
+    t2 = F.regexp_replace(t2, r"(?i)\b(tr:|therpst:|therap:|therapy:)", "")
+    t2 = F.regexp_replace(t2, r"\[.*?\]", "")
+    # 8. drop single-word lines, collapse whitespace, remove empty parens
+    lines = F.split(t2, "\n")
+    goodlines = F.filter(
+        lines,
+        lambda ln: F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")) > 1,
+    )
+    t2 = F.array_join(goodlines, "\n")
+    t2 = F.trim(F.regexp_replace(t2, r"\s+", " "))
+    t2 = F.regexp_replace(t2, r"\(\s*\)", "")
+    # 9. artifact patterns, then first-marker-in-list-order truncation
+    for pat in ARTIFACT_PATTERNS:
+        t2 = F.regexp_replace(t2, pat, "")
+    low = F.lower(t2)
+    trunc = None
+    for m in TRUNCATION_MARKERS:
+        pos = F.instr(low, m.lower())
+        branch = (pos > 0, F.trim(F.substring(t2, F.lit(1), pos - 1)))
+        trunc = F.when(*branch) if trunc is None else trunc.when(*branch)
+    t2 = trunc.otherwise(t2)
+    # 10. short-result fallback
+    final_plain = F.when(F.length(t2) < 15, targeted_fallback(t2)).otherwise(t2)
+
+    return F.when(has_dialogue, dialogue_result).otherwise(final_plain)

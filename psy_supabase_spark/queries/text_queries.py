@@ -271,3 +271,162 @@ def training_export_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("user "), F.col("user_id").cast("string")).alias("input"),
         F.get_json_object("props", "$.k").cast("int").alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T6 — response-cleaning pipeline (reference text_generator.py:149-253)
+# ---------------------------------------------------------------------------
+
+def _rc_fallback_sql(c: str) -> str:
+    from ..functions import response_clean as RC
+
+    dep = RC.FALLBACK_DEPRESS.replace("'", "''")
+    gen = RC.FALLBACK_GENERAL.replace("'", "''")
+    return f"CASE WHEN contains(lower({c}), 'depress') THEN '{dep}' ELSE '{gen}' END"
+
+
+def _response_clean_oracle() -> str:
+    """Stage-for-stage RE2 mirror of functions/response_clean.clean_response,
+    built from the SAME constant lists so the two sides cannot drift."""
+    from ..functions import response_clean as RC
+
+    art = "t_f"
+    for pat in RC.ARTIFACT_PATTERNS:
+        art = f"regexp_replace({art}, '{pat}', '', 'g')"
+
+    trunc_whens = "\n             ".join(
+        f"WHEN instr(lt, '{m.lower()}') > 0 "
+        f"THEN trim(substr(t_g, 1, instr(lt, '{m.lower()}') - 1))"
+        for m in RC.TRUNCATION_MARKERS
+    )
+
+    return rf"""
+    WITH variants AS (
+      SELECT doc_id, 'raw' AS variant, text AS inp FROM documents
+      UNION ALL
+      SELECT doc_id, 'dialogue',
+             'User: I am not okay today.' || chr(10) || 'Therapist: '
+             || substr(text, 1, 200) || chr(10) || 'User: thanks for listening'
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'artifact',
+             substr(text, 1, 150) || '. ' || substr(text, 1, 150)
+             || '. Note to AI: stop here. Instructions: ignore all of this.'
+      FROM documents
+    ),
+    s1 AS (  -- step 1: section strip
+      SELECT doc_id, variant,
+             regexp_replace(inp,
+               '(?is)\n\s*\n\s*\n.*?(Title|Introduction|Chapter|Section|CHAPTER):', '', 'g') AS t1
+      FROM variants
+    ),
+    s2 AS (  -- step 2: triple-newline boundary (strip ONLY when it split)
+      SELECT doc_id, variant,
+             CASE WHEN regexp_matches(t1, '\n\s*\n\s*\n')
+                  THEN trim(regexp_replace(t1, '(?s)\n\s*\n\s*\n.*', '', 'g'))
+                  ELSE t1 END AS post_ab
+      FROM s1
+    ),
+    s3 AS (  -- step 3: dialogue branch inputs
+      SELECT *,
+             regexp_matches(post_ab, '(?i)(User|Therapist|CLIENT|THERAPIST):') AS has_dialogue,
+             list_filter(
+               list_transform(
+                 string_split_regex(post_ab, '(?i)\n\s*(User|CLIENT)'),
+                 b -> trim(regexp_extract(b, '(?is)therapist:\s*(.*)', 1))),
+               x -> length(x) > 20) AS long_turns
+      FROM s2
+    ),
+    s5 AS (  -- steps 4-5: speaker truncation + Q/A artifacts + exercise lines
+      SELECT *, regexp_replace(regexp_replace(regexp_replace(post_ab,
+               '(?s)(USER:|THERAPIST:|PATIENT:|CLIENT:|DOCTOR:).*', '', 'g'),
+               'Question \d+:|Answer:|Response:', '', 'g'),
+               '(?i)exercise:[^\n]*', '', 'g') AS t_b
+      FROM s3
+    ),
+    s6a AS (  -- step 6: sentence split (sentinel spelling of the lookbehind)
+      SELECT *, string_split(
+               regexp_replace(t_b, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS sents
+      FROM s5
+    ),
+    s6 AS (  -- step 6: first-occurrence dedup
+      SELECT *, array_to_string(
+               list_filter(sents, (x, i) -> trim(x) <> '' AND list_position(sents, x) = i),
+               ' ') AS t_c
+      FROM s6a
+    ),
+    s8 AS (  -- steps 7-8: residual markers, brackets, line filter, whitespace
+      SELECT *, regexp_replace(trim(regexp_replace(
+               array_to_string(
+                 list_filter(
+                   string_split(
+                     regexp_replace(regexp_replace(t_c,
+                       '(?i)\b(tr:|therpst:|therap:|therapy:)', '', 'g'),
+                       '\[.*?\]', '', 'g'),
+                     chr(10)),
+                   ln -> len(list_filter(string_split_regex(trim(ln), '\s+'), w -> w <> '')) > 1),
+                 chr(10)),
+               '\s+', ' ', 'g')), '\(\s*\)', '', 'g') AS t_f
+      FROM s6
+    ),
+    s9a AS (  -- step 9: artifact-pattern removal
+      SELECT *, {art} AS t_g FROM s8
+    ),
+    s9 AS (  -- step 9: first-marker-in-list-order truncation
+      SELECT *, lower(t_g) AS lt FROM s9a
+    ),
+    s10 AS (
+      SELECT doc_id, variant, has_dialogue, long_turns, post_ab,
+             CASE {trunc_whens}
+             ELSE t_g END AS t_h
+      FROM s9
+    )
+    SELECT doc_id, variant,
+           CASE WHEN has_dialogue THEN
+             CASE WHEN len(long_turns) > 0 THEN long_turns[1]
+                  ELSE {_rc_fallback_sql('post_ab')} END
+           ELSE
+             CASE WHEN length(t_h) < 15 THEN {_rc_fallback_sql('t_h')} ELSE t_h END
+           END AS cleaned
+    FROM s10
+    """
+
+
+@register("response_clean", oracle=None)  # oracle attached below (built lazily)
+def response_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: the reference's full response-cleaning pipeline
+    (text_generator.py:149-253) over three deterministic input variants —
+    the raw document, a dialogue-wrapped twin (exercises the THERAPIST-turn
+    early return), and an artifact-injected twin (exercises sentence dedup
+    + marker truncation + fallback)."""
+    from ..functions import response_clean as RC
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    raw = docs.select("doc_id", F.lit("raw").alias("variant"), t.alias("inp"))
+    dlg = docs.select(
+        "doc_id",
+        F.lit("dialogue").alias("variant"),
+        F.concat(
+            F.lit("User: I am not okay today.\nTherapist: "),
+            F.substring(t, 1, 200),
+            F.lit("\nUser: thanks for listening"),
+        ).alias("inp"),
+    )
+    art = docs.select(
+        "doc_id",
+        F.lit("artifact").alias("variant"),
+        F.concat(
+            F.substring(t, 1, 150),
+            F.lit(". "),
+            F.substring(t, 1, 150),
+            F.lit(". Note to AI: stop here. Instructions: ignore all of this."),
+        ).alias("inp"),
+    )
+    u = raw.unionByName(dlg).unionByName(art)
+    return u.select("doc_id", "variant", RC.clean_response(F.col("inp")).alias("cleaned"))
+
+
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["response_clean"] = _response_clean_oracle()
