@@ -430,3 +430,68 @@ def response_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["response_clean"] = _response_clean_oracle()
+
+
+# ---------------------------------------------------------------------------
+# T4 — NER-stub entities + entity-boosted topic argmax
+# ---------------------------------------------------------------------------
+
+def _ner_entity_boost_oracle() -> str:
+    from ..functions import ner as NER
+    from ..functions.text import TAXONOMY
+
+    rows = []
+    for ord_, topic in enumerate(NER.TOPIC_ORDER):
+        fw, bw = NER.BOOSTS.get(topic, ([], 0))
+        rows.append(
+            f"('{topic}', {ord_}, {_sql_list(TAXONOMY[topic])}, {_sql_list(fw)}, {bw})"
+        )
+    topics_values = ",\n      ".join(rows)
+    gaz = _sql_list(NER.GAZETTEER)
+
+    return rf"""
+    WITH topics(topic, ord, kws, fw, bw) AS (
+      VALUES {topics_values}
+    ),
+    docs_e AS (
+      SELECT doc_id, lower(text) AS lt,
+             list_transform(regexp_extract_all(text, '{NER.CAPSEQ_RE}'), x -> lower(x))
+             || list_filter({gaz}, g -> contains(lower(text), g)) AS ents
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, topic, ord,
+             len(list_filter(kws, k -> contains(lt, k)))
+             + len(list_filter(ents, e -> list_contains(kws, e)))
+             + CASE WHEN len(list_filter(fw, w -> contains(lt, w))) > 0
+                    THEN bw ELSE 0 END AS score
+      FROM docs_e CROSS JOIN topics
+    ),
+    best AS (
+      SELECT doc_id, topic, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, ord ASC) AS rn
+      FROM scored WHERE score > 0
+    )
+    SELECT d.doc_id,
+           coalesce(b.topic, 'emotional_support') AS topic,
+           coalesce(b.score, 0) AS score
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, topic, score FROM best WHERE rn = 1) b USING (doc_id)
+    """
+
+
+@register("ner_entity_boost", oracle=None)
+def ner_entity_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 + A1 entity boost: deterministic NER-stub entity extraction fed
+    into the reference's boosted topic scoring
+    (prompt_selector.py:255-300).  Entirely map-side — per-topic scores are
+    codegen'd expressions and the argmax is array_max over structs, so the
+    operator adds ZERO shuffles at any scale."""
+    from ..functions import ner as NER
+
+    docs = load_table(spark, sf_dir, "documents")
+    topic, score = NER.best_topic_boosted(F.col("text"))
+    return docs.select("doc_id", topic.alias("topic"), score.alias("score"))
+
+
+_ORACLES["ner_entity_boost"] = _ner_entity_boost_oracle()
