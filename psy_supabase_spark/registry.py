@@ -47,6 +47,7 @@ from .queries import vector_queries  # noqa: E402,F401
 from .queries import relational_queries  # noqa: E402,F401
 from .queries import text_queries  # noqa: E402,F401
 from .queries import misc_queries  # noqa: E402,F401
+from .queries import tenancy_queries  # noqa: E402,F401
 from .queries import pipeline_queries  # noqa: E402,F401
 from .queries import training_pipeline  # noqa: E402,F401
 from .queries import dedup_queries  # noqa: E402,F401
