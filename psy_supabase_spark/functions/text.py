@@ -63,6 +63,11 @@ TAXONOMY: dict[str, list[str]] = {
 
 # English stopword core for ratios / language heuristic, minus the
 # reference's keep-words (pronouns/be/have/do — utilities/keep_words.py).
+# keep-words parity (reference utilities/keep_words.py:16-19): pronouns +
+# be/have/do forms survive stopword stripping.
+KEEP_WORDS = ["i", "you", "he", "she", "we", "they", "me", "my", "your",
+              "am", "is", "are", "was", "were", "be", "have", "has", "do", "does"]
+
 STOPWORDS = [
     "the", "a", "an", "and", "or", "but", "if", "then", "of", "at", "by",
     "for", "with", "about", "to", "from", "in", "on", "off", "over", "under",

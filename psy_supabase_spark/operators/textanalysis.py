@@ -55,12 +55,19 @@ def classify_topics(
 
 def text_profile(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc text-analysis profile: token counts, length bucket,
-    stopword ratio, quality score, language guess."""
+    stopword ratio, quality score, language guess, and the T3
+    stop-stripped token count (keep-words quirk preserved,
+    reference utilities/text_utils.py:51-75 + keep_words.py:16-19)."""
     t = F.col(text_col)
+    toks = TX.tokenize(t)
+    sw = F.array(*[F.lit(w) for w in TX.STOPWORDS])
+    keep = F.array(*[F.lit(w) for w in TX.KEEP_WORDS])
+    kept = F.filter(toks, lambda x: ~F.array_contains(sw, x) | F.array_contains(keep, x))
     return docs.select(
         id_col,
         TX.token_count(t).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(TX.tokenize(t))).cast("bigint").alias("n_distinct_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
         TX.length_bucket(t).alias("length_bucket"),
         F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
         TX.quality_score(t).alias("quality_score"),

@@ -90,21 +90,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 0.5)
 
 
-@register(
-    "simhash_fingerprints",
-    oracle=f"""
-    WITH {_GRAM_CTE},
-    hashed AS (SELECT doc_id AS id, list_transform(g, s -> {_MD5_32.format(s='s')}) AS hl FROM grams)
-    SELECT id,
-           list_sum([CASE WHEN list_sum(list_transform(hl, h -> ((h >> b) & 1) * 2 - 1)) > 0
-                          THEN (1::BIGINT << b) ELSE 0::BIGINT END
-                     for b in range(0, {dedup.SIMHASH_BITS})])::BIGINT AS simhash
-    FROM hashed
-    """,
-)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document over gram poly-hashes — bit-identical
-    integer math in both engines."""
+    integer math in both engines.  Unregistered since the registry
+    consolidation: `simhash_neardup` computes these fingerprints as its
+    first stage and stays oracle-gated; kept for tests."""
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 

@@ -12,10 +12,7 @@ from ..functions import text as TX
 from ..registry import register
 from ..sources.catalog import load_table, register_views
 
-# keep-words parity (reference utilities/keep_words.py:16-19): pronouns +
-# be/have/do forms survive stopword stripping.
-KEEP_WORDS = ["i", "you", "he", "she", "we", "they", "me", "my", "your",
-              "am", "is", "are", "was", "were", "be", "have", "has", "do", "does"]
+from ..functions.text import KEEP_WORDS  # keep-words parity (keep_words.py:16-19)
 
 
 @register(
@@ -75,25 +72,14 @@ def _sql_list(items: list[str]) -> str:
     return "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in items) + "]"
 
 
-@register(
-    "tokens_stopstripped",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x != '') AS t
-      FROM documents
-    )
-    SELECT doc_id,
-           len(list_filter(t, x -> NOT list_contains({_sql_list(TX.STOPWORDS)}, x)
-                                OR list_contains({_sql_list(KEEP_WORDS)}, x))) AS n_kept
-    FROM toks
-    """,
-)
 def tokens_stopstripped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 (cheap approximation of the reference's spaCy lemma+stop strip,
     utilities/text_utils.py:51-75): tokenize, drop stopwords EXCEPT the
     keep-words list (utilities/keep_words.py) — the reference's signature
     quirk, preserved.  The spaCy lemmatizer itself is a pandas-UDF
-    extension point (gated import, not in this container)."""
+    extension point (gated import, not in this container).
+    Unregistered since the registry consolidation: the same n_kept
+    expression is driver-gated inside `text_profile`; kept for tests."""
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokenize(F.col("text"))
     sw = F.array(*[F.lit(w) for w in TX.STOPWORDS])
@@ -164,18 +150,31 @@ def prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_codec_roundtrip",
-    oracle="SELECT vec_id, TRUE AS roundtrip_ok FROM embeddings",
+    oracle="""
+    SELECT vec_id, TRUE AS roundtrip_ok,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
 )
 def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12 compat codec: the reference ships vectors as '[0.1,...]' strings
-    (database.py:394-399, 296-301); our engine stores native arrays and
-    only provides the codec for interop.  The query PROVES the round-trip
-    is lossless: serialize → parse → compare to the original, per row
-    (oracle asserts all-true)."""
+    """T12 compat codec + A4 norm/dim (merged registry slot): the
+    reference ships vectors as '[0.1,...]' strings (database.py:394-399,
+    296-301) and precomputes norms at ingest (rag_processor.py:57); our
+    engine stores native arrays and provides the codec for interop.  The
+    query PROVES the round-trip is lossless (serialize → parse → compare,
+    oracle asserts all-true) and gates the L2-norm/dim expressions."""
+    from ..functions import vector as V
+
     emb = load_table(spark, sf_dir, "embeddings")
     serialized = F.concat(F.lit("["), F.array_join(F.col("embedding").cast("array<string>"), ","), F.lit("]"))
     parsed = F.from_json(serialized, "array<float>")
-    return emb.select("vec_id", (parsed == F.col("embedding")).alias("roundtrip_ok"))
+    return emb.select(
+        "vec_id",
+        (parsed == F.col("embedding")).alias("roundtrip_ok"),
+        V.round6(V.l2_norm("embedding")).alias("l2_norm"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
 
 
 @register(

@@ -172,17 +172,11 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_type_rollup_totals",
-    oracle="""
-    SELECT event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY ROLLUP(event_type)
-    """,
-)
 def events_type_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (per-type + grand total) — new surface vs the
-    reference (SURVEY.md §2.4 notes it had none)."""
+    reference (SURVEY.md §2.4 notes it had none).  Unregistered since the
+    registry consolidation: ROLLUP ⊂ CUBE and `events_cube` gates the
+    same Expand machinery (plus distinct/decimal aggs); kept for tests."""
     ev = load_table(spark, sf_dir, "events")
     return ev.rollup("event_type").agg(
         F.count("*").alias("n_events"),
@@ -212,15 +206,10 @@ def event_type_pivot_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "distinct_users_by_type",
-    oracle="""
-    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
-    FROM events GROUP BY event_type
-    """,
-)
 def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregate (expand + two-phase agg under the hood)."""
+    """Distinct aggregate (expand + two-phase agg under the hood).
+    Unregistered since the registry consolidation: the distinct-count
+    path is driver-gated inside `events_cube`; kept for tests."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
@@ -347,17 +336,31 @@ def large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_cube",
     oracle="""
     SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
-           COUNT(*) AS n_events
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY CUBE(event_type, CAST(user_id % 10 AS BIGINT))
     """,
 )
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over (event_type, user bucket) — all four
-    grouping combinations in one pass."""
+    grouping combinations in one pass, carrying the distinct-user count
+    (expand + two-phase agg) and the decimal-exact value total; absorbs
+    the consolidated `events_type_rollup_totals` / `distinct_users_by_type`
+    registry slots."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.select("event_type", (F.col("user_id") % 10).cast("bigint").alias("user_bucket"))
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 10).cast("bigint").alias("user_bucket"),
+            "user_id",
+            "value",
+        )
         .cube("event_type", "user_bucket")
-        .agg(F.count("*").alias("n_events"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
     )

@@ -28,32 +28,26 @@ _WS_COUNT_SQL = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')
 
 
 @register(
-    "clean_text_normalize",
-    oracle="""
+    "text_clean_pack",
+    oracle=r"""
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              text, '[‘’]', '''', 'g'), '[“”]', '"', 'g'), '—', '-', 'g'), '…', '...', 'g'),
-             '[^a-zA-Z0-9\\s.,!?''"-]', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned
+             '[^a-zA-Z0-9\s.,!?''"-]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned,
+           regexp_replace(text, '(https?://\S+|www\.\S+)', '', 'g') AS no_urls
     FROM documents
     """,
 )
-def clean_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: normalization chain (reference utilities/text_utils.py:26-48)."""
+def text_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 normalization chain (reference utilities/text_utils.py:26-48) +
+    T2 URL removal (prompt_selector.py:68) — merged registry slot, one
+    scan, both scalar chains driver-gated."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.clean_text(F.col("text")).alias("cleaned"))
-
-
-@register(
-    "strip_urls",
-    oracle=r"""
-    SELECT doc_id, regexp_replace(text, '(https?://\S+|www\.\S+)', '', 'g') AS no_urls
-    FROM documents
-    """,
-)
-def strip_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2: URL removal (reference prompt_selector.py:68)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.strip_urls(F.col("text")).alias("no_urls"))
+    return docs.select(
+        "doc_id",
+        TX.clean_text(F.col("text")).alias("cleaned"),
+        TX.strip_urls(F.col("text")).alias("no_urls"),
+    )
 
 
 def _safety_case_sql() -> str:
@@ -62,20 +56,6 @@ def _safety_case_sql() -> str:
         for cat, _sev, pat in TX.SAFETY_PATTERNS
     )
     return f"CASE {whens} ELSE NULL END"
-
-
-@register(
-    "safety_classify_counts",
-    oracle=f"""
-    SELECT {_safety_case_sql()} AS category, COUNT(*) AS n_docs
-    FROM documents GROUP BY 1
-    """,
-)
-def safety_classify_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5: ordered first-match-wins regex harm classifier, aggregated
-    (reference safety_handler.py:46-78); NULL = safe."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy(TX.safety_category("text").alias("category")).agg(F.count("*").alias("n_docs"))
 
 
 def _template_case_sql() -> str:
@@ -87,17 +67,23 @@ def _template_case_sql() -> str:
 
 
 @register(
-    "template_select_counts",
+    "classifier_counts",
     oracle=f"""
-    SELECT {_template_case_sql()} AS template, COUNT(*) AS n_docs
-    FROM documents GROUP BY 1
+    SELECT {_safety_case_sql()} AS category, {_template_case_sql()} AS template,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
     """,
 )
-def template_select_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7: keyword → template CASE, first match wins, default 'Others'
-    (reference prompt_selector.py:198-202)."""
+def classifier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 ordered first-match-wins regex harm classifier
+    (safety_handler.py:46-78, NULL = safe) × T7 keyword → template CASE
+    (prompt_selector.py:198-202, default 'Others') — merged registry slot:
+    cross-tabulated counts gate both classifiers from one scan."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy(TX.select_template("text").alias("template")).agg(F.count("*").alias("n_docs"))
+    return docs.groupBy(
+        TX.safety_category("text").alias("category"),
+        TX.select_template("text").alias("template"),
+    ).agg(F.count("*").alias("n_docs"))
 
 
 def _taxonomy_values_sql() -> str:
@@ -133,42 +119,13 @@ def topic_classify_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.classify_topics(docs, tax)
 
 
-@register(
-    "length_buckets",
-    oracle=f"""
-    SELECT CASE WHEN {_WS_COUNT_SQL} < 20 THEN 'too_short'
-                WHEN {_WS_COUNT_SQL} <= 500 THEN 'appropriate'
-                ELSE 'too_long' END AS length_bucket,
-           COUNT(*) AS n_docs
-    FROM documents GROUP BY 1
-    """,
-)
 def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: response-length buckets (reference prompt_selector.py:320-330)."""
+    """A3: response-length buckets (reference prompt_selector.py:320-330).
+    Unregistered since the registry consolidation: the same bucket
+    expression is driver-gated inside `text_profile`; kept for tests."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy(TX.length_bucket("text").alias("length_bucket")).agg(
         F.count("*").alias("n_docs")
-    )
-
-
-@register(
-    "term_overlap_adjacent",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, list_distinct({_TOKENS_SQL}) AS t FROM documents)
-    SELECT a.doc_id,
-           CASE WHEN len(a.t) = 0 THEN NULL
-                ELSE ROUND(len(list_intersect(a.t, b.t))::DOUBLE / len(a.t), 6) END AS term_overlap
-    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
-    """,
-)
-def term_overlap_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: |Q∩R|/|Q| over distinct tokens (reference
-    prompt_selector.py:332-346), computed between consecutive documents."""
-    docs = load_table(spark, sf_dir, "documents")
-    a = docs.select("doc_id", F.col("text").alias("ta"))
-    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("tb"))
-    return a.join(b, "doc_id").select(
-        "doc_id", F.round(TX.term_overlap("ta", "tb"), 6).alias("term_overlap")
     )
 
 
@@ -186,6 +143,8 @@ def _stopword_ratio_sql() -> str:
     SELECT doc_id,
            {_WS_COUNT_SQL} AS n_tokens,
            len(list_distinct({_TOKENS_SQL})) AS n_distinct_tokens,
+           len(list_filter({_TOKENS_SQL}, x -> NOT list_contains({_sql_list(TX.STOPWORDS)}, x)
+                                OR list_contains({_sql_list(TX.KEEP_WORDS)}, x))) AS n_kept,
            CASE WHEN {_WS_COUNT_SQL} < 20 THEN 'too_short'
                 WHEN {_WS_COUNT_SQL} <= 500 THEN 'appropriate'
                 ELSE 'too_long' END AS length_bucket,
@@ -229,25 +188,42 @@ ORACLES["text_profile"] = ORACLES["text_profile"].replace("{lang_case}", _lang_c
 
 
 @register(
-    "doc_fingerprint",
-    oracle="""
+    "doc_adjacent_stats",
+    oracle=f"""
     WITH cleaned AS (
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                text, '[‘’]', '''', 'g'), '[“”]', '"', 'g'), '—', '-', 'g'), '…', '...', 'g'),
                '[^a-zA-Z0-9\\s.,!?''"-]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
       FROM documents
-    )
-    SELECT doc_id,
-           CAST(('0x' || substr(md5(c), 1, 8)) AS BIGINT) AS fingerprint
-    FROM cleaned
+    ),
+    toks AS (SELECT doc_id, list_distinct({_TOKENS_SQL}) AS t FROM documents)
+    SELECT a.doc_id,
+           CAST(('0x' || substr(md5(cl.c), 1, 8)) AS BIGINT) AS fingerprint,
+           CASE WHEN b.doc_id IS NULL OR len(a.t) = 0 THEN NULL
+                ELSE ROUND(len(list_intersect(a.t, b.t))::DOUBLE / len(a.t), 6) END AS term_overlap
+    FROM toks a
+    JOIN cleaned cl ON cl.doc_id = a.doc_id
+    LEFT JOIN toks b ON b.doc_id = a.doc_id + 1
     """,
 )
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: md5-based 32-bit hash of cleaned text —
-    bit-identical across engines (functions/hashing.md5_hash32)."""
+def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprinting + A2 term-overlap, merged registry slot: md5-based
+    32-bit hash of cleaned text (bit-identical across engines,
+    functions/hashing.md5_hash32) plus |Q∩R|/|Q| over distinct tokens
+    against the NEXT document (reference prompt_selector.py:332-346),
+    NULL for the last doc — every doc keeps a row."""
     docs = load_table(spark, sf_dir, "documents")
-    return textanalysis.fingerprint(docs)
+    fp = textanalysis.fingerprint(docs)
+    a = docs.select("doc_id", F.col("text").alias("ta"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("tb"))
+    ov = a.join(b, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.col("tb").isNotNull(), F.round(TX.term_overlap("ta", "tb"), 6)
+        ).alias("term_overlap"),
+    )
+    return fp.join(ov, "doc_id")
 
 
 @register(

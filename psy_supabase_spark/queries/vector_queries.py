@@ -74,18 +74,11 @@ def vector_topk_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.topk_distance(emb, _query_vec(spark, sf_dir), k=TOPK)
 
 
-@register(
-    "vector_norms",
-    oracle="""
-    SELECT vec_id,
-           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
-           len(embedding) AS dim
-    FROM embeddings
-    """,
-)
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: per-row L2 norm + dimension (reference rag_processor.py:57).
-    Precomputed at ingest in the engine to halve query-time cosine cost."""
+    Precomputed at ingest in the engine to halve query-time cosine cost.
+    Unregistered since the registry consolidation: the same columns are
+    driver-gated inside `embedding_codec_roundtrip`; kept for tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",

@@ -41,22 +41,41 @@ def rolling_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "last5_per_user",
+    "last5_running_total",
     oracle="""
-    SELECT event_id, user_id, event_type, rn FROM (
+    SELECT event_id, user_id, event_type, rn, running_value FROM (
       SELECT event_id, user_id, event_type,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
       FROM events
     ) WHERE rn <= 5
     """,
 )
-def last5_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: last-5-turns history slice per user (reference rag_processor.py:109)."""
+def last5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 last-5 slice (reference rag_processor.py:109) + cumulative
+    per-user running total in ONE query: both window specs share the
+    user_id hash partitioning, so Catalyst plans a single Exchange with
+    two Window operators — merged registry slot, same operator evidence."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
-    out = windows.recent_per_key(
-        ev, 5, partition_by="user_id", order_by=[F.col("ts").desc(), F.col("event_id").desc()]
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return out.select("event_id", "user_id", "event_type", F.col("rn").cast("bigint").alias("rn"))
+    withtotal = ev.withColumn(
+        "running_value",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(cum).cast("double"),
+    )
+    out = windows.recent_per_key(
+        withtotal, 5, partition_by="user_id", order_by=[F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", F.col("rn").cast("bigint").alias("rn"), "running_value"
+    )
 
 
 @register(
@@ -95,48 +114,15 @@ def sessionize_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "recency_topk_orders",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
-    FROM orders
-    ORDER BY o_orderdate DESC, o_orderkey DESC
-    LIMIT 10
-    """,
-)
 def recency_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2: recency top-k (reference query.txt:155-156) — plans as
-    TakeOrderedAndProject (per-partition heap, k-row merge)."""
+    """O2/S3 ordered recency top-k (reference query.txt:155-156) — plans
+    as TakeOrderedAndProject (per-partition heap, k-row merge).
+    Unregistered since the registry consolidation: the identical plan
+    shape is driver-gated via `json_filter_recency_topk` and
+    `top_orders_by_revenue`; kept for tests/benchmarks."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
         .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
         .limit(10)
-    )
-
-
-@register(
-    "running_total_per_user",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-    FROM events
-    """,
-)
-def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-user value total (cumulative window; decimal-exact)."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
     )

@@ -19,7 +19,6 @@ SF = "/root/testdata/sf0.001"
         ("pricing_summary", ["PushedFilters: [IsNotNull(l_shipdate)", "partial_sum"]),
         ("vector_topk_similarity", ["TakeOrderedAndProject"]),
         ("vector_topk_distance", ["TakeOrderedAndProject"]),
-        ("recency_topk_orders", ["TakeOrderedAndProject"]),
         ("json_filter_recency_topk", ["TakeOrderedAndProject"]),
         ("top_orders_by_revenue", ["TakeOrderedAndProject"]),
         ("revenue_by_nation", ["BroadcastHashJoin"]),
@@ -37,6 +36,13 @@ def test_topk_never_global_sorts(spark):
     # top-k must be a per-partition heap, not Sort + GlobalLimit
     df = QUERIES["vector_topk_similarity"](spark, SF)
     assert_plan_lacks(df, "GlobalLimit")
+
+
+def test_recency_topk_plan(spark):
+    # unregistered helper keeps its heap-based plan shape
+    from psy_supabase_spark.queries.window_queries import recency_topk_orders
+
+    assert_plan_contains(recency_topk_orders(spark, SF), "TakeOrderedAndProject")
 
 
 def test_scan_prunes_columns(spark):
