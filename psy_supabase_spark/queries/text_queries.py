@@ -112,11 +112,13 @@ def _taxonomy_values_sql() -> str:
     """,
 )
 def topic_classify_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: per-doc topic argmax over the taxonomy keyword join (reference
-    prompt_selector.py:242-300); default topic on zero hits."""
+    """A1: per-doc topic argmax over the taxonomy (reference
+    prompt_selector.py:242-300); default topic on zero hits.  Uses the
+    map-side native spelling (the taxonomy is a compile-time constant);
+    `classify_topics` is the broadcast theta-join twin for taxonomies that
+    arrive as data — row-identical, asserted in tests."""
     docs = load_table(spark, sf_dir, "documents")
-    tax = textanalysis.taxonomy_table(spark)
-    return textanalysis.classify_topics(docs, tax)
+    return textanalysis.classify_topics_native(docs)
 
 
 def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,7 +402,7 @@ def response_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("inp"),
     )
     u = raw.unionByName(dlg).unionByName(art)
-    return u.select("doc_id", "variant", RC.clean_response(F.col("inp")).alias("cleaned"))
+    return RC.apply_clean_response(u, "inp", "cleaned").select("doc_id", "variant", "cleaned")
 
 
 from ..registry import ORACLES as _ORACLES  # noqa: E402

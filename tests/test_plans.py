@@ -24,8 +24,6 @@ SF = "/root/testdata/sf0.001"
         ("revenue_by_nation", ["BroadcastHashJoin"]),
         ("customers_without_orders", ["BroadcastHashJoin", "LeftAnti"]),
         ("orders_with_discounted_items", ["LeftSemi", "PushedFilters: [IsNotNull(l_discount)"]),
-        # taxonomy containment join: broadcast nested loop over the tiny side
-        ("topic_classify_argmax", ["BroadcastNestedLoopJoin"]),
     ],
 )
 def test_plan_shape(spark, name, fragments):
@@ -36,6 +34,25 @@ def test_topk_never_global_sorts(spark):
     # top-k must be a per-partition heap, not Sort + GlobalLimit
     df = QUERIES["vector_topk_similarity"](spark, SF)
     assert_plan_lacks(df, "GlobalLimit")
+
+
+def test_topic_classify_is_map_side(spark):
+    # the registered query (compile-time taxonomy) must be join- and
+    # shuffle-free: per-topic scores are codegen'd expressions
+    assert_plan_lacks(QUERIES["topic_classify_argmax"](spark, SF), "Exchange")
+
+
+def test_topic_classify_join_twin_plan_and_rows(spark):
+    # the data-taxonomy twin keeps the broadcast theta-join shape and
+    # produces identical rows
+    from psy_supabase_spark.operators import textanalysis
+    from psy_supabase_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    joined = textanalysis.classify_topics(docs, textanalysis.taxonomy_table(spark))
+    assert_plan_contains(joined, "BroadcastNestedLoopJoin")
+    native = textanalysis.classify_topics_native(docs)
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, native.collect()))
 
 
 def test_recency_topk_plan(spark):
