@@ -102,3 +102,30 @@ def salted_join_hot_keys(
     dim_replicated = dim.withColumn("_salt", F.explode(explode_salts))
     out = facts_salted.join(dim_replicated, [on, "_salt"]).drop("_salt")
     return out
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction for an append-heavy parquet store (streaming
+    ingest writes one file per micro-batch per partition; thousands of
+    KB-files destroy scan throughput at 100 TB — the classic fix is a
+    periodic rewrite to ~target-size files).  Returns the file count after
+    compaction.  On Delta/Iceberg this is OPTIMIZE / rewrite_data_files;
+    the parquet spelling is read → repartition → overwrite."""
+    import math
+    import os
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(path + "._compact")
+    # swap: parquet has no atomic commit — Delta/Iceberg do this transactionally
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(path + "._compact", path)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])

@@ -116,3 +116,68 @@ def run_available_now(stream_df: DataFrame, *, out_table: str, output_mode: str 
         .start()
     )
     q.awaitTermination()
+
+
+def rate_stream_demo(spark: SparkSession, *, rows_per_second: int = 100) -> DataFrame:
+    """Infrastructure-free demo/test stream: the built-in rate source
+    mapped deterministically into the events schema (value → ids/types by
+    modular arithmetic).  Useful for soak tests and for exercising every
+    downstream operator without files or Kafka."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second)).load()
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("click", "view", "purchase", "signup", "error")]),
+            (F.col("value") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 1000).cast("double").alias("value"),
+        F.to_json(F.struct((F.col("value") % 7).alias("k"))).alias("props"),
+    )
+
+
+def upsert_batch(store_path: str, key_col: str = "event_id", ts_col: str = "ts"):
+    """foreachBatch MERGE-upsert into a keyed parquet store: per
+    micro-batch, latest-row-per-key wins (batch beats store on ties —
+    redelivery refreshes).  Parquet has no row-level MERGE, so the upsert
+    rewrites the store via union + row_number; on Delta/Iceberg the same
+    function body becomes a real MERGE INTO and only touched files
+    rewrite.  Idempotent under micro-batch replay: re-applying a batch
+    yields the same store (asserted in tests)."""
+    from pyspark.sql import Window
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.withColumn("_src", F.lit(1))
+        try:
+            cur = spark.read.parquet(store_path).withColumn("_src", F.lit(0))
+            merged = cur.unionByName(new)
+        except Exception:  # first batch: nothing to merge yet
+            merged = new
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(ts_col).desc(), F.col("_src").desc()
+        )
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        # rewrite atomically-enough for a demo store: stage then swap would
+        # be the production parquet spelling; Delta makes this a MERGE.
+        latest.cache()
+        latest.count()
+        latest.write.mode("overwrite").parquet(store_path)
+        latest.unpersist()
+
+    return apply
+
+
+def upsert_stream(events: DataFrame, store_path: str, checkpoint: str):
+    """Continuous keyed upsert via foreachBatch (the S5 insert upgraded to
+    last-write-wins semantics)."""
+    return (
+        events.writeStream.foreachBatch(upsert_batch(store_path))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
