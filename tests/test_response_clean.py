@@ -176,3 +176,38 @@ def test_dialogue_early_return_skips_later_passes(spark):
 def test_fallback_texts_exact():
     assert _reference_fallback("I am depressed") == RC.FALLBACK_DEPRESS
     assert _reference_fallback("something else") == RC.FALLBACK_GENERAL
+
+
+# ---------------------------------------------------------------------------
+# property check: hypothesis-composed adversarial inputs vs the Python spec
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_FRAGMENTS = [
+    "You are doing well. ", "Take a breath. ", "depress", "worthless",
+    "User:", "Therapist:", "THERAPIST: ", "CLIENT:", "user: ", "PATIENT:",
+    "DOCTOR:", "\n", "\n\n\n", "  ", ". ", "! ", "? ", "...",
+    "Exercise: breathe", "Instructions: stop", "Note to AI:", "Answer:",
+    "Question 3:", "[aside]", "( )", "Title:", "Chapter:", "word",
+    "A longer supportive sentence that easily clears twenty characters. ",
+    "TR:", "RESPONSE (keep", "Your response:", "short",
+]
+
+adversarial_texts = st.lists(
+    st.sampled_from(_FRAGMENTS), min_size=0, max_size=12
+).map("".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batch=st.lists(adversarial_texts, min_size=1, max_size=30))
+def test_property_matches_reference(spark, batch):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(batch)], "i int, txt string")
+    rows = (
+        RC.apply_clean_response(df, "txt", "out").select("i", "out").orderBy("i").collect()
+    )
+    for r in rows:
+        assert r["out"] == _reference_clean(batch[r["i"]]), f"case={batch[r['i']]!r}"
