@@ -197,3 +197,26 @@ class PsyEngine:
     def is_toxic(self, df: DataFrame, col: str = "answer") -> DataFrame:
         """M3: toxicity gate (stub model; real signature identical)."""
         return df.withColumn("toxic", ml_udfs.is_toxic(col))
+
+    def clean_responses(self, df: DataFrame, col: str = "answer") -> DataFrame:
+        """T6: the reference cleans every generated /chat response through
+        its ~10-pass pipeline (text_generator.py:149-253); staged-column
+        spelling (hot-path safe)."""
+        from .functions.response_clean import apply_clean_response
+
+        return apply_clean_response(df, col, "cleaned_response")
+
+    def extract_entities(self, df: DataFrame, col: str = "question") -> DataFrame:
+        """T4: deterministic NER-stub mentions (reference
+        prompt_selector.py:91-97; spaCy twin gated in functions/ner)."""
+        from .functions import ner
+
+        return df.withColumn("entities", ner.extract_entities(col))
+
+    def determine_topic(self, df: DataFrame, col: str = "question") -> DataFrame:
+        """A1 + T4: entity-boosted topic argmax with the reference's
+        dict-order tie-break and default (prompt_selector.py:242-300)."""
+        from .functions import ner
+
+        topic, score = ner.best_topic_boosted(F.col(col))
+        return df.withColumn("topic", topic).withColumn("topic_score", score)

@@ -110,3 +110,23 @@ def test_hash_embedding_udf_deterministic(spark):
     out = df.select(ml_udfs.hash_embedding_udf(16)(F.col("t")).alias("e")).collect()
     assert out[0].e == out[1].e != out[2].e
     assert len(out[0].e) == 16
+
+
+def test_clean_responses_and_topic_facade(engine, spark):
+    df = spark.createDataFrame(
+        [
+            ("You matter. You matter. Rest well tonight friend.", "I feel anxious and panic"),
+            ("ok", "nothing relevant here"),
+        ],
+        "answer string, question string",
+    )
+    cleaned = engine.clean_responses(df).collect()
+    assert cleaned[0].cleaned_response == "You matter. Rest well tonight friend."
+    assert "mental health professional" in cleaned[1].cleaned_response  # <15-char fallback
+
+    topics = engine.determine_topic(df).collect()
+    assert topics[0].topic == "anxiety" and topics[0].topic_score > 0
+    assert topics[1].topic == "emotional_support" and topics[1].topic_score == 0
+
+    ents = engine.extract_entities(df).head()
+    assert ents.entities == ["panic"]  # gazetteer hit; 'anxious' != 'anxiety'
