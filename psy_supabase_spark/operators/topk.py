@@ -129,14 +129,28 @@ def neighbors_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_col: str = "similarity",
+    max_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """All-pairs (a<b) with cosine similarity ≥ threshold — exact
     embedding-near-duplicate detection.  O(N²): correct baseline for the
     oracle; the scale path is operators/lsh.py (random-projection bucketing)
     or operators/ivf.py (centroid-blocked join).
 
+    ``max_rows`` is a hard guard so the baseline can NEVER silently become
+    a production path: above it (10¹² pair comparisons) the call raises
+    and points at the LSH operator.  Pass ``max_rows=None`` only in
+    oracle/verification harnesses.
+
     Norms are precomputed per row (N sqrt+dot instead of N² each) — same
     doubles as inline computation, one third the per-pair flops."""
+    if max_rows is not None:
+        n = corpus.count()
+        if n > max_rows:
+            raise ValueError(
+                f"neighbors_above is the O(N^2) exact baseline; corpus has "
+                f"{n} rows (> max_rows={max_rows}). Use lsh.srp_neardup_pairs "
+                f"at scale, or pass max_rows=None in a verification harness."
+            )
     withnorm = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), V.l2_norm(vec_col).alias("nrm")
     )

@@ -83,3 +83,16 @@ def test_normalize(spark):
     rows = df.select(V.normalize("e").alias("u")).collect()
     assert rows[0].u == [0.6, 0.8]
     assert rows[1].u is None
+
+
+def test_neighbors_above_guards_against_production_use(spark):
+    from psy_supabase_spark.operators import topk
+
+    big = spark.range(0, 100).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="O\\(N\\^2\\)"):
+        topk.neighbors_above(big, 0.5, max_rows=50)
+    # harness escape hatch still works
+    out = topk.neighbors_above(big.limit(3), 0.99, max_rows=None)
+    assert out.count() == 3  # all identical unit vectors pair up
