@@ -282,3 +282,95 @@ def gram_sets(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
     return docs.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
         "n_grams", F.size("grams")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pairs → clusters: (id, component) where component is the
+    MINIMUM id reachable through the pair graph (the canonical
+    representative).  The missing half of every pair-emitting dedup
+    operator: a training-data pipeline keeps one doc per component, not
+    one per pair.
+
+    Algorithm: min-label propagation with per-round path compression —
+    each round a vertex takes the min of its own label, its neighbors'
+    labels, AND its label's label (pointer chasing).  The compression
+    step doubles the effective propagation distance per round, so
+    convergence is O(log diameter) instead of O(diameter) — the same
+    trick that makes large-star/small-star web-scale.  Labels only ever
+    decrease and always name a reachable vertex, so the fixpoint is the
+    true reachable minimum.  Each round ``localCheckpoint``s to cut
+    lineage (iterative joins otherwise build an exponentially deep
+    plan).  Raises if not converged by ``max_iter``."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        merged = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # path compression: component <- min(component, label[component])
+        ptr = merged.select(F.col("id").alias("_pid"), F.col("component").alias("_pcomp"))
+        new_labels = (
+            merged.join(ptr, merged.component == F.col("_pid"), "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("_pcomp"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "input does not look like near-dup pairs (use large-star/small-star "
+        "for general graphs)"
+    )
+
+
+def dedup_keep_representative(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Keep one document per near-dup component (the min-id
+    representative) plus every unpaired document — the end-to-end
+    contract of a dedup stage in a training pipeline.  The components
+    relation is tiny (only docs that appear in pairs), so the final join
+    broadcasts."""
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    drop = comp.where(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
