@@ -206,3 +206,72 @@ def search_layout(
 
 def recall_at_k(exact_ids: list[int], approx_ids: list[int], k: int) -> float:
     return len(set(exact_ids[:k]) & set(approx_ids[:k])) / float(k)
+
+
+def ivf_search_batch(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    *,
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salts: int = 16,
+) -> DataFrame:
+    """N-query ANN through the IVF index in ONE distributed pass — the
+    production serving shape (per-query ``ivf_search`` calls cost a
+    driver round-trip each; here the whole query batch rides the plan).
+
+    1. Probe selection is MAP-SIDE: per-centroid cosine distances are
+       codegen'd expressions over the (tiny, constant) centroid table;
+       each query keeps its ``nprobe`` best via array_sort + slice —
+       ties break on centroid id, identical to ``rank_centroids``.
+    2. The exploded (query, centroid) probe list — |queries|·nprobe tiny
+       rows — BROADCASTS onto the corpus equi-join on ``centroid_id``,
+       so only probed lists are scored (with a partitionBy(centroid_id)
+       layout that is file-level partition pruning).
+    3. Ranking is the salted two-phase top-k (operators/topk.knn_join's
+       shape): no reducer ever sorts more than its salt share.
+
+    Per-query results equal ``ivf_search`` exactly (tested)."""
+    from pyspark.sql import Window
+
+    structs = []
+    for cid, center in enumerate(index.centers):
+        cl = V.query_vector_lit(center)
+        d = V.cosine_distance(F.col(query_vec), cl)
+        structs.append(
+            F.struct(
+                # NULL (zero-norm) sorts first in array_sort; map to +inf
+                F.coalesce(d, F.lit(float("inf"))).alias("dist"),
+                F.lit(cid).cast("int").alias("cid"),
+            )
+        )
+    probe_arr = F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+    probes = queries.select(
+        query_id, query_vec, F.explode(probe_arr.cid).alias("centroid_id")
+    )
+
+    scored = (
+        index.assigned.join(F.broadcast(probes), "centroid_id")
+        .select(
+            query_id,
+            F.col(id_col),
+            V.round6(V.cosine_similarity(F.col(vec_col), F.col(query_vec))).alias("similarity"),
+        )
+        .where(F.col("similarity").isNotNull())
+    )
+    order = [F.col("similarity").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(query_id, "_salt").orderBy(*order)
+    partial = (
+        scored.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+        .withColumn("_pr", F.row_number().over(w1))
+        .where(F.col("_pr") <= k)
+        .drop("_salt", "_pr")
+    )
+    w2 = Window.partitionBy(query_id).orderBy(*order)
+    return partial.withColumn("rank", F.row_number().over(w2).cast("bigint")).where(
+        F.col("rank") <= k
+    )

@@ -98,3 +98,27 @@ def test_ivf_layout_partition_pruning(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan
     assert len(out.collect()) == 5
+
+
+def test_ivf_search_batch_matches_per_query(spark):
+    from pyspark.sql import functions as F
+
+    from psy_supabase_spark.operators import ivf
+    from psy_supabase_spark.plans.explain import assert_plan_lacks
+    from psy_supabase_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    index = ivf.build_ivf_cached(emb, f"{sf}/embeddings", n_lists=8)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    batch = ivf.ivf_search_batch(index, queries, k=5, nprobe=4)
+    assert_plan_lacks(batch, "CartesianProduct")
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.similarity) for r in batch.collect()
+    }
+    for q in queries.collect():
+        single = ivf.ivf_search(index, list(q.query_embedding), k=5, nprobe=4)
+        for rank, r in enumerate(single.collect(), start=1):
+            assert got[(q.query_id, rank)] == (r.vec_id, r.similarity)
