@@ -29,10 +29,10 @@ def _norm_cell(v: object) -> str:
     if v is None:
         return "∅"
     if isinstance(v, float):
-        # normalize -0.0 and integral floats
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v)) if v != 0 else "0"
-        return repr(round(v, 9))
+        # EXACT float hashing (r1 lesson: the driver hashes exact values;
+        # a 9-dp rounding here masked two last-ulp driver failures).  Only
+        # -0.0 folds to 0 — every query must emit bit-identical doubles.
+        return "0" if v == 0 else repr(v)
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (list, tuple)):
