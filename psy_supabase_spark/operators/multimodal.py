@@ -29,6 +29,26 @@ BLOB_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("fake_width", T.LongType(), True),
         T.StructField("fake_height", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_sampled", T.LongType(), True),
+        T.StructField("sampled_len_sum", T.LongType(), True),
+        T.StructField("resized_n_bytes", T.LongType(), True),
+    ]
+)
+
+# "video" frame model: the payload is a sequence of FRAME_SIZE-byte frames;
+# frame-sampling keeps every FRAME_STRIDE-th frame.  "image" resize model:
+# a resized payload is capped at RESIZE_W×RESIZE_H bytes.  Deterministic
+# stand-ins (real decoders slot into the same mapInPandas signatures).
+FRAME_SIZE = 256
+FRAME_STRIDE = 4
+RESIZE_W, RESIZE_H = 64, 48
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("frame", T.BinaryType(), True),
     ]
 )
 
@@ -67,13 +87,89 @@ def extract_blob_features(blobs: DataFrame, *, id_col: str = "doc_id") -> DataFr
         for pdf in batches:
             n_bytes = pdf["payload"].map(len)
             dims = n_bytes.map(fake_decode_dims)
+            # REAL byte slicing per payload (the work a frame-sampler /
+            # resizer does), summarized so a SQL oracle checks the math
+            frames = pdf["payload"].map(
+                lambda p: [p[i : i + FRAME_SIZE] for i in range(0, len(p), FRAME_SIZE)]
+            )
+            sampled = frames.map(lambda fs: fs[::FRAME_STRIDE])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": n_bytes.astype("int64"),
                     "fake_width": dims.map(lambda d: d[0]).astype("int64"),
                     "fake_height": dims.map(lambda d: d[1]).astype("int64"),
+                    "n_frames": frames.map(len).astype("int64"),
+                    "n_sampled": sampled.map(len).astype("int64"),
+                    "sampled_len_sum": sampled.map(
+                        lambda fs: sum(len(f) for f in fs)
+                    ).astype("int64"),
+                    "resized_n_bytes": pdf["payload"]
+                    .map(lambda p: len(resize_stub_bytes(p)))
+                    .astype("int64"),
                 }
             )
 
     return blobs.select(id_col, "payload").mapInPandas(_extract, BLOB_FEATURES_SCHEMA)
+
+
+def resize_stub_bytes(payload: bytes) -> bytes:
+    """Deterministic 'resize': cap the payload at RESIZE_W×RESIZE_H bytes
+    (a real implementation decodes + PIL-resizes; same signature)."""
+    return payload[: RESIZE_W * RESIZE_H]
+
+
+def sample_frames(
+    blobs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    frame_size: int = FRAME_SIZE,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Variable-rows-out frame sampling: each input payload yields one row
+    per kept frame (every ``stride``-th ``frame_size``-byte chunk) — the
+    mapInPandas shape a real video decoder plugs into (N rows in, ΣM rows
+    out, declared schema)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            chunks: list[bytes] = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                for j in range(0, len(payload), frame_size * stride):
+                    ids.append(did)
+                    idxs.append(j // frame_size)
+                    chunks.append(payload[j : j + frame_size])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": chunks})
+
+    return blobs.select(id_col, "payload").mapInPandas(_frames, FRAMES_SCHEMA)
+
+
+def audio_window_means(
+    blobs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    window: int = 1024,
+) -> DataFrame:
+    """Deterministic 'spectrogram' stand-in: mean byte value per
+    ``window``-byte chunk as array<double> (a real implementation decodes
+    PCM and emits mel bins; same Arrow-batched signature + schema)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("window_means", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def _means(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means = pdf["payload"].map(
+                lambda p: [
+                    sum(p[i : i + window]) / len(p[i : i + window])
+                    for i in range(0, len(p), window)
+                ]
+            )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "window_means": means})
+
+    return blobs.select(id_col, "payload").mapInPandas(_means, schema)

@@ -19,17 +19,33 @@ from ..sources.catalog import load_table
 
 @register(
     "multimodal_features",
-    oracle="""
+    oracle=f"""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (
+      SELECT doc_id, n,
+             CAST(ceil(n::DOUBLE / {multimodal.FRAME_SIZE}) AS BIGINT) AS n_frames
+      FROM b
+    )
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           (octet_length(encode(text)) % 640) + 1 AS fake_width,
-           ((octet_length(encode(text)) * 7) % 480) + 1 AS fake_height
-    FROM documents
+           n AS n_bytes,
+           (n % 640) + 1 AS fake_width,
+           ((n * 7) % 480) + 1 AS fake_height,
+           n_frames,
+           CAST(floor((n_frames + {multimodal.FRAME_STRIDE - 1}) / {multimodal.FRAME_STRIDE}) AS BIGINT) AS n_sampled,
+           COALESCE(list_sum(list_transform(range(n_frames),
+             i -> CASE WHEN i % {multimodal.FRAME_STRIDE} = 0
+                       THEN least({multimodal.FRAME_SIZE}, n - {multimodal.FRAME_SIZE} * i)
+                       ELSE 0 END)), 0)::BIGINT AS sampled_len_sum,
+           least(n, {multimodal.RESIZE_W * multimodal.RESIZE_H}) AS resized_n_bytes
+    FROM f
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction via mapInPandas (decode stubbed —
-    operators/multimodal docstring)."""
+    """Binary-column feature extraction via mapInPandas: payload stats,
+    decode-stub dims, REAL frame slicing (FRAME_SIZE chunks, every
+    FRAME_STRIDE-th kept) and the resize cap — the SQL oracle reproduces
+    the structural math from octet_length, so the Arrow plumbing and the
+    chunking code are what's under test (operators/multimodal)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_blob_features(multimodal.attach_blobs(docs))
 
