@@ -95,3 +95,36 @@ def test_dedup_stream_drops_redeliveries(spark, events_dir, tmp_path):
     deduped = spark.table("dedup_s")
     assert deduped.count() == src.count()
     assert deduped.select("event_id").distinct().count() == src.count()
+
+
+def test_stream_through_ml_udfs_and_upsert(spark, tmp_path):
+    """Integration: file stream → pandas-UDF embedding + toxicity gate →
+    keyed upsert store.  Proves the Arrow-batched UDFs (M1/M3) and the
+    foreachBatch sink compose inside Structured Streaming micro-batches."""
+    from psy_supabase_spark.operators import ml_udfs
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.createDataFrame(
+        [(1, "a calm helpful answer", "2024-01-01 10:00:00"),
+         (2, "another gentle reply", "2024-01-01 10:01:00")],
+        "event_id long, text string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    docs.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, text string, ts timestamp").parquet(src)
+        .withColumn("embedding", ml_udfs.hash_embedding_udf(8)(F.col("text")))
+        .withColumn("toxic", ml_udfs.is_toxic("text"))
+    )
+    q = ingest.upsert_stream(stream, store, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    rows = {r.event_id: r for r in spark.read.parquet(store).collect()}
+    assert set(rows) == {1, 2}
+    assert len(rows[1].embedding) == 8 and rows[1].toxic is False
+    # determinism: the batch UDF matches the batch-mode computation
+    batch = docs.withColumn("embedding", ml_udfs.hash_embedding_udf(8)(F.col("text"))).collect()
+    want = {r.event_id: r.embedding for r in batch}
+    assert rows[1].embedding == want[1] and rows[2].embedding == want[2]
