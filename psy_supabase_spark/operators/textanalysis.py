@@ -121,3 +121,48 @@ def fingerprint(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
         id_col,
         hashing.md5_hash32(TX.clean_text(F.col(text_col))).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """RAG/training chunking: split each document into overlapping
+    token-window chunks — (doc_id, chunk_idx, n_chunk_tokens, chunk).
+
+    Stride = chunk_tokens - overlap; the last window is the remainder
+    (kept if non-empty); a document shorter than one window yields one
+    chunk.  Fully native: tokenize once, window starts via ``sequence``,
+    chunks via ``slice`` + ``array_join``, exploded to rows — no UDF, no
+    shuffle (a pure flatMap-shaped projection, embarrassingly parallel
+    at any scale).  Token = whitespace token (the engine's cheap
+    tokenizer; swap in a BPE pandas-UDF for model-exact budgets)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... while start < n (≥1 window)
+    n_windows = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+    starts = F.sequence(F.lit(0), (n_windows - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        docs.select(id_col, F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("c.n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+            F.col("c.chunk").alias("chunk"),
+        )
+        .where(F.col("n_chunk_tokens") > 0)
+    )
