@@ -166,3 +166,50 @@ def chunk_documents(
         )
         .where(F.col("n_chunk_tokens") > 0)
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int,
+    *,
+    group_col: str = "doc_id",
+    tokens_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Token-budget sequence packing: greedily pack chunks (in
+    deterministic (doc_id, chunk_idx) order) into training sequences of
+    ≤ ``budget`` tokens, within each ``group_col`` partition — the step
+    between chunking and batch export in a training-data pipeline.
+
+    Greedy first-fit-in-order is inherently sequential, so it runs as
+    ``applyInPandas`` per group (Arrow-batched; each group's chunk list
+    fits comfortably in a worker).  Grouping bounds the sequential span —
+    pack within (source) or (doc) so no single task sees unbounded data;
+    an oversized single chunk gets its own sequence."""
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} long, seq_id long, doc_id long, chunk_idx long, "
+        f"{tokens_col} long"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+        seq_ids = []
+        seq, used = 0, 0
+        for t in pdf[tokens_col]:
+            if used > 0 and used + t > budget:
+                seq += 1
+                used = 0
+            used += t
+            seq_ids.append(seq)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].values,
+                "seq_id": seq_ids,
+                "doc_id": pdf["doc_id"].values,
+                "chunk_idx": pdf["chunk_idx"].values,
+                tokens_col: pdf[tokens_col].values,
+            }
+        )
+
+    return chunks.groupBy(group_col).applyInPandas(_pack, out_schema)

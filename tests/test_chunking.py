@@ -59,3 +59,39 @@ def test_chunking_rejects_bad_overlap(spark):
     docs = load_table(spark, SF, "documents").limit(1)
     with pytest.raises(ValueError):
         textanalysis.chunk_documents(docs, chunk_tokens=16, overlap=16)
+
+
+def test_pack_sequences_budget_and_order(spark):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").limit(40).withColumn(
+        "group_key", F.col("doc_id") % 4
+    )
+    chunks = textanalysis.chunk_documents(docs, chunk_tokens=32, overlap=8).join(
+        docs.select("doc_id", "group_key"), "doc_id"
+    )
+    packed = textanalysis.pack_sequences(
+        chunks, budget=100, group_col="group_key"
+    ).collect()
+
+    by_group: dict[int, list] = {}
+    for r in packed:
+        by_group.setdefault(r.group_key, []).append(r)
+    for g, rows in by_group.items():
+        rows.sort(key=lambda r: (r.doc_id, r.chunk_idx))
+        # reproduce greedy packing in Python
+        seq, used, want = 0, 0, []
+        for r in rows:
+            if used > 0 and used + r.n_chunk_tokens > 100:
+                seq, used = seq + 1, 0
+            used += r.n_chunk_tokens
+            want.append(seq)
+        assert [r.seq_id for r in rows] == want
+        # budget respected except single-oversized-chunk sequences
+        totals: dict[int, int] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            totals[r.seq_id] = totals.get(r.seq_id, 0) + r.n_chunk_tokens
+            counts[r.seq_id] = counts.get(r.seq_id, 0) + 1
+        for s, tot in totals.items():
+            assert tot <= 100 or counts[s] == 1
