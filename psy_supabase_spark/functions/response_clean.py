@@ -44,6 +44,14 @@ def _c(col: ColumnOrName) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _wstrim(c: Column) -> Column:
+    """Python ``str.strip()`` parity: Spark's ``trim`` removes SPACES
+    only, but every reference ``.strip()`` removes all whitespace — a
+    trailing newline on a therapist turn changes the >20-char check
+    (found by the hypothesis property test)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 # sentinel for the sentence split (never appears in real text)
 SENT = "\x01"
 
@@ -110,7 +118,7 @@ def _stage_post_ab(t: Column) -> Column:
     )
     return F.when(
         t.rlike(r"\n\s*\n\s*\n"),
-        F.trim(F.regexp_replace(t, r"(?s)\n\s*\n\s*\n.*", "")),
+        _wstrim(F.regexp_replace(t, r"(?s)\n\s*\n\s*\n.*", "")),
     ).otherwise(t)
 
 
@@ -119,12 +127,20 @@ def _stage_has_dialogue(post_ab: Column) -> Column:
 
 
 def _stage_dialogue_result(post_ab: Column) -> Column:
-    """Pass 3: blocks split at \\n\\s*(User|CLIENT) boundaries; each block
-    contributes the text after its first therapist: marker — identical to
-    the reference's findall-with-lookahead scan."""
-    blocks = F.split(post_ab, r"(?i)\n\s*(User|CLIENT)")
-    turns = F.transform(blocks, lambda b: F.trim(F.regexp_extract(b, r"(?is)therapist:\s*(.*)", 1)))
-    long_turns = F.filter(turns, lambda x: F.length(x) > 20)
+    """Pass 3: the reference's findall scan, VERBATIM — Java regex
+    supports the lazy-group-plus-lookahead pattern, so the Spark side is
+    reference-exact by construction.  (A block-split spelling diverges
+    when a turn is pure whitespace before a ``\\n User`` boundary: the
+    reference's greedy ``\\s*`` then EATS the boundary and the turn merges
+    into the next block — found by adversarial sweep.  The RE2 oracle
+    keeps the split spelling, which is identical whenever turns are
+    non-degenerate — guaranteed by construction for the registered
+    query's inputs.)"""
+    turns = F.regexp_extract_all(
+        post_ab, F.lit(r"(?is)therapist:\s*(.*?)(?=\n\s*(?:user|client)|$)"), 1
+    )
+    stripped = F.transform(turns, _wstrim)
+    long_turns = F.filter(stripped, lambda x: F.length(x) > 20)
     return F.when(F.size(long_turns) > 0, F.element_at(long_turns, 1)).otherwise(
         targeted_fallback(post_ab)
     )
@@ -150,7 +166,7 @@ def _stage_dedup(sents: Column) -> Column:
     dropped-empty sentences can never equal a kept nonempty one)."""
     kept = F.filter(
         sents,
-        lambda x, i: (F.trim(x) != "") & (F.array_position(sents, x) == i + F.lit(1)),
+        lambda x, i: (_wstrim(x) != "") & (F.array_position(sents, x) == i + F.lit(1)),
     )
     return F.array_join(kept, " ")
 
@@ -182,7 +198,7 @@ def _stage_truncate(t2: Column, low: Column) -> Column:
     trunc = None
     for m in TRUNCATION_MARKERS:
         pos = F.instr(low, m.lower())
-        branch = (pos > 0, F.trim(F.substring(t2, F.lit(1), pos - 1)))
+        branch = (pos > 0, _wstrim(F.substring(t2, F.lit(1), pos - 1)))
         trunc = F.when(*branch) if trunc is None else trunc.when(*branch)
     return trunc.otherwise(t2)
 

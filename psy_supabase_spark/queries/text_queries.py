@@ -272,18 +272,22 @@ def _response_clean_oracle() -> str:
     for pat in RC.ARTIFACT_PATTERNS:
         art = f"regexp_replace({art}, '{pat}', '', 'g')"
 
-    trunc_whens = "\n             ".join(
-        f"WHEN instr(lt, '{m.lower()}') > 0 "
-        f"THEN trim(substr(t_g, 1, instr(lt, '{m.lower()}') - 1))"
-        for m in RC.TRUNCATION_MARKERS
-    )
+    # Python str.strip() parity: whitespace-trim, not DuckDB's space-only trim
+    whens = []
+    for m in RC.TRUNCATION_MARKERS:
+        cut = f"substr(t_g, 1, instr(lt, '{m.lower()}') - 1)"
+        whens.append(
+            f"WHEN instr(lt, '{m.lower()}') > 0 "
+            + r"THEN regexp_replace(" + cut + r", '^\s+|\s+$', '', 'g')"
+        )
+    trunc_whens = "\n             ".join(whens)
 
     return rf"""
     WITH variants AS (
       SELECT doc_id, 'raw' AS variant, text AS inp FROM documents
       UNION ALL
       SELECT doc_id, 'dialogue',
-             'User: I am not okay today.' || chr(10) || 'Therapist: '
+             'User: I am not okay today.' || chr(10) || 'Therapist: I hear you. '
              || substr(text, 1, 200) || chr(10) || 'User: thanks for listening'
       FROM documents
       UNION ALL
@@ -301,7 +305,8 @@ def _response_clean_oracle() -> str:
     s2 AS (  -- step 2: triple-newline boundary (strip ONLY when it split)
       SELECT doc_id, variant,
              CASE WHEN regexp_matches(t1, '\n\s*\n\s*\n')
-                  THEN trim(regexp_replace(t1, '(?s)\n\s*\n\s*\n.*', '', 'g'))
+                  THEN regexp_replace(regexp_replace(t1, '(?s)\n\s*\n\s*\n.*', '', 'g'),
+                                      '^\s+|\s+$', '', 'g')
                   ELSE t1 END AS post_ab
       FROM s1
     ),
@@ -311,7 +316,8 @@ def _response_clean_oracle() -> str:
              list_filter(
                list_transform(
                  string_split_regex(post_ab, '(?i)\n\s*(User|CLIENT)'),
-                 b -> trim(regexp_extract(b, '(?is)therapist:\s*(.*)', 1))),
+                 b -> regexp_replace(regexp_extract(b, '(?is)therapist:\s*(.*)', 1),
+                                     '^\s+|\s+$', '', 'g')),
                x -> length(x) > 20) AS long_turns
       FROM s2
     ),
@@ -329,7 +335,8 @@ def _response_clean_oracle() -> str:
     ),
     s6 AS (  -- step 6: first-occurrence dedup
       SELECT *, array_to_string(
-               list_filter(sents, (x, i) -> trim(x) <> '' AND list_position(sents, x) = i),
+               list_filter(sents, (x, i) -> regexp_replace(x, '^\s+|\s+$', '', 'g') <> ''
+                                             AND list_position(sents, x) = i),
                ' ') AS t_c
       FROM s6a
     ),
@@ -385,8 +392,11 @@ def response_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     dlg = docs.select(
         "doc_id",
         F.lit("dialogue").alias("variant"),
+        # 'I hear you. ' anchors the turn with non-whitespace so the
+        # RE2 oracle's split spelling stays exact by construction (see
+        # response_clean._stage_dialogue_result)
         F.concat(
-            F.lit("User: I am not okay today.\nTherapist: "),
+            F.lit("User: I am not okay today.\nTherapist: I hear you. "),
             F.substring(t, 1, 200),
             F.lit("\nUser: thanks for listening"),
         ).alias("inp"),

@@ -193,6 +193,10 @@ _FRAGMENTS = [
     "Question 3:", "[aside]", "( )", "Title:", "Chapter:", "word",
     "A longer supportive sentence that easily clears twenty characters. ",
     "TR:", "RESPONSE (keep", "Your response:", "short",
+    # boundary-eating probes: whitespace-only turns before \nUser/\nCLIENT
+    # boundaries (the reference's greedy \s* consumes the boundary)
+    " \n", "\n ", "x\n", "\t", "therapist:", "THERAPIST:  \n",
+    "Therapist:twenty one characters!", "CLIENT: ok\n", "User:",
 ]
 
 adversarial_texts = st.lists(
