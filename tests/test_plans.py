@@ -36,6 +36,12 @@ def test_topk_never_global_sorts(spark):
     assert_plan_lacks(df, "GlobalLimit")
 
 
+def test_response_clean_is_shuffle_free(spark):
+    # the 10-pass cleaning pipeline is a pure staged projection over a
+    # union — any Exchange would mean an accidental repartition crept in
+    assert_plan_lacks(QUERIES["response_clean"](spark, SF), "Exchange")
+
+
 def test_topic_classify_is_map_side(spark):
     # the registered query (compile-time taxonomy) must be join- and
     # shuffle-free: per-topic scores are codegen'd expressions
