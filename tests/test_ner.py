@@ -83,3 +83,26 @@ def test_map_side_only_plan(spark):
 def test_spacy_udf_is_gated():
     with pytest.raises(NotImplementedError):
         NER.spacy_ner_udf()
+
+
+def test_randomized_parity_sweep(spark):
+    """Seeded random compositions of keywords, cap-spans, boost words, and
+    noise — the same adversarial-parity insurance that caught the T6 trim
+    and boundary bugs."""
+    import random
+
+    frags = (
+        [k for kws in TAXONOMY.values() for k in kws]
+        + [g.capitalize() for g in NER.GAZETTEER]
+        + [w for fw, _ in NER.BOOSTS.values() for w in fw]
+        + ["  ", "\n", "random noise", "John Smith", "x", ".", "Anxiety Panic"]
+    )
+    random.seed(42)
+    batch = [
+        " ".join(random.choices(frags, k=random.randint(0, 10))) for _ in range(250)
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(batch)], "i int, text string")
+    topic, score = NER.best_topic_boosted(F.col("text"))
+    rows = df.select("i", topic.alias("t"), score.alias("s")).collect()
+    for r in rows:
+        assert (r["t"], r["s"]) == _reference_score(batch[r["i"]]), f"case={batch[r['i']]!r}"
