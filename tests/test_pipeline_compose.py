@@ -1,0 +1,58 @@
+"""The full training-data assembly path composed from round-2 operators:
+
+    near-dup pairs → connected components → keep one per component
+    → chunk into token windows → pack into token-budget sequences
+
+Each stage is independently verified elsewhere; this test pins the
+COMPOSITION: stages connect on their declared schemas and the end-to-end
+invariants hold on real documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from psy_supabase_spark.operators import dedup, textanalysis
+from psy_supabase_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_chunk_pack_composition(spark):
+    docs = load_table(spark, SF, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, 0.5)
+    kept = dedup.dedup_keep_representative(docs, pairs)
+
+    chunks = textanalysis.chunk_documents(kept, chunk_tokens=48, overlap=12).join(
+        kept.select("doc_id", "source"), "doc_id"
+    )
+    packed = textanalysis.pack_sequences(chunks, budget=96, group_col="doc_id")
+
+    n_docs = docs.count()
+    n_kept = kept.count()
+    if pairs.head(1):
+        comp = dedup.connected_components(pairs)
+        n_dropped = comp.where(F.col("id") != F.col("component")).count()
+    else:
+        n_dropped = 0
+
+    # dedup dropped exactly the non-representatives
+    assert n_kept == n_docs - n_dropped and n_kept > 0
+
+    # every kept doc is fully chunked; chunk tokens cover the doc
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(F.count("*").alias("n_chunks"), F.max("chunk_idx").alias("max_idx"))
+        .collect()
+    )
+    assert all(r.n_chunks == r.max_idx + 1 for r in per_doc)
+    assert {r.doc_id for r in per_doc} == {r.doc_id for r in kept.select("doc_id").collect()}
+
+    # packing preserves every chunk exactly once and respects the budget
+    assert packed.count() == chunks.count()
+    over = (
+        packed.groupBy("doc_id", "seq_id")
+        .agg(F.sum("n_chunk_tokens").alias("tot"), F.count("*").alias("n"))
+        .where((F.col("tot") > 96) & (F.col("n") > 1))
+        .count()
+    )
+    assert over == 0
