@@ -187,10 +187,9 @@ def pack_sequences(
     an oversized single chunk gets its own sequence."""
     import pandas as pd
 
-    out_schema = (
-        f"{group_col} long, seq_id long, doc_id long, chunk_idx long, "
-        f"{tokens_col} long"
-    )
+    out_cols = [group_col, "seq_id", "doc_id", "chunk_idx", tokens_col]
+    out_cols = list(dict.fromkeys(out_cols))  # group_col may BE doc_id
+    out_schema = ", ".join(f"{c} long" for c in out_cols)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
@@ -202,14 +201,7 @@ def pack_sequences(
                 used = 0
             used += t
             seq_ids.append(seq)
-        return pd.DataFrame(
-            {
-                group_col: pdf[group_col].values,
-                "seq_id": seq_ids,
-                "doc_id": pdf["doc_id"].values,
-                "chunk_idx": pdf["chunk_idx"].values,
-                tokens_col: pdf[tokens_col].values,
-            }
-        )
+        pdf = pdf.assign(seq_id=seq_ids)
+        return pdf[out_cols]
 
     return chunks.groupBy(group_col).applyInPandas(_pack, out_schema)
