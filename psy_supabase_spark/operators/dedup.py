@@ -63,30 +63,28 @@ def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
 
 
 def gram_rows(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, gram): DISTINCT word n-grams as rows, fully codegen'd.
+    """(id, gram): DISTINCT word n-grams as rows, fully codegen'd AND
+    shuffle-free.
 
-    posexplode(split(...)) + two window leads replaces the interpreted
-    transform/slice/array_join loop — the single biggest dedup speedup at
-    sf0.1.  The window shuffle partitions by id, which every downstream
-    grouped aggregate reuses.
+    Trigram windows are built array-side — ``arrays_zip(arr, slice(arr,2),
+    slice(arr,3))`` zips each token with its two successors (zip pads the
+    shorter slices with NULL; rows with a NULL third member are the <3-token
+    tails and are dropped) — then exploded.  Everything before the
+    downstream gram join is map-side: no window shuffle over the exploded
+    token stream, which at 100 TB is an exchange the size of the corpus.
+    (History: an interpreted transform/slice lambda chain came first, then
+    posexplode + window leads; this is the third form — same output, zero
+    Exchange, no LambdaFunction.)
     """
-    toks = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("pos", "tok"),
-        )
-        .where(F.col("tok") != "")
+    joined_for_grams = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), TOKEN_SPLIT_RE, " ")
     )
-    w = Window.partitionBy("id").orderBy("pos")
+    arr = F.split(joined_for_grams, " ")
+    tri = F.arrays_zip(arr, F.slice(arr, 2, F.size(arr)), F.slice(arr, 3, F.size(arr)))
     g3 = (
-        toks.select(
-            "id",
-            F.col("tok").alias("t0"),
-            F.lead("tok", 1).over(w).alias("t1"),
-            F.lead("tok", 2).over(w).alias("t2"),
-        )
-        .where(F.col("t2").isNotNull())
-        .select("id", F.concat_ws(" ", "t0", "t1", "t2").alias("gram"))
+        docs.select(F.col(id_col).alias("id"), F.explode(tri).alias("t"))
+        .where(F.col("t.2").isNotNull() & (F.col("t.0") != ""))
+        .select("id", F.concat_ws(" ", "t.0", "t.1", "t.2").alias("gram"))
     )
     # <3-token docs: single whole-text gram (matches the oracle's CASE).
     # "tokens joined by one space" == separator runs collapsed to ' ' and
