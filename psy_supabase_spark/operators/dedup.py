@@ -79,12 +79,22 @@ def gram_rows(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
     joined_for_grams = F.trim(
         F.regexp_replace(F.lower(F.col(text_col)), TOKEN_SPLIT_RE, " ")
     )
-    arr = F.split(joined_for_grams, " ")
-    tri = F.arrays_zip(arr, F.slice(arr, 2, F.size(arr)), F.slice(arr, 3, F.size(arr)))
+    # stage the token array as a named column: arrays_zip references it 5x,
+    # and Generate-input expressions get no codegen CSE — inlining the
+    # split would run the regexp pipeline 5x per doc (measured 2x slower
+    # end-to-end).  CollapseProject keeps multiply-referenced non-cheap
+    # aliases staged, so `arr` is computed exactly once.
+    arr = F.col("arr")
+    tri = F.arrays_zip(
+        arr.alias("w0"),
+        F.slice(arr, 2, F.size(arr)).alias("w1"),
+        F.slice(arr, 3, F.size(arr)).alias("w2"),
+    )
     g3 = (
-        docs.select(F.col(id_col).alias("id"), F.explode(tri).alias("t"))
-        .where(F.col("t.2").isNotNull() & (F.col("t.0") != ""))
-        .select("id", F.concat_ws(" ", "t.0", "t.1", "t.2").alias("gram"))
+        docs.select(F.col(id_col).alias("id"), F.split(joined_for_grams, " ").alias("arr"))
+        .select("id", F.explode(tri).alias("t"))
+        .where(F.col("t.w2").isNotNull() & (F.col("t.w0") != ""))
+        .select("id", F.concat_ws(" ", "t.w0", "t.w1", "t.w2").alias("gram"))
     )
     # <3-token docs: single whole-text gram (matches the oracle's CASE).
     # "tokens joined by one space" == separator runs collapsed to ' ' and
