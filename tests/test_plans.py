@@ -89,3 +89,20 @@ def test_knn_join_topk_is_two_phase(spark):
 def test_lsh_paths_have_no_cartesian(spark):
     for name in ("dedup_minhash_lsh", "simhash_neardup", "embedding_neardup_lsh", "dedup_ngram_jaccard"):
         assert_plan_lacks(QUERIES[name](spark, SF), "CartesianProduct")
+
+
+def test_gram_rows_single_exchange(spark):
+    """Trigram generation must stay map-side: the only Exchange allowed is
+    the final distinct.  (The windowed formulation shuffled the entire
+    exploded token stream — corpus-sized at 100 TB.)"""
+    from psy_supabase_spark.operators.dedup import gram_rows
+    from psy_supabase_spark.sources.catalog import load_table
+
+    plan = (
+        gram_rows(load_table(spark, SF, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
