@@ -245,6 +245,29 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") 
     return voted.select("id", sh.alias("simhash"))
 
 
+def simhash_banded(sh: DataFrame, max_hamming: int) -> DataFrame:
+    """(id, simhash) → (id, simhash, band, key) pigeonhole band rows:
+    (max_hamming+1) bands of SIMHASH_BITS/(max_hamming+1) bits each.  Any
+    pair at Hamming ≤ max_hamming must agree exactly on ≥1 band, so an
+    equi-join on (band, key) is a provably complete candidate generator.
+    Shared by the batch pair join and the streaming near-dup filter."""
+    bands = max_hamming + 1
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("simhash"), band * width).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for band in range(bands)
+        ]
+    )
+    return sh.select("id", "simhash", F.explode(band_structs).alias("bk")).select(
+        "id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -256,22 +279,8 @@ def simhash_neardup_pairs(
     band join: split into (max_hamming+1) bands — any qualifying pair MUST
     share an exact band, so the candidate equi-join provably contains every
     qualifying pair (banded output == all-pairs output)."""
-    bands = max_hamming + 1
-    width = SIMHASH_BITS // bands
     sh = simhash(docs, id_col=id_col, text_col=text_col)
-    mask = (1 << width) - 1
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.shiftright(F.col("simhash"), band * width).bitwiseAND(F.lit(mask)).alias("key"),
-            )
-            for band in range(bands)
-        ]
-    )
-    banded = sh.select("id", "simhash", F.explode(band_structs).alias("bk")).select(
-        "id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = simhash_banded(sh, max_hamming)
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"), "band", "key")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"), "band", "key")
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))

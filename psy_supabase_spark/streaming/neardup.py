@@ -1,0 +1,112 @@
+"""Streaming near-duplicate filtering: incremental LSH against a sketch index.
+
+A training-data ingest stream must drop documents that near-duplicate
+anything ALREADY ingested — not just within the current micro-batch.  No
+built-in streaming operator expresses "stateful similarity join", and
+row-level state (applyInPandasWithState) cannot coordinate a doc whose
+band keys land in different state groups.  The production-shaped design is
+instead: per micro-batch, a BATCH band-join of the incoming docs against an
+accumulating sketch index, composed inside ``foreachBatch``:
+
+1. sketch the batch (SimHash — one grouped aggregate, 8 bytes/doc);
+2. reject docs whose sketch is within Hamming ``max_hamming`` of an
+   indexed sketch (pigeonhole band equi-join, exact Hamming verify — the
+   same provably-complete candidate generator as the batch operator);
+3. among survivors, keep one representative per within-batch near-dup
+   component (``connected_components`` on the batch pairs, min-id wins —
+   first-occurrence semantics, deterministic);
+4. transactionally append the admitted sketches to the index
+   (`sources/txlog.TxTable`) — a crashed batch leaves the index unchanged,
+   and the replayed batch recomputes the identical decision (idempotent).
+
+Scale: the index join shuffles only (band, key, simhash) rows — 4 narrow
+rows per indexed doc, independent of document size.  On a real cluster the
+index table would be bucketed by (band, key) so the per-batch join
+co-locates with zero index-side shuffle; growth is bounded by admitted
+(post-dedup) volume only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..sources.txlog import TxTable
+
+
+class StreamingNearDupFilter:
+    """foreachBatch body: admit only docs that near-duplicate nothing seen.
+
+    Usage::
+
+        filt = StreamingNearDupFilter(spark, index_path, sink)
+        stream.writeStream.foreachBatch(filt.process_batch).start()
+
+    where ``sink(admitted_df, epoch_id)`` receives the admitted documents.
+    """
+
+    def __init__(
+        self,
+        spark,
+        index_path: str,
+        sink=None,
+        *,
+        max_hamming: int = 3,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.index = TxTable(spark, index_path)
+        self.sink = sink
+        self.max_hamming = max_hamming
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # -- pure decision function (static DF in, static DF out): unit-testable
+    def admit(self, batch: DataFrame) -> DataFrame:
+        """Docs from `batch` that survive both the index check and
+        within-batch first-occurrence dedup.  Does NOT update the index."""
+        sh = dedup.simhash(batch, id_col=self.id_col, text_col=self.text_col)
+        banded = dedup.simhash_banded(sh, self.max_hamming)
+        if self.index.latest_version() >= 0:
+            idx = self.index.read().select(
+                F.col(self.id_col).alias("id"), "simhash"
+            )
+            idx_banded = dedup.simhash_banded(idx, self.max_hamming)
+            ham = F.bit_count(F.col("b.simhash").bitwiseXOR(F.col("i.simhash")))
+            hit_ids = (
+                banded.alias("b")
+                .join(idx_banded.alias("i"), ["band", "key"])
+                .where(ham <= self.max_hamming)
+                .select(F.col("b.id").alias("id"))
+                .distinct()
+            )
+            survivors = batch.join(
+                hit_ids, batch[self.id_col] == hit_ids.id, "left_anti"
+            )
+        else:
+            survivors = batch
+        # within-batch: one representative (min id) per near-dup component
+        pairs = dedup.simhash_neardup_pairs(
+            survivors, self.max_hamming, id_col=self.id_col, text_col=self.text_col
+        )
+        comp = dedup.connected_components(pairs)  # (id, component=min reachable)
+        losers = comp.where(F.col("id") != F.col("component")).select("id")
+        return survivors.join(
+            losers, survivors[self.id_col] == losers.id, "left_anti"
+        )
+
+    def process_batch(self, batch: DataFrame, epoch_id: int | None = None) -> DataFrame:
+        """The foreachBatch hook: decide, index, emit.  Replay-idempotent:
+        re-running a batch against the post-crash index re-rejects docs it
+        already admitted ONLY if the index append committed — and then the
+        sink's own idempotence (keyed upsert / txlog) absorbs the dup."""
+        admitted = self.admit(batch)
+        sketches = dedup.simhash(
+            admitted, id_col=self.id_col, text_col=self.text_col
+        ).select(F.col("id").alias(self.id_col), "simhash")
+        out = admitted.localCheckpoint(eager=True)  # decide BEFORE the index moves
+        self.index.append(sketches)
+        if self.sink is not None:
+            self.sink(out, epoch_id)
+        return out
