@@ -1,0 +1,158 @@
+"""Document-quality gates from the public LLM-corpus literature, as codegen.
+
+Two published rule families, re-expressed as pure Catalyst expressions so a
+100 TB filter pass is a map-side scan (no Python, no shuffle):
+
+- **Gopher rules** (Rae et al. 2021, "Scaling Language Models: ...Gopher",
+  Appendix A): word-count range, mean word length 3-10, symbol-to-word
+  ratio, bullet-line / ellipsis-line fractions, fraction of words with an
+  alphabetic character, minimum distinct stop-word hits.
+- **C4 rules** (Raffel et al. 2020, "Exploring the Limits of Transfer
+  Learning...", §2.2): lorem-ipsum and curly-brace tripwires, fraction of
+  lines ending in terminal punctuation.
+
+Each family returns ONE struct column of per-rule booleans plus the
+aggregate `passes` — keep the struct in the output and a rejected doc
+explains itself (which rule fired), which is how corpus-filtering audits
+actually get done.  Thresholds are the published defaults, overridable.
+
+The only higher-order functions used are flat per-element predicates
+(filter/size over the split arrays) — the cheap kind; the per-char
+poly-hash kind stays banned from hot paths (see SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_BULLET_RE = r"^\s*([-*•‣◦]|\d+[.)])\s"
+_TERMINAL_PUNCT = (".", "!", "?", '"', "'")
+
+
+def gopher_quality_flags(
+    col: ColumnOrName,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Struct of Gopher-rule measurements + booleans + aggregate `passes`.
+
+    `max_bullet_line_frac` follows the paper's spelling ("at least 90% of
+    lines must NOT start with a bullet" => bullet fraction < 0.9 is the
+    keep condition with the complement threshold); all other knobs are
+    direct upper/lower bounds.
+    """
+    c = _c(col)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")  # guard /0; empty fails len rule anyway
+    # mean word length == non-whitespace chars / words (exactly sum(len(w))/n)
+    mean_wl = F.length(F.regexp_replace(c, r"\s+", "")).cast("double") / nw
+    n_symbols = (
+        F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+        + (F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.|…", ""))) / F.lit(3)
+    ).cast("double")
+    lines = F.split(c, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE)))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, lambda w: F.lower(F.regexp_replace(w, r"[^A-Za-z]", "")))),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    mean_wl_ok = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    symbol_ok = (n_symbols / nw) <= max_symbol_ratio
+    bullet_ok = (bullet_lines.cast("double") / n_lines) < max_bullet_line_frac
+    ellipsis_ok = (ellipsis_lines.cast("double") / n_lines) <= max_ellipsis_line_frac
+    alpha_ok = (alpha_words.cast("double") / nw) >= min_alpha_word_frac
+    stop_ok = stop_hits >= min_stopword_hits
+    passes = (
+        word_count_ok & mean_wl_ok & symbol_ok & bullet_ok & ellipsis_ok & alpha_ok & stop_ok
+    )
+    return F.struct(
+        n_words.cast("long").alias("word_count"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        word_count_ok.alias("word_count_ok"),
+        mean_wl_ok.alias("mean_word_len_ok"),
+        symbol_ok.alias("symbol_ratio_ok"),
+        bullet_ok.alias("bullet_lines_ok"),
+        ellipsis_ok.alias("ellipsis_lines_ok"),
+        alpha_ok.alias("alpha_words_ok"),
+        stop_ok.alias("stopwords_ok"),
+        passes.alias("passes"),
+    )
+
+
+def c4_quality_flags(col: ColumnOrName, *, min_terminal_line_frac: float = 0.5) -> Column:
+    """Struct of C4-rule booleans + aggregate `passes`.  C4 proper DROPS
+    non-terminal lines; as a document gate we keep docs whose terminal-line
+    fraction clears `min_terminal_line_frac` (the line-surgery variant
+    belongs to a cleaning pass, not a filter)."""
+    c = _c(col)
+    lc = F.lower(c)
+    no_lorem = ~lc.contains("lorem ipsum")
+    no_brace = ~c.contains("{")
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    terminal = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"[.!?\"']\s*$"))
+    )
+    terminal_ok = (terminal.cast("double") / n_lines) >= min_terminal_line_frac
+    passes = no_lorem & no_brace & terminal_ok
+    return F.struct(
+        no_lorem.alias("no_lorem_ipsum"),
+        no_brace.alias("no_curly_brace"),
+        terminal_ok.alias("terminal_lines_ok"),
+        passes.alias("passes"),
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    gopher: bool = True,
+    c4: bool = True,
+    keep_flags: bool = False,
+    **thresholds,
+) -> DataFrame:
+    """Filter a corpus by the enabled rule families (AND of their `passes`).
+    With `keep_flags`, rejected rules stay inspectable as struct columns —
+    the audit-friendly form; without, the filter collapses into the scan
+    (predicates reach the parquet reader as a map-side filter)."""
+    out = docs
+    conds = []
+    if gopher:
+        g_kwargs = {k: v for k, v in thresholds.items() if k in gopher_quality_flags.__kwdefaults__}
+        out = out.withColumn("gopher_flags", gopher_quality_flags(text_col, **g_kwargs))
+        conds.append(F.col("gopher_flags.passes"))
+    if c4:
+        c_kwargs = {k: v for k, v in thresholds.items() if k in c4_quality_flags.__kwdefaults__}
+        out = out.withColumn("c4_flags", c4_quality_flags(text_col, **c_kwargs))
+        conds.append(F.col("c4_flags.passes"))
+    for cond in conds:
+        out = out.where(cond)
+    if not keep_flags:
+        out = out.drop("gopher_flags", "c4_flags")
+    return out

@@ -1,0 +1,106 @@
+"""Gopher/C4 quality gates: each rule trips on a crafted doc, a clean doc
+passes everything, the composed filter stays map-side (no Exchange)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from psy_supabase_spark.functions.quality import (
+    c4_quality_flags,
+    gopher_quality_flags,
+    quality_filter,
+)
+from psy_supabase_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+# 60 plain words, mean length ~4.5, stopwords present, no bullets/symbols
+GOOD = " ".join(
+    ["the quick brown fox jumps over that lazy dog and runs with vigor"] * 5
+)
+
+
+def _gopher(spark, text, **kw):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(gopher_quality_flags("text", **kw).alias("g")).head().g
+
+
+def _c4(spark, text, **kw):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(c4_quality_flags("text", **kw).alias("c")).head().c
+
+
+def test_good_doc_passes_everything(spark):
+    g = _gopher(spark, GOOD)
+    assert g.passes and g.word_count == 65
+    c = _c4(spark, GOOD + ".")
+    assert c.passes
+
+
+@pytest.mark.parametrize(
+    "mutate,failed_rule",
+    [
+        (lambda t: "short doc", "word_count_ok"),
+        (lambda t: " ".join(["a"] * 60), "mean_word_len_ok"),  # mean len 1
+        (lambda t: t + " " + " ".join(["####"] * 20), "symbol_ratio_ok"),
+        (lambda t: "\n".join("- " + w for w in t.split()), "bullet_lines_ok"),
+        (lambda t: "\n".join(w + "..." for w in t.split()), "ellipsis_lines_ok"),
+        (lambda t: t + " " + " ".join(["123"] * 40), "alpha_words_ok"),
+        (
+            lambda t: " ".join(["zebra apple mango cherry banana"] * 12),
+            "stopwords_ok",
+        ),
+    ],
+)
+def test_each_gopher_rule_trips(spark, mutate, failed_rule):
+    g = _gopher(spark, mutate(GOOD))
+    assert not g[failed_rule]
+    assert not g.passes
+
+
+def test_each_c4_rule_trips(spark):
+    assert not _c4(spark, GOOD + " lorem ipsum dolor.").no_lorem_ipsum
+    assert not _c4(spark, GOOD + " {json}.").no_curly_brace
+    assert not _c4(spark, "no terminal punctuation here\nnor here").terminal_lines_ok
+
+
+def test_thresholds_are_overridable(spark):
+    assert not _gopher(spark, GOOD, min_words=100).passes
+    assert _c4(spark, "bare line\nbare line", min_terminal_line_frac=0.0).passes
+
+
+def test_quality_filter_composes_and_stays_mapside(spark):
+    docs = load_table(spark, SF, "documents")
+    # defaults are tuned for web text: the synthetic word-salad corpus
+    # (no punctuation, ~one stopword) correctly fails them wholesale
+    assert quality_filter(docs).count() == 0
+    # corpus-appropriate knobs give a strict, non-empty subset
+    kept = quality_filter(
+        docs, min_words=5, min_stopword_hits=1, min_terminal_line_frac=0.0
+    )
+    n_all, n_kept = docs.count(), kept.count()
+    assert 0 < n_kept < n_all
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # audit form keeps the per-rule structs for rejected-doc forensics
+    flags = quality_filter(
+        docs, min_words=5, min_stopword_hits=1, min_terminal_line_frac=0.0,
+        keep_flags=True,
+    )
+    assert {"gopher_flags", "c4_flags"} <= set(flags.columns)
+    reasons = flags.select(F.col("gopher_flags.passes")).distinct().collect()
+    assert all(r[0] for r in reasons)  # filtered rows all pass
+
+
+def test_rejects_explain_themselves(spark):
+    docs = load_table(spark, SF, "documents")
+    audited = docs.select(
+        "doc_id", gopher_quality_flags("text", min_words=5).alias("g")
+    ).where(~F.col("g.passes"))
+    # every rejected doc has >=1 concrete failed rule
+    rule_cols = [f"g.{r}" for r in (
+        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok", "bullet_lines_ok",
+        "ellipsis_lines_ok", "alpha_words_ok", "stopwords_ok")]
+    bad = audited.where(F.greatest(*[~F.col(r) for r in rule_cols]) == F.lit(False))
+    assert bad.count() == 0
