@@ -94,8 +94,6 @@ def build_ivf(
     with a single (batch×dim)·(dim×k) matmul.
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import IntegerType, StructField, StructType
 
     vecs = corpus.select(id_col, vec_col)
     fit_df = vecs.sample(fit_sample_fraction, seed=seed) if fit_sample_fraction else vecs
@@ -108,7 +106,26 @@ def build_ivf(
     centers_np = _spherical_kmeans(x, n_lists, seed, max_iter)
     centers = [list(map(float, c)) for c in centers_np]
 
-    ct = centers_np.T.copy()  # dim×k, serialized into the task closure once
+    assigned = assign_to_centroids(corpus, centers, id_col=id_col, vec_col=vec_col)
+    return IVFIndex(centers=centers, assigned=assigned)
+
+
+def assign_to_centroids(
+    corpus: DataFrame,
+    centers: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag every row with its nearest centroid (max cosine): one
+    ``mapInPandas`` pass, each Arrow batch scored against the broadcast
+    centroid matrix with a single (batch×dim)·(dim×k) matmul.  The
+    distributed half of both the initial build AND incremental appends."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ct = np.array(centers, dtype=np.float64).T.copy()  # dim×k, in the closure once
     out_schema = StructType(
         [corpus.schema[id_col], StructField("centroid_id", IntegerType(), False)]
     )
@@ -123,8 +140,9 @@ def build_ivf(
                 {id_col: pdf[id_col], "centroid_id": sims.argmax(axis=1).astype("int32")}
             )
 
-    assigned = vecs.mapInPandas(assign, schema=out_schema).join(corpus, id_col)
-    return IVFIndex(centers=centers, assigned=assigned)
+    return corpus.select(id_col, vec_col).mapInPandas(assign, schema=out_schema).join(
+        corpus, id_col
+    )
 
 
 _BUILD_MEMO: dict[tuple[int, str, int], IVFIndex] = {}
@@ -184,6 +202,29 @@ def write_ivf_layout(index: IVFIndex, path: str) -> None:
     (one directory per list — the moral equivalent of pgvector's inverted
     lists, readable with partition pruning)."""
     index.assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def append_to_layout(
+    new_rows: DataFrame,
+    path: str,
+    centers: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign new vectors to the EXISTING
+    centroids and append into their partitions — no KMeans refit, no
+    layout rewrite; searches see the new vectors immediately (exact scan
+    within probed lists).
+
+    This is how pgvector's ivfflat behaves on INSERT too: rows join the
+    nearest existing list and the centroids drift from the true data
+    distribution.  Recall degrades gradually as appended mass grows;
+    rebuild (``build_ivf`` + ``write_ivf_layout``) once appends exceed
+    ~30-50% of the indexed volume — at which point the old layout swap is
+    atomic if the path is a ``sources/txlog.TxTable`` overwrite."""
+    assigned = assign_to_centroids(new_rows, centers, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
 
 
 def search_layout(
