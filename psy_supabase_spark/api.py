@@ -220,3 +220,51 @@ class PsyEngine:
 
         topic, score = ner.best_topic_boosted(F.col(col))
         return df.withColumn("topic", topic).withColumn("topic_score", score)
+
+    # ---- corpus-pipeline extensions (no reference counterpart: the
+    # engine's north-star training-data surface) -------------------------
+
+    def filter_corpus(self, docs: DataFrame, col: str = "text", **thresholds) -> DataFrame:
+        """Gopher/C4 quality gates (functions/quality) — map-side."""
+        from .functions.quality import quality_filter
+
+        return quality_filter(docs, col, **thresholds)
+
+    def train_tokenizer(
+        self, docs: DataFrame, col: str = "text", *, n_merges: int = 200
+    ) -> list[tuple[str, str]]:
+        """BPE merge table: distributed word counts, driver merge loop."""
+        from .functions import bpe
+
+        return bpe.train_bpe(docs, col, n_merges=n_merges)
+
+    def pack_for_training(
+        self,
+        docs: DataFrame,
+        merges: list[tuple[str, str]],
+        *,
+        budget: int = 2048,
+        col: str = "text",
+        group_col: str = "source",
+    ) -> DataFrame:
+        """Chunks packed into model-token budgets: BPE-exact counts feeding
+        the greedy per-group packer (operators/textanalysis)."""
+        from .functions import bpe
+        from .operators.textanalysis import pack_sequences
+
+        # pack_sequences emits an all-long schema: derive a numeric group
+        # key from the (possibly string) grouping column
+        chunks = docs.select(
+            F.xxhash64(F.col(group_col)).alias("group_key"),
+            F.col("doc_id"),
+            F.lit(0).alias("chunk_idx"),
+            bpe.bpe_token_count(col, merges).alias("n_tokens"),
+        )
+        return pack_sequences(chunks, budget=budget, group_col="group_key", tokens_col="n_tokens")
+
+    def dedup_stream_filter(self, index_path: str, sink=None, **kw):
+        """Streaming near-dup admission filter bound to this engine's
+        Spark session (streaming/neardup)."""
+        from .streaming.neardup import StreamingNearDupFilter
+
+        return StreamingNearDupFilter(self.spark, index_path, sink, **kw)

@@ -56,3 +56,35 @@ def test_dedup_chunk_pack_composition(spark):
         .count()
     )
     assert over == 0
+
+
+def test_facade_corpus_pipeline(spark, tmp_path):
+    """The engine-facade spelling of the whole corpus path: quality gates
+    → near-dup keep-one → BPE tokenizer training → model-token packing."""
+    from psy_supabase_spark.api import PsyEngine
+    from psy_supabase_spark.operators import dedup
+
+    eng = PsyEngine(spark, str(tmp_path / "wh"))
+    docs = load_table(spark, SF, "documents")
+
+    gated = eng.filter_corpus(
+        docs, min_words=5, min_stopword_hits=1, min_terminal_line_frac=0.0
+    )
+    n_gated = gated.count()
+    assert 0 < n_gated < docs.count()
+
+    pairs = dedup.minhash_lsh_pairs(gated, 0.5)
+    kept = dedup.dedup_keep_representative(gated, pairs)
+
+    merges = eng.train_tokenizer(kept, n_merges=60)
+    assert len(merges) == 60
+
+    packed = eng.pack_for_training(kept, merges, budget=256)
+    assert packed.count() == kept.count()  # one row per doc (unchunked path)
+    over = (
+        packed.groupBy("group_key", "seq_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+        .where((F.col("tot") > 256) & (F.col("n") > 1))
+        .count()
+    )
+    assert over == 0
