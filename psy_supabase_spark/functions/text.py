@@ -107,13 +107,17 @@ def token_count(col: ColumnOrName) -> Column:
     return F.size(F.filter(F.split(_c(col), r"\s+"), lambda t: t != ""))
 
 
-def length_bucket(col: ColumnOrName) -> Column:
-    """<20 → too_short, 20-500 → appropriate, >500 → too_long (reference
-    prompt_selector.py:325-330)."""
-    n = token_count(col)
+def length_bucket_from_count(n: Column) -> Column:
+    """Staged twin of length_bucket over a precomputed token count."""
     return (
         F.when(n < 20, F.lit("too_short")).when(n <= 500, F.lit("appropriate")).otherwise(F.lit("too_long"))
     )
+
+
+def length_bucket(col: ColumnOrName) -> Column:
+    """<20 → too_short, 20-500 → appropriate, >500 → too_long (reference
+    prompt_selector.py:325-330)."""
+    return length_bucket_from_count(token_count(col))
 
 
 def safety_struct(col: ColumnOrName) -> Column:
@@ -172,14 +176,30 @@ def template_adherence(template: ColumnOrName, response: ColumnOrName) -> Column
     )
 
 
-def stopword_ratio(col: ColumnOrName) -> Column:
-    """Fraction of tokens that are core-English stopwords — quality +
-    language-ID signal.  0.0 for empty docs."""
-    toks = tokenize(col)
+def stopword_ratio_from_tokens(toks: Column) -> Column:
+    """Staged twin of stopword_ratio over a precomputed token array."""
     sw = F.array([F.lit(w) for w in STOPWORDS])
     n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(col: ColumnOrName) -> Column:
+    """Fraction of tokens that are core-English stopwords — quality +
+    language-ID signal.  0.0 for empty docs."""
+    return stopword_ratio_from_tokens(tokenize(col))
+
+
+def quality_score_from(c: Column, n: Column, sw_ratio: Column) -> Column:
+    """Staged twin of quality_score over precomputed token count and
+    stopword ratio (the text column is still needed for the punct rule)."""
+    len_ok = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(c, r"[^!?.,;:]", ""))
+    punct_ok = F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.when(punct.cast("double") / F.length(c).cast("double") <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    sw_ok = F.when(sw_ratio >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_ok + punct_ok + sw_ok) / 3.0, 6)
 
 
 def quality_score(col: ColumnOrName) -> Column:
@@ -187,14 +207,7 @@ def quality_score(col: ColumnOrName) -> Column:
     mean of (length-in-range, punctuation-not-excessive, has-stopwords).
     Deterministic + SQL-portable."""
     c = _c(col)
-    n = token_count(c)
-    len_ok = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
-    punct = F.length(F.regexp_replace(c, r"[^!?.,;:]", ""))
-    punct_ok = F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
-        F.when(punct.cast("double") / F.length(c).cast("double") <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
-    )
-    sw_ok = F.when(stopword_ratio(c) >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.round((len_ok + punct_ok + sw_ok) / 3.0, 6)
+    return quality_score_from(c, token_count(c), stopword_ratio(c))
 
 
 LANG_MARKERS: dict[str, list[str]] = {
@@ -209,7 +222,11 @@ def lang_id(col: ColumnOrName) -> Column:
     """Marker-stopword language heuristic: pick the language with the most
     distinct marker hits among tokens; 'und' (undetermined) when no marker
     matches.  Deterministic tie-break: language name ASC."""
-    toks = F.array_distinct(tokenize(col))
+    return lang_id_from_tokens(F.array_distinct(tokenize(col)))
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Staged twin of lang_id over a precomputed DISTINCT token array."""
     scores = [
         (lang, F.size(F.array_intersect(toks, F.array([F.lit(m) for m in markers]))))
         for lang, markers in sorted(LANG_MARKERS.items())

@@ -96,19 +96,29 @@ def text_profile(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "te
     stop-stripped token count (keep-words quirk preserved,
     reference utilities/text_utils.py:51-75 + keep_words.py:16-19)."""
     t = F.col(text_col)
-    toks = TX.tokenize(t)
     sw = F.array(*[F.lit(w) for w in TX.STOPWORDS])
     keep = F.array(*[F.lit(w) for w in TX.KEEP_WORDS])
-    kept = F.filter(toks, lambda x: ~F.array_contains(sw, x) | F.array_contains(keep, x))
-    return docs.select(
+    kept = F.filter(F.col("_toks"), lambda x: ~F.array_contains(sw, x) | F.array_contains(keep, x))
+    # tokenize/token_count contain filter() lambdas, which block codegen
+    # CSE — staged as named columns so each runs ONCE per row instead of
+    # once per consuming output column (the SCALE.md staging rule); the
+    # *_from twins guarantee value-identical results to the unstaged
+    # spellings (the oracle mirrors are unchanged).
+    staged = (
+        docs.withColumn("_toks", TX.tokenize(t))
+        .withColumn("_dtoks", F.array_distinct(F.col("_toks")))
+        .withColumn("_nws", TX.token_count(t))
+        .withColumn("_swr", TX.stopword_ratio_from_tokens(F.col("_toks")))
+    )
+    return staged.select(
         id_col,
-        TX.token_count(t).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(TX.tokenize(t))).cast("bigint").alias("n_distinct_tokens"),
+        F.col("_nws").cast("bigint").alias("n_tokens"),
+        F.size(F.col("_dtoks")).cast("bigint").alias("n_distinct_tokens"),
         F.size(kept).cast("bigint").alias("n_kept"),
-        TX.length_bucket(t).alias("length_bucket"),
-        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
-        TX.quality_score(t).alias("quality_score"),
-        TX.lang_id(t).alias("lang_guess"),
+        TX.length_bucket_from_count(F.col("_nws")).alias("length_bucket"),
+        F.round(F.col("_swr"), 6).alias("stopword_ratio"),
+        TX.quality_score_from(t, F.col("_nws"), F.col("_swr")).alias("quality_score"),
+        TX.lang_id_from_tokens(F.col("_dtoks")).alias("lang_guess"),
     )
 
 
