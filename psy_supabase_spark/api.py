@@ -218,8 +218,7 @@ class PsyEngine:
         dict-order tie-break and default (prompt_selector.py:242-300)."""
         from .functions import ner
 
-        topic, score = ner.best_topic_boosted(F.col(col))
-        return df.withColumn("topic", topic).withColumn("topic_score", score)
+        return ner.with_boosted_topic(df, col, topic_col="topic", score_col="topic_score")
 
     # ---- corpus-pipeline extensions (no reference counterpart: the
     # engine's north-star training-data surface) -------------------------

@@ -76,11 +76,20 @@ def extract_entities(col: ColumnOrName) -> Column:
 
 def topic_scores_boosted(text_col: ColumnOrName) -> Column:
     """Per-topic boosted scores as ONE map-side expression — no join, no
-    shuffle, whole-stage codegen.  Returns array<struct<score,ord,topic>>
-    filtered to score > 0 (the reference records only positive totals,
-    prompt_selector.py:288-290)."""
+    shuffle.  Returns array<struct<score,ord,topic>> filtered to
+    score > 0 (the reference records only positive totals,
+    prompt_selector.py:288-290).
+
+    NOTE this inline spelling re-evaluates `lower(text)` and the entity
+    extraction inside every per-topic lambda (LambdaFunction blocks CSE);
+    hot paths should use :func:`with_boosted_topic`, which stages them as
+    named columns first — identical values, one evaluation per row."""
     lt = F.lower(_c(text_col))
     ents = extract_entities(_c(text_col))
+    return _scores_from(lt, ents)
+
+
+def _scores_from(lt: Column, ents: Column) -> Column:
     structs = []
     for ord_, topic in enumerate(TOPIC_ORDER):
         kws = F.array(*[F.lit(k) for k in TAXONOMY[topic]])
@@ -114,6 +123,36 @@ def best_topic_boosted(text_col: ColumnOrName) -> tuple[Column, Column]:
     topic = F.when(F.size(arr) > 0, best.topic).otherwise(F.lit("emotional_support"))
     score = F.when(F.size(arr) > 0, best.score).otherwise(F.lit(0).cast("bigint"))
     return topic, score
+
+
+def with_boosted_topic(
+    df,
+    text_col: str = "text",
+    *,
+    topic_col: str = "topic",
+    score_col: str = "score",
+):
+    """Hot-path spelling of best_topic_boosted: lower(text), the entity
+    array, and the score array are staged as named columns (evaluated once
+    per row; CollapseProject keeps multiply-referenced non-cheap aliases
+    staged), then the argmax/default read the staged array.  Value-identical
+    to the inline expressions — the oracle mirror is unchanged."""
+    arr = F.col("_scores")
+    best = F.array_max(arr)
+    return (
+        df.withColumn("_lt", F.lower(F.col(text_col)))
+        .withColumn("_ents", extract_entities(F.col(text_col)))
+        .withColumn("_scores", _scores_from(F.col("_lt"), F.col("_ents")))
+        .withColumn(
+            topic_col,
+            F.when(F.size(arr) > 0, best.topic).otherwise(F.lit("emotional_support")),
+        )
+        .withColumn(
+            score_col,
+            F.when(F.size(arr) > 0, best.score).otherwise(F.lit(0).cast("bigint")),
+        )
+        .drop("_lt", "_ents", "_scores")
+    )
 
 
 def spacy_ner_udf():  # pragma: no cover - spaCy not in this container

@@ -478,8 +478,7 @@ def ner_entity_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import ner as NER
 
     docs = load_table(spark, sf_dir, "documents")
-    topic, score = NER.best_topic_boosted(F.col("text"))
-    return docs.select("doc_id", topic.alias("topic"), score.alias("score"))
+    return NER.with_boosted_topic(docs, "text").select("doc_id", "topic", "score")
 
 
 _ORACLES["ner_entity_boost"] = _ner_entity_boost_oracle()
