@@ -104,6 +104,36 @@ def dedup_stream(events: DataFrame, *, key_cols: list[str] | None = None, waterm
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with right events
+    for the same key whose timestamp falls in [left_ts, left_ts + within].
+
+    Built-in Structured Streaming handles the state: BOTH sides are
+    watermarked and the join condition carries the time bound, so each
+    side's state store evicts rows once the other side's watermark passes
+    the bound — state is O(events in the interval window), never
+    O(stream).  This is the streaming twin of the batch range join
+    (operators/asof.range_join_count — same time-bucket semantics)."""
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return lw.join(
+        rw,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rcol >= lcol)
+        & (rcol <= lcol + F.expr(f"INTERVAL {within}")),
+    )
+
+
 def run_available_now(stream_df: DataFrame, *, out_table: str, output_mode: str = "complete") -> None:
     """Drain everything currently available into an in-memory table and
     stop — the batch-equivalence harness used by tests ('complete' for

