@@ -104,6 +104,49 @@ def salted_join_hot_keys(
     return out
 
 
+def zorder_value(col_a: Column | str, col_b: Column | str, *, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative ints — pure codegen
+    bit ops (the loop builds the expression in Python; Python-int shift
+    amounts, per the F.shiftright quirk).  Columns wider than `bits` bits
+    must be range-bucketed first (`ntile`/scaling) — standard Z-order
+    practice, since only relative order matters for skipping."""
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a).cast("bigint")
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    *,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Z-order data clustering: range-partition + sort by the Morton value
+    of TWO predicate columns, so every written file covers a small
+    bounding box in (col_a, col_b) space and parquet min/max footer stats
+    prune files/row-groups for predicates on EITHER column — a linear sort
+    gives tight bounds on one column only.  This is Delta OPTIMIZE ZORDER
+    BY, spelled as repartitionByRange + sortWithinPartitions."""
+    z = zorder_value(col_a, col_b, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

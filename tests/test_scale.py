@@ -65,3 +65,49 @@ def test_salted_join_equals_plain(spark):
     )
     assert salted.count() == plain.count()
     assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_zorder_value_is_morton_interleave(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)], "a long, b long")
+    got = {(r.a, r.b): r.z for r in df.select("a", "b", scale.zorder_value("a", "b", bits=8).alias("z")).collect()}
+
+    def morton(a, b, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): morton(a, b) for (a, b) in got}
+
+
+def test_zorder_layout_tightens_both_dims(spark, tmp_path):
+    """The property parquet skipping actually uses: per-file min/max bounds.
+    Against a linear sort on col_a, Z-order must shrink the average
+    per-file range of col_b a lot while keeping col_a's bounded — i.e.
+    predicates on EITHER column can prune files."""
+    import glob
+
+    # 64x64 grid: cardinalities comparable on both axes (Z-order's working
+    # regime — a 15-value column can never be file-tight across 8 files)
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("bigint").alias("b")
+    )
+    lin, zo = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    grid.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(lin)
+    scale.write_zorder_layout(grid, zo, "a", "b", n_files=16, bits=6)
+
+    def avg_range(path, col):
+        spans = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            row = spark.read.parquet(f).agg(
+                (F.max(col) - F.min(col)).alias("span")
+            ).head()
+            spans.append(row.span)
+        return sum(spans) / len(spans)
+
+    # linear layout: a tight but b unconstrained (per-file b range = full 63)
+    assert avg_range(lin, "b") > 0.8 * 63
+    # zorder: each file is a z-curve segment ~ one 16x16 quadrant — BOTH
+    # axes' per-file boxes are small fractions of the full span
+    assert avg_range(zo, "a") < 0.5 * 63
+    assert avg_range(zo, "b") < 0.5 * 63
