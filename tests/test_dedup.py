@@ -166,3 +166,30 @@ def test_ivf_search_batch_matches_per_query(spark):
         single = ivf.ivf_search(index, list(q.query_embedding), k=5, nprobe=4)
         for rank, r in enumerate(single.collect(), start=1):
             assert got[(q.query_id, rank)] == (r.vec_id, r.similarity)
+
+
+def test_ivf_sq8_composition(spark):
+    """IVF-SQ8: int8-quantized vectors inside the IVF lists; search =
+    dequantized first pass over probed lists + full-precision rescore.
+    Must equal the full-precision IVF search on the same probes."""
+    from psy_supabase_spark.functions import vector as V
+
+    emb = load_table(spark, SF, "embeddings")
+    index = ivf.build_ivf(emb, n_lists=8)
+    qvec = list(emb.where(F.col("vec_id") == 3).select("embedding").head()[0])
+    want = [r.vec_id for r in ivf.ivf_search(index, qvec, k=5, nprobe=4).collect()]
+
+    # storage form: (vec_id, centroid_id, int8 payload) — 3.5x smaller lists
+    sq8 = index.assigned.select(
+        "vec_id", "centroid_id", V.quantize_int8("embedding").alias("qs")
+    )
+    probe_ids = ivf.rank_centroids(index.centers, qvec)[:4]
+    firstpass = (
+        sq8.where(F.col("centroid_id").isin(probe_ids))
+        .select("vec_id", V.dequantize_int8("qs").alias("embedding"))
+    )
+    cands = [r.vec_id for r in topk.topk_similarity(firstpass, qvec, k=15).collect()]
+    rescored = topk.topk_similarity(
+        emb.where(F.col("vec_id").isin(cands)), qvec, k=5
+    )
+    assert [r.vec_id for r in rescored.collect()] == want
