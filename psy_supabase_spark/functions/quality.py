@@ -64,9 +64,15 @@ def gopher_quality_flags(
     nw = F.greatest(n_words, F.lit(1)).cast("double")  # guard /0; empty fails len rule anyway
     # mean word length == non-whitespace chars / words (exactly sum(len(w))/n)
     mean_wl = F.length(F.regexp_replace(c, r"\s+", "")).cast("double") / nw
+    # ellipsis forms counted separately: '...' removes 3 chars per
+    # occurrence (delta/3 = occurrences) but the single-char '…' removes 1
+    # (delta/1) — a shared delta/3 would count each '…' as a third of a
+    # symbol.  '…' is stripped first so the two deltas can't overlap.
+    no_uni = F.regexp_replace(c, r"…", "")
     n_symbols = (
         F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
-        + (F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.|…", ""))) / F.lit(3)
+        + (F.length(c) - F.length(no_uni))
+        + (F.length(no_uni) - F.length(F.regexp_replace(no_uni, r"\.\.\.", ""))) / F.lit(3)
     ).cast("double")
     lines = F.split(c, r"\n")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")

@@ -102,24 +102,42 @@ class TxTable:
         return sorted(live)
 
     def _try_commit(self, version: int, entry: dict) -> bool:
-        """Atomically create the version file; False if a rival won the race."""
+        """Atomically publish the version file WITH its full content; False
+        if a rival won the race.
+
+        O_CREAT|O_EXCL followed by an in-place write is atomic in namespace
+        but not in content: a crash (or a racing reader) between create and
+        json.dump exposes an empty NNNNNNNN.json that ``latest_version``
+        counts as committed, bricking every later read.  Instead the body
+        is fully written + fsync'd to a tmp name, then ``os.link`` performs
+        the create-if-absent — same O_EXCL race semantics (link raises
+        FileExistsError if a rival won), but the name only ever appears
+        with complete content."""
+        path = self._version_path(version)
+        tmp = path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(self._version_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            json.dump(entry, f)
+        finally:
+            os.unlink(tmp)
         if version > 0 and version % self.checkpoint_every == 0:
             # resolve the snapshot BEFORE creating the checkpoint file —
             # _snapshot_files globs checkpoints and would read the empty one
             files = self._snapshot_files(version)
-            tmp = self._checkpoint_path(version) + ".tmp"
-            with open(tmp, "w") as f:
+            cp_tmp = self._checkpoint_path(version) + ".tmp"
+            with open(cp_tmp, "w") as f:
                 json.dump({"version": version, "files": files}, f)
-            os.replace(tmp, self._checkpoint_path(version))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(cp_tmp, self._checkpoint_path(version))
         return True
 
-    def _commit(self, entry: dict, *, retries: int = 20) -> int:
+    def _commit(self, entry: dict, *, retries: int = 64) -> int:
         for _ in range(retries):
             version = self.latest_version() + 1
             if entry["action"] == "overwrite" and version != entry["read_version"] + 1:
@@ -203,17 +221,32 @@ class TxTable:
 
     # ------------------------------------------------------------ cleanup
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, *, retention_seconds: float = 3600.0) -> list[str]:
         """Delete data files unreferenced by the LATEST snapshot (orphans
         from crashed writers, pre-compaction files).  Time travel to
         versions whose files were vacuumed then raises — same contract as
-        the paper's retention-based VACUUM (retention here is 'latest
-        only', the aggressive end of the knob)."""
+        the paper's retention-based VACUUM.
+
+        ``retention_seconds`` is the paper's retention window and is what
+        makes vacuum safe under CONCURRENT writers: ``append``/``overwrite``
+        stage their data dir BEFORE committing, and a zero-grace vacuum
+        cannot tell that in-flight dir from a crashed writer's orphan —
+        deleting it would let the writer commit a version referencing
+        deleted files (a committed-but-unreadable table).  Directories
+        younger than the window are skipped; a healthy writer commits in
+        seconds, so any real orphan ages past the window and is reclaimed
+        on the next pass.  Pass ``retention_seconds=0`` only when no other
+        writer can be in flight (tests, single-writer maintenance)."""
+        import time
+
+        cutoff = time.time() - retention_seconds
         live = {
             os.path.join(self.root, f) for f in self._snapshot_files(self.latest_version())
         }
         removed = []
         for d in glob.glob(os.path.join(self.root, _DATA_DIR, "*")):
+            if os.path.getmtime(d) > cutoff:
+                continue  # possibly a concurrent writer's staged-not-yet-committed dir
             files = set(glob.glob(os.path.join(d, "part-*.parquet")))
             if files and files.isdisjoint(live):
                 shutil.rmtree(d)

@@ -177,13 +177,25 @@ def upsert_batch(store_path: str, key_col: str = "event_id", ts_col: str = "ts")
     yields the same store (asserted in tests)."""
     from pyspark.sql import Window
 
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new = batch_df.withColumn("_src", F.lit(1))
         try:
             cur = spark.read.parquet(store_path).withColumn("_src", F.lit(0))
             merged = cur.unionByName(new)
-        except Exception:  # first batch: nothing to merge yet
+        except AnalysisException as e:
+            # ONLY path-absent means "first batch".  Any other read failure
+            # (corrupt footer, permissions, transient FS) must propagate —
+            # swallowing it would overwrite the whole accumulated store
+            # with just this micro-batch.
+            klass = (e.getCondition() if hasattr(e, "getCondition") else None) or ""
+            if "PATH_NOT_FOUND" not in klass and "Path does not exist" not in str(e):
+                raise
             merged = new
         w = Window.partitionBy(key_col).orderBy(
             F.col(ts_col).desc(), F.col("_src").desc()
@@ -193,12 +205,18 @@ def upsert_batch(store_path: str, key_col: str = "event_id", ts_col: str = "ts")
             .where(F.col("_rn") == 1)
             .drop("_rn", "_src")
         )
-        # rewrite atomically-enough for a demo store: stage then swap would
-        # be the production parquet spelling; Delta makes this a MERGE.
-        latest.cache()
-        latest.count()
-        latest.write.mode("overwrite").parquet(store_path)
-        latest.unpersist()
+        # stage-then-swap: never overwrite the path the plan is reading
+        # (mode('overwrite') deletes the input files first; a cache-and-
+        # overwrite "works" only until an evicted block recomputes from the
+        # deleted files).  Local-FS spelling; on a lakehouse table this
+        # whole body is one MERGE INTO / TxTable.overwrite.
+        staging = store_path.rstrip("/") + f".staging-{batch_id}"
+        latest.write.mode("overwrite").parquet(staging)
+        old = store_path.rstrip("/") + f".old-{batch_id}"
+        if os.path.exists(store_path):
+            os.replace(store_path, old)
+        os.replace(staging, store_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return apply
 

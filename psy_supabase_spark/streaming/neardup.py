@@ -97,16 +97,28 @@ class StreamingNearDupFilter:
         )
 
     def process_batch(self, batch: DataFrame, epoch_id: int | None = None) -> DataFrame:
-        """The foreachBatch hook: decide, index, emit.  Replay-idempotent:
-        re-running a batch against the post-crash index re-rejects docs it
-        already admitted ONLY if the index append committed — and then the
-        sink's own idempotence (keyed upsert / txlog) absorbs the dup."""
+        """The foreachBatch hook: decide, emit, THEN index — in that order.
+
+        Replay-idempotence across every crash window:
+
+        - crash before the sink ran: the index is unchanged, so the
+          replayed batch recomputes the identical admit decision and
+          emits it — nothing lost, nothing duplicated;
+        - crash after the sink but before ``index.append`` committed:
+          the replay re-admits and re-emits, and the sink's own
+          idempotence (keyed upsert / txlog) absorbs the duplicate;
+        - crash after the append committed: the replayed admit rejects
+          the already-indexed docs, the sink receives an empty batch.
+
+        Appending to the index FIRST would invert the middle window into
+        silent permanent loss: the replayed admit would reject docs whose
+        sketches committed even though the sink never saw them."""
         admitted = self.admit(batch)
-        sketches = dedup.simhash(
-            admitted, id_col=self.id_col, text_col=self.text_col
-        ).select(F.col("id").alias(self.id_col), "simhash")
         out = admitted.localCheckpoint(eager=True)  # decide BEFORE the index moves
-        self.index.append(sketches)
         if self.sink is not None:
             self.sink(out, epoch_id)
+        sketches = dedup.simhash(out, id_col=self.id_col, text_col=self.text_col).select(
+            F.col("id").alias(self.id_col), "simhash"
+        )
+        self.index.append(sketches)
         return out

@@ -59,6 +59,17 @@ def test_each_gopher_rule_trips(spark, mutate, failed_rule):
     assert not g.passes
 
 
+def test_unicode_ellipsis_counts_as_full_symbol(spark):
+    """'…' is one symbol per occurrence, same weight as one '...' — not a
+    third of one (the shared delta/3 bug)."""
+    three_dot = _gopher(spark, GOOD + " " + "... " * 10)
+    unicode_e = _gopher(spark, GOOD + " " + "… " * 10)
+    # both add exactly 10 symbols over the same 65-word base; with the /3
+    # bug the unicode doc undercounted at ~3.33 and wrongly passed
+    assert three_dot.symbol_ratio_ok == unicode_e.symbol_ratio_ok
+    assert not unicode_e.symbol_ratio_ok
+
+
 def test_each_c4_rule_trips(spark):
     assert not _c4(spark, GOOD + " lorem ipsum dolor.").no_lorem_ipsum
     assert not _c4(spark, GOOD + " {json}.").no_curly_brace

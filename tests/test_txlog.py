@@ -43,8 +43,11 @@ def test_uncommitted_files_invisible(table, spark):
     files = table._write_data_files(orphan)
     assert files  # parquet exists on disk...
     assert _rows(table.read()) == [(1, "a")]  # ...but is not visible
-    # vacuum reclaims it without touching live data
-    removed = table.vacuum()
+    # default vacuum SKIPS young dirs — this orphan could equally be a
+    # concurrent writer's staged-but-uncommitted data (retention window)
+    assert table.vacuum() == []
+    # once aged past retention it is reclaimed without touching live data
+    removed = table.vacuum(retention_seconds=0.0)
     assert len(removed) == 1
     assert _rows(table.read()) == [(1, "a")]
 
@@ -81,7 +84,7 @@ def test_compact_preserves_rows_and_history(table, spark):
     assert len(table._snapshot_files(v)) < n_files_before
     # pre-compaction version still readable until vacuum
     assert _rows(table.read(version=v - 1)) == before
-    table.vacuum()
+    table.vacuum(retention_seconds=0.0)
     assert _rows(table.read()) == before  # latest unaffected
     with pytest.raises(Exception):
         table.read(version=0).collect()  # vacuumed history raises, not lies
@@ -105,6 +108,58 @@ def test_empty_table_read_keeps_schema(table, spark):
     df = table.read()
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["k", "v"]
+
+
+def test_commit_files_always_complete(table, spark):
+    """Every published version file parses — the os.link publish means a
+    version name can never exist with empty/partial content, and losers of
+    the race leave no tmp droppings behind."""
+    table.append(_df(spark, [(1, "a")]))
+    # a rival wins version 1; our commit must cleanly lose and rebase
+    rival = table._write_data_files(_df(spark, [(2, "b")]))
+    assert table._try_commit(1, {"action": "append", "add": rival, "remove": []})
+    table.append(_df(spark, [(3, "c")]))  # rebases onto v2
+    for p in glob.glob(os.path.join(table.root, "_txlog", "*.json")):
+        with open(p) as f:
+            json.load(f)  # raises on torn content
+    assert not glob.glob(os.path.join(table.root, "_txlog", "*.tmp"))
+    assert _rows(table.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_vacuum_spares_inflight_writer(table, spark):
+    """Retention window: a concurrent writer's staged-but-uncommitted data
+    dir survives default vacuum, so its commit stays readable."""
+    table.append(_df(spark, [(1, "a")]))
+    staged = table._write_data_files(_df(spark, [(2, "b")]))  # in-flight writer
+    assert table.vacuum() == []  # young dir: skipped, not treated as orphan
+    table._commit({"action": "append", "add": staged, "remove": []})
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+
+
+def test_concurrent_writers_no_lost_updates(table, spark):
+    """Two writers racing 50 appends: every append lands exactly once (the
+    optimistic-concurrency loop rebases losers instead of dropping them)."""
+    import threading
+
+    n_each, errors = 25, []
+
+    def writer(offset: int) -> None:
+        try:
+            for i in range(n_each):
+                table.append(_df(spark, [(offset + i, f"w{offset}")]))
+        except Exception as e:  # surface in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(off,)) for off in (0, 1000)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert table.latest_version() == 2 * n_each - 1  # every commit got a version
+    got = _rows(table.read())
+    assert len(got) == 2 * n_each  # no lost updates
+    assert {k for k, _ in got} == set(range(n_each)) | set(range(1000, 1000 + n_each))
 
 
 def test_streaming_sink_composes(table, spark, tmp_path):
