@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeops import epoch_micros
+
 
 def range_join_count(
     left: DataFrame,
@@ -41,7 +43,7 @@ def range_join_count(
     by temporal locality instead of key cardinality.
     """
     def bucket(c: str):
-        return F.floor(F.unix_micros(F.col(c)) / F.lit(window_seconds * 1_000_000))
+        return F.floor(epoch_micros(c) / F.lit(window_seconds * 1_000_000))
 
     # _lid keeps fully-duplicate left rows distinct through the groupBy —
     # the contract is one output row per left INPUT row, not per distinct
@@ -59,7 +61,7 @@ def range_join_count(
     r1 = r.select(on, "_rts", (F.col("_rb") - 1).alias("_jb"))
     cand = l.withColumnRenamed("_b", "_jb").join(r0.unionByName(r1), [on, "_jb"], "left")
     in_range = (F.col("_rts") >= F.col("_lts")) & (
-        F.unix_micros(F.col("_rts")) < F.unix_micros(F.col("_lts")) + window_seconds * 1_000_000
+        epoch_micros("_rts") < epoch_micros("_lts") + window_seconds * 1_000_000
     )
     counted = cand.groupBy("_lid", on, "_lts", "_left").agg(
         F.sum(F.when(in_range, 1).otherwise(0)).cast("bigint").alias(count_col)

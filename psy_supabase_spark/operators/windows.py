@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeops import epoch_micros
+
 
 def rolling_context(
     df: DataFrame,
@@ -75,7 +77,7 @@ def sessionize(
     # (DuckDB epoch_us) — no float/second truncation at session boundaries.
     gap_us = F.lit(int(gap_seconds) * 1_000_000)
     is_new = F.when(
-        prev_ts.isNull() | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts) > gap_us),
+        prev_ts.isNull() | (epoch_micros(ts_col) - epoch_micros(prev_ts) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     running = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
