@@ -42,6 +42,10 @@ MINHASH_SEEDS: list[tuple[int, int]] = [
 ]
 LSH_BANDS = 8  # 16 hashes → 8 bands × 2 rows
 SIMHASH_BITS = 32
+# Scale valve on every banded candidate join: a (band, key) bucket of B ids
+# yields B·(B-1)/2 pairs in ONE reducer — 10⁶ ids in one bucket is 5·10¹¹
+# pairs.  100k members ≈ 5·10⁹ pairs ≈ the most one reducer should ever see.
+DEFAULT_BUCKET_CAP = 100_000
 
 TOKEN_SPLIT_RE = r"[^a-z0-9']+"
 
@@ -179,6 +183,30 @@ def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id", text_col: str
     return eh.groupBy("id").agg(*mins)
 
 
+def cap_buckets(banded: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Drop LSH buckets with more than ``bucket_cap`` member ids — the
+    ``df_cap`` valve transferred to banded candidate joins.
+
+    A bucket over the cap means the signature slice failed to spread the
+    corpus (empty/boilerplate docs collapsing to one slice) — its pairs
+    carry no discriminating evidence, and materializing them goes quadratic
+    in a single reducer.  Dropping the bucket loses only pairs whose OTHER
+    bands ALSO failed to match; every surviving pair is still exact-verified
+    downstream, so precision is unaffected.  The size pre-aggregate
+    shuffles on the same (band, key) as the candidate join (map-side
+    partial-agg'd), so it is cheap relative to the join it protects.
+    """
+    if bucket_cap is None:
+        return banded
+    ok = (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("_bn"))
+        .where(F.col("_bn") <= bucket_cap)
+        .select("band", "key")
+    )
+    return banded.join(ok, ["band", "key"])
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -186,6 +214,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int = LSH_BANDS,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """MinHash + banded LSH candidates, verified with exact Jaccard.
 
@@ -196,6 +225,11 @@ def minhash_lsh_pairs(
     """
     rows_per_band = len(MINHASH_SEEDS) // bands
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    if bucket_cap is not None:
+        # the valve's size-aggregate is a second consumer of the signature
+        # frame; checkpoint the (narrow: id + 16 ints) signatures so the
+        # gram-hash pipeline runs once, not once per branch
+        sig = sig.localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -210,6 +244,7 @@ def minhash_lsh_pairs(
     banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    banded = cap_buckets(banded, bucket_cap)
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
@@ -268,24 +303,110 @@ def simhash_banded(sh: DataFrame, max_hamming: int) -> DataFrame:
     )
 
 
+def oversized_buckets(banded: DataFrame, bucket_cap: int) -> DataFrame:
+    """(band, key) buckets whose membership exceeds ``bucket_cap``."""
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("_bn"))
+        .where(F.col("_bn") > bucket_cap)
+        .select("band", "key")
+    )
+
+
+def simhash_subdivided(
+    banded: DataFrame, max_hamming: int, oversized: DataFrame | None
+) -> DataFrame:
+    """Exact-subdivide oversized pigeonhole buckets — completeness kept.
+
+    SimHash's selling point is that the band join provably equals the
+    all-pairs answer, so the mega-bucket valve here must not drop anything.
+    The recursion: a pair in bucket (band i, key k) agrees on band i's
+    bits, so ALL its ≤ max_hamming differing bits live in the REMAINING
+    ``SIMHASH_BITS - width`` bits — the pigeonhole argument applies to
+    those bits again.  Re-band the remaining bits of every member of an
+    oversized bucket into (max_hamming+1) sub-bands: a qualifying pair
+    still agrees exactly on ≥1 (band, key, sband, skey), so the equi-join
+    on the widened key is still a complete candidate generator, while a
+    degenerate one-band collision (say boilerplate docs sharing 8 bits)
+    fans out across ~2^sub_width sub-buckets instead of one reducer.
+    Truly-identical sketches still share every sub-bucket — quadratic
+    OUTPUT is inherent there (every pair genuinely qualifies); run
+    exact_dedup first.  One level of subdivision (reduction ~2^6 at
+    max_hamming=3); members of small buckets keep a sentinel sub-key.
+
+    ``oversized``: (band, key) relation (see :func:`oversized_buckets`) —
+    passed explicitly so a two-sided join (streaming index vs batch) can
+    subdivide BOTH sides on the SAME bucket set, keeping join keys aligned.
+    ``None`` → no subdivision (sentinel keys only).
+    """
+    bands = max_hamming + 1
+    width = SIMHASH_BITS // bands
+    sentinel = [F.lit(-1).alias("sband"), F.lit(0).cast("long").alias("skey")]
+    if oversized is None:
+        return banded.select("id", "simhash", "band", "key", *sentinel)
+    flagged = banded.join(
+        F.broadcast(oversized.select("band", "key", F.lit(True).alias("_big"))),
+        ["band", "key"],
+        "left",
+    )
+    small = flagged.where(F.col("_big").isNull()).select("id", "simhash", "band", "key", *sentinel)
+    big = flagged.where(F.col("_big").isNotNull())
+    # rem = simhash with this band's bits excised (low bits stay, high bits
+    # shift down) — the bits a bucket-sharing pair can still differ in
+    rem = None
+    for i in range(bands):
+        low_mask = (1 << (i * width)) - 1
+        expr = F.shiftright(F.col("simhash"), (i + 1) * width) * F.lit(1 << (i * width)) + F.col(
+            "simhash"
+        ).bitwiseAND(F.lit(low_mask))
+        rem = F.when(F.col("band") == i, expr) if rem is None else rem.when(F.col("band") == i, expr)
+    rem_bits = SIMHASH_BITS - width
+    base, extra = divmod(rem_bits, bands)
+    sub = []
+    off = 0
+    for j in range(bands):
+        w = base + (1 if j < extra else 0)
+        sub.append(
+            F.struct(
+                F.lit(j).alias("sband"),
+                F.shiftright(rem, off).bitwiseAND(F.lit((1 << w) - 1)).cast("long").alias("skey"),
+            )
+        )
+        off += w
+    big_rows = big.select("id", "simhash", "band", "key", F.explode(F.array(*sub)).alias("sk")).select(
+        "id", "simhash", "band", "key", F.col("sk.sband").alias("sband"), F.col("sk.skey").alias("skey")
+    )
+    return small.unionByName(big_rows)
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming ≤ max_hamming via the pigeonhole
     band join: split into (max_hamming+1) bands — any qualifying pair MUST
     share an exact band, so the candidate equi-join provably contains every
-    qualifying pair (banded output == all-pairs output)."""
+    qualifying pair (banded output == all-pairs output).  Oversized buckets
+    are exact-subdivided (:func:`simhash_subdivided`) — the valve keeps the
+    completeness proof intact."""
     sh = simhash(docs, id_col=id_col, text_col=text_col)
+    if bucket_cap is not None:
+        # two consumers (size-aggregate + join probe): checkpoint the
+        # 8-bytes-per-doc sketch frame so the gram pipeline runs once
+        sh = sh.localCheckpoint(eager=False)
     banded = simhash_banded(sh, max_hamming)
-    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"), "band", "key")
-    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"), "band", "key")
+    over = oversized_buckets(banded, bucket_cap) if bucket_cap is not None else None
+    sub = simhash_subdivided(banded, max_hamming, over)
+    jk = ["band", "key", "sband", "skey"]
+    a = sub.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"), *jk)
+    b = sub.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"), *jk)
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.join(b, ["band", "key"])
+        a.join(b, jk)
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))

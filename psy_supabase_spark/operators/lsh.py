@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from . import dedup
 
 DEFAULT_SEED = 42
 
@@ -84,6 +85,7 @@ def srp_neardup_pairs(
     n_planes: int = 24,
     bands: int = 8,
     seed: int = DEFAULT_SEED,
+    bucket_cap: int | None = dedup.DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs (cosine ≥ threshold) via SRP banding + exact verify.
 
@@ -93,10 +95,19 @@ def srp_neardup_pairs(
     exact crossJoin answer at sf0.001/0.01/0.1 at 23× less cost (sf0.1:
     5.3s vs 124.5s).  Verification computes exact cosine (with norms
     precomputed per vector), so output ⊆ exact output always.
+
+    ``bucket_cap`` (None disables): drop (band, key) buckets with more
+    members — see :func:`.dedup.cap_buckets` for the quadratic-reducer
+    rationale.  Zero/degenerate embeddings all signature to the same
+    slice, so at corpus scale the valve is load-bearing, not theoretical.
     """
     planes = hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
     sig = corpus.select(F.col(id_col).alias("id"), srp_signature_np(vec_col, planes).alias("sig"))
+    if bucket_cap is not None:
+        # valve adds a second consumer of the signatures; checkpoint so the
+        # GEMM pandas-UDF stage runs once, not once per branch
+        sig = sig.localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -115,6 +126,7 @@ def srp_neardup_pairs(
     banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    banded = dedup.cap_buckets(banded, bucket_cap)
     # ids-only candidate join (64-float vectors never ride the band shuffle)
     cands = (
         banded.alias("a")

@@ -55,12 +55,14 @@ class StreamingNearDupFilter:
         max_hamming: int = 3,
         id_col: str = "doc_id",
         text_col: str = "text",
+        bucket_cap: int | None = dedup.DEFAULT_BUCKET_CAP,
     ):
         self.index = TxTable(spark, index_path)
         self.sink = sink
         self.max_hamming = max_hamming
         self.id_col = id_col
         self.text_col = text_col
+        self.bucket_cap = bucket_cap
 
     # -- pure decision function (static DF in, static DF out): unit-testable
     def admit(self, batch: DataFrame) -> DataFrame:
@@ -73,10 +75,22 @@ class StreamingNearDupFilter:
                 F.col(self.id_col).alias("id"), "simhash"
             )
             idx_banded = dedup.simhash_banded(idx, self.max_hamming)
+            # mega-bucket valve: subdivide BOTH sides on the INDEX's
+            # oversized (band, key) set — one shared set keeps the widened
+            # join keys aligned across sides, and the index is the side
+            # that grows without bound.  Completeness is preserved
+            # (simhash_subdivided's pigeonhole-recursion argument).
+            over = (
+                dedup.oversized_buckets(idx_banded, self.bucket_cap)
+                if self.bucket_cap is not None
+                else None
+            )
+            b_sub = dedup.simhash_subdivided(banded, self.max_hamming, over)
+            i_sub = dedup.simhash_subdivided(idx_banded, self.max_hamming, over)
             ham = F.bit_count(F.col("b.simhash").bitwiseXOR(F.col("i.simhash")))
             hit_ids = (
-                banded.alias("b")
-                .join(idx_banded.alias("i"), ["band", "key"])
+                b_sub.alias("b")
+                .join(i_sub.alias("i"), ["band", "key", "sband", "skey"])
                 .where(ham <= self.max_hamming)
                 .select(F.col("b.id").alias("id"))
                 .distinct()
@@ -88,7 +102,11 @@ class StreamingNearDupFilter:
             survivors = batch
         # within-batch: one representative (min id) per near-dup component
         pairs = dedup.simhash_neardup_pairs(
-            survivors, self.max_hamming, id_col=self.id_col, text_col=self.text_col
+            survivors,
+            self.max_hamming,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            bucket_cap=self.bucket_cap,
         )
         comp = dedup.connected_components(pairs)  # (id, component=min reachable)
         losers = comp.where(F.col("id") != F.col("component")).select("id")

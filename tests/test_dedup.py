@@ -193,3 +193,82 @@ def test_ivf_sq8_composition(spark):
         emb.where(F.col("vec_id").isin(cands)), qvec, k=5
     )
     assert [r.vec_id for r in rescored.collect()] == want
+
+
+# ---- mega-bucket valves (round-4: the 100 TB quadratic-reducer guard) ----
+
+
+def test_minhash_bucket_cap_drops_degenerate_bucket_fast(spark):
+    # 2 000 identical docs → every band bucket holds all ids → ~2M pairs
+    # unvalved.  With the cap the buckets drop and the op returns 0 pairs
+    # quickly (identical docs are exact_dedup's job, not LSH's).
+    rows = [(i, "same boilerplate text repeated every single time") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_lsh_pairs(docs, 0.5, bucket_cap=100)
+    assert out.count() == 0
+
+
+def test_minhash_bucket_cap_default_no_effect_on_testdata(spark):
+    table = load_table(spark, SF, "documents")
+    valved = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(table, 0.5).collect()}
+    unvalved = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(table, 0.5, bucket_cap=None).collect()}
+    assert valved == unvalved
+
+
+def test_simhash_subdivision_is_complete(spark):
+    # Adversarial bucket: 600 sketches share band 0's low 8 bits (one
+    # mega-bucket) but spread widely in the remaining 24 bits.  With a tiny
+    # bucket_cap the bucket subdivides — output must STILL equal the exact
+    # all-pairs answer (the pigeonhole-recursion completeness claim).
+    import random
+
+    rng = random.Random(7)
+    sketches = [(i, (rng.getrandbits(24) << 8) | 0x5A) for i in range(600)]
+    # mix in unconstrained sketches so other bands also collide arbitrarily
+    sketches += [(1000 + i, rng.getrandbits(32)) for i in range(200)]
+    sh = spark.createDataFrame(sketches, "id long, simhash long")
+    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    brute = {
+        tuple(r)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    banded = dedup.simhash_banded(sh, 3)
+    over = dedup.oversized_buckets(banded, 50)
+    assert over.count() >= 1  # the planted mega-bucket is actually over cap
+    sub = dedup.simhash_subdivided(banded, 3, over)
+    jk = ["band", "key", "sband", "skey"]
+    sa = sub.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"), *jk)
+    sb = sub.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"), *jk)
+    got = {
+        tuple(r)
+        for r in sa.join(sb, jk)
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+    # and the subdivision actually spread the mega-bucket
+    sizes = sub.groupBy(*jk).count().agg(F.max("count")).collect()[0][0]
+    assert sizes < 600
+
+
+def test_simhash_neardup_valved_equals_unvalved_on_testdata(spark):
+    table = load_table(spark, SF, "documents")
+    valved = {tuple(r) for r in dedup.simhash_neardup_pairs(table, 3, bucket_cap=5).collect()}
+    unvalved = {tuple(r) for r in dedup.simhash_neardup_pairs(table, 3, bucket_cap=None).collect()}
+    assert valved == unvalved  # subdivision never changes the answer
+
+
+def test_srp_bucket_cap_drops_degenerate_bucket(spark):
+    # zero vectors: every signature is all-zeros → one mega bucket per band
+    rows = [(i, [0.0] * 64) for i in range(1000)] + [(2000, [1.0] + [0.0] * 63)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh.srp_neardup_pairs(emb, 0.5, bucket_cap=100)
+    assert out.count() == 0  # zero-norm pairs are NULL-sim anyway; valve keeps it linear
