@@ -47,19 +47,54 @@ def pretokenize(text_col: str | Column) -> Column:
     return F.regexp_extract_all(c, F.lit(PRETOKEN_RE), 0)
 
 
+# The driver-collect hard ceiling: 5M (word, count) tuples ≈ low hundreds
+# of MB on the driver — far above any sane BPE working set, far below the
+# 10⁸–10⁹ distinct pre-tokens of a web-scale corpus.
+MAX_COLLECTED_VOCAB = 5_000_000
+
+
 def word_frequencies(
-    docs: DataFrame, text_col: str = "text", *, min_count: int = 1
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 1,
+    max_vocab: int | None = 1_000_000,
 ) -> list[tuple[str, int]]:
     """The corpus-sized stage: distinct pre-token counts, collected.
-    At 100 TB the collect is |vocab|-sized (a frequency floor keeps it
-    bounded); everything before it is map-side partial aggregation."""
+
+    Everything before the collect is map-side partial aggregation; the
+    collect itself is the scale hazard — a web corpus has 10⁸–10⁹ distinct
+    pre-tokens, a driver OOM.  Two valves:
+
+    - ``max_vocab`` (default 1M): keep only the most frequent N words
+      (ties broken lexicographically — deterministic), fetched with a
+      distributed sort+limit so the driver never sees more than N rows.
+      Rare words BPE would never merge anyway (merge picks max-count
+      pairs), so a generous top-N changes nothing but the tail of the
+      alphabet inventory.
+    - ``max_vocab=None`` (explicit opt-out) still refuses to collect more
+      than :data:`MAX_COLLECTED_VOCAB` rows — it counts first and raises
+      with guidance instead of OOMing the driver.
+    """
     freq = (
         docs.select(F.explode(pretokenize(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_count)
     )
-    return [(r.w, r.n) for r in freq.collect()]
+    if max_vocab is not None:
+        rows = freq.orderBy(F.col("n").desc(), F.col("w")).limit(max_vocab).collect()
+    else:
+        n_vocab = freq.count()
+        if n_vocab > MAX_COLLECTED_VOCAB:
+            raise ValueError(
+                f"word_frequencies would collect {n_vocab:,} distinct pre-tokens "
+                f"(> {MAX_COLLECTED_VOCAB:,}) onto the driver. Raise min_count "
+                f"(currently {min_count}) or set max_vocab to a top-N bound "
+                "instead of max_vocab=None."
+            )
+        rows = freq.collect()
+    return [(r.w, r.n) for r in rows]
 
 
 def train_merges(word_freq: list[tuple[str, int]], n_merges: int) -> list[tuple[str, str]]:
@@ -108,11 +143,18 @@ def train_merges(word_freq: list[tuple[str, int]], n_merges: int) -> list[tuple[
 
 
 def train_bpe(
-    docs: DataFrame, text_col: str = "text", *, n_merges: int = 200, min_count: int = 1
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 200,
+    min_count: int = 1,
+    max_vocab: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Distributed word counts -> sequential merge loop.  Returns the merge
     table (the entire trained state of a BPE tokenizer)."""
-    return train_merges(word_frequencies(docs, text_col, min_count=min_count), n_merges)
+    return train_merges(
+        word_frequencies(docs, text_col, min_count=min_count, max_vocab=max_vocab), n_merges
+    )
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -3,6 +3,7 @@ encoding, distributed word counts vs local Counter, packing composition."""
 
 from __future__ import annotations
 
+import pytest
 import random
 import re
 from collections import Counter
@@ -111,3 +112,27 @@ def test_bpe_budget_packing_composes(spark):
     # every multi-chunk sequence respects the model-token budget
     assert all(r.tot <= budget for r in per_seq if r.n > 1)
     assert packed.count() == 40
+
+
+def test_word_frequencies_top_n_cap_is_deterministic(spark):
+    rows = [(1, "aa bb aa cc aa bb dd ee ff gg")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = bpe.word_frequencies(docs, max_vocab=3)
+    assert len(top) == 3
+    assert top[0][0] == " aa" or top[0][0] == "aa"  # most frequent first
+
+
+def test_word_frequencies_opt_out_guard_raises_with_guidance(spark, monkeypatch):
+    monkeypatch.setattr(bpe, "MAX_COLLECTED_VOCAB", 3)
+    rows = [(1, "one two three four five six seven")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_count|max_vocab"):
+        bpe.word_frequencies(docs, max_vocab=None)
+
+
+def test_train_bpe_capped_vocab_matches_uncapped_on_small_corpus(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = bpe.train_bpe(docs, n_merges=20, max_vocab=1000)
+    uncapped = bpe.train_bpe(docs, n_merges=20, max_vocab=None)
+    assert capped == uncapped  # cap far above vocab → identical merges
