@@ -245,7 +245,8 @@ def json_filter_recency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_compound_predicate",
     oracle="""
     SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value,
+           lower(event_type) = lower('PuRcHaSe') AS topic_ci_match
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 70
        OR (event_type = 'purchase' AND value >= 100)
@@ -253,12 +254,18 @@ def json_filter_recency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: compound JSON predicate with cast (reference database.py:344-386:
-    `CAST(metadata->'effectiveness'->>'term_overlap' AS FLOAT) >= x OR ...`)."""
+    `CAST(metadata->'effectiveness'->>'term_overlap' AS FLOAT) >= x OR ...`).
+
+    ``topic_ci_match`` is the P2 evidence column: the reference's
+    case-insensitive topic equality (`database.py:326-336`,
+    `metadata.get('topic','').lower() == topic.lower()`) — both sides
+    lowered, mixed-case query literal."""
     ev = load_table(spark, sf_dir, "events")
     k = json_ops.json_get("props", "k").cast("int")
-    return ev.select("event_id", "event_type", k.alias("k"), "value").where(
-        (F.col("k") >= 70) | ((F.col("event_type") == "purchase") & (F.col("value") >= 100))
-    )
+    ci = F.lower(F.col("event_type")) == F.lower(F.lit("PuRcHaSe"))
+    return ev.select(
+        "event_id", "event_type", k.alias("k"), "value", ci.alias("topic_ci_match")
+    ).where((F.col("k") >= 70) | ((F.col("event_type") == "purchase") & (F.col("value") >= 100)))
 
 
 @register(

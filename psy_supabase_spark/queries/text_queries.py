@@ -203,9 +203,19 @@ ORACLES["text_profile"] = ORACLES["text_profile"].replace("{lang_case}", _lang_c
     SELECT a.doc_id,
            CAST(('0x' || substr(md5(cl.c), 1, 8)) AS BIGINT) AS fingerprint,
            CASE WHEN b.doc_id IS NULL OR len(a.t) = 0 THEN NULL
-                ELSE ROUND(len(list_intersect(a.t, b.t))::DOUBLE / len(a.t), 6) END AS term_overlap
+                ELSE ROUND(len(list_intersect(a.t, b.t))::DOUBLE / len(a.t), 6) END AS term_overlap,
+           CASE WHEN adh.template = 'Question' AND contains(lower(adh.resp), '?') THEN 'high'
+                WHEN adh.template = 'Empathy and Validation'
+                     AND regexp_matches(lower(adh.resp), '(understand|feel|valid)') THEN 'high'
+                ELSE 'medium' END AS template_adherence
     FROM toks a
     JOIN cleaned cl ON cl.doc_id = a.doc_id
+    JOIN (SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'Question'
+                      WHEN doc_id % 3 = 1 THEN 'Empathy and Validation'
+                      ELSE 'Others' END AS template,
+                 text || CASE WHEN doc_id % 2 = 0 THEN ' ok?' ELSE ' i understand' END AS resp
+          FROM documents) adh ON adh.doc_id = a.doc_id
     LEFT JOIN toks b ON b.doc_id = a.doc_id + 1
     """,
 )
@@ -214,18 +224,34 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit hash of cleaned text (bit-identical across engines,
     functions/hashing.md5_hash32) plus |Q∩R|/|Q| over distinct tokens
     against the NEXT document (reference prompt_selector.py:332-346),
-    NULL for the last doc — every doc keeps a row."""
+    NULL for the last doc — every doc keeps a row.
+
+    ``template_adherence`` is the T9 evidence column (reference
+    prompt_selector.py:348-355): the synthetic corpus has no '?' or
+    empathy keywords, so template and response get deterministic doc_id-mod
+    variation that exercises every CASE branch (Question+'?' → high,
+    Empathy+'understand' → high, mismatched combinations → medium)."""
     docs = load_table(spark, sf_dir, "documents")
     fp = textanalysis.fingerprint(docs)
+    template = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Question"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("Empathy and Validation"))
+        .otherwise(F.lit("Others"))
+    )
+    resp = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" ok?")).otherwise(F.lit(" i understand")),
+    )
     a = docs.select("doc_id", F.col("text").alias("ta"))
     b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("tb"))
+    adh = docs.select("doc_id", TX.template_adherence(template, resp).alias("template_adherence"))
     ov = a.join(b, "doc_id", "left").select(
         "doc_id",
         F.when(
             F.col("tb").isNotNull(), F.round(TX.term_overlap("ta", "tb"), 6)
         ).alias("term_overlap"),
     )
-    return fp.join(ov, "doc_id")
+    return fp.join(ov, "doc_id").join(adh, "doc_id")
 
 
 @register(

@@ -43,7 +43,7 @@ def rolling_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "last5_running_total",
     oracle="""
-    SELECT event_id, user_id, event_type, rn, running_value FROM (
+    SELECT event_id, user_id, event_type, rn, rn <= 2 AS in_last2, running_value FROM (
       SELECT event_id, user_id, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
@@ -57,7 +57,11 @@ def last5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 last-5 slice (reference rag_processor.py:109) + cumulative
     per-user running total in ONE query: both window specs share the
     user_id hash partitioning, so Catalyst plans a single Exchange with
-    two Window operators — merged registry slot, same operator evidence."""
+    two Window operators — merged registry slot, same operator evidence.
+
+    ``in_last2`` is the W3 evidence column: the reference's exact last-2
+    slice (`text_generator.py:350-358`) as a rank ≤ 2 flag over the same
+    DESC ordering (recent_per_key(k=2) ≡ rows where in_last2)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -74,7 +78,12 @@ def last5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         withtotal, 5, partition_by="user_id", order_by=[F.col("ts").desc(), F.col("event_id").desc()]
     )
     return out.select(
-        "event_id", "user_id", "event_type", F.col("rn").cast("bigint").alias("rn"), "running_value"
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("rn").cast("bigint").alias("rn"),
+        (F.col("rn") <= 2).alias("in_last2"),
+        "running_value",
     )
 
 
