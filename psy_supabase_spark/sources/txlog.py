@@ -12,10 +12,15 @@ record lists them, commits are totally ordered by an atomically-created
 version file, and readers reconstruct a snapshot by replaying the log.
 
 No lake-format library is required — the log is plain JSON next to plain
-parquet, and every primitive used (atomic O_CREAT|O_EXCL create, immutable
-data files, replay) works on any filesystem with atomic namespace ops
-(HDFS, local; on S3 the create-if-absent step would use a DynamoDB-style
-coordinator, as the paper discusses).
+parquet, and every primitive used (atomic create-if-absent via ``os.link``,
+immutable data files, replay) works on any filesystem with atomic namespace
+ops (HDFS, local; on S3 the create-if-absent step would use a DynamoDB-style
+coordinator, as the paper discusses).  Note the hard-link constraint:
+``os.link`` is the publish primitive (it exposes the version file only with
+complete content), so mounts without hard links (FAT/exFAT, some
+network/object-store FUSE mounts) are out of scope — on such a mount the
+link raises OSError rather than committing; fall back to a lake format with
+a real coordinator there.
 
 Guarantees:
 - **Atomicity** — a crashed job's orphan part-files are never visible
@@ -245,10 +250,25 @@ class TxTable:
         }
         removed = []
         for d in glob.glob(os.path.join(self.root, _DATA_DIR, "*")):
-            if os.path.getmtime(d) > cutoff:
-                continue  # possibly a concurrent writer's staged-not-yet-committed dir
-            files = set(glob.glob(os.path.join(d, "part-*.parquet")))
-            if files and files.isdisjoint(live):
-                shutil.rmtree(d)
-                removed.append(d)
+            # a rival vacuum (or any cleaner) may remove the dir between our
+            # glob and the stat/rmtree — a vanished dir is already reclaimed,
+            # not a reason to abort the whole pass
+            try:
+                if os.path.getmtime(d) > cutoff:
+                    continue  # possibly a concurrent writer's staged-not-yet-committed dir
+                files = set(glob.glob(os.path.join(d, "part-*.parquet")))
+                if files and files.isdisjoint(live):
+                    shutil.rmtree(d)
+                    removed.append(d)
+            except (FileNotFoundError, OSError):
+                continue
+        # _try_commit's tmp files leak if a writer crashes between write and
+        # os.link; they never match the *.json read globs but accumulate
+        # forever — sweep the aged ones here too
+        for tmp in glob.glob(os.path.join(self.root, _LOG_DIR, "*.tmp")):
+            try:
+                if os.path.getmtime(tmp) <= cutoff:
+                    os.unlink(tmp)
+            except (FileNotFoundError, OSError):
+                continue
         return removed

@@ -184,6 +184,14 @@ def upsert_batch(store_path: str, key_col: str = "event_id", ts_col: str = "ts")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        old = store_path.rstrip("/") + f".old-{batch_id}"
+        # crash recovery for THIS batch's replay: a crash between the two
+        # os.replace calls below leaves the store absent and the whole
+        # accumulated history parked at .old-{batch_id}; restore it before
+        # reading, else the replay would "first-batch" rebuild from only
+        # the current micro-batch and orphan everything accumulated.
+        if not os.path.exists(store_path) and os.path.exists(old):
+            os.replace(old, store_path)
         new = batch_df.withColumn("_src", F.lit(1))
         try:
             cur = spark.read.parquet(store_path).withColumn("_src", F.lit(0))
@@ -212,8 +220,11 @@ def upsert_batch(store_path: str, key_col: str = "event_id", ts_col: str = "ts")
         # whole body is one MERGE INTO / TxTable.overwrite.
         staging = store_path.rstrip("/") + f".staging-{batch_id}"
         latest.write.mode("overwrite").parquet(staging)
-        old = store_path.rstrip("/") + f".old-{batch_id}"
         if os.path.exists(store_path):
+            # a prior attempt that crashed after its final replace may have
+            # left a non-empty .old-{batch_id}; clear it or os.replace
+            # below raises ENOTEMPTY and permanently fails the stream
+            shutil.rmtree(old, ignore_errors=True)
             os.replace(store_path, old)
         os.replace(staging, store_path)
         shutil.rmtree(old, ignore_errors=True)

@@ -108,3 +108,35 @@ def test_compact_partitions(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 10_000
     assert got.agg(F.sum("id")).head()[0] == sum(range(10_000))
+
+
+def test_upsert_replay_recovers_mid_swap_crash(spark, tmp_path):
+    # crash window 1: between os.replace(store, old) and
+    # os.replace(staging, store) the store is ABSENT and all accumulated
+    # data is parked at .old-{batch_id}.  The replay must restore it, not
+    # rebuild the store from only the replayed micro-batch.
+    store = str(tmp_path / "store")
+    apply = ingest.upsert_batch(store)
+    apply(_mk_batch(spark, [(1, "2024-01-01 10:00:00", 7, 1.0)]), 0)
+    b2 = _mk_batch(spark, [(2, "2024-01-01 10:01:00", 8, 2.0)])
+    os.replace(store, store + ".old-1")  # simulate the crash point
+    apply(b2, 1)  # replay of batch 1→2
+    got = {r.event_id for r in spark.read.parquet(store).collect()}
+    assert got == {1, 2}  # key 1 survived the crash
+
+
+def test_upsert_replay_tolerates_leftover_old_dir(spark, tmp_path):
+    # crash window 2: after the final replace but before rmtree, a
+    # non-empty .old-{batch_id} remains; the replayed batch must clear it
+    # instead of failing os.replace with ENOTEMPTY.
+    store = str(tmp_path / "store")
+    apply = ingest.upsert_batch(store)
+    b = _mk_batch(spark, [(1, "2024-01-01 10:00:00", 7, 1.0)])
+    apply(b, 0)
+    old = store + ".old-1"
+    os.makedirs(old, exist_ok=True)
+    with open(os.path.join(old, "leftover.parquet"), "w") as f:
+        f.write("stale")
+    apply(_mk_batch(spark, [(2, "2024-01-01 10:01:00", 8, 2.0)]), 1)  # replay
+    got = {r.event_id for r in spark.read.parquet(store).collect()}
+    assert got == {1, 2}

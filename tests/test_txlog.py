@@ -176,3 +176,21 @@ def test_streaming_sink_composes(table, spark, tmp_path):
     assert table.latest_version() >= 0
     got = _rows(table.read())
     assert got == sorted(set(got))  # no dup, no partial batch
+
+
+def test_vacuum_sweeps_aged_commit_tmp_droppings(spark, tmp_path):
+    # a writer that dies between tmp-write and os.link leaves
+    # _txlog/NNNNNNNN.json.<hex>.tmp forever; vacuum reclaims aged ones
+    import os
+    import time as _time
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(3))
+    tmp = os.path.join(str(tmp_path / "t"), "_txlog", "00000099.json.deadbeef.tmp")
+    with open(tmp, "w") as f:
+        f.write("{}")
+    old = _time.time() - 7200
+    os.utime(tmp, (old, old))
+    t.vacuum(retention_seconds=3600)
+    assert not os.path.exists(tmp)
+    assert t.read().count() == 3  # table itself untouched
