@@ -101,12 +101,45 @@ def _ivf_section(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, object
     _run(ivf.search_layout(spark, layout, index.centers, qvec, k=5, nprobe=nprobe))
     search_sec = round(time.time() - t0, 3)
 
+    # IVF-SQ8 serving twin: int8 first pass + full-precision rescore over a
+    # 100-query batch, vs the same batch at full precision — measures the
+    # quantized path end-to-end and its recall against exact brute force
+    queries = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    t0 = time.time()
+    _run(ivf.ivf_search_batch(index, queries, k=10, nprobe=nprobe))
+    batch_full_sec = round(time.time() - t0, 3)
+    # SQ8 store is BUILD-time work: persist it like the layout, read it
+    # back, and time serving against the stored int8 form only
+    sq8_path = os.path.join(tempfile.mkdtemp(prefix="ivf_sq8_"), "sq8")
+    ivf.write_ivf_sq8_layout(index, sq8_path)
+    sq8_store = spark.read.parquet(sq8_path)
+    t0 = time.time()
+    _run(ivf.ivf_search_batch(index, queries, k=10, nprobe=nprobe, sq8=True, sq8_store=sq8_store))
+    batch_sq8_sec = round(time.time() - t0, 3)
+    sq8_ids = [
+        r.vec_id
+        for r in ivf.ivf_search_batch(
+            index,
+            queries.where(F.col("query_id") == 0),
+            k=10,
+            nprobe=nprobe,
+            sq8=True,
+            sq8_store=sq8_store,
+        ).collect()
+    ]
+    sq8_recall = ivf.recall_at_k(exact_ids, sq8_ids, 10)
+
     timings = {"ann_ivf_search": search_sec}
     extra = {
         "ivf_build_sec": build_sec,
         "ivf_lists": lists,
         "ivf_nprobe": nprobe,
         "ivf_recall_at_10": chosen_recall,
+        "ivf_batch100_full_sec": batch_full_sec,
+        "ivf_batch100_sq8_sec": batch_sq8_sec,
+        "ivf_sq8_recall_at_10": sq8_recall,
     }
     return timings, extra
 

@@ -204,6 +204,28 @@ def write_ivf_layout(index: IVFIndex, path: str) -> None:
     index.assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def quantized_store(
+    index: IVFIndex, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The IVF-SQ8 storage form: (id, centroid_id, int8 payload, coarse
+    norm).  72 B/row vs 256 B for float32 dim-64 — what a billion-vector
+    serving tier keeps hot.  ``_qnorm`` is ‖q‖ of the INT array: cosine is
+    scale-invariant, so the coarse pass scores raw ints against the query
+    with one fold and no dequantization."""
+    base = index.assigned.select(id_col, "centroid_id", V.quantize_int8(vec_col).alias("_qs"))
+    return base.withColumn("_qnorm", V.l2_norm(F.col("_qs.q")))
+
+
+def write_ivf_sq8_layout(
+    index: IVFIndex, path: str, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> None:
+    """Persist the SQ8 store partitioned by centroid_id — quantization is
+    index-BUILD-time work; serving must never pay it per query."""
+    quantized_store(index, id_col=id_col, vec_col=vec_col).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
+
+
 def append_to_layout(
     new_rows: DataFrame,
     path: str,
@@ -260,6 +282,9 @@ def ivf_search_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_salts: int = 16,
+    sq8: bool = False,
+    sq8_store: DataFrame | None = None,
+    rescore_factor: int = 3,
 ) -> DataFrame:
     """N-query ANN through the IVF index in ONE distributed pass — the
     production serving shape (per-query ``ivf_search`` calls cost a
@@ -276,7 +301,23 @@ def ivf_search_batch(
     3. Ranking is the salted two-phase top-k (operators/topk.knn_join's
        shape): no reducer ever sorts more than its salt share.
 
-    Per-query results equal ``ivf_search`` exactly (tested)."""
+    Per-query results equal ``ivf_search`` exactly (tested).
+
+    ``sq8=True`` switches to IVF-SQ8 serving: the first pass scores int8
+    scalar-quantized vectors (functions/vector.quantize_int8 — 3.5×
+    smaller rows on disk and over the probe-join wire) and keeps
+    ``k·rescore_factor`` candidates per query; the exact top-k is then
+    re-scored at full precision over only those candidates
+    (|queries|·k·rescore_factor rows — a broadcast).  Cosine is
+    scale-invariant, so the coarse score uses the RAW int8 array (the
+    per-vector scale cancels) with its norm precomputed in the store —
+    one fold per row instead of dequantize + three.  Pass ``sq8_store``
+    (:func:`quantized_store`, persisted at index-build time like
+    :func:`write_ivf_sq8_layout`) to avoid quantizing per query — the
+    production shape; omitting it quantizes on the fly.  The composition's
+    exactness at the default factor is pinned by
+    tests/test_dedup.py::test_ivf_sq8_composition and the batch-parity
+    test."""
     from pyspark.sql import Window
 
     structs = []
@@ -295,6 +336,44 @@ def ivf_search_batch(
         query_id, query_vec, F.explode(probe_arr.cid).alias("centroid_id")
     )
 
+    if sq8:
+        store = (
+            sq8_store
+            if sq8_store is not None
+            else quantized_store(index, id_col=id_col, vec_col=vec_col)
+        )
+        first_k = k * rescore_factor
+        probes_n = probes.withColumn("_qvn", V.l2_norm(query_vec))
+        sim_q = F.when(
+            (F.col("_qnorm") == 0.0) | (F.col("_qvn") == 0.0), F.lit(None).cast("double")
+        ).otherwise(
+            V.dot(F.col("_qs.q"), F.col(query_vec)) / (F.col("_qnorm") * F.col("_qvn"))
+        )
+        coarse = (
+            store.join(F.broadcast(probes_n), "centroid_id")
+            .select(query_id, F.col(id_col), sim_q.alias("similarity"))
+            .where(F.col("similarity").isNotNull())
+        )
+        cand = _salted_topk(coarse, first_k, query_id, id_col, n_salts).select(query_id, id_col)
+        rescored = (
+            index.assigned.join(F.broadcast(cand), id_col)
+            .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+            .select(
+                query_id,
+                F.col(id_col),
+                V.round6(V.cosine_similarity(F.col(vec_col), F.col(query_vec))).alias(
+                    "similarity"
+                ),
+            )
+            .where(F.col("similarity").isNotNull())
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("similarity").desc(), F.col(id_col).asc()
+        )
+        return rescored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+            F.col("rank") <= k
+        )
+
     scored = (
         index.assigned.join(F.broadcast(probes), "centroid_id")
         .select(
@@ -304,6 +383,17 @@ def ivf_search_batch(
         )
         .where(F.col("similarity").isNotNull())
     )
+    return _salted_topk(scored, k, query_id, id_col, n_salts)
+
+
+def _salted_topk(
+    scored: DataFrame, k: int, query_id: str, id_col: str, n_salts: int
+) -> DataFrame:
+    """Two-phase per-query top-k on a (query_id, id, similarity) frame:
+    salted partial top-k (no reducer sorts more than its salt share), then
+    the final k among the k·n_salts survivors."""
+    from pyspark.sql import Window
+
     order = [F.col("similarity").desc(), F.col(id_col).asc()]
     w1 = Window.partitionBy(query_id, "_salt").orderBy(*order)
     partial = (
