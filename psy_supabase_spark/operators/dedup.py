@@ -192,19 +192,22 @@ def cap_buckets(banded: DataFrame, bucket_cap: int | None) -> DataFrame:
     carry no discriminating evidence, and materializing them goes quadratic
     in a single reducer.  Dropping the bucket loses only pairs whose OTHER
     bands ALSO failed to match; every surviving pair is still exact-verified
-    downstream, so precision is unaffected.  The size pre-aggregate
-    shuffles on the same (band, key) as the candidate join (map-side
-    partial-agg'd), so it is cheap relative to the join it protects.
+    downstream, so precision is unaffected.
+
+    Spelled as a window count, NOT an aggregate+semi-join: the window's
+    (band, key) exchange is the exact partitioning the downstream candidate
+    self-join needs, so both join sides read ONE ReusedExchange of this
+    subtree and the valve costs a per-partition count instead of a second
+    shuffle branch.
     """
     if bucket_cap is None:
         return banded
-    ok = (
-        banded.groupBy("band", "key")
-        .agg(F.count("*").alias("_bn"))
+    w = Window.partitionBy("band", "key")
+    return (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
         .where(F.col("_bn") <= bucket_cap)
-        .select("band", "key")
+        .drop("_bn")
     )
-    return banded.join(ok, ["band", "key"])
 
 
 def minhash_lsh_pairs(
@@ -225,11 +228,6 @@ def minhash_lsh_pairs(
     """
     rows_per_band = len(MINHASH_SEEDS) // bands
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
-    if bucket_cap is not None:
-        # the valve's size-aggregate is a second consumer of the signature
-        # frame; checkpoint the (narrow: id + 16 ints) signatures so the
-        # gram-hash pipeline runs once, not once per branch
-        sig = sig.localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -314,7 +312,11 @@ def oversized_buckets(banded: DataFrame, bucket_cap: int) -> DataFrame:
 
 
 def simhash_subdivided(
-    banded: DataFrame, max_hamming: int, oversized: DataFrame | None
+    banded: DataFrame,
+    max_hamming: int,
+    oversized: DataFrame | None = None,
+    *,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Exact-subdivide oversized pigeonhole buckets — completeness kept.
 
@@ -334,23 +336,37 @@ def simhash_subdivided(
     exact_dedup first.  One level of subdivision (reduction ~2^6 at
     max_hamming=3); members of small buckets keep a sentinel sub-key.
 
-    ``oversized``: (band, key) relation (see :func:`oversized_buckets`) —
-    passed explicitly so a two-sided join (streaming index vs batch) can
-    subdivide BOTH sides on the SAME bucket set, keeping join keys aligned.
-    ``None`` → no subdivision (sentinel keys only).
+    Two ways to name the oversized buckets:
+
+    - ``oversized``: explicit (band, key) relation (see
+      :func:`oversized_buckets`) — for a TWO-SIDED join (streaming index
+      vs batch) both sides must subdivide on the SAME bucket set or the
+      widened join keys misalign.
+    - ``bucket_cap``: for the SELF-join case, a window count over
+      (band, key) — the window's exchange is the partitioning the
+      candidate join needs anyway, so the valve rides one ReusedExchange
+      instead of adding an aggregate branch + broadcast join.
+
+    Neither → no subdivision (sentinel keys only).
     """
     bands = max_hamming + 1
     width = SIMHASH_BITS // bands
     sentinel = [F.lit(-1).alias("sband"), F.lit(0).cast("long").alias("skey")]
-    if oversized is None:
+    if oversized is None and bucket_cap is None:
         return banded.select("id", "simhash", "band", "key", *sentinel)
-    flagged = banded.join(
-        F.broadcast(oversized.select("band", "key", F.lit(True).alias("_big"))),
-        ["band", "key"],
-        "left",
-    )
-    small = flagged.where(F.col("_big").isNull()).select("id", "simhash", "band", "key", *sentinel)
-    big = flagged.where(F.col("_big").isNotNull())
+    if oversized is not None:
+        flagged = banded.join(
+            F.broadcast(oversized.select("band", "key", F.lit(True).alias("_big"))),
+            ["band", "key"],
+            "left",
+        ).withColumn("_big", F.col("_big").isNotNull())
+    else:
+        w = Window.partitionBy("band", "key")
+        flagged = banded.withColumn(
+            "_big", F.count(F.lit(1)).over(w) > bucket_cap
+        )
+    small = flagged.where(~F.col("_big")).select("id", "simhash", "band", "key", *sentinel)
+    big = flagged.where(F.col("_big"))
     # rem = simhash with this band's bits excised (low bits stay, high bits
     # shift down) — the bits a bucket-sharing pair can still differ in
     rem = None
@@ -394,13 +410,8 @@ def simhash_neardup_pairs(
     are exact-subdivided (:func:`simhash_subdivided`) — the valve keeps the
     completeness proof intact."""
     sh = simhash(docs, id_col=id_col, text_col=text_col)
-    if bucket_cap is not None:
-        # two consumers (size-aggregate + join probe): checkpoint the
-        # 8-bytes-per-doc sketch frame so the gram pipeline runs once
-        sh = sh.localCheckpoint(eager=False)
     banded = simhash_banded(sh, max_hamming)
-    over = oversized_buckets(banded, bucket_cap) if bucket_cap is not None else None
-    sub = simhash_subdivided(banded, max_hamming, over)
+    sub = simhash_subdivided(banded, max_hamming, bucket_cap=bucket_cap)
     jk = ["band", "key", "sband", "skey"]
     a = sub.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"), *jk)
     b = sub.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"), *jk)

@@ -86,6 +86,7 @@ def srp_neardup_pairs(
     bands: int = 8,
     seed: int = DEFAULT_SEED,
     bucket_cap: int | None = dedup.DEFAULT_BUCKET_CAP,
+    hot_id_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs (cosine ≥ threshold) via SRP banding + exact verify.
 
@@ -100,14 +101,17 @@ def srp_neardup_pairs(
     members — see :func:`.dedup.cap_buckets` for the quadratic-reducer
     rationale.  Zero/degenerate embeddings all signature to the same
     slice, so at corpus scale the valve is load-bearing, not theoretical.
+
+    ``hot_id_threshold`` (None disables): even with capped buckets, one
+    document appearing in more than this many candidate PAIRS skews the
+    payload re-attach joins (all its rows hash to one reducer).  Ids over
+    the threshold are detected with a narrow ids-only aggregate and their
+    vector rows replicated across salts (scale.salted_join_hot_keys) —
+    row-identical output, bounded per-reducer fan-in.
     """
     planes = hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
     sig = corpus.select(F.col(id_col).alias("id"), srp_signature_np(vec_col, planes).alias("sig"))
-    if bucket_cap is not None:
-        # valve adds a second consumer of the signatures; checkpoint so the
-        # GEMM pandas-UDF stage runs once, not once per branch
-        sig = sig.localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -143,12 +147,39 @@ def srp_neardup_pairs(
     )
     va = withnorm.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
     vb = withnorm.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    if hot_id_threshold is not None:
+        from . import scale
+
+        cands = cands.localCheckpoint(eager=False)  # 3 consumers: 2 hot scans + join
+
+        def _hot(col: str) -> list:
+            rows = (
+                cands.groupBy(col)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > hot_id_threshold)
+                .select(col)
+                .limit(10_000)  # bounded driver collect, like the IVF fit
+                .collect()
+            )
+            return [r[0] for r in rows]
+
+        hot_a, hot_b = _hot("id_a"), _hot("id_b")
+        joined = (
+            scale.salted_join_hot_keys(cands, va, "id_a", hot_a, n_salts=16)
+            if hot_a
+            else cands.join(va, "id_a")
+        )
+        joined = (
+            scale.salted_join_hot_keys(joined, vb, "id_b", hot_b, n_salts=16)
+            if hot_b
+            else joined.join(vb, "id_b")
+        )
+    else:
+        joined = cands.join(va, "id_a").join(vb, "id_b")
     sim = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(None).cast("double")).otherwise(
         V.round6(V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     )
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", sim.alias("similarity"))
+        joined.select("id_a", "id_b", sim.alias("similarity"))
         .where(F.col("similarity").isNotNull() & (F.col("similarity") >= threshold))
     )

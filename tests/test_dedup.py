@@ -272,3 +272,39 @@ def test_srp_bucket_cap_drops_degenerate_bucket(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = lsh.srp_neardup_pairs(emb, 0.5, bucket_cap=100)
     assert out.count() == 0  # zero-norm pairs are NULL-sim anyway; valve keeps it linear
+
+
+def test_ivf_search_batch_sq8_matches_full_precision(spark):
+    # IVF-SQ8 serving: int8 first pass + full-precision rescore of the top
+    # k*rescore_factor must return the SAME top-k (ids, sims, ranks) as the
+    # full-precision batch path on the testdata.
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    index = ivf.build_ivf_cached(emb, f"{sf}/embeddings", n_lists=8)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    full = ivf.ivf_search_batch(index, queries, k=5, nprobe=4)
+    sq8 = ivf.ivf_search_batch(index, queries, k=5, nprobe=4, sq8=True)
+    want = {(r.query_id, r.rank): (r.vec_id, r.similarity) for r in full.collect()}
+    got = {(r.query_id, r.rank): (r.vec_id, r.similarity) for r in sq8.collect()}
+    assert got == want
+
+
+def test_srp_hot_id_salting_row_identical(spark):
+    # planted skew: 120 near-identical vectors → every pair is a candidate,
+    # so each id participates in ~119 pairs.  With hot_id_threshold=10 the
+    # payload re-attach joins go through salted_join_hot_keys; the output
+    # must be row-identical to the unsalted spelling.
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [1.0 + rng.uniform(-0.01, 0.01) for _ in range(8)]) for i in range(120)
+    ] + [(500, [(-1.0) ** j * 1.0 for j in range(8)])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=8, n_planes=24, bands=8)
+    salted = {tuple(r) for r in lsh.srp_neardup_pairs(emb, 0.5, hot_id_threshold=10, **kw).collect()}
+    plain = {tuple(r) for r in lsh.srp_neardup_pairs(emb, 0.5, hot_id_threshold=None, **kw).collect()}
+    assert salted == plain
+    assert len(salted) == 120 * 119 // 2  # the planted clique is all-pairs
