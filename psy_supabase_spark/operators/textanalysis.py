@@ -90,11 +90,22 @@ def classify_topics_native(
     )
 
 
-def text_profile(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def text_profile(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_gates: dict | None = None,
+) -> DataFrame:
     """Per-doc text-analysis profile: token counts, length bucket,
     stopword ratio, quality score, language guess, and the T3
     stop-stripped token count (keep-words quirk preserved,
-    reference utilities/text_utils.py:51-75 + keep_words.py:16-19)."""
+    reference utilities/text_utils.py:51-75 + keep_words.py:16-19).
+
+    ``quality_gates`` (a dict of gopher_quality_flags threshold overrides,
+    possibly empty) appends the Gopher/C4 corpus-gate columns in the SAME
+    map-side pass — no join, no extra scan; the gates are flat codegen
+    expressions over the already-loaded text column."""
     t = F.col(text_col)
     sw = F.array(*[F.lit(w) for w in TX.STOPWORDS])
     keep = F.array(*[F.lit(w) for w in TX.KEEP_WORDS])
@@ -110,7 +121,7 @@ def text_profile(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "te
         .withColumn("_nws", TX.token_count(t))
         .withColumn("_swr", TX.stopword_ratio_from_tokens(F.col("_toks")))
     )
-    return staged.select(
+    cols = [
         id_col,
         F.col("_nws").cast("bigint").alias("n_tokens"),
         F.size(F.col("_dtoks")).cast("bigint").alias("n_distinct_tokens"),
@@ -119,7 +130,20 @@ def text_profile(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "te
         F.round(F.col("_swr"), 6).alias("stopword_ratio"),
         TX.quality_score_from(t, F.col("_nws"), F.col("_swr")).alias("quality_score"),
         TX.lang_id_from_tokens(F.col("_dtoks")).alias("lang_guess"),
-    )
+    ]
+    if quality_gates is not None:
+        from ..functions import quality as Q
+
+        staged = staged.withColumn(
+            "_g", Q.gopher_quality_flags(t, **quality_gates)
+        ).withColumn("_c", Q.c4_quality_flags(t))
+        cols += [
+            F.col("_g.word_count").alias("gopher_word_count"),
+            F.col("_g.mean_word_len").alias("gopher_mean_word_len"),
+            F.col("_g.passes").alias("gopher_passes"),
+            F.col("_c.passes").alias("c4_passes"),
+        ]
+    return staged.select(*cols)
 
 
 def fingerprint(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -75,11 +75,42 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-@register("dedup_ngram_jaccard", oracle=_EXACT_JACCARD_SQL)
+# pairs + cluster representative: DuckDB's recursive CTE computes the
+# transitive closure of the (undirected) pair graph and takes the MIN
+# reachable id per vertex — the exact contract of
+# operators/dedup.connected_components (min-label propagation), so the
+# driver gate now checks the CLUSTERING stage, not just pair generation.
+_JACCARD_COMPONENT_SQL = f"""
+    WITH RECURSIVE base AS ({_EXACT_JACCARD_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM base
+      UNION
+      SELECT id_b, id_a FROM base
+    ),
+    reach AS (
+      SELECT src AS id, src AS comp FROM edges
+      UNION
+      SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comps AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+    SELECT b.id_a, b.id_b, b.jaccard, c.component
+    FROM base b JOIN comps c ON c.id = b.id_a
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_COMPONENT_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (j ≥ 0.5) via the
-    inverted-index candidate join (no crossJoin; scale valve df_cap)."""
-    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    inverted-index candidate join (no crossJoin; scale valve df_cap),
+    plus ``component`` — the pair's cluster representative (min reachable
+    id) from operators/dedup.connected_components, the keep-one-per-
+    cluster stage of a training-data dedup pass, oracle-checked against a
+    recursive-CTE transitive closure."""
+    from pyspark.sql import functions as F
+
+    pairs = dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    comp = dedup.connected_components(pairs).withColumnRenamed("id", "id_a")
+    return pairs.join(F.broadcast(comp), "id_a").select("id_a", "id_b", "jaccard", "component")
 
 
 @register("dedup_minhash_lsh", oracle=_EXACT_JACCARD_SQL)

@@ -139,10 +139,51 @@ def _stopword_ratio_sql() -> str:
     )
 
 
+# Gopher/C4 gate mirror (functions/quality.py, same thresholds as the
+# query's overrides: min_words=25, min_stopword_hits=1, rest defaults).
+# gw/nw/no_uni come from the `gates` CTE below.
+_GOPHER_STOP_SQL = _sql_list(["the", "be", "to", "of", "and", "that", "have", "with"])
+_GOPHER_OK_SQL = """(
+      (g.gw_n >= 25 AND g.gw_n <= 100000)
+      AND (g.mean_wl >= 3.0 AND g.mean_wl <= 10.0)
+      AND (g.n_symbols / g.nw <= 0.1)
+      AND (g.n_bullet / g.n_lines < 0.9)
+      AND (g.n_ellipsis_l / g.n_lines <= 0.3)
+      AND (g.n_alpha / g.nw >= 0.8)
+      AND (g.stop_hits >= 1)
+    )"""
+
+
 @register(
     "text_profile",
     oracle=f"""
-    SELECT doc_id,
+    WITH gates AS (
+      SELECT doc_id,
+             len(gw) AS gw_n,
+             greatest(len(gw), 1)::DOUBLE AS nw,
+             length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / greatest(len(gw), 1) AS mean_wl,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(no_uni))
+              + (length(no_uni) - length(replace(no_uni, '...', ''))) / 3.0)::DOUBLE AS n_symbols,
+             greatest(len(lns), 1)::DOUBLE AS n_lines,
+             len(list_filter(lns, l -> regexp_matches(l, '^\\s*([-*•‣◦]|[0-9]+[.)])\\s'))) AS n_bullet,
+             len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS n_ellipsis_l,
+             len(list_filter(gw, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+             len(list_intersect(
+               list_distinct(list_transform(gw, w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g')))),
+               {_GOPHER_STOP_SQL})) AS stop_hits,
+             NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+             NOT contains(text, chr(123)) AS no_brace,
+             greatest(len(list_filter(lns, l -> trim(l) <> '')), 1)::DOUBLE AS n_ne_lines,
+             len(list_filter(list_filter(lns, l -> trim(l) <> ''),
+                             l -> regexp_matches(trim(l), '[.!?"'']\\s*$'))) AS n_terminal
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS gw,
+                   replace(text, '…', '') AS no_uni,
+                   string_split(text, chr(10)) AS lns
+            FROM documents)
+    )
+    SELECT d.doc_id,
            {_WS_COUNT_SQL} AS n_tokens,
            len(list_distinct({_TOKENS_SQL})) AS n_distinct_tokens,
            len(list_filter({_TOKENS_SQL}, x -> NOT list_contains({_sql_list(TX.STOPWORDS)}, x)
@@ -158,15 +199,25 @@ def _stopword_ratio_sql() -> str:
                      ELSE 0.0 END)
              + (CASE WHEN {_stopword_ratio_sql()} >= 0.05 THEN 1.0 ELSE 0.0 END)
            ) / 3.0, 6) AS quality_score,
-           {{lang_case}} AS lang_guess
-    FROM documents
+           {{lang_case}} AS lang_guess,
+           g.gw_n AS gopher_word_count,
+           ROUND(g.mean_wl, 6) AS gopher_mean_word_len,
+           {_GOPHER_OK_SQL} AS gopher_passes,
+           (g.no_lorem AND g.no_brace AND (g.n_terminal / g.n_ne_lines >= 0.5)) AS c4_passes
+    FROM documents d JOIN gates g ON g.doc_id = d.doc_id
     """.format(lang_case="{lang_case}"),
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis profile: token stats, length bucket, stopword ratio,
-    composite quality score, marker-based language guess."""
+    composite quality score, marker-based language guess — plus the
+    Gopher/C4 corpus-gate evidence columns (functions/quality.py; Rae 2021
+    App. A, Raffel 2020 §2.2) computed in the same map-side pass.
+    Threshold overrides (min_words=25, min_stopword_hits=1) sit inside the
+    synthetic corpus' variance so both gate outcomes occur."""
     docs = load_table(spark, sf_dir, "documents")
-    return textanalysis.text_profile(docs)
+    return textanalysis.text_profile(
+        docs, quality_gates={"min_words": 25, "min_stopword_hits": 1}
+    )
 
 
 def _lang_case_sql() -> str:
