@@ -365,8 +365,6 @@ def simhash_subdivided(
         flagged = banded.withColumn(
             "_big", F.count(F.lit(1)).over(w) > bucket_cap
         )
-    small = flagged.where(~F.col("_big")).select("id", "simhash", "band", "key", *sentinel)
-    big = flagged.where(F.col("_big"))
     # rem = simhash with this band's bits excised (low bits stay, high bits
     # shift down) — the bits a bucket-sharing pair can still differ in
     rem = None
@@ -389,10 +387,13 @@ def simhash_subdivided(
             )
         )
         off += w
-    big_rows = big.select("id", "simhash", "band", "key", F.explode(F.array(*sub)).alias("sk")).select(
+    # ONE conditional explode instead of a small/big split + union: the
+    # split re-reads the windowed frame twice; here small rows explode a
+    # 1-element sentinel array and stay a single pipeline
+    sk = F.when(F.col("_big"), F.array(*sub)).otherwise(F.array(F.struct(*sentinel)))
+    return flagged.select("id", "simhash", "band", "key", F.explode(sk).alias("sk")).select(
         "id", "simhash", "band", "key", F.col("sk.sband").alias("sband"), F.col("sk.skey").alias("skey")
     )
-    return small.unionByName(big_rows)
 
 
 def simhash_neardup_pairs(

@@ -150,30 +150,26 @@ def srp_neardup_pairs(
     if hot_id_threshold is not None:
         from . import scale
 
-        cands = cands.localCheckpoint(eager=False)  # 3 consumers: 2 hot scans + join
-
-        def _hot(col: str) -> list:
-            rows = (
-                cands.groupBy(col)
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .where(F.col("_n") > hot_id_threshold)
-                .select(col)
-                .limit(10_000)  # bounded driver collect, like the IVF fit
-                .collect()
-            )
-            return [r[0] for r in rows]
-
-        hot_a, hot_b = _hot("id_a"), _hot("id_b")
-        joined = (
-            scale.salted_join_hot_keys(cands, va, "id_a", hot_a, n_salts=16)
-            if hot_a
-            else cands.join(va, "id_a")
+        cands = cands.localCheckpoint(eager=False)  # 2 consumers: hot scan + join
+        # ONE pass detects hot ids on either side (stack both id columns);
+        # salting a merely-warm id is harmless (row-identical), so the
+        # shared superset costs nothing but dim replication
+        ids = cands.select(F.col("id_a").alias("_id")).unionByName(
+            cands.select(F.col("id_b").alias("_id"))
         )
-        joined = (
-            scale.salted_join_hot_keys(joined, vb, "id_b", hot_b, n_salts=16)
-            if hot_b
-            else joined.join(vb, "id_b")
-        )
+        hot = [
+            r[0]
+            for r in ids.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > hot_id_threshold)
+            .limit(10_000)  # bounded driver collect, like the IVF fit
+            .collect()
+        ]
+        if hot:
+            joined = scale.salted_join_hot_keys(cands, va, "id_a", hot, n_salts=16)
+            joined = scale.salted_join_hot_keys(joined, vb, "id_b", hot, n_salts=16)
+        else:
+            joined = cands.join(va, "id_a").join(vb, "id_b")
     else:
         joined = cands.join(va, "id_a").join(vb, "id_b")
     sim = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(None).cast("double")).otherwise(
