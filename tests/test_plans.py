@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from psy_supabase_spark.plans import assert_plan_contains
-from psy_supabase_spark.plans.explain import assert_plan_lacks
+from psy_supabase_spark.plans.explain import assert_plan_lacks, physical_plan
 from psy_supabase_spark.registry import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -106,3 +106,38 @@ def test_gram_rows_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+def test_valved_lsh_reuses_band_exchange(spark):
+    # the cap_buckets window must ride the same (band, key) exchange the
+    # candidate self-join needs: one shuffle subtree, reused on the other
+    # join side — not a second aggregate branch
+    from psy_supabase_spark.operators import dedup
+    from psy_supabase_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    valved = dedup.minhash_lsh_pairs(docs, 0.5)
+    plan = physical_plan(valved)
+    # the valve must be a Window over the join's own (band, key)
+    # partitioning — NOT a groupBy(band, key) aggregate branch feeding a
+    # semi-join (that spelling costs a second shuffle subtree)
+    assert "windowspecdefinition(band" in plan
+    assert "HashAggregate(keys=[band" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_batch_plan_broadcasts_and_avoids_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from psy_supabase_spark.operators import ivf
+    from psy_supabase_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    index = ivf.build_ivf_cached(emb, f"{SF}/embeddings", n_lists=4)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    out = ivf.ivf_search_batch(index, queries, k=3, nprobe=2, sq8=True)
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan  # probes + candidates broadcast onto the store
+    assert "CartesianProduct" not in plan
