@@ -308,3 +308,21 @@ def test_srp_hot_id_salting_row_identical(spark):
     plain = {tuple(r) for r in lsh.srp_neardup_pairs(emb, 0.5, hot_id_threshold=None, **kw).collect()}
     assert salted == plain
     assert len(salted) == 120 * 119 // 2  # the planted clique is all-pairs
+
+
+def test_ivf_batch_serving_from_persisted_layout(spark, tmp_path):
+    # production serving: the batch path must work against a layout READ
+    # BACK from disk (partition-pruned parquet), not only the in-memory
+    # assigned frame, and produce identical results
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    index = ivf.build_ivf_cached(emb, f"{sf}/embeddings", n_lists=8)
+    layout = str(tmp_path / "layout")
+    ivf.write_ivf_layout(index, layout)
+    disk_index = ivf.IVFIndex(centers=index.centers, assigned=spark.read.parquet(layout))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    mem = {(r.query_id, r.rank): r.vec_id for r in ivf.ivf_search_batch(index, queries, k=5, nprobe=4).collect()}
+    disk = {(r.query_id, r.rank): r.vec_id for r in ivf.ivf_search_batch(disk_index, queries, k=5, nprobe=4).collect()}
+    assert disk == mem

@@ -165,3 +165,29 @@ def test_stream_through_ml_udfs_and_upsert(spark, tmp_path):
     batch = docs.withColumn("embedding", ml_udfs.hash_embedding_udf(8)(F.col("text"))).collect()
     want = {r.event_id: r.embedding for r in batch}
     assert rows[1].embedding == want[1] and rows[2].embedding == want[2]
+
+
+def test_stream_through_quality_gates_matches_batch(spark, tmp_path):
+    # the Gopher/C4 gates are map-side codegen structs, so they compose
+    # into a stream with no state: a drained stream filtered by
+    # quality_filter must keep exactly the docs the batch filter keeps
+    from psy_supabase_spark.functions import quality
+
+    docs_dir = str(tmp_path / "docs")
+    docs = load_table(spark, SF, "documents")
+    docs.repartition(2).write.mode("overwrite").parquet(docs_dir)
+    kw = dict(min_words=25, min_stopword_hits=1, c4=False)
+    want = {r.doc_id for r in quality.quality_filter(docs, **kw).collect()}
+
+    stream = spark.readStream.schema(docs.schema).parquet(docs_dir)
+    gated = quality.quality_filter(stream, **kw)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("quality_s")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.table("quality_s").collect()}
+    assert got == want and len(want) > 0
