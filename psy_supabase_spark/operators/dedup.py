@@ -218,6 +218,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     bands: int = LSH_BANDS,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    hot_id_threshold: int | None = 100_000,
 ) -> DataFrame:
     """MinHash + banded LSH candidates, verified with exact Jaccard.
 
@@ -225,6 +226,13 @@ def minhash_lsh_pairs(
     a candidate iff some band matches.  Verification recomputes exact
     Jaccard from gram rows, so precision is 1.0; recall at j≥0.9 with 8×2
     banding is 1-(1-0.81)^8 ≈ 1.0 (measured in tests/test_dedup.py).
+
+    ``hot_id_threshold`` (None disables): a doc in more than this many
+    candidate pairs skews the gram re-attach join (its gram rows replicate
+    per pair into one reducer); hot ids — one stacked ids-only aggregate,
+    bounded collect — get their gram rows salt-replicated
+    (scale.salted_join_hot_keys), row-identical output.  Sibling of the
+    SRP valve in operators/lsh.
     """
     rows_per_band = len(MINHASH_SEEDS) // bands
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
@@ -251,9 +259,30 @@ def minhash_lsh_pairs(
         .distinct()
     )
     grams = gram_rows(docs, id_col=id_col, text_col=text_col)
-    cand_grams_a = cands.join(grams.select(F.col("id").alias("id_a"), "gram"), "id_a").select(
-        "id_a", "id_b", "gram"
-    )
+    ga = grams.select(F.col("id").alias("id_a"), "gram")
+    if hot_id_threshold is not None:
+        from . import scale
+
+        cands = cands.localCheckpoint(eager=False)  # 2 consumers: hot scan + join
+        ids = cands.select(F.col("id_a").alias("_id")).unionByName(
+            cands.select(F.col("id_b").alias("_id"))
+        )
+        hot = [
+            r[0]
+            for r in ids.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > hot_id_threshold)
+            .limit(10_000)
+            .collect()
+        ]
+        if hot:
+            cand_grams_a = scale.salted_join_hot_keys(cands, ga, "id_a", hot, n_salts=16).select(
+                "id_a", "id_b", "gram"
+            )
+        else:
+            cand_grams_a = cands.join(ga, "id_a").select("id_a", "id_b", "gram")
+    else:
+        cand_grams_a = cands.join(ga, "id_a").select("id_a", "id_b", "gram")
     verified = _pair_jaccard(cand_grams_a, grams, gram_sizes(grams))
     return verified.where(F.col("jaccard") >= threshold)
 

@@ -326,3 +326,13 @@ def test_ivf_batch_serving_from_persisted_layout(spark, tmp_path):
     mem = {(r.query_id, r.rank): r.vec_id for r in ivf.ivf_search_batch(index, queries, k=5, nprobe=4).collect()}
     disk = {(r.query_id, r.rank): r.vec_id for r in ivf.ivf_search_batch(disk_index, queries, k=5, nprobe=4).collect()}
     assert disk == mem
+
+
+def test_minhash_hot_id_salting_row_identical(spark):
+    # a clique of near-identical docs makes every id hot; salted gram
+    # re-attach must be row-identical to the plain join
+    rows = [(i, f"the quick brown fox jumps over the lazy dog number {i % 3}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    salted = {tuple(r) for r in dedup.minhash_lsh_pairs(docs, 0.5, hot_id_threshold=5).collect()}
+    plain = {tuple(r) for r in dedup.minhash_lsh_pairs(docs, 0.5, hot_id_threshold=None).collect()}
+    assert salted == plain and len(plain) > 0
