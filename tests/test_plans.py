@@ -116,7 +116,9 @@ def test_valved_lsh_reuses_band_exchange(spark):
     from psy_supabase_spark.sources.catalog import load_table
 
     docs = load_table(spark, SF, "documents")
-    valved = dedup.minhash_lsh_pairs(docs, 0.5)
+    # hot-id salting localCheckpoints the candidate frame, which hides the
+    # upstream subtree from the plan string — disable it to inspect the valve
+    valved = dedup.minhash_lsh_pairs(docs, 0.5, hot_id_threshold=None)
     plan = physical_plan(valved)
     # the valve must be a Window over the join's own (band, key)
     # partitioning — NOT a groupBy(band, key) aggregate branch feeding a
