@@ -218,7 +218,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     bands: int = LSH_BANDS,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
-    hot_id_threshold: int | None = 100_000,
+    hot_id_threshold: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidates, verified with exact Jaccard.
 
@@ -227,12 +227,14 @@ def minhash_lsh_pairs(
     Jaccard from gram rows, so precision is 1.0; recall at j≥0.9 with 8×2
     banding is 1-(1-0.81)^8 ≈ 1.0 (measured in tests/test_dedup.py).
 
-    ``hot_id_threshold`` (None disables): a doc in more than this many
-    candidate pairs skews the gram re-attach join (its gram rows replicate
-    per pair into one reducer); hot ids — one stacked ids-only aggregate,
-    bounded collect — get their gram rows salt-replicated
-    (scale.salted_join_hot_keys), row-identical output.  Sibling of the
-    SRP valve in operators/lsh.
+    ``hot_id_threshold`` (default None = rely on AQE skew-join, enabled in
+    session.py, to split a skewed verify join at runtime): set to N to
+    ALSO salt explicitly — a doc in more than N candidate pairs has its
+    gram rows salt-replicated (scale.salted_join_hot_keys; one stacked
+    ids-only aggregate + bounded collect + a localCheckpoint of the
+    candidate frame), row-identical output.  Sibling of the SRP valve in
+    operators/lsh, which defaults ON because its checkpoint (an ids-only
+    frame) is far cheaper than re-running the GEMM stage.
     """
     rows_per_band = len(MINHASH_SEEDS) // bands
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
