@@ -140,10 +140,17 @@ def ngram_jaccard_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    df_cap: int | None = None,
+    df_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a<b, jaccard ≥ threshold) via
-    the inverted-index join — no crossJoin anywhere."""
+    the inverted-index join — no crossJoin anywhere.
+
+    ``df_cap`` (None disables) drops grams present in more than cap docs
+    — a gram in B docs is B²/2 candidate rows in one reducer, and such
+    grams (boilerplate) can't distinguish near-dups.  Safe-by-default at
+    corpus scale, like every banded valve in this module; with the cap
+    engaged jaccard becomes a lower bound (see NOTE below), which only
+    loses pairs whose evidence was undistinguishing anyway."""
     grams = gram_rows(docs, id_col=id_col, text_col=text_col)
     sizes = gram_sizes(grams)
     inv = grams
