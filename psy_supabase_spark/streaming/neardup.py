@@ -80,6 +80,10 @@ class StreamingNearDupFilter:
             # join keys aligned across sides, and the index is the side
             # that grows without bound.  Completeness is preserved
             # (simhash_subdivided's pigeonhole-recursion argument).
+            # The size scan rides the same index read the join needs; at
+            # very large index scale, maintain the (band, key) bucket
+            # sizes incrementally alongside the sketch index instead of
+            # re-aggregating per micro-batch.
             over = (
                 dedup.oversized_buckets(idx_banded, self.bucket_cap)
                 if self.bucket_cap is not None
