@@ -13,6 +13,7 @@ loudly rather than silently.  KMeans-IVF is genuinely non-SQL — rows-only.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.hashing import POLY_MOD  # minhash affine modulus
 from ..operators import dedup, ivf, lsh
@@ -175,16 +176,53 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.srp_neardup_pairs(emb, 0.5)
 
 
-@register("ann_ivf_topk")
+_ANN_K = 10
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           (ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+                  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) + 0.0) AS similarity,
+           TRUE AS ann_recall_ge_05
+    FROM embeddings e, q
+    WHERE sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
+      AND sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) > 0
+    ORDER BY similarity DESC, e.vec_id ASC
+    LIMIT {_ANN_K}
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1: IVF (KMeans, 8 lists) ANN top-5, nprobe=4 — the reference's
-    ivfflat index re-expressed as centroid partition pruning.  Non-SQL
-    (KMeans); correctness = recall@k harness in tests + bench.  Note:
-    uniform-random synthetic vectors are IVF's worst case (no cluster
-    structure); measured recall@10 is 0.8 at lists=8/nprobe=4 and 1.0 at
-    full probe — real embedding corpora cluster far better."""
+    """X1: IVF (KMeans, 8 lists) ANN top-10 at nprobe=5, ORACLE-GATED via a
+    recall tolerance boolean.  Emits the EXACT cosine top-10 (rows the
+    DuckDB oracle reproduces bit-for-bit) plus ``ann_recall_ge_05`` =
+    |IVF-ANN top-10 ∩ exact top-10| / 10 ≥ 0.5; the oracle emits a literal
+    TRUE, so the driver's value hash matches iff the learned-centroid ANN
+    path actually achieves the recall floor.  Deterministic on fixed data:
+    the KMeans fit is seeded and its sf0.01 fit sample is the whole table
+    (< FIT_SAMPLE_CAP rows).  Measured recall@10: 0.9 (sf0.001), 0.8
+    (sf0.01) — uniform-random synthetic vectors are IVF's worst case (no
+    cluster structure), hence the 0.5 floor; real corpora cluster far
+    better.  The prune/assign/rank machinery itself is value-level
+    oracle-gated by the fixed-centroid twin `ann_pruned_topk_fixed_centroids`."""
+    from ..operators import topk as topk_ops
     from .vector_queries import _query_vec
 
     emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = topk_ops.topk_similarity(emb, qv, k=_ANN_K)
     index = ivf.build_ivf_cached(emb, f"{sf_dir}/embeddings", n_lists=8)
-    return ivf.ivf_search(index, _query_vec(spark, sf_dir), k=5, nprobe=4)
+    ann_ids = ivf.ivf_search(index, qv, k=_ANN_K, nprobe=5).select(
+        F.col("vec_id").alias("_ann_id")
+    )
+    n_hits = exact.join(F.broadcast(ann_ids), exact.vec_id == F.col("_ann_id"), "left_semi").agg(
+        F.count("*").alias("_n_hits")
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_hits))
+        .withColumn("ann_recall_ge_05", F.col("_n_hits") >= F.lit(int(0.5 * _ANN_K)))
+        .drop("_n_hits")
+    )

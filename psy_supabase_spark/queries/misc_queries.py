@@ -214,13 +214,36 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(md5_hash32(F.col("doc_id").cast("string")) % 100 < 10).select("doc_id", "lang")
 
 
-@register("approx_distinct_users")
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct (engine-specific sketch → rows-only
-    check; the exact twin `distinct_users_by_type` is oracle-gated)."""
+    """HLL++ approximate distinct, ORACLE-GATED via a tolerance boolean:
+    emits the exact distinct count (oracle-reproducible) plus
+    ``approx_within_5pct`` = |HLL(rsd=1%) − exact| ≤ 5%·exact.  The oracle
+    computes the exact count and a literal TRUE, so the driver's value hash
+    matches iff the sketch lands in tolerance — deterministic on fixed data
+    (HLL++ is hash-based, no randomness).  Both aggregates ride one shuffle
+    on event_type (single partial-agg pass over the scan)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        )
+        .withColumn(
+            "approx_within_5pct",
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users"),
+        )
+        .drop("_approx")
     )
 
 

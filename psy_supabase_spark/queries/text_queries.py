@@ -240,10 +240,36 @@ from ..registry import ORACLES  # noqa: E402
 ORACLES["text_profile"] = ORACLES["text_profile"].replace("{lang_case}", _lang_case_sql())
 
 
+def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
+    """DuckDB mirror of operators/winnow.winnow_fingerprints, built from the
+    SAME constants (HASH_BASE/HASH_MOD) so the two sides cannot drift: the
+    k-gram polynomial rolling hash unrolled for fixed k over
+    ``ascii(substr(...))``, the w-window minimum, then value-dedupe.  The
+    paper's rightmost-tie rule picks a *position*; the picked *value* is
+    always the window min, so a value-level mirror needs only list_min
+    (verified against winnow_fingerprints_py on the full sf0.01 corpus)."""
+    from ..operators.winnow import HASH_BASE, HASH_MOD
+
+    pows = [pow(HASH_BASE, k - 1 - j, HASH_MOD) for j in range(k)]
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i+{j}, 1)) AS BIGINT)*{pows[j]}" for j in range(k)
+    )
+    return f"""
+    winnow AS (
+      SELECT doc_id,
+             list_distinct([list_min(hs[j:j+{w - 1}]) for j in range(1, len(hs)-{w - 2})]) AS fps
+      FROM (
+        SELECT doc_id, [({terms}) % {HASH_MOD} for i in range(1, len(text)-{k - 2})] AS hs
+        FROM documents
+      )
+    )"""
+
+
 @register(
     "doc_adjacent_stats",
     oracle=f"""
-    WITH cleaned AS (
+    WITH {_winnow_cte_sql()},
+    cleaned AS (
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                text, '[‘’]', '''', 'g'), '[“”]', '"', 'g'), '—', '-', 'g'), '…', '...', 'g'),
@@ -258,9 +284,14 @@ ORACLES["text_profile"] = ORACLES["text_profile"].replace("{lang_case}", _lang_c
            CASE WHEN adh.template = 'Question' AND contains(lower(adh.resp), '?') THEN 'high'
                 WHEN adh.template = 'Empathy and Validation'
                      AND regexp_matches(lower(adh.resp), '(understand|feel|valid)') THEN 'high'
-                ELSE 'medium' END AS template_adherence
+                ELSE 'medium' END AS template_adherence,
+           CAST(len(w1.fps) AS BIGINT) AS n_winnow_fps,
+           CASE WHEN w2.doc_id IS NULL THEN NULL
+                ELSE CAST(len(list_intersect(w1.fps, w2.fps)) AS BIGINT) END AS winnow_shared_next
     FROM toks a
     JOIN cleaned cl ON cl.doc_id = a.doc_id
+    JOIN winnow w1 ON w1.doc_id = a.doc_id
+    LEFT JOIN winnow w2 ON w2.doc_id = a.doc_id + 1
     JOIN (SELECT doc_id,
                  CASE WHEN doc_id % 3 = 0 THEN 'Question'
                       WHEN doc_id % 3 = 1 THEN 'Empathy and Validation'
@@ -281,9 +312,28 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     prompt_selector.py:348-355): the synthetic corpus has no '?' or
     empathy keywords, so template and response get deterministic doc_id-mod
     variation that exercises every CASE branch (Question+'?' → high,
-    Empathy+'understand' → high, mismatched combinations → medium)."""
+    Empathy+'understand' → high, mismatched combinations → medium).
+
+    ``n_winnow_fps`` / ``winnow_shared_next`` are the winnowing
+    (operators/winnow, Schleimer 2003) driver-evidence columns: the
+    document's fingerprint-sketch size and the shared-fingerprint count
+    with the NEXT document — the exact quantity winnow_neardup_pairs
+    thresholds on — mirrored in DuckDB by an unrolled rolling-hash +
+    window-min CTE built from the same constants."""
+    from ..operators import winnow as WN
+
     docs = load_table(spark, sf_dir, "documents")
     fp = textanalysis.fingerprint(docs)
+    wf = WN.winnow_fingerprints(docs)
+    wa = wf.select("doc_id", F.col("fingerprints").alias("fa"))
+    wb = wf.select((F.col("doc_id") - 1).alias("doc_id"), F.col("fingerprints").alias("fb"))
+    wn = wa.join(wb, "doc_id", "left").select(
+        "doc_id",
+        F.size("fa").cast("bigint").alias("n_winnow_fps"),
+        F.when(
+            F.col("fb").isNotNull(), F.size(F.array_intersect("fa", "fb")).cast("bigint")
+        ).alias("winnow_shared_next"),
+    )
     template = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("Question"))
         .when(F.col("doc_id") % 3 == 1, F.lit("Empathy and Validation"))
@@ -302,7 +352,7 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tb").isNotNull(), F.round(TX.term_overlap("ta", "tb"), 6)
         ).alias("term_overlap"),
     )
-    return fp.join(ov, "doc_id").join(adh, "doc_id")
+    return fp.join(ov, "doc_id").join(adh, "doc_id").join(wn, "doc_id")
 
 
 @register(
