@@ -150,7 +150,12 @@ def ngram_jaccard_pairs(
     grams (boilerplate) can't distinguish near-dups.  Safe-by-default at
     corpus scale, like every banded valve in this module; with the cap
     engaged jaccard becomes a lower bound (see NOTE below), which only
-    loses pairs whose evidence was undistinguishing anyway."""
+    loses pairs whose evidence was undistinguishing anyway.  Because the
+    cap makes the default answer a lower bound, callers who need the
+    literal exact Jaccard must pass ``df_cap=None``; to see exactly which
+    grams a given cap would drop (and audit whether any could matter),
+    run :func:`ngram_df_cap_audit` — it shares the gram plan, so the audit
+    costs one narrow aggregate."""
     grams = gram_rows(docs, id_col=id_col, text_col=text_col)
     sizes = gram_sizes(grams)
     inv = grams
@@ -171,6 +176,25 @@ def ngram_jaccard_pairs(
     # still count them — jaccard is a lower bound, so threshold filtering
     # only loses pairs whose evidence was undistinguishing anyway.
     return out.where(F.col("jaccard") >= threshold)
+
+
+def ngram_df_cap_audit(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """(gram, df) of the grams :func:`ngram_jaccard_pairs` would DROP at
+    this ``df_cap`` — the accountability twin of the valve.  Count the
+    rows to log how much evidence the cap discards on a given corpus;
+    empty means the capped answer IS the exact answer."""
+    grams = gram_rows(docs, id_col=id_col, text_col=text_col)
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+    )
 
 
 def exploded_gram_hashes(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -281,6 +305,8 @@ def minhash_lsh_pairs(
             for r in ids.groupBy("_id")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > hot_id_threshold)
+            # deterministic bounded collect: hottest ids first (TakeOrdered)
+            .orderBy(F.col("_n").desc(), F.col("_id"))
             .limit(10_000)
             .collect()
         ]

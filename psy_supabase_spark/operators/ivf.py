@@ -314,10 +314,14 @@ def ivf_search_batch(
     one fold per row instead of dequantize + three.  Pass ``sq8_store``
     (:func:`quantized_store`, persisted at index-build time like
     :func:`write_ivf_sq8_layout`) to avoid quantizing per query — the
-    production shape; omitting it quantizes on the fly.  The composition's
-    exactness at the default factor is pinned by
-    tests/test_dedup.py::test_ivf_sq8_composition and the batch-parity
-    test."""
+    production shape; omitting it quantizes on the fly.  Parity with the
+    full-precision path holds whenever the true top-k survives the
+    quantized first pass — guaranteed only as rescore_factor→list size;
+    at the default factor int8 rounding can in principle flip near-tied
+    candidates at the k·rescore_factor boundary.  Measured equal on the
+    testdata (tests/test_dedup.py::test_ivf_sq8_composition and the
+    batch-parity test — empirical pins, not proofs); production SLAs
+    should state recall@k, not exactness."""
     from pyspark.sql import Window
 
     structs = []

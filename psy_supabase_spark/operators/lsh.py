@@ -107,7 +107,15 @@ def srp_neardup_pairs(
     payload re-attach joins (all its rows hash to one reducer).  Ids over
     the threshold are detected with a narrow ids-only aggregate and their
     vector rows replicated across salts (scale.salted_join_hot_keys) —
-    row-identical output, bounded per-reducer fan-in.
+    row-identical output, bounded per-reducer fan-in.  The hot set is the
+    top-10k ids BY DESCENDING PAIR COUNT (deterministic: ties broken by
+    id), so if more than 10k ids are hot the ones left unsalted are the
+    least skewed.  Detection reuses the candidate plan via
+    ``localCheckpoint`` (2 consumers: hot scan + verify join); checkpoint
+    blocks are NOT fault-tolerant — losing an executor mid-job invalidates
+    them and fails the job, which Spark then retries from source.  On a
+    cluster where that retry cost matters more than recomputing the band
+    join twice, replace the checkpoint with a persisted intermediate table.
     """
     planes = hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
@@ -162,7 +170,10 @@ def srp_neardup_pairs(
             for r in ids.groupBy("_id")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > hot_id_threshold)
-            .limit(10_000)  # bounded driver collect, like the IVF fit
+            # deterministic bounded collect: hottest ids first (TakeOrdered,
+            # no full sort), so >10k hot ids drop the least-skewed ones
+            .orderBy(F.col("_n").desc(), F.col("_id"))
+            .limit(10_000)
             .collect()
         ]
         if hot:

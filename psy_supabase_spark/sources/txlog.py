@@ -253,15 +253,22 @@ class TxTable:
             # a rival vacuum (or any cleaner) may remove the dir between our
             # glob and the stat/rmtree — a vanished dir is already reclaimed,
             # not a reason to abort the whole pass
+            # only a vanished dir is a benign race; any OTHER OSError
+            # (permissions, read-only FS) must surface — swallowing it
+            # would turn vacuum into a silent no-op that reports an empty
+            # removed list while reclaiming nothing
             try:
                 if os.path.getmtime(d) > cutoff:
                     continue  # possibly a concurrent writer's staged-not-yet-committed dir
                 files = set(glob.glob(os.path.join(d, "part-*.parquet")))
-                if files and files.isdisjoint(live):
-                    shutil.rmtree(d)
-                    removed.append(d)
-            except (FileNotFoundError, OSError):
+            except FileNotFoundError:
                 continue
+            if files and files.isdisjoint(live):
+                try:
+                    shutil.rmtree(d)
+                except FileNotFoundError:
+                    continue
+                removed.append(d)
         # _try_commit's tmp files leak if a writer crashes between write and
         # os.link; they never match the *.json read globs but accumulate
         # forever — sweep the aged ones here too
@@ -269,6 +276,6 @@ class TxTable:
             try:
                 if os.path.getmtime(tmp) <= cutoff:
                     os.unlink(tmp)
-            except (FileNotFoundError, OSError):
+            except FileNotFoundError:
                 continue
         return removed

@@ -177,6 +177,7 @@ def upsert_batch(store_path: str, key_col: str = "event_id", ts_col: str = "ts")
     yields the same store (asserted in tests)."""
     from pyspark.sql import Window
 
+    import glob
     import os
     import shutil
 
@@ -185,13 +186,26 @@ def upsert_batch(store_path: str, key_col: str = "event_id", ts_col: str = "ts")
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         old = store_path.rstrip("/") + f".old-{batch_id}"
-        # crash recovery for THIS batch's replay: a crash between the two
-        # os.replace calls below leaves the store absent and the whole
-        # accumulated history parked at .old-{batch_id}; restore it before
-        # reading, else the replay would "first-batch" rebuild from only
-        # the current micro-batch and orphan everything accumulated.
-        if not os.path.exists(store_path) and os.path.exists(old):
-            os.replace(old, store_path)
+        # crash recovery: a crash between the two os.replace calls below
+        # leaves the store absent and the whole accumulated history parked
+        # at .old-{N}; restore it before reading, else this batch would
+        # "first-batch" rebuild from only the current micro-batch and
+        # orphan everything accumulated.  Recover from the NEWEST .old-*
+        # sibling, not just .old-{batch_id}: a restart with a fresh
+        # checkpoint dir resets batch ids to 0, and matching only the
+        # current id would strand the parked store forever.
+        if not os.path.exists(store_path):
+            olds = glob.glob(store_path.rstrip("/") + ".old-*")
+            with_ids = []
+            for p in olds:
+                suffix = p.rsplit(".old-", 1)[1]
+                if suffix.isdigit():
+                    with_ids.append((int(suffix), p))
+            if with_ids:
+                with_ids.sort()
+                os.replace(with_ids[-1][1], store_path)
+                for _, stale in with_ids[:-1]:
+                    shutil.rmtree(stale, ignore_errors=True)
         new = batch_df.withColumn("_src", F.lit(1))
         try:
             cur = spark.read.parquet(store_path).withColumn("_src", F.lit(0))

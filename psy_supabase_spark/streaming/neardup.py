@@ -23,7 +23,12 @@ Scale: the index join shuffles only (band, key, simhash) rows — 4 narrow
 rows per indexed doc, independent of document size.  On a real cluster the
 index table would be bucketed by (band, key) so the per-batch join
 co-locates with zero index-side shuffle; growth is bounded by admitted
-(post-dedup) volume only.
+(post-dedup) volume only.  The mega-bucket valve's oversized-bucket scan
+reads an incrementally-maintained (band, key, cnt, idx_version) side table
+(one row per occupied bucket, folded forward per batch — O(batch) upkeep),
+so no per-batch pass over the accumulating index remains anywhere in the
+hot path; a version-stamp mismatch after a crash degrades to one full
+recompute and self-repairs.
 """
 
 from __future__ import annotations
@@ -58,11 +63,38 @@ class StreamingNearDupFilter:
         bucket_cap: int | None = dedup.DEFAULT_BUCKET_CAP,
     ):
         self.index = TxTable(spark, index_path)
+        # incrementally-maintained (band, key, cnt) bucket sizes of the
+        # index — the valve's oversized-bucket scan reads THIS (one row
+        # per occupied bucket) instead of re-aggregating the whole index
+        # per micro-batch: O(batch) upkeep, not O(index).  Each overwrite
+        # stamps the index version it reflects; a mismatch on read (crash
+        # between index.append and the counts overwrite, or a pre-existing
+        # index built without counts) falls back to one full recompute and
+        # self-repairs on the next process_batch.
+        self.counts = TxTable(spark, index_path.rstrip("/") + ".bucket_counts")
         self.sink = sink
         self.max_hamming = max_hamming
         self.id_col = id_col
         self.text_col = text_col
         self.bucket_cap = bucket_cap
+
+    def _index_oversized(self, idx_banded: DataFrame) -> DataFrame | None:
+        """The index's oversized (band, key) set for the valve — from the
+        incrementally-maintained counts table when it is in sync with the
+        index head, else one full recompute over ``idx_banded`` (the
+        pre-counts / crashed-mid-update fallback; self-repairs on the
+        next :meth:`process_batch`)."""
+        if self.bucket_cap is None:
+            return None
+        if self.counts.latest_version() >= 0:
+            counts = self.counts.read()
+            stamped = counts.agg(F.max("idx_version")).head()[0]
+            if stamped == self.index.latest_version():
+                return (
+                    counts.where(F.col("cnt") > self.bucket_cap)
+                    .select("band", "key")
+                )
+        return dedup.oversized_buckets(idx_banded, self.bucket_cap)
 
     # -- pure decision function (static DF in, static DF out): unit-testable
     def admit(self, batch: DataFrame) -> DataFrame:
@@ -80,15 +112,7 @@ class StreamingNearDupFilter:
             # join keys aligned across sides, and the index is the side
             # that grows without bound.  Completeness is preserved
             # (simhash_subdivided's pigeonhole-recursion argument).
-            # The size scan rides the same index read the join needs; at
-            # very large index scale, maintain the (band, key) bucket
-            # sizes incrementally alongside the sketch index instead of
-            # re-aggregating per micro-batch.
-            over = (
-                dedup.oversized_buckets(idx_banded, self.bucket_cap)
-                if self.bucket_cap is not None
-                else None
-            )
+            over = self._index_oversized(idx_banded)
             b_sub = dedup.simhash_subdivided(banded, self.max_hamming, over)
             i_sub = dedup.simhash_subdivided(idx_banded, self.max_hamming, over)
             ham = F.bit_count(F.col("b.simhash").bitwiseXOR(F.col("i.simhash")))
@@ -142,5 +166,59 @@ class StreamingNearDupFilter:
         sketches = dedup.simhash(out, id_col=self.id_col, text_col=self.text_col).select(
             F.col("id").alias(self.id_col), "simhash"
         )
+        v_before = self.index.latest_version()
         self.index.append(sketches)
+        self._update_counts(sketches, v_before)
         return out
+
+    def _update_counts(self, admitted_sketches: DataFrame, v_before: int) -> None:
+        """Fold this batch's (band, key) occupancy into the counts table —
+        O(batch) aggregate + a merge against one-row-per-occupied-bucket,
+        stamped with the index version the result reflects.  Runs AFTER
+        ``index.append``: a crash in between leaves a stale stamp, which
+        the reader detects and survives via full recompute (see
+        :meth:`_index_oversized`) — the valve is a performance device, so
+        the fallback costs time, never correctness."""
+        if self.bucket_cap is None:
+            return
+        batch_counts = (
+            dedup.simhash_banded(
+                admitted_sketches.select(
+                    F.col(self.id_col).alias("id"), "simhash"
+                ),
+                self.max_hamming,
+            )
+            .groupBy("band", "key")
+            .agg(F.count("*").alias("cnt"))
+        )
+        merged = None
+        if self.counts.latest_version() >= 0:
+            prior = self.counts.read()
+            # incremental merge is valid ONLY if the stored counts reflect
+            # the index exactly as it stood before this batch's append —
+            # a stale stamp (earlier crash between append and overwrite)
+            # would double-count or undercount, so rebuild instead
+            if prior.agg(F.max("idx_version")).head()[0] == v_before:
+                merged = (
+                    prior.select("band", "key", "cnt")
+                    .unionByName(batch_counts)
+                    .groupBy("band", "key")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+        if merged is None:
+            # first batch, or repair after a stamp mismatch / fresh counts
+            # table next to a pre-existing index: rebuild from the index
+            # head (the one allowed O(index) pass)
+            merged = (
+                dedup.simhash_banded(
+                    self.index.read().select(
+                        F.col(self.id_col).alias("id"), "simhash"
+                    ),
+                    self.max_hamming,
+                )
+                .groupBy("band", "key")
+                .agg(F.count("*").alias("cnt"))
+            )
+        self.counts.overwrite(
+            merged.withColumn("idx_version", F.lit(self.index.latest_version()))
+        )

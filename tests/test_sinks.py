@@ -140,3 +140,40 @@ def test_upsert_replay_tolerates_leftover_old_dir(spark, tmp_path):
     apply(_mk_batch(spark, [(2, "2024-01-01 10:01:00", 8, 2.0)]), 1)  # replay
     got = {r.event_id for r in spark.read.parquet(store).collect()}
     assert got == {1, 2}
+
+
+def test_upsert_fresh_checkpoint_recovers_parked_store(spark, tmp_path):
+    # crash window 1 + a RESTART WITH A FRESH CHECKPOINT DIR: batch ids
+    # reset to 0, so the parked .old-{N} never matches the replayed id.
+    # Recovery must glob for the newest .old-* sibling, not only the
+    # current batch id — else the accumulated store is stranded and the
+    # stream silently rebuilds from the first new micro-batch.
+    store = str(tmp_path / "store")
+    apply = ingest.upsert_batch(store)
+    apply(_mk_batch(spark, [(1, "2024-01-01 10:00:00", 7, 1.0)]), 41)
+    os.replace(store, store + ".old-42")  # mid-swap crash at batch 42
+    # fresh checkpoint: the next batch arrives as id 0
+    apply(_mk_batch(spark, [(2, "2024-01-01 10:01:00", 8, 2.0)]), 0)
+    got = {r.event_id for r in spark.read.parquet(store).collect()}
+    assert got == {1, 2}  # parked history recovered, not orphaned
+    assert not os.path.exists(store + ".old-42")
+
+
+def test_upsert_recovery_picks_newest_old_sibling(spark, tmp_path):
+    # two parked .old-* dirs (e.g. droppings from repeated crashes):
+    # recovery must restore the NEWEST (highest batch id) and clear the
+    # stale one, never resurrect older history over newer.
+    store = str(tmp_path / "store")
+    apply = ingest.upsert_batch(store)
+    apply(_mk_batch(spark, [(1, "2024-01-01 10:00:00", 7, 1.0)]), 0)
+    os.replace(store, store + ".old-3")
+    apply(_mk_batch(spark, [(2, "2024-01-01 10:01:00", 8, 2.0)]), 4)
+    # store now has {1, 2}; park it at a HIGHER id and plant a stale older dir
+    os.replace(store, store + ".old-7")
+    os.makedirs(store + ".old-2")
+    with open(os.path.join(store + ".old-2", "stale.txt"), "w") as f:
+        f.write("older history")
+    apply(_mk_batch(spark, [(3, "2024-01-01 10:02:00", 9, 3.0)]), 0)
+    got = {r.event_id for r in spark.read.parquet(store).collect()}
+    assert got == {1, 2, 3}
+    assert not os.path.exists(store + ".old-2")  # stale sibling swept
