@@ -52,7 +52,27 @@ BENCH_QUERIES = [
     "text_profile",             # text-analysis scan
     "multimodal_features",      # mapInPandas path
     "events_hourly_rollup",     # tumbling rollup
+    "winnow_neardup",           # winnowing fingerprints + pair search
 ]
+
+
+def _winnow_neardup(spark, sf_dir):
+    # not in the 50-slot driver registry (its oracle evidence is absorbed
+    # into doc_adjacent_stats); benched directly so the newest dedup
+    # modality has a tracked perf number.  df_cap=100 (2% of the sf0.1
+    # corpus): 8-char shingles are common English, so corpus-level pair
+    # search MUST drop high-df fingerprints or the inverted index goes
+    # quadratic on boilerplate (measured: df_cap=100k → 10.7M junk pairs
+    # in 66s; df_cap=100 → 506 true partial-overlap pairs in 3s)
+    from psy_supabase_spark.operators import winnow
+    from psy_supabase_spark.sources.catalog import load_table
+
+    return winnow.winnow_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), 5, df_cap=100
+    )
+
+
+LOCAL_QUERIES = {"winnow_neardup": _winnow_neardup}
 
 # (lists, nprobe) sweep, cheapest scan fraction first; first config with
 # recall@10 >= 0.9 wins.  Uniform-random vectors are IVF's worst case —
@@ -166,7 +186,7 @@ def main() -> None:
         best = None
         for _ in range(3 if name in noisy else 2):
             t0 = time.time()
-            _run(QUERIES[name](spark, sf_dir))
+            _run((QUERIES.get(name) or LOCAL_QUERIES[name])(spark, sf_dir))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
@@ -183,7 +203,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "extra": {"schema_version": 2, **ivf_extra},
+                "extra": {
+                    "schema_version": 2,
+                    **ivf_extra,
+                    # r5: minhash/srp pay ~+0.5-0.7s for default-on hot-id
+                    # detection (dedup.hot_id_estimate: one narrow job over
+                    # the banded subtree) after proving default AQE will NOT
+                    # split the skewed verify join (tests/test_scale.py) —
+                    # the r4 checkpoint+collect spelling was faster locally
+                    # but non-fault-tolerant and nondeterministic
+                    "hot_id_detection": "default_on_estimated",
+                },
             }
         )
     )

@@ -104,18 +104,15 @@ def srp_neardup_pairs(
 
     ``hot_id_threshold`` (None disables): even with capped buckets, one
     document appearing in more than this many candidate PAIRS skews the
-    payload re-attach joins (all its rows hash to one reducer).  Ids over
-    the threshold are detected with a narrow ids-only aggregate and their
-    vector rows replicated across salts (scale.salted_join_hot_keys) —
-    row-identical output, bounded per-reducer fan-in.  The hot set is the
-    top-10k ids BY DESCENDING PAIR COUNT (deterministic: ties broken by
-    id), so if more than 10k ids are hot the ones left unsalted are the
-    least skewed.  Detection reuses the candidate plan via
-    ``localCheckpoint`` (2 consumers: hot scan + verify join); checkpoint
-    blocks are NOT fault-tolerant — losing an executor mid-job invalidates
-    them and fails the job, which Spark then retries from source.  On a
-    cluster where that retry cost matters more than recomputing the band
-    join twice, replace the checkpoint with a persisted intermediate table.
+    payload re-attach joins (all its rows hash to one reducer), and
+    default AQE does not split that shape (see
+    :func:`.dedup.minhash_lsh_pairs` — pinned in tests/test_scale.py).
+    Hot ids are ESTIMATED from the valve window's bucket sizes
+    (:func:`.dedup.hot_id_estimate`: Σ(bucket−1) upper-bounds pair
+    membership; top-10k hottest, deterministic, no localCheckpoint) and,
+    only when hot ids exist, their vector rows are replicated across
+    salts via :func:`.scale.salted_join_hot_keys` — row-identical
+    output, bounded per-reducer fan-in.
     """
     planes = hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
@@ -138,7 +135,8 @@ def srp_neardup_pairs(
     banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    banded = dedup.cap_buckets(banded, bucket_cap)
+    counted = dedup.counted_buckets(banded, bucket_cap)
+    banded = counted.drop("_bn")
     # ids-only candidate join (64-float vectors never ride the band shuffle)
     cands = (
         banded.alias("a")
@@ -158,24 +156,15 @@ def srp_neardup_pairs(
     if hot_id_threshold is not None:
         from . import scale
 
-        cands = cands.localCheckpoint(eager=False)  # 2 consumers: hot scan + join
-        # ONE pass detects hot ids on either side (stack both id columns);
+        # ONE hot set covers both sides (the estimate is side-agnostic);
         # salting a merely-warm id is harmless (row-identical), so the
-        # shared superset costs nothing but dim replication
-        ids = cands.select(F.col("id_a").alias("_id")).unionByName(
-            cands.select(F.col("id_b").alias("_id"))
-        )
-        hot = [
-            r[0]
-            for r in ids.groupBy("_id")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > hot_id_threshold)
-            # deterministic bounded collect: hottest ids first (TakeOrdered,
-            # no full sort), so >10k hot ids drop the least-skewed ones
-            .orderBy(F.col("_n").desc(), F.col("_id"))
-            .limit(10_000)
-            .collect()
-        ]
+        # shared superset costs nothing but dim replication.  Bounded
+        # (≤10k) driver fetch — a narrow job over the banded rows (GEMM
+        # recomputed once: map-side, deterministic, fault-tolerant,
+        # ~0.1s/sf0.1 — unlike a localCheckpoint); the salt machinery
+        # engages only when hot ids exist, so the clean-corpus case pays
+        # one light job and keeps the plain joins.
+        hot = [r[0] for r in dedup.hot_id_estimate(counted, hot_id_threshold).collect()]
         if hot:
             joined = scale.salted_join_hot_keys(cands, va, "id_a", hot, n_salts=16)
             joined = scale.salted_join_hot_keys(joined, vb, "id_b", hot, n_salts=16)

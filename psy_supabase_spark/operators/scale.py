@@ -104,6 +104,50 @@ def salted_join_hot_keys(
     return out
 
 
+def salted_join_hot_df(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    hot_df: DataFrame,
+    *,
+    n_salts: int = 8,
+) -> DataFrame:
+    """:func:`salted_join_hot_keys` with the hot-key set as a (small)
+    DataFrame broadcast into the plan instead of a driver-collected
+    literal list.
+
+    This keeps skew protection fully declarative: no ``collect()``, no
+    ``localCheckpoint`` to share the frame between a hot-scan job and the
+    main job — ONE action computes the hot set, salts, and joins, and any
+    exchange shared between the hot-set subtree and the main subtree is
+    deduplicated by ReusedExchange inside the single DAG.  Output is
+    row-identical to the plain join (salt 0 on both sides for non-hot
+    keys; each hot fact row meets exactly one dim replica)."""
+    hot = F.broadcast(
+        hot_df.select(F.col(on)).distinct().withColumn("_hot", F.lit(True))
+    )
+    facts_salted = (
+        facts.join(hot, on, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+    explode_salts = F.when(
+        F.col("_hot").isNotNull(), F.array(*[F.lit(i) for i in range(n_salts)])
+    ).otherwise(F.array(F.lit(0)))
+    dim_replicated = (
+        dim.join(hot, on, "left")
+        .withColumn("_salt", F.explode(explode_salts))
+        .drop("_hot")
+    )
+    return facts_salted.join(dim_replicated, [on, "_salt"]).drop("_salt")
+
+
 def zorder_value(col_a: Column | str, col_b: Column | str, *, bits: int = 16) -> Column:
     """Morton (Z-order) interleave of two non-negative ints — pure codegen
     bit ops (the loop builds the expression in Python; Python-int shift

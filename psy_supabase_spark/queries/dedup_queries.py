@@ -66,14 +66,31 @@ _EXACT_JACCARD_SQL = f"""
 @register(
     "dedup_exact",
     oracle=f"""
-    SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_dupes
+    SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_dupes, TRUE AS hash_first_match
     FROM (SELECT doc_id, lower({_CLEAN.format(col='text')}) AS norm FROM documents)
     GROUP BY norm
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on normalized text: keeper id + group size per group."""
-    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+    """Exact dedup on normalized text: keeper id + group size per group.
+
+    ``hash_first_match`` absorbs driver evidence for the 100 TB spelling
+    (``exact_dedup(hash_first=True)``: ≤48 B/row shuffle + exact collision
+    resolve): TRUE iff the hash-first path produced the identical
+    (keeper, size) row — the oracle emits literal TRUE, so the value hash
+    matches only when the two spellings agree on every group."""
+    docs = load_table(spark, sf_dir, "documents")
+    text_key = dedup.exact_dedup(docs)
+    hashed = dedup.exact_dedup(docs, hash_first=True).withColumnRenamed(
+        "n_dupes", "_n2"
+    )
+    return text_key.join(hashed, "keeper_id", "left").select(
+        "keeper_id",
+        "n_dupes",
+        (F.col("_n2").isNotNull() & (F.col("_n2") == F.col("n_dupes"))).alias(
+            "hash_first_match"
+        ),
+    )
 
 
 # pairs + cluster representative: DuckDB's recursive CTE computes the

@@ -357,3 +357,96 @@ def test_minhash_hot_id_salting_row_identical(spark):
     salted = {tuple(r) for r in dedup.minhash_lsh_pairs(docs, 0.5, hot_id_threshold=5).collect()}
     plain = {tuple(r) for r in dedup.minhash_lsh_pairs(docs, 0.5, hot_id_threshold=None).collect()}
     assert salted == plain and len(plain) > 0
+
+
+def test_exact_dedup_hash_first_row_identical(spark, docs):
+    # the 100 TB spelling (narrow hash shuffle + collision resolve) must be
+    # row-identical to the text-key oracle path — on planted dups, on the
+    # testdata corpus, and with null/empty texts in play
+    table = load_table(spark, SF, "documents")
+    for d in (docs, table):
+        plain = sorted(tuple(r) for r in dedup.exact_dedup(d).collect())
+        hashed = sorted(tuple(r) for r in dedup.exact_dedup(d, hash_first=True).collect())
+        assert hashed == plain
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "x")], "doc_id long, text string"
+    )
+    plain = sorted(tuple(r) for r in dedup.exact_dedup(nulls).collect())
+    hashed = sorted(tuple(r) for r in dedup.exact_dedup(nulls, hash_first=True).collect())
+    assert hashed == plain
+
+
+def test_exact_dedup_hash_first_resolves_forced_collisions(spark, docs):
+    # drive the collision-resolve branch deterministically: a primary
+    # "hash" that collides almost everything (norm length mod 2) forces
+    # every group through the _nd > 1 path; output must STILL equal the
+    # text-key answer exactly
+    weak = (lambda c: (F.length(c) % 2).cast("long"), lambda c: F.md5(c))
+    plain = sorted(tuple(r) for r in dedup.exact_dedup(docs).collect())
+    forced = sorted(
+        tuple(r)
+        for r in dedup.exact_dedup(docs, hash_first=True, _hash_exprs=weak).collect()
+    )
+    assert forced == plain
+
+
+def test_exact_dedup_hash_first_shuffles_narrow_rows(spark, docs):
+    # the point of hash_first: no corpus-sized text exchange.  The main
+    # aggregation exchanges partition on the hashes only; the single
+    # exchange that DOES carry the text key is the collision-resolve
+    # branch, which sits above the broadcast semi-join on suspect hashes
+    # (so its row count is bounded by actual 64-bit collisions, ~0)
+    plan = (
+        dedup.exact_dedup(docs, hash_first=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    agg_exchanges = [
+        ln
+        for ln in lines
+        if "Exchange hashpartitioning(_h" in ln and "_norm" not in ln
+    ]
+    norm_exchanges = [
+        ln for ln in lines if "Exchange hashpartitioning" in ln and "_norm" in ln
+    ]
+    assert len(agg_exchanges) >= 2  # (_h,_h2) partial + (_h) final
+    assert len(norm_exchanges) == 1  # only the bounded resolve branch
+    assert any("BroadcastExchange" in ln for ln in lines)
+
+
+def test_hot_id_estimate_upper_bounds_pair_membership(spark):
+    # Σ(bucket_size − 1) per id must upper-bound the id's TRUE candidate-
+    # pair membership — the property that makes threshold salting safe (a
+    # genuinely hot id can never slip under the estimate), checked on the
+    # real corpus banding.
+    table = load_table(spark, SF, "documents")
+    banded = dedup.minhash_banded(dedup.minhash_signatures(table))
+    counted = dedup.counted_buckets(banded, None)
+    est = {
+        r.id: r.est
+        for r in counted.groupBy("id").agg(F.sum(F.col("_bn") - 1).alias("est")).collect()
+    }
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    true_counts = {
+        r.id: r.n
+        for r in cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert true_counts  # non-vacuous: candidates exist at this sf
+    for i, n in true_counts.items():
+        assert est[i] >= n
+    # and hot_id_estimate returns exactly the ids over the threshold
+    thr = sorted(est.values())[-2] if len(est) > 1 else 0
+    hot = {r.id for r in dedup.hot_id_estimate(counted, thr).collect()}
+    assert hot == {i for i, e in est.items() if e > thr}

@@ -116,8 +116,8 @@ def test_valved_lsh_reuses_band_exchange(spark):
     from psy_supabase_spark.sources.catalog import load_table
 
     docs = load_table(spark, SF, "documents")
-    # hot-id salting localCheckpoints the candidate frame, which hides the
-    # upstream subtree from the plan string — disable it to inspect the valve
+    # disable hot-id detection so the plan under inspection is the pure
+    # valve + join shape (detection adds its own narrow branch)
     valved = dedup.minhash_lsh_pairs(docs, 0.5, hot_id_threshold=None)
     plan = physical_plan(valved)
     # the valve must be a Window over the join's own (band, key)
