@@ -197,11 +197,16 @@ def ivf_search(
     return topk_ops.topk_similarity(pruned, query_vec, k=k, id_col=id_col, embedding_col=vec_col)
 
 
-def write_ivf_layout(index: IVFIndex, path: str) -> None:
+def write_ivf_layout(index: IVFIndex, path: str, *, vec_col: str = "embedding") -> None:
     """Persist the IVF physical layout: parquet partitioned by centroid_id
     (one directory per list — the moral equivalent of pgvector's inverted
-    lists, readable with partition pruning)."""
-    index.assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    lists, readable with partition pruning).  The row norm is precomputed
+    into ``_vnorm`` at write time — norms are index-BUILD work, so serving
+    scores with ONE fold per row instead of three (the SQ8 store keeps its
+    coarse norm for the same reason)."""
+    index.assigned.withColumn("_vnorm", V.l2_norm(vec_col)).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
 
 
 def quantized_store(
@@ -246,7 +251,9 @@ def append_to_layout(
     ~30-50% of the indexed volume — at which point the old layout swap is
     atomic if the path is a ``sources/txlog.TxTable`` overwrite."""
     assigned = assign_to_centroids(new_rows, centers, id_col=id_col, vec_col=vec_col)
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+    assigned.withColumn("_vnorm", V.l2_norm(vec_col)).write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(path)
 
 
 def search_layout(
@@ -261,9 +268,31 @@ def search_layout(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Search a persisted layout; the isin filter prunes at file level
-    (verify with .explain → PartitionFilters)."""
+    (verify with .explain → PartitionFilters).
+
+    Layouts written by :func:`write_ivf_layout` carry a precomputed
+    ``_vnorm`` column: scoring then costs one fold per row — the query
+    norm is a driver-side Python float (IEEE-754 like the JVM's, same
+    left-to-right accumulation order, so similarities are bit-identical
+    to the inline spelling — parity-asserted in tests).  Layouts without
+    the column (pre-r5) fall back to the three-fold inline cosine."""
+    import math
+
     probe_ids = rank_centroids(centers, query_vec)[:nprobe]
     df = spark.read.parquet(path).where(F.col("centroid_id").isin(probe_ids))
+    if "_vnorm" in df.columns:
+        # left-to-right accumulation, matching F.aggregate's fold order
+        qn = math.sqrt(sum((float(x) * float(x) for x in query_vec), 0.0))
+        q = V.query_vector_lit(query_vec)
+        sim = F.when(
+            (F.col("_vnorm") == 0.0) | (F.lit(qn) == 0.0), F.lit(None).cast("double")
+        ).otherwise(V.round6(V.dot(F.col(vec_col), q) / (F.col("_vnorm") * F.lit(qn))))
+        return (
+            df.select(id_col, sim.alias("similarity"))
+            .where(F.col("similarity").isNotNull())
+            .orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
     return topk_ops.topk_similarity(df, query_vec, k=k, id_col=id_col, embedding_col=vec_col)
 
 
@@ -378,13 +407,20 @@ def ivf_search_batch(
             F.col("rank") <= k
         )
 
+    # norms precomputed ONCE per corpus row / per probe row: scoring then
+    # costs one fold per (row, query) pair instead of three.  Same doubles
+    # as cosine_similarity inline (identical dot/(na*nb) expression), so
+    # oracle-rounded values are unchanged (parity pinned in test_dedup).
+    corpus_n = index.assigned.withColumn("_cn", V.l2_norm(vec_col))
+    probes_full = probes.withColumn("_qn", V.l2_norm(query_vec))
+    sim = F.when(
+        (F.col("_cn") == 0.0) | (F.col("_qn") == 0.0), F.lit(None).cast("double")
+    ).otherwise(
+        V.round6(V.dot(F.col(vec_col), F.col(query_vec)) / (F.col("_cn") * F.col("_qn")))
+    )
     scored = (
-        index.assigned.join(F.broadcast(probes), "centroid_id")
-        .select(
-            query_id,
-            F.col(id_col),
-            V.round6(V.cosine_similarity(F.col(vec_col), F.col(query_vec))).alias("similarity"),
-        )
+        corpus_n.join(F.broadcast(probes_full), "centroid_id")
+        .select(query_id, F.col(id_col), sim.alias("similarity"))
         .where(F.col("similarity").isNotNull())
     )
     return _salted_topk(scored, k, query_id, id_col, n_salts)

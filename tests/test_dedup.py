@@ -450,3 +450,29 @@ def test_hot_id_estimate_upper_bounds_pair_membership(spark):
     thr = sorted(est.values())[-2] if len(est) > 1 else 0
     hot = {r.id for r in dedup.hot_id_estimate(counted, thr).collect()}
     assert hot == {i for i, e in est.items() if e > thr}
+
+
+def test_search_layout_vnorm_path_bit_identical(spark, tmp_path):
+    # the one-fold (_vnorm precomputed at write, query norm as a driver
+    # float) scoring path must produce BIT-identical similarities to the
+    # inline three-fold cosine — IEEE-754 with the same accumulation
+    # order, asserted against exact doubles, not a tolerance
+    emb = load_table(spark, SF, "embeddings")
+    index = ivf.build_ivf(emb, n_lists=8)
+    path = str(tmp_path / "layout")
+    ivf.write_ivf_layout(index, path)
+    assert "_vnorm" in spark.read.parquet(path).columns
+    qvec = list(emb.where(F.col("vec_id") == 3).select("embedding").head()[0])
+    got = [(r.vec_id, r.similarity) for r in
+           ivf.search_layout(spark, path, index.centers, qvec, k=7, nprobe=3).collect()]
+    probe_ids = ivf.rank_centroids(index.centers, qvec)[:3]
+    pruned = spark.read.parquet(path).where(F.col("centroid_id").isin(probe_ids))
+    want = [(r.vec_id, r.similarity) for r in
+            topk.topk_similarity(pruned, qvec, k=7).collect()]
+    assert got == want
+    # pre-r5 layouts (no _vnorm) still search via the fallback
+    legacy = str(tmp_path / "legacy")
+    index.assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(legacy)
+    old = [(r.vec_id, r.similarity) for r in
+           ivf.search_layout(spark, legacy, index.centers, qvec, k=7, nprobe=3).collect()]
+    assert old == want
