@@ -40,8 +40,7 @@ def topk_similarity(
     Zero-norm rows rank NULL and are dropped, matching the reference's
     nan-never-selected accident (`rag_processor.py:57-65`).
     """
-    q = V.query_vector_lit(query_vec)
-    sim = V.round6(V.cosine_similarity(F.col(embedding_col), q))
+    sim = V.round6(_query_cosine(embedding_col, query_vec))
     out = (
         df.select(id_col, *extra_cols, sim.alias(score_col))
         .where(F.col(score_col).isNotNull())
@@ -49,6 +48,22 @@ def topk_similarity(
         .limit(k)
     )
     return out
+
+
+def _query_cosine(embedding_col: str, query_vec: Sequence[float]):
+    """cosine(row, literal query) with the query norm folded to a driver
+    float: two folds per row (dot + row norm) instead of three.  Python
+    and the JVM both use IEEE-754 doubles with the same left-to-right
+    accumulation order as F.aggregate, so the result is BIT-identical to
+    the inline cosine_similarity spelling (exact-equality tested)."""
+    import math
+
+    qn = math.sqrt(sum((float(x) * float(x) for x in query_vec), 0.0))
+    q = V.query_vector_lit(query_vec)
+    cn = V.l2_norm(embedding_col)
+    return F.when((cn == 0.0) | (F.lit(qn) == 0.0), F.lit(None).cast("double")).otherwise(
+        V.dot(F.col(embedding_col), q) / (cn * F.lit(qn))
+    )
 
 
 def topk_distance(
@@ -64,8 +79,7 @@ def topk_distance(
     """Server-semantics top-k: cosine distance ASC LIMIT k — pgvector `<=>`
     parity (reference `query.txt:198-201`, which misnames the distance
     column `similarity`; we do not repeat that)."""
-    q = V.query_vector_lit(query_vec)
-    dist = V.round6(V.cosine_distance(F.col(embedding_col), q))
+    dist = V.round6(F.lit(1.0) - _query_cosine(embedding_col, query_vec))
     return (
         df.select(id_col, *extra_cols, dist.alias(score_col))
         .where(F.col(score_col).isNotNull())
@@ -103,10 +117,22 @@ def knn_join(
     """
     from pyspark.sql import Window
 
-    sim = V.round6(V.cosine_similarity(F.col(corpus_vec), F.col(query_vec)))
+    # norms once per corpus row / per query row (not per pair): scoring
+    # costs one fold per pair instead of three.  Identical dot/(na*nb)
+    # expression → same doubles as cosine_similarity inline.
+    corpus_n = corpus.select(
+        corpus_id, corpus_vec, V.l2_norm(corpus_vec).alias("_cn")
+    )
+    queries_n = queries.select(query_id, query_vec, V.l2_norm(query_vec).alias("_qn"))
+    sim = F.when(
+        (F.col("_cn") == 0.0) | (F.col("_qn") == 0.0), F.lit(None).cast("double")
+    ).otherwise(
+        V.round6(
+            V.dot(F.col(corpus_vec), F.col(query_vec)) / (F.col("_cn") * F.col("_qn"))
+        )
+    )
     joined = (
-        corpus.select(corpus_id, corpus_vec)
-        .crossJoin(F.broadcast(queries.select(query_id, query_vec)))
+        corpus_n.crossJoin(F.broadcast(queries_n))
         .select(query_id, corpus_id, sim.alias(score_col))
         .where(F.col(score_col).isNotNull())
     )

@@ -139,3 +139,25 @@ def test_quantized_first_pass_tracks_exact_topk(spark):
         emb.where(F.col("vec_id").isin(cand_ids)), qvec, k=5
     )
     assert [r.vec_id for r in rescored.collect()] == exact
+
+
+def test_query_cosine_bit_identical_to_inline(spark):
+    # the driver-float query-norm spelling must equal the inline
+    # three-fold cosine EXACTLY (same IEEE-754 ops, same order) — exact
+    # doubles, no tolerance, over the whole corpus including any
+    # degenerate rows
+    from psy_supabase_spark.operators.topk import _query_cosine
+    from psy_supabase_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 1).select("embedding").head()[0])
+    q = V.query_vector_lit(qvec)
+    both = emb.select(
+        _query_cosine("embedding", qvec).alias("fast"),
+        V.cosine_similarity(F.col("embedding"), q).alias("inline"),
+    )
+    mismatch = both.where(
+        (F.col("fast").isNull() != F.col("inline").isNull())
+        | (F.col("fast") != F.col("inline"))
+    )
+    assert mismatch.count() == 0
