@@ -151,6 +151,28 @@ def _ivf_section(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, object
     ]
     sq8_recall = ivf.recall_at_k(exact_ids, sq8_ids, 10)
 
+    # PQ serving tier (operators/pq): 8-byte codes (32x vs float32), ADC
+    # map-side scoring + exact rescore.  Fit + encode are build-time like
+    # the layouts; timed = the 100-query batch only.
+    from psy_supabase_spark.operators import pq
+
+    t0 = time.time()
+    books = pq.pq_fit(emb, m=8)
+    pq_path = os.path.join(tempfile.mkdtemp(prefix="ivf_pq_"), "pq")
+    pq.pq_encode(emb, books).write.mode("overwrite").parquet(pq_path)
+    pq_build_sec = round(time.time() - t0, 3)
+    enc = spark.read.parquet(pq_path)
+    t0 = time.time()
+    _run(pq.pq_search_batch(enc, queries, books, emb, k=10, rescore_factor=8))
+    batch_pq_sec = round(time.time() - t0, 3)
+    pq_ids = [
+        r.vec_id
+        for r in pq.pq_search_batch(
+            enc, queries.where(F.col("query_id") == 0), books, emb, k=10, rescore_factor=8
+        ).collect()
+    ]
+    pq_recall = ivf.recall_at_k(exact_ids, pq_ids, 10)
+
     timings = {"ann_ivf_search": search_sec}
     extra = {
         "ivf_build_sec": build_sec,
@@ -160,6 +182,9 @@ def _ivf_section(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, object
         "ivf_batch100_full_sec": batch_full_sec,
         "ivf_batch100_sq8_sec": batch_sq8_sec,
         "ivf_sq8_recall_at_10": sq8_recall,
+        "pq_build_sec": pq_build_sec,
+        "pq_batch100_sec": batch_pq_sec,
+        "pq_recall_at_10": pq_recall,
     }
     return timings, extra
 

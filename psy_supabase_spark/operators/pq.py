@@ -1,0 +1,251 @@
+"""Product quantization (PQ) for embedding compression + ANN serving.
+
+Public-knowledge design: Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search" (IEEE TPAMI 2011) — the recipe behind FAISS's
+IVF-PQ serving tier.  The vector is split into ``m`` subvectors; each
+subspace gets its own k-means codebook (k=256 → one byte per subspace), so
+a dim-64 float32 embedding (256 B) compresses to ``m`` codes (8 B at m=8,
+32×) plus one shared codebook of m·256·dsub floats.  Query-time scoring is
+ADC (asymmetric distance computation): per query, precompute an m×256
+lookup table of partial dot products against the codebook; a stored
+vector's approximate cosine is then m table lookups — no decode, no
+per-dimension arithmetic.
+
+Spark mapping (the part that matters at 100 TB):
+
+- FIT is driver-side numpy on a bounded sample — the model is
+  m·256·dsub floats, exactly like the IVF centroid fit (`ivf.build_ivf`).
+- ENCODE is one ``mapInPandas`` pass: each Arrow batch of vectors is
+  scored against each subspace codebook with a single GEMM; codes ride
+  the frame as ``array<smallint>``.
+- SEARCH is map-side ADC + a MAP-SIDE PARTIAL TOP-K (the combiner
+  pattern): each Arrow batch emits only its own best ``k·rescore_factor``
+  rows per query, so the shuffle carries O(batches · queries · k·f) rows
+  — never the |corpus|×|queries| scored relation.  The exact top-k is
+  then re-scored at full precision over the per-query survivors (a
+  broadcast join), same as the IVF-SQ8 rescore.
+
+Scoring is cosine: vectors are unit-normalized before fit/encode, so the
+subspace dot products sum to the approximate cosine directly.  The coarse
+pass is approximate (quantization distortion); the rescore pass is exact,
+so output precision is governed by rescore recall, measured in tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+DEFAULT_SEED = 42
+FIT_SAMPLE_CAP = 100_000
+
+
+@dataclass(frozen=True)
+class PQCodebooks:
+    """m subspace codebooks; ``centers[s]`` is a (k × dsub) list-of-lists."""
+
+    m: int
+    dsub: int
+    centers: list[list[list[float]]]
+
+    def as_array(self) -> np.ndarray:
+        return np.asarray(self.centers, dtype=np.float64)  # (m, k, dsub)
+
+
+def _kmeans(x: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """Plain L2 k-means (numpy, driver-side) — deterministic for a fixed
+    seed/sample.  Returns (k', dsub) with k' ≤ k (duplicate-free init on
+    small samples keeps k' = #distinct points)."""
+    rng = np.random.default_rng(seed)
+    uniq = np.unique(x, axis=0)
+    k = min(k, len(uniq))
+    centers = uniq[rng.choice(len(uniq), size=k, replace=False)]
+    x2 = (x**2).sum(axis=1)[:, None]  # (n, 1), constant across iterations
+    for _ in range(max_iter):
+        # ||x-c||² = ||x||² - 2 x·c + ||c||² as one (n × k) GEMM — the
+        # naive (n, k, dsub) broadcast is GBs at the sample cap
+        d = x2 - 2.0 * (x @ centers.T) + (centers**2).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                centers[j] = x[mask].mean(axis=0)
+    return centers
+
+
+def pq_fit(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    max_iter: int = 8,
+    fit_sample_cap: int = FIT_SAMPLE_CAP,
+) -> PQCodebooks:
+    """Fit m per-subspace codebooks on a bounded, unit-normalized sample.
+
+    Driver-side numpy like `ivf.build_ivf` — at 100 TB the fit input is a
+    ≤``fit_sample_cap``-row sample and the model m·k·dsub floats; the
+    distributed work is encode/search, never the fit."""
+    sample = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).limit(fit_sample_cap).collect()
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    if x.size == 0:
+        raise ValueError("pq_fit: empty corpus")
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    dsub = dim // m
+    centers = [
+        _kmeans(x[:, s * dsub : (s + 1) * dsub], k, seed + s, max_iter).tolist()
+        for s in range(m)
+    ]
+    return PQCodebooks(m=m, dsub=dsub, centers=centers)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: PQCodebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<smallint>): nearest codebook entry per subspace.
+
+    One ``mapInPandas`` pass; per Arrow batch each subspace is assigned
+    with a single (batch × dsub)·(dsub × k) GEMM using the expanded
+    ||x−c||² = ||x||² − 2x·c + ||c||² identity (argmin over c drops the
+    ||x||² term).  NULL / wrong-length vectors are dropped — an encoded
+    store only ever holds servable rows."""
+    cb = codebooks.as_array()  # (m, k, dsub)
+    m, dsub = codebooks.m, codebooks.dsub
+    dim = m * dsub
+    cnorm2 = (cb**2).sum(axis=2)  # (m, k)
+    id_field = corpus.schema[id_col]
+    out_schema = f"{id_field.name} {id_field.dataType.simpleString()}, codes array<smallint>"
+
+    def enc(batches):
+        for pdf in batches:
+            vals = pdf[vec_col].tolist()
+            ok = np.fromiter(
+                (v is not None and len(v) == dim for v in vals), dtype=bool, count=len(vals)
+            )
+            if not ok.any():
+                continue
+            xs = np.stack([np.asarray(vals[i], dtype=np.float64) for i in np.flatnonzero(ok)])
+            norms = np.linalg.norm(xs, axis=1)
+            norms[norms == 0] = 1.0  # zero vectors encode to SOME code; rescore drops them
+            xs = xs / norms[:, None]
+            codes = np.empty((len(xs), m), dtype=np.int16)
+            for s in range(m):
+                xsub = xs[:, s * dsub : (s + 1) * dsub]
+                # argmin ||x-c||² == argmin (||c||² - 2 x·c)
+                codes[:, s] = (cnorm2[s][None, :] - 2.0 * (xsub @ cb[s].T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {id_field.name: pdf[id_col][ok].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(enc, schema=out_schema)
+
+
+def pq_search_batch(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: PQCodebooks,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    rescore_factor: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """N-query ANN over a PQ-encoded store: map-side ADC + map-side
+    partial top-(k·rescore_factor), exact rescore, final top-k.
+
+    The query batch is collected driver-side (bounded by ``max_queries``
+    — queries are the small side by definition, the same contract as
+    `ivf.ivf_search_batch`'s broadcast) and turned into per-query ADC
+    lookup tables carried in the task closure.  Each Arrow batch of codes
+    scores ALL queries with ``m`` table-gathers and emits only its own
+    best k·f ids per query, so the shuffle is O(batches·|queries|·k·f)
+    rows — the |corpus|×|queries| relation never materializes.  Ties in
+    the approximate score break on id (deterministic).  Output: exact
+    cosine top-k per query, ranked like `ivf.ivf_search_batch`."""
+    from pyspark.sql import Window
+
+    qrows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_search_batch: query batch exceeds max_queries={max_queries}; "
+            "split the batch or raise the bound"
+        )
+    if not qrows:
+        raise ValueError("pq_search_batch: empty query batch")
+    qids = [r[0] for r in qrows]
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (nq, dim)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qunit = qmat / qn[:, None]
+    cb = codebooks.as_array()
+    m, dsub = codebooks.m, codebooks.dsub
+    # LUT[q, s, code] = q_sub · c — ADC: approx cosine = Σ_s LUT[q, s, codes[s]]
+    lut = np.einsum("qsd,skd->qsk", qunit.reshape(len(qids), m, dsub), cb)
+    first_k = k * rescore_factor
+    qid_field = queries.schema[query_id].dataType.simpleString()
+    id_field = encoded.schema[id_col]
+    part_schema = (
+        f"{query_id} {qid_field}, {id_field.name} {id_field.dataType.simpleString()}"
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
+            ids = pdf[id_field.name].to_numpy()
+            # scores[q, row] = Σ_s LUT[q, s, codes[row, s]]
+            scores = np.zeros((len(qids), len(codes)))
+            for s in range(m):
+                scores += lut[:, s, codes[:, s]]
+            keep = min(first_k, len(codes))
+            out_q, out_i = [], []
+            order = np.argsort(ids, kind="stable")  # id-ordered base for ties
+            for qi in range(len(qids)):
+                sq = scores[qi][order]
+                top = order[np.argsort(-sq, kind="stable")[:keep]]
+                out_q.extend([qids[qi]] * len(top))
+                out_i.extend(ids[top].tolist())
+            yield pd.DataFrame({query_id: out_q, id_field.name: out_i})
+
+    partial = encoded.mapInPandas(adc, schema=part_schema)
+    # exact rescore of the per-query survivors (global k·f after the
+    # map-side partials union; the extra survivors only widen recall)
+    qdf = queries.select(query_id, query_vec, V.l2_norm(query_vec).alias("_qn"))
+    cand = partial.join(F.broadcast(qdf), query_id)
+    corpus_n = corpus.select(id_col, vec_col, V.l2_norm(vec_col).alias("_cn"))
+    sim = F.when(
+        (F.col("_cn") == 0.0) | (F.col("_qn") == 0.0), F.lit(None).cast("double")
+    ).otherwise(
+        V.round6(V.dot(F.col(vec_col), F.col(query_vec)) / (F.col("_cn") * F.col("_qn")))
+    )
+    rescored = (
+        corpus_n.join(F.broadcast(cand), id_col)
+        .select(query_id, F.col(id_col), sim.alias("similarity"))
+        .where(F.col("similarity").isNotNull())
+        .dropDuplicates([query_id, id_col])
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+    return rescored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= k
+    )

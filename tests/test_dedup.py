@@ -476,3 +476,24 @@ def test_search_layout_vnorm_path_bit_identical(spark, tmp_path):
     old = [(r.vec_id, r.similarity) for r in
            ivf.search_layout(spark, legacy, index.centers, qvec, k=7, nprobe=3).collect()]
     assert old == want
+
+
+def test_minhash_hot_id_salting_row_identical(spark):
+    # planted hot corpus: 60 near-identical docs → every pair is a
+    # candidate, so each id's bucket-size estimate (Σ(bucket−1) ≈
+    # bands·59) clears threshold=100 and the gram re-attach goes through
+    # salted_join_hot_keys.  Output must be row-identical to the
+    # unsalted spelling.
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" tail{i % 2}") for i in range(60)] + [
+        (500, "entirely different content about columnar query engines")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    est = dedup.hot_id_estimate(
+        dedup.counted_buckets(dedup.minhash_banded(dedup.minhash_signatures(docs)), None),
+        100,
+    )
+    assert est.count() > 0  # the salted branch is actually exercised
+    salted = {tuple(r) for r in dedup.minhash_lsh_pairs(docs, 0.5, hot_id_threshold=100).collect()}
+    plain = {tuple(r) for r in dedup.minhash_lsh_pairs(docs, 0.5, hot_id_threshold=None).collect()}
+    assert salted == plain and len(salted) > 0

@@ -1,0 +1,104 @@
+"""Product quantization: fit determinism, encode shape/compression,
+ADC search recall vs exact, and full-coverage exactness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from psy_supabase_spark.operators import pq, topk
+from psy_supabase_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.pq_fit(emb, m=8)
+
+
+def test_pq_fit_shape_and_determinism(emb, books):
+    assert books.m == 8 and books.dsub == 8
+    assert len(books.centers) == 8
+    assert all(len(c[0]) == 8 for c in books.centers)
+    again = pq.pq_fit(emb, m=8)
+    assert again.centers == books.centers  # seeded numpy fit is bit-stable
+
+
+def test_pq_encode_codes_and_compression(spark, emb, books):
+    enc = pq.pq_encode(emb, books)
+    rows = enc.collect()
+    assert len(rows) == emb.count()  # every well-formed vector encodes
+    assert all(len(r.codes) == 8 for r in rows)
+    kmax = max(len(c) for c in books.centers)
+    assert all(0 <= c < kmax for r in rows for c in r.codes)
+    # deterministic encode
+    again = {r.vec_id: list(r.codes) for r in pq.pq_encode(emb, books).collect()}
+    assert {r.vec_id: list(r.codes) for r in rows} == again
+    # malformed vectors are dropped, not encoded
+    odd = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0]), (3, [0.5] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    assert [r.vec_id for r in pq.pq_encode(odd, books).collect()] == [3]
+
+
+def test_pq_search_recall_vs_exact(spark, emb, books):
+    enc = pq.pq_encode(emb, books).cache()
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = pq.pq_search_batch(enc, queries, books, emb, k=10, rescore_factor=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(by_q) == set(range(20))
+    recalls = []
+    for qid in range(20):
+        qvec = list(emb.where(F.col("vec_id") == qid).select("embedding").head()[0])
+        exact = [r.vec_id for r in topk.topk_similarity(emb, qvec, k=10).collect()]
+        recalls.append(len(set(exact) & set(by_q[qid])) / 10.0)
+    mean_recall = sum(recalls) / len(recalls)
+    # uniform-random vectors are PQ's worst case (no cluster structure);
+    # measured ~0.8+ at m=8, k*4 rescore on this corpus
+    assert mean_recall >= 0.6, recalls
+    # the query's own vector must always top its list (exact rescore)
+    for qid in range(20):
+        assert by_q[qid][0] == qid
+
+
+def test_pq_full_coverage_equals_exact(spark, emb, books):
+    # rescore_factor covering the whole corpus → output IS the exact
+    # top-k (the coarse pass can then only reorder survivors, and the
+    # rescore is exact cosine with deterministic ties)
+    n = emb.count()
+    enc = pq.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = [
+        (r.vec_id, r.similarity, r.rank)
+        for r in pq.pq_search_batch(
+            enc, queries, books, emb, k=5, rescore_factor=(n // 5) + 1
+        ).collect()
+    ]
+    qvec = list(emb.where(F.col("vec_id") == 7).select("embedding").head()[0])
+    want = [
+        (r.vec_id, r.similarity, i + 1)
+        for i, r in enumerate(topk.topk_similarity(emb, qvec, k=5).collect())
+    ]
+    assert got == want
+
+
+def test_pq_query_cap_raises(spark, emb, books):
+    enc = pq.pq_encode(emb, books)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        pq.pq_search_batch(enc, queries, books, emb, k=5, max_queries=3)
