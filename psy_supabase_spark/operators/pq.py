@@ -249,3 +249,41 @@ def pq_search_batch(
     return rescored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
         F.col("rank") <= k
     )
+
+
+def ivf_pq_search_batch(
+    index,
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: PQCodebooks,
+    k: int = 10,
+    nprobe: int = 4,
+    *,
+    corpus: DataFrame | None = None,
+    **kw,
+) -> DataFrame:
+    """FAISS-style IVF-PQ: prune the encoded store to the UNION of every
+    query's ``nprobe`` nearest centroids, then ADC-search the survivors.
+
+    ``encoded`` must carry ``centroid_id`` (encode ``index.assigned``, or
+    persist with ``partitionBy("centroid_id")`` so this filter is
+    file-level partition pruning — the same layout trick as
+    `ivf.write_ivf_layout`).  The union probe set is coarser than
+    per-query probing (a query also scores rows from OTHER queries'
+    lists), which can only ADD candidates — per-query recall is ≥ the
+    strict per-query-probe recall, and the scan fraction is still
+    |union probes| / n_lists instead of 1."""
+    from . import ivf as ivf_ops
+
+    qrows = queries.select(kw.get("query_vec", "query_embedding")).collect()
+    probe_union = sorted(
+        {
+            cid
+            for r in qrows
+            for cid in ivf_ops.rank_centroids(index.centers, list(r[0]))[:nprobe]
+        }
+    )
+    pruned = encoded.where(F.col("centroid_id").isin(probe_union))
+    if corpus is None:
+        corpus = index.assigned
+    return pq_search_batch(pruned, queries, codebooks, corpus, k, **kw)

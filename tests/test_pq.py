@@ -102,3 +102,48 @@ def test_pq_query_cap_raises(spark, emb, books):
     )
     with pytest.raises(ValueError, match="max_queries"):
         pq.pq_search_batch(enc, queries, books, emb, k=5, max_queries=3)
+
+
+def test_adc_equals_reconstruction_dot(emb, books):
+    # the ADC invariant: Σ_s LUT[q, s, code_s] must equal the dot product
+    # of the unit query with the RECONSTRUCTED vector (codebook entries
+    # concatenated) — exactly, since both are the same float64 sums
+    import numpy as np
+
+    cb = books.as_array()
+    rows = emb.where(F.col("vec_id") < 50).select("vec_id", "embedding").collect()
+    enc = {r.vec_id: list(r.codes) for r in pq.pq_encode(emb.where(F.col("vec_id") < 50), books).collect()}
+    q = np.asarray(rows[0].embedding, dtype=np.float64)
+    qunit = q / np.linalg.norm(q)
+    lut = np.einsum("sd,skd->sk", qunit.reshape(books.m, books.dsub), cb)
+    for r in rows:
+        codes = enc[r.vec_id]
+        adc = sum(lut[s, codes[s]] for s in range(books.m))
+        recon = np.concatenate([cb[s, codes[s]] for s in range(books.m)])
+        assert abs(adc - float(qunit @ recon)) < 1e-9
+
+
+def test_ivf_pq_composition_prunes_and_keeps_recall(spark, emb, books):
+    from psy_supabase_spark.operators import ivf
+
+    index = ivf.build_ivf(emb, n_lists=8)
+    enc = pq.pq_encode(index.assigned.select("vec_id", "embedding", "centroid_id"), books)
+    # pq_encode keeps only (id, codes) — re-attach centroid_id for pruning
+    enc = enc.join(index.assigned.select("vec_id", "centroid_id"), "vec_id")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = pq.ivf_pq_search_batch(
+        index, enc, queries, books, k=10, nprobe=6, corpus=emb, rescore_factor=4
+    )
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(by_q) == set(range(10))
+    recalls = []
+    for qid in range(10):
+        qvec = list(emb.where(F.col("vec_id") == qid).select("embedding").head()[0])
+        exact = [r.vec_id for r in topk.topk_similarity(emb, qvec, k=10).collect()]
+        recalls.append(len(set(exact) & set(by_q[qid])) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.5  # pruned to 6/8 lists, uniform-random worst case
+    assert all(by_q[q][0] == q for q in by_q)  # self-match survives pruning
