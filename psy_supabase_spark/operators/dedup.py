@@ -408,18 +408,19 @@ def minhash_lsh_pairs(
     if hot_id_threshold is not None:
         from . import scale
 
-        # bounded (≤10k) driver fetch of the estimate — a narrow job over
-        # the banded rows (signature pipeline recomputed once: map-side,
-        # deterministic, fault-tolerant — unlike a localCheckpoint).  The
-        # salt machinery engages ONLY when hot ids exist, so the common
-        # clean-corpus case pays one light job and keeps the plain join.
-        hot = [r[0] for r in hot_id_estimate(counted, hot_id_threshold).collect()]
-        if hot:
-            cand_grams_a = scale.salted_join_hot_keys(
-                cands, ga, "id_a", hot, n_salts=16
-            ).select("id_a", "id_b", "gram")
-        else:
-            cand_grams_a = cands.join(ga, "id_a").select("id_a", "id_b", "gram")
+        # fully declarative: the hot set rides the plan as a broadcast
+        # (salted_join_hot_df) — no driver collect, no second job, and
+        # the hot-estimate branch shares the banded exchange inside the
+        # one DAG.  Measured cheaper than a separate estimate job for
+        # this single-join shape (4.0s vs 4.35s at sf0.1); SRP keeps the
+        # bounded-collect spelling because its TWO payload joins make
+        # the always-on salt machinery the dearer path there.
+        hot_df = hot_id_estimate(counted, hot_id_threshold).select(
+            F.col("id").alias("id_a")
+        )
+        cand_grams_a = scale.salted_join_hot_df(
+            cands, ga, "id_a", hot_df, n_salts=16
+        ).select("id_a", "id_b", "gram")
     else:
         cand_grams_a = cands.join(ga, "id_a").select("id_a", "id_b", "gram")
     verified = _pair_jaccard(cand_grams_a, grams, gram_sizes(grams))

@@ -65,7 +65,12 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     instruction-format reshape, composed from the engine's operators."""
     docs = load_table(spark, sf_dir, "documents")
 
-    keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    # hash_first: the exact-dup stage shuffles (hash, check, id) — ≤48
+    # B/row instead of the corpus text — and is row-identical to the
+    # text-key spelling (the oracle's GROUP BY norm), incl. collisions
+    keepers = dedup.exact_dedup(docs, hash_first=True).select(
+        F.col("keeper_id").alias("doc_id")
+    )
     neardups = dedup.ngram_jaccard_pairs(docs, 0.5).select(F.col("id_b").alias("doc_id"))
     survivors = docs.join(keepers, "doc_id", "left_semi").join(neardups, "doc_id", "left_anti")
 
