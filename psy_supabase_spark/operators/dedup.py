@@ -384,13 +384,17 @@ def minhash_lsh_pairs(
     whose partitioning a downstream operator consumes (it would add an
     exchange; verified empirically — the split happens only under the
     global ``forceOptimizeSkewedJoin`` flag, pinned in
-    tests/test_scale.py).  So salting defaults ON: hot ids are ESTIMATED
-    from the valve window's bucket sizes (:func:`hot_id_estimate` —
-    Σ(bucket−1) upper-bounds pair membership; deterministic, bounded,
-    no localCheckpoint) and, only when the estimate is non-empty, the
-    gram re-attach goes through :func:`scale.salted_join_hot_keys` —
-    row-identical output, bounded per-reducer fan-in, and the common
-    clean-corpus case keeps the plain join plus one light narrow job.
+    tests/test_scale.py).  So salting defaults ON, fully declaratively:
+    hot ids are ESTIMATED from the valve window's bucket sizes
+    (:func:`hot_id_estimate` — Σ(bucket−1) upper-bounds pair membership;
+    deterministic, bounded, no localCheckpoint, no driver collect) and
+    the gram re-attach always goes through
+    :func:`scale.salted_join_hot_df` with that estimate broadcast into
+    the plan — row-identical output, bounded per-reducer fan-in.  A
+    clean corpus pays the salt plumbing with an empty hot set (salt 0
+    everywhere; measured ~1s at sf0.1 — the price of the protection
+    being on by default); pass ``hot_id_threshold=None`` to strip it
+    when the corpus is known skew-free.
     """
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
     banded = minhash_banded(sig, bands)

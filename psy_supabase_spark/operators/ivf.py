@@ -275,7 +275,10 @@ def search_layout(
     norm is a driver-side Python float (IEEE-754 like the JVM's, same
     left-to-right accumulation order, so similarities are bit-identical
     to the inline spelling — parity-asserted in tests).  Layouts without
-    the column (pre-r5) fall back to the three-fold inline cosine."""
+    the column (pre-r5) fall back to the three-fold inline cosine, and a
+    MIXED layout (pre-r5 files + post-r5 appends) is handled per row:
+    legacy rows read ``_vnorm`` as NULL, which coalesces to the inline
+    norm instead of silently NULLing the row out of the top-k."""
     import math
 
     probe_ids = rank_centroids(centers, query_vec)[:nprobe]
@@ -284,9 +287,10 @@ def search_layout(
         # left-to-right accumulation, matching F.aggregate's fold order
         qn = math.sqrt(sum((float(x) * float(x) for x in query_vec), 0.0))
         q = V.query_vector_lit(query_vec)
+        nrm = F.coalesce(F.col("_vnorm"), V.l2_norm(vec_col))
         sim = F.when(
-            (F.col("_vnorm") == 0.0) | (F.lit(qn) == 0.0), F.lit(None).cast("double")
-        ).otherwise(V.round6(V.dot(F.col(vec_col), q) / (F.col("_vnorm") * F.lit(qn))))
+            (nrm == 0.0) | (F.lit(qn) == 0.0), F.lit(None).cast("double")
+        ).otherwise(V.round6(V.dot(F.col(vec_col), q) / (nrm * F.lit(qn))))
         return (
             df.select(id_col, sim.alias("similarity"))
             .where(F.col("similarity").isNotNull())

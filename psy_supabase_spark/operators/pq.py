@@ -184,12 +184,16 @@ def pq_search_batch(
     cosine top-k per query, ranked like `ivf.ivf_search_batch`."""
     from pyspark.sql import Window
 
+    dim = codebooks.m * codebooks.dsub
     qrows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
         raise ValueError(
             f"pq_search_batch: query batch exceeds max_queries={max_queries}; "
             "split the batch or raise the bound"
         )
+    # NULL / wrong-dim query vectors can't be served (and would make the
+    # query matrix ragged) — drop them like pq_encode drops malformed rows
+    qrows = [r for r in qrows if r[1] is not None and len(r[1]) == dim]
     if not qrows:
         raise ValueError("pq_search_batch: empty query batch")
     qids = [r[0] for r in qrows]
@@ -275,11 +279,24 @@ def ivf_pq_search_batch(
     |union probes| / n_lists instead of 1."""
     from . import ivf as ivf_ops
 
-    qrows = queries.select(kw.get("query_vec", "query_embedding")).collect()
+    max_queries = kw.get("max_queries", 10_000)
+    # enforce the driver bound BEFORE collecting anything — the guard in
+    # pq_search_batch would otherwise fire only after this collect
+    qrows = (
+        queries.select(kw.get("query_vec", "query_embedding"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_search_batch: query batch exceeds max_queries={max_queries}; "
+            "split the batch or raise the bound"
+        )
     probe_union = sorted(
         {
             cid
             for r in qrows
+            if r[0] is not None
             for cid in ivf_ops.rank_centroids(index.centers, list(r[0]))[:nprobe]
         }
     )

@@ -56,6 +56,20 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: st
     return spark.table(left_table).join(spark.table(right_table), on)
 
 
+def _content_salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt: xxhash64 over EVERY column of the row.
+
+    Salts derived from ``monotonically_increasing_id`` are retry-unstable
+    — a recomputed map task can iterate its rows in a different order
+    after an executor loss, re-routing rows to different reducers than
+    the first attempt and double-counting/dropping them in a downstream
+    shuffle.  Hashing row CONTENT is stable across retries (identical
+    rows share a salt, which only concentrates exact duplicates — an
+    acceptable, bounded trade for correctness under partial re-execution).
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+
+
 def salted_agg(
     df: DataFrame,
     key_col: str,
@@ -72,7 +86,7 @@ def salted_agg(
     .alias('c')]); final_exprs: how to merge partials (e.g.
     [sum('s').alias('total'), sum('c').alias('n')]).
     """
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    salted = df.withColumn("_salt", _content_salt(df, n_salts))
     partial = salted.groupBy(key_col, "_salt").agg(*agg_exprs)
     return partial.groupBy(key_col).agg(*final_exprs)
 
@@ -92,9 +106,7 @@ def salted_join_hot_keys(
     is_hot = F.col(on).isin(hot_keys)
     facts_salted = facts.withColumn(
         "_salt",
-        F.when(is_hot, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))).otherwise(
-            F.lit(0)
-        ),
+        F.when(is_hot, _content_salt(facts, n_salts)).otherwise(F.lit(0)),
     )
     explode_salts = F.when(is_hot, F.array(*[F.lit(i) for i in range(n_salts)])).otherwise(
         F.array(F.lit(0))
@@ -130,10 +142,9 @@ def salted_join_hot_df(
         facts.join(hot, on, "left")
         .withColumn(
             "_salt",
-            F.when(
-                F.col("_hot").isNotNull(),
-                F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
-            ).otherwise(F.lit(0)),
+            F.when(F.col("_hot").isNotNull(), _content_salt(facts, n_salts)).otherwise(
+                F.lit(0)
+            ),
         )
         .drop("_hot")
     )

@@ -190,21 +190,25 @@ def upsert_batch(store_path: str, key_col: str = "event_id", ts_col: str = "ts")
         # leaves the store absent and the whole accumulated history parked
         # at .old-{N}; restore it before reading, else this batch would
         # "first-batch" rebuild from only the current micro-batch and
-        # orphan everything accumulated.  Recover from the NEWEST .old-*
-        # sibling, not just .old-{batch_id}: a restart with a fresh
-        # checkpoint dir resets batch ids to 0, and matching only the
-        # current id would strand the parked store forever.
+        # orphan everything accumulated.  Recover from the .old-* sibling
+        # with the NEWEST CONTENT (mtime), not just .old-{batch_id} and
+        # not the highest id: a restart with a fresh checkpoint dir resets
+        # batch ids to 0, so a stale .old-42 dropping from an earlier
+        # crash can carry a HIGHER id than the truly-newest .old-0 —
+        # os.replace preserves the directory's mtime, which is when its
+        # contents were last written, i.e. exactly "how recent is this
+        # parked history".
         if not os.path.exists(store_path):
-            olds = glob.glob(store_path.rstrip("/") + ".old-*")
-            with_ids = []
-            for p in olds:
-                suffix = p.rsplit(".old-", 1)[1]
-                if suffix.isdigit():
-                    with_ids.append((int(suffix), p))
-            if with_ids:
-                with_ids.sort()
-                os.replace(with_ids[-1][1], store_path)
-                for _, stale in with_ids[:-1]:
+            candidates = []
+            for p in glob.glob(store_path.rstrip("/") + ".old-*"):
+                try:
+                    candidates.append((os.path.getmtime(p), p))
+                except FileNotFoundError:
+                    continue
+            if candidates:
+                candidates.sort()
+                os.replace(candidates[-1][1], store_path)
+                for _, stale in candidates[:-1]:
                     shutil.rmtree(stale, ignore_errors=True)
         new = batch_df.withColumn("_src", F.lit(1))
         try:

@@ -478,7 +478,7 @@ def test_search_layout_vnorm_path_bit_identical(spark, tmp_path):
     assert old == want
 
 
-def test_minhash_hot_id_salting_row_identical(spark):
+def test_minhash_hot_id_salting_planted_hot_corpus(spark):
     # planted hot corpus: 60 near-identical docs → every pair is a
     # candidate, so each id's bucket-size estimate (Σ(bucket−1) ≈
     # bands·59) clears threshold=100 and the gram re-attach goes through

@@ -160,20 +160,27 @@ def test_upsert_fresh_checkpoint_recovers_parked_store(spark, tmp_path):
 
 
 def test_upsert_recovery_picks_newest_old_sibling(spark, tmp_path):
-    # two parked .old-* dirs (e.g. droppings from repeated crashes):
-    # recovery must restore the NEWEST (highest batch id) and clear the
-    # stale one, never resurrect older history over newer.
+    # two parked .old-* dirs (droppings from repeated crashes across
+    # fresh-checkpoint restarts): recovery must restore the one with the
+    # NEWEST CONTENT (mtime — os.replace preserves it) and clear the
+    # stale one.  Critically, batch-id ordering would be WRONG here: the
+    # stale dir carries the HIGHER id (42, from before a checkpoint
+    # reset) while the true newest history is parked at .old-0.
     store = str(tmp_path / "store")
     apply = ingest.upsert_batch(store)
     apply(_mk_batch(spark, [(1, "2024-01-01 10:00:00", 7, 1.0)]), 0)
-    os.replace(store, store + ".old-3")
-    apply(_mk_batch(spark, [(2, "2024-01-01 10:01:00", 8, 2.0)]), 4)
-    # store now has {1, 2}; park it at a HIGHER id and plant a stale older dir
-    os.replace(store, store + ".old-7")
-    os.makedirs(store + ".old-2")
-    with open(os.path.join(store + ".old-2", "stale.txt"), "w") as f:
+    os.replace(store, store + ".old-0")
+    apply(_mk_batch(spark, [(2, "2024-01-01 10:01:00", 8, 2.0)]), 1)
+    # store now has {1, 2}; park it at .old-0 semantics via a fresh
+    # checkpoint crash... but first plant a STALE dir with a high batch
+    # id and an OLD mtime (an earlier crash's dropping)
+    stale = store + ".old-42"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "stale.txt"), "w") as f:
         f.write("older history")
+    os.utime(stale, (1_000_000_000, 1_000_000_000))  # 2001 — long ago
+    os.replace(store, store + ".old-0")
     apply(_mk_batch(spark, [(3, "2024-01-01 10:02:00", 9, 3.0)]), 0)
     got = {r.event_id for r in spark.read.parquet(store).collect()}
-    assert got == {1, 2, 3}
-    assert not os.path.exists(store + ".old-2")  # stale sibling swept
+    assert got == {1, 2, 3}  # .old-0 (newest mtime) won over .old-42
+    assert not os.path.exists(stale)  # stale sibling swept
