@@ -146,6 +146,27 @@ class PsyEngine:
             kb, n_lists=n_lists, id_col="content", vec_col="embedding"
         )
 
+    def find_similar_documents_batch(
+        self, user_id: str, queries: DataFrame, k: int = 5, *, nprobe: int = 4
+    ) -> DataFrame:
+        """N-query serving in ONE distributed pass: `(query_id,
+        query_embedding)` rows in, `(query_id, content, similarity, rank)`
+        out.  Routes through the IVF index when built
+        (`ivf.ivf_search_batch` — map-side probe selection, salted
+        two-phase top-k), else the brute-force broadcast KNN join.  The
+        reference has no batch path at all (one RPC per request,
+        `rag_processor.py:45-65`); this is the serving shape its workload
+        actually needs."""
+        index = self._ivf_indexes.get(user_id)
+        if index is not None:
+            return ivf_ops.ivf_search_batch(
+                index, queries, k=k, nprobe=nprobe, id_col="content", vec_col="embedding"
+            ).select("query_id", F.col("content"), "similarity", "rank")
+        kb = self.store.scan(KNOWLEDGE_BASE, user_id=user_id)
+        return topk.knn_join(kb, queries, k=k, corpus_id="content", corpus_vec="embedding").select(
+            "query_id", F.col("content"), "similarity", "rank"
+        )
+
     # ---- pipeline scalars (reference safety_handler / prompt_selector) ----
 
     def classify_safety(self, questions: DataFrame, col: str = "question") -> DataFrame:

@@ -71,6 +71,25 @@ def test_ivf_route(engine):
     assert hits[0].content == "doc east"
 
 
+def test_batch_serving_both_routes(engine, spark):
+    # N-query serving: brute-force route and the IVF route must both
+    # return per-query ranked hits with the expected winners.  The shared
+    # fixture may already carry alice's index (test order) — drop it so
+    # the brute branch is genuinely exercised first.
+    engine._ivf_indexes.pop("alice", None)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "query_id long, query_embedding array<double>",
+    )
+    brute = engine.find_similar_documents_batch("alice", queries, k=1)
+    got = {r.query_id: r.content for r in brute.collect()}
+    assert got == {0: "doc east", 1: "doc north"}
+    engine.create_vector_index("alice", n_lists=2)
+    indexed = engine.find_similar_documents_batch("alice", queries, k=1, nprobe=2)
+    got_idx = {r.query_id: r.content for r in indexed.collect()}
+    assert got_idx == got  # full probe == brute force
+
+
 def test_build_context_rolls_three_turns(engine):
     ctx = engine.build_context("alice").orderBy("created_at").collect()
     assert ctx[0].context is None
