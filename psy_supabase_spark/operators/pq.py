@@ -255,6 +255,25 @@ def pq_search_batch(
     )
 
 
+def write_ivf_pq_layout(
+    index,
+    codebooks: PQCodebooks,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ store: (id, codes, centroid_id) partitioned by
+    centroid_id — encode is index-BUILD work (like `ivf.write_ivf_layout`
+    and `write_ivf_sq8_layout`), and the partitioning turns
+    :func:`ivf_pq_search_batch`'s probe-union filter into file-level
+    partition pruning.  ~10 B/vector on disk vs 256 B float32."""
+    enc = pq_encode(index.assigned, codebooks, id_col=id_col, vec_col=vec_col)
+    enc.join(index.assigned.select(id_col, "centroid_id"), id_col).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
+
+
 def ivf_pq_search_batch(
     index,
     encoded: DataFrame,

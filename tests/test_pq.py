@@ -102,6 +102,13 @@ def test_pq_query_cap_raises(spark, emb, books):
     )
     with pytest.raises(ValueError, match="max_queries"):
         pq.pq_search_batch(enc, queries, books, emb, k=5, max_queries=3)
+    # the IVF-PQ wrapper enforces the same bound BEFORE its probe-union
+    # collect (it limits to max_queries+1 rows first)
+    from psy_supabase_spark.operators import ivf
+
+    index = ivf.build_ivf(emb, n_lists=4)
+    with pytest.raises(ValueError, match="max_queries"):
+        pq.ivf_pq_search_batch(index, enc, queries, books, k=5, max_queries=3)
 
 
 def test_adc_equals_reconstruction_dot(emb, books):
@@ -123,13 +130,16 @@ def test_adc_equals_reconstruction_dot(emb, books):
         assert abs(adc - float(qunit @ recon)) < 1e-9
 
 
-def test_ivf_pq_composition_prunes_and_keeps_recall(spark, emb, books):
+def test_ivf_pq_composition_prunes_and_keeps_recall(spark, emb, books, tmp_path):
     from psy_supabase_spark.operators import ivf
 
     index = ivf.build_ivf(emb, n_lists=8)
-    enc = pq.pq_encode(index.assigned.select("vec_id", "embedding", "centroid_id"), books)
-    # pq_encode keeps only (id, codes) — re-attach centroid_id for pruning
-    enc = enc.join(index.assigned.select("vec_id", "centroid_id"), "vec_id")
+    # the persisted layout: (id, codes, centroid_id) partitionBy(centroid)
+    # so the probe-union filter is file-level partition pruning
+    path = str(tmp_path / "ivfpq")
+    pq.write_ivf_pq_layout(index, books, path)
+    enc = spark.read.parquet(path)
+    assert set(enc.columns) == {"vec_id", "codes", "centroid_id"}
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )
