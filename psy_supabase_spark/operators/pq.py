@@ -274,6 +274,32 @@ def write_ivf_pq_layout(
     ).partitionBy("centroid_id").parquet(path)
 
 
+def append_to_pq_layout(
+    new_rows: DataFrame,
+    path: str,
+    index,
+    codebooks: PQCodebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-PQ maintenance, the `ivf.append_to_layout` twin:
+    encode new vectors with the EXISTING codebooks, assign them to the
+    EXISTING centroids, append into their partitions.  No codebook refit,
+    no layout rewrite; like IVF appends, quantization error drifts as
+    appended mass diverges from the fit distribution — re-fit + rewrite
+    once appends exceed ~30-50% of the encoded volume."""
+    from . import ivf as ivf_ops
+
+    assigned = ivf_ops.assign_to_centroids(
+        new_rows, index.centers, id_col=id_col, vec_col=vec_col
+    )
+    enc = pq_encode(new_rows, codebooks, id_col=id_col, vec_col=vec_col)
+    enc.join(assigned.select(id_col, "centroid_id"), id_col).write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(path)
+
+
 def ivf_pq_search_batch(
     index,
     encoded: DataFrame,

@@ -160,3 +160,31 @@ def test_ivf_pq_composition_prunes_and_keeps_recall(spark, emb, books, tmp_path)
         recalls.append(len(set(exact) & set(by_q[qid])) / 10.0)
     assert sum(recalls) / len(recalls) >= 0.5  # pruned to 6/8 lists, uniform-random worst case
     assert all(by_q[q][0] == q for q in by_q)  # self-match survives pruning
+
+
+def test_append_to_pq_layout(spark, emb, books, tmp_path):
+    # incremental maintenance: codes appended with the EXISTING codebooks
+    # and centroids are immediately searchable, and match what a
+    # from-scratch encode of the same rows produces
+    from psy_supabase_spark.operators import ivf
+
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400)
+    index = ivf.build_ivf(old, n_lists=4)
+    path = str(tmp_path / "ivfpq_inc")
+    pq.write_ivf_pq_layout(index, books, path)
+    pq.append_to_pq_layout(new, path, index, books)
+    enc = spark.read.parquet(path)
+    assert enc.count() == emb.count()
+    # appended codes equal a fresh encode of the same rows
+    fresh = {r.vec_id: list(r.codes) for r in pq.pq_encode(new, books).collect()}
+    stored = {r.vec_id: list(r.codes) for r in enc.where(F.col("vec_id") >= 400).collect()}
+    assert stored == fresh
+    # an appended vector is servable and self-matches at rank 1
+    queries = emb.where(F.col("vec_id") == 450).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = pq.ivf_pq_search_batch(
+        index, enc, queries, books, k=3, nprobe=4, corpus=emb, rescore_factor=4
+    ).collect()
+    assert got[0].vec_id == 450
