@@ -117,20 +117,28 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes array<smallint>): nearest codebook entry per subspace.
+    """(id, codes array<smallint>[, passthrough...]): nearest codebook
+    entry per subspace.
 
     One ``mapInPandas`` pass; per Arrow batch each subspace is assigned
     with a single (batch × dsub)·(dsub × k) GEMM using the expanded
     ||x−c||² = ||x||² − 2x·c + ||c||² identity (argmin over c drops the
     ||x||² term).  NULL / wrong-length vectors are dropped — an encoded
-    store only ever holds servable rows."""
+    store only ever holds servable rows.  ``passthrough`` columns ride
+    the same pass unchanged (e.g. ``centroid_id`` for the IVF-PQ layout
+    — carrying it here avoids re-executing the assignment subtree plus a
+    shuffle join just to re-attach it)."""
     cb = codebooks.as_array()  # (m, k, dsub)
     m, dsub = codebooks.m, codebooks.dsub
     dim = m * dsub
     cnorm2 = (cb**2).sum(axis=2)  # (m, k)
-    id_field = corpus.schema[id_col]
-    out_schema = f"{id_field.name} {id_field.dataType.simpleString()}, codes array<smallint>"
+    extra = list(passthrough or [])
+    fields = [corpus.schema[id_col]] + [corpus.schema[c] for c in extra]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in fields] + ["codes array<smallint>"]
+    )
 
     def enc(batches):
         for pdf in batches:
@@ -149,11 +157,13 @@ def pq_encode(
                 xsub = xs[:, s * dsub : (s + 1) * dsub]
                 # argmin ||x-c||² == argmin (||c||² - 2 x·c)
                 codes[:, s] = (cnorm2[s][None, :] - 2.0 * (xsub @ cb[s].T)).argmin(axis=1)
-            yield pd.DataFrame(
-                {id_field.name: pdf[id_col][ok].to_numpy(), "codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col][ok].to_numpy()}
+            for c in extra:
+                out[c] = pdf[c][ok].to_numpy()
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(enc, schema=out_schema)
+    return corpus.select(id_col, *extra, vec_col).mapInPandas(enc, schema=out_schema)
 
 
 def pq_search_batch(
@@ -169,6 +179,7 @@ def pq_search_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 10_000,
+    _qrows: list | None = None,
 ) -> DataFrame:
     """N-query ANN over a PQ-encoded store: map-side ADC + map-side
     partial top-(k·rescore_factor), exact rescore, final top-k.
@@ -185,7 +196,13 @@ def pq_search_batch(
     from pyspark.sql import Window
 
     dim = codebooks.m * codebooks.dsub
-    qrows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
+    # _qrows: a caller (ivf_pq_search_batch) that already collected the
+    # bounded query batch passes it down — one driver round trip, not two
+    qrows = (
+        _qrows
+        if _qrows is not None
+        else queries.select(query_id, query_vec).limit(max_queries + 1).collect()
+    )
     if len(qrows) > max_queries:
         raise ValueError(
             f"pq_search_batch: query batch exceeds max_queries={max_queries}; "
@@ -267,11 +284,16 @@ def write_ivf_pq_layout(
     centroid_id — encode is index-BUILD work (like `ivf.write_ivf_layout`
     and `write_ivf_sq8_layout`), and the partitioning turns
     :func:`ivf_pq_search_batch`'s probe-union filter into file-level
-    partition pruning.  ~10 B/vector on disk vs 256 B float32."""
-    enc = pq_encode(index.assigned, codebooks, id_col=id_col, vec_col=vec_col)
-    enc.join(index.assigned.select(id_col, "centroid_id"), id_col).write.mode(
-        "overwrite"
-    ).partitionBy("centroid_id").parquet(path)
+    partition pruning.  ~10 B/vector on disk vs 256 B float32.  The
+    centroid assignment rides the encode pass (``passthrough``) — one
+    corpus scan, no re-assignment, no re-attach join."""
+    pq_encode(
+        index.assigned,
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        passthrough=["centroid_id"],
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
 def append_to_pq_layout(
@@ -294,10 +316,9 @@ def append_to_pq_layout(
     assigned = ivf_ops.assign_to_centroids(
         new_rows, index.centers, id_col=id_col, vec_col=vec_col
     )
-    enc = pq_encode(new_rows, codebooks, id_col=id_col, vec_col=vec_col)
-    enc.join(assigned.select(id_col, "centroid_id"), id_col).write.mode(
-        "append"
-    ).partitionBy("centroid_id").parquet(path)
+    pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col, passthrough=["centroid_id"]
+    ).write.mode("append").partitionBy("centroid_id").parquet(path)
 
 
 def ivf_pq_search_batch(
@@ -325,27 +346,29 @@ def ivf_pq_search_batch(
     from . import ivf as ivf_ops
 
     max_queries = kw.get("max_queries", 10_000)
-    # enforce the driver bound BEFORE collecting anything — the guard in
-    # pq_search_batch would otherwise fire only after this collect
-    qrows = (
-        queries.select(kw.get("query_vec", "query_embedding"))
-        .limit(max_queries + 1)
-        .collect()
-    )
+    qid = kw.get("query_id", "query_id")
+    qvec = kw.get("query_vec", "query_embedding")
+    # ONE bounded driver fetch, enforced BEFORE anything materializes;
+    # the same rows are handed to pq_search_batch so it does not collect
+    # a second time
+    qrows = queries.select(qid, qvec).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
         raise ValueError(
             f"ivf_pq_search_batch: query batch exceeds max_queries={max_queries}; "
             "split the batch or raise the bound"
         )
+    dim = codebooks.m * codebooks.dsub
     probe_union = sorted(
         {
             cid
+            # malformed vectors can't rank centroids (zip would silently
+            # truncate) — skip them here exactly as the search drops them
             for r in qrows
-            if r[0] is not None
-            for cid in ivf_ops.rank_centroids(index.centers, list(r[0]))[:nprobe]
+            if r[1] is not None and len(r[1]) == dim
+            for cid in ivf_ops.rank_centroids(index.centers, list(r[1]))[:nprobe]
         }
     )
     pruned = encoded.where(F.col("centroid_id").isin(probe_union))
     if corpus is None:
         corpus = index.assigned
-    return pq_search_batch(pruned, queries, codebooks, corpus, k, **kw)
+    return pq_search_batch(pruned, queries, codebooks, corpus, k, _qrows=qrows, **kw)

@@ -57,17 +57,25 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: st
 
 
 def _content_salt(df: DataFrame, n_salts: int) -> Column:
-    """Deterministic per-row salt: xxhash64 over EVERY column of the row.
+    """Retry-stable per-row salt: xxhash64 over EVERY column of the row
+    PLUS the map partition id.
 
     Salts derived from ``monotonically_increasing_id`` are retry-unstable
     — a recomputed map task can iterate its rows in a different order
     after an executor loss, re-routing rows to different reducers than
     the first attempt and double-counting/dropping them in a downstream
-    shuffle.  Hashing row CONTENT is stable across retries (identical
-    rows share a salt, which only concentrates exact duplicates — an
-    acceptable, bounded trade for correctness under partial re-execution).
-    """
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    shuffle.  Row content + ``spark_partition_id()`` is stable across
+    retries (a partition's CONTENT is deterministic even though its
+    iteration order is not), and the partition-id term spreads a hot key
+    made of IDENTICAL rows across as many salts as the partitions it
+    arrives in — pure content hashing would collapse all duplicates onto
+    one reducer and defeat the salt.  Within one map partition identical
+    rows still share a salt, so the residual per-salt concentration is
+    bounded by one input partition's share of the key."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.spark_partition_id()),
+        F.lit(n_salts),
+    )
 
 
 def salted_agg(
@@ -79,8 +87,11 @@ def salted_agg(
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation with salt: groupBy(key, salt) → partial, then
-    groupBy(key) → final.  Exact for decomposable aggregates; caps any one
-    reducer's share of a hot key at 1/n_salts.
+    groupBy(key) → final.  Exact for decomposable aggregates; a hot key
+    spreads over up to n_salts partial groups (distinct rows spread by
+    content; identical rows by the map partitions they arrive in — see
+    :func:`_content_salt` — so one reducer's share is bounded by
+    max(1/n_salts, one input partition's share of the key)).
 
     agg_exprs: partial aggregates (e.g. [sum(x).alias('s'), count('*')
     .alias('c')]); final_exprs: how to merge partials (e.g.

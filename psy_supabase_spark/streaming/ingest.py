@@ -198,17 +198,32 @@ def upsert_batch(store_path: str, key_col: str = "event_id", ts_col: str = "ts")
         # os.replace preserves the directory's mtime, which is when its
         # contents were last written, i.e. exactly "how recent is this
         # parked history".
+        # Only dirs the upsert machinery itself parks are candidates: a
+        # numeric batch-id suffix AND parquet content (part files or a
+        # _SUCCESS marker).  The content check also rejects a sibling
+        # gutted by a previously-failed sweep (whose dir mtime the
+        # partial deletion freshened — promoting it would replace real
+        # history with a husk).  Ties on coarse-granularity mtimes break
+        # on the numeric id, not lexicographic path order.
         if not os.path.exists(store_path):
             candidates = []
             for p in glob.glob(store_path.rstrip("/") + ".old-*"):
+                suffix = p.rsplit(".old-", 1)[1]
+                if not suffix.isdigit():
+                    continue  # never touch dirs this machinery didn't park
+                if not (
+                    glob.glob(os.path.join(p, "part-*"))
+                    or os.path.exists(os.path.join(p, "_SUCCESS"))
+                ):
+                    continue
                 try:
-                    candidates.append((os.path.getmtime(p), p))
+                    candidates.append((os.path.getmtime(p), int(suffix), p))
                 except FileNotFoundError:
                     continue
             if candidates:
                 candidates.sort()
-                os.replace(candidates[-1][1], store_path)
-                for _, stale in candidates[:-1]:
+                os.replace(candidates[-1][2], store_path)
+                for _, _, stale in candidates[:-1]:
                     shutil.rmtree(stale, ignore_errors=True)
         new = batch_df.withColumn("_src", F.lit(1))
         try:

@@ -146,9 +146,13 @@ def test_ivf_pq_composition_prunes_and_keeps_recall(spark, emb, books, tmp_path)
     got = pq.ivf_pq_search_batch(
         index, enc, queries, books, k=10, nprobe=6, corpus=emb, rescore_factor=4
     )
-    # the probe-union filter reaches the scan as file-level pruning
+    # the probe-union filter reaches the scan as file-level pruning —
+    # assert centroid_id INSIDE the PartitionFilters bracket (the bare
+    # substring appears even with an empty filter list)
+    import re as _re
+
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "centroid_id" in plan
+    assert _re.search(r"PartitionFilters: \[[^\]]*centroid_id", plan)
     by_q = {}
     for r in got.collect():
         by_q.setdefault(r.query_id, []).append(r.vec_id)

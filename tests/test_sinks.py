@@ -176,11 +176,34 @@ def test_upsert_recovery_picks_newest_old_sibling(spark, tmp_path):
     # id and an OLD mtime (an earlier crash's dropping)
     stale = store + ".old-42"
     os.makedirs(stale)
-    with open(os.path.join(stale, "stale.txt"), "w") as f:
-        f.write("older history")
+    with open(os.path.join(stale, "part-00000-stale.parquet"), "w") as f:
+        f.write("older history")  # looks like a real parked store
     os.utime(stale, (1_000_000_000, 1_000_000_000))  # 2001 — long ago
     os.replace(store, store + ".old-0")
     apply(_mk_batch(spark, [(3, "2024-01-01 10:02:00", 9, 3.0)]), 0)
     got = {r.event_id for r in spark.read.parquet(store).collect()}
     assert got == {1, 2, 3}  # .old-0 (newest mtime) won over .old-42
     assert not os.path.exists(stale)  # stale sibling swept
+
+
+def test_upsert_recovery_ignores_foreign_and_gutted_dirs(spark, tmp_path):
+    # recovery must neither promote nor delete (a) dirs with non-numeric
+    # suffixes the machinery never parks (an operator's manual backup) or
+    # (b) gutted dirs with no parquet content (droppings of a partially
+    # failed sweep, whose mtime the partial deletion freshened)
+    store = str(tmp_path / "store")
+    apply = ingest.upsert_batch(store)
+    apply(_mk_batch(spark, [(1, "2024-01-01 10:00:00", 7, 1.0)]), 0)
+    os.replace(store, store + ".old-0")  # the genuine parked history
+    backup = store + ".old-backup"
+    os.makedirs(backup)
+    with open(os.path.join(backup, "part-00000.parquet"), "w") as f:
+        f.write("operator backup")
+    gutted = store + ".old-99"
+    os.makedirs(gutted)  # numeric suffix but NO parquet content
+    apply(_mk_batch(spark, [(2, "2024-01-01 10:01:00", 8, 2.0)]), 0)
+    got = {r.event_id for r in spark.read.parquet(store).collect()}
+    assert got == {1, 2}  # restored from .old-0, not the impostors
+    assert os.path.exists(backup)  # foreign dir untouched
+    with open(os.path.join(backup, "part-00000.parquet")) as f:
+        assert f.read() == "operator backup"
