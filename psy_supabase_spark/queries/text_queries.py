@@ -27,26 +27,72 @@ _TOKENS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x ->
 _WS_COUNT_SQL = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))"
 
 
-@register(
-    "text_clean_pack",
-    oracle=r"""
+# Deterministic PII-bearing augmentation: the synthetic corpus carries no
+# real PII, so the redaction columns are gated on text || a PII suffix
+# derived from doc_id — both engines build the identical string, and the
+# driver hash then checks actual redaction/count arithmetic (a pattern or
+# ordering drift flips real bytes, not a column of zeros).
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com on 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.1 or call 555-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_augmented() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com on 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 or call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+def _text_clean_pack_oracle() -> str:
+    from ..functions.pii import pii_counts_oracle_sql, pii_oracle_sql
+
+    src = f"({_PII_SUFFIX_SQL})"
+    count_cols = ",\n           ".join(
+        f"{expr} AS n_pii_{name}" for name, expr in pii_counts_oracle_sql(src)
+    )
+    return rf"""
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              text, '[‘’]', '''', 'g'), '[“”]', '"', 'g'), '—', '-', 'g'), '…', '...', 'g'),
              '[^a-zA-Z0-9\s.,!?''"-]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned,
-           regexp_replace(text, '(https?://\S+|www\.\S+)', '', 'g') AS no_urls
+           regexp_replace(text, '(https?://\S+|www\.\S+)', '', 'g') AS no_urls,
+           {pii_oracle_sql(src)} AS pii_redacted,
+           {count_cols}
     FROM documents
-    """,
-)
+    """
+
+
+@register("text_clean_pack", oracle=_text_clean_pack_oracle())
 def text_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 normalization chain (reference utilities/text_utils.py:26-48) +
-    T2 URL removal (prompt_selector.py:68) — merged registry slot, one
-    scan, both scalar chains driver-gated."""
+    T2 URL removal (prompt_selector.py:68) + PII redaction (functions/pii
+    — the pipeline op every corpus-prep stack runs before training) —
+    merged registry slot: one scan, every chain map-side codegen, all
+    driver-gated.  The PII columns run over a deterministic doc_id-derived
+    augmentation (see ``_PII_SUFFIX_SQL``) because the synthetic corpus
+    itself is PII-free."""
+    from ..functions.pii import PII_PATTERNS, pii_counts, redact_pii
+
     docs = load_table(spark, sf_dir, "documents")
+    pii_src = _pii_augmented()
+    counts = pii_counts(pii_src)
     return docs.select(
         "doc_id",
         TX.clean_text(F.col("text")).alias("cleaned"),
         TX.strip_urls(F.col("text")).alias("no_urls"),
+        redact_pii(pii_src).alias("pii_redacted"),
+        *[counts[name].alias(f"n_pii_{name}") for name, _p, _t in PII_PATTERNS],
     )
 
 
