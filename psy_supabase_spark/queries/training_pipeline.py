@@ -1,6 +1,7 @@
 """The LLM-training-data pipeline, end to end, as ONE oracle-gated query:
 
     documents → exact-dup removal → near-dup removal (n-gram Jaccard)
+              → benchmark decontamination (shared-8-gram removal)
               → quality gate → language gate → deterministic sample
               → training-format reshape
 
@@ -18,10 +19,11 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions.hashing import md5_hash32
-from ..operators import dedup
+from ..operators import dedup, decontam
+from ..operators.decontam import ngram_case_sql
 from ..registry import register
 from ..sources.catalog import load_table
-from .dedup_queries import _CLEAN, _EXACT_JACCARD_SQL
+from .dedup_queries import _CLEAN, _EXACT_JACCARD_SQL, _TOKS
 from .text_queries import _stopword_ratio_sql, _WS_COUNT_SQL
 
 _QUALITY_SQL = f"""ROUND((
@@ -42,10 +44,18 @@ _QUALITY_SQL = f"""ROUND((
       FROM (SELECT doc_id, lower({_CLEAN.format(col='text')}) AS norm FROM documents)
       GROUP BY norm
     ),
+    toks_all AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    bench AS (SELECT array_to_string(t[4:21], ' ') AS btext
+              FROM toks_all WHERE doc_id % 97 = 0),
+    btoks AS (SELECT {_TOKS.format(col='btext')} AS t FROM bench),
+    bgrams AS (SELECT DISTINCT unnest({ngram_case_sql(8)}) AS gram FROM btoks),
+    cgrams AS (SELECT doc_id, unnest({ngram_case_sql(8)}) AS gram FROM toks_all),
+    contaminated AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams USING (gram)),
     survivors AS (
       SELECT d.* FROM documents d
       JOIN exact_keepers k ON d.doc_id = k.doc_id
       WHERE d.doc_id NOT IN (SELECT id_b FROM neardup_pairs)
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
     gated AS (
       SELECT doc_id, text, lang, source, {_QUALITY_SQL} AS quality
@@ -61,8 +71,17 @@ _QUALITY_SQL = f"""ROUND((
     """,
 )
 def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup (exact + near-dup) → quality/lang gates → 50% hash sample →
-    instruction-format reshape, composed from the engine's operators."""
+    """Dedup (exact + near-dup) → benchmark decontamination → quality/lang
+    gates → 50% hash sample → instruction-format reshape, composed from
+    the engine's operators.
+
+    The decontamination stage's "benchmark" is built in-query (tokens
+    4..21 of every ``doc_id % 97 == 0`` doc — the synthetic corpus shares
+    no natural n-grams with anything, so eval contamination is planted
+    the way it happens in the wild: verbatim snippets), then any doc
+    sharing an 8-token gram with it is dropped via
+    :func:`operators.decontam.contaminated_ids` (map-side corpus explode,
+    broadcast benchmark grams)."""
     docs = load_table(spark, sf_dir, "documents")
 
     # hash_first: the exact-dup stage shuffles (hash, check, id) — ≤48
@@ -72,7 +91,20 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper_id").alias("doc_id")
     )
     neardups = dedup.ngram_jaccard_pairs(docs, 0.5).select(F.col("id_b").alias("doc_id"))
-    survivors = docs.join(keepers, "doc_id", "left_semi").join(neardups, "doc_id", "left_anti")
+
+    arr = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), dedup.TOKEN_SPLIT_RE, " ")), " "
+    )
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.array_join(F.slice(arr, 4, 18), " ").alias("text")
+    )
+    contaminated = decontam.contaminated_ids(docs, bench, n=8)
+
+    survivors = (
+        docs.join(keepers, "doc_id", "left_semi")
+        .join(neardups, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
 
     quality = TX.quality_score(F.col("text"))
     gated = (
