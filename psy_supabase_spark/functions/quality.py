@@ -162,3 +162,110 @@ def quality_filter(
     if not keep_flags:
         out = out.drop("gopher_flags", "c4_flags")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition family (Rae 2021, Table A1 "repetitious text" signals)
+# ---------------------------------------------------------------------------
+
+def _token_ngrams(toks: Column, k: int) -> Column:
+    """Word k-grams of a token array, built array-side (transform over a
+    trimmed slice reading k-1 successors) — empty array below k tokens."""
+    n = F.size(toks)
+
+    def joiner(x: Column, i: Column) -> Column:
+        parts = [x] + [F.element_at(toks, i + F.lit(j + 1)) for j in range(1, k)]
+        return F.concat_ws(" ", *parts)
+
+    return F.when(n >= k, F.transform(F.slice(toks, 1, n - (k - 1)), joiner)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _gram_run_stats(grams: Column) -> Column:
+    """struct(topch, dup, tot) over a gram array — chars covered by the
+    most frequent gram (count x length, first-smallest gram on count
+    ties), chars covered by grams occurring >= 2x, and total occurrence
+    chars.  Spelled as ONE fold over the SORTED array (equal grams become
+    adjacent runs), so it stays map-side per-doc arithmetic: no explode,
+    no (id, gram) shuffle — at 100 TB a repetition score must not cost an
+    Exchange the width of the corpus' n-gram stream.  This is a struct
+    fold, not a flat predicate — costlier than the other gate lambdas but
+    bounded by doc length, and still zero-shuffle (plan-asserted in
+    tests/test_quality.py)."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("topch"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("tot"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = (acc.run > 0) & (x == acc.prev)
+        closes = ~same
+        better = closes & (acc.run > acc.top)
+        run_chars = acc.run * F.length(acc.prev)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(better, acc.run).otherwise(acc.top).alias("top"),
+            F.when(better, run_chars).otherwise(acc.topch).alias("topch"),
+            (acc.dup + F.when(closes & (acc.run >= 2), run_chars).otherwise(F.lit(0).cast("long"))).alias("dup"),
+            (acc.tot + F.length(x)).alias("tot"),
+        )
+
+    def finish(acc: Column) -> Column:
+        better = acc.run > acc.top
+        run_chars = acc.run * F.length(acc.prev)
+        return F.struct(
+            F.when(better, run_chars).otherwise(acc.topch).alias("topch"),
+            (acc.dup + F.when(acc.run >= 2, run_chars).otherwise(F.lit(0).cast("long"))).alias("dup"),
+            acc.tot.alias("tot"),
+        )
+
+    return F.aggregate(F.array_sort(grams), zero, step, finish)
+
+
+def repetition_flags_from_tokens(
+    toks: Column,
+    *,
+    max_top2gram_char_frac: float = 0.18,
+    max_dup3gram_char_frac: float = 0.30,
+) -> Column:
+    """Struct of Gopher repetition signals over a token array:
+    ``top2gram_char_frac`` (fraction of 2-gram occurrence chars covered
+    by the most frequent 2-gram; paper threshold 0.18),
+    ``dup3gram_char_frac`` (fraction of 3-gram occurrence chars in grams
+    occurring more than once), per-signal booleans, aggregate ``passes``.
+    The paper instantiates top-n at 2-4 and dup-n at 5-10 for web pages;
+    n=2/3 suit short docs — thresholds and both n are the audit knobs.
+    Fractions are exact rationals rounded to 6dp (oracle-mirrored)."""
+    s2 = _gram_run_stats(_token_ngrams(toks, 2))
+    s3 = _gram_run_stats(_token_ngrams(toks, 3))
+
+    def frac(num: Column, tot: Column) -> Column:
+        return F.round(
+            F.when(tot == 0, F.lit(0.0)).otherwise(num.cast("double") / tot), 6
+        )
+
+    top2 = frac(s2.topch, s2.tot)
+    dup3 = frac(s3.dup, s3.tot)
+    top2_ok = top2 <= max_top2gram_char_frac
+    dup3_ok = dup3 <= max_dup3gram_char_frac
+    return F.struct(
+        top2.alias("top2gram_char_frac"),
+        dup3.alias("dup3gram_char_frac"),
+        top2_ok.alias("top2gram_ok"),
+        dup3_ok.alias("dup3gram_ok"),
+        (top2_ok & dup3_ok).alias("passes"),
+    )
+
+
+def repetition_flags(col: ColumnOrName, **thresholds: float) -> Column:
+    """:func:`repetition_flags_from_tokens` over the engine tokenizer
+    (lowercase alnum words — mirrors the text-pack `_TOKENS_SQL`)."""
+    from .text import tokenize
+
+    return repetition_flags_from_tokens(tokenize(_c(col)), **thresholds)

@@ -134,14 +134,29 @@ def text_profile(
     if quality_gates is not None:
         from ..functions import quality as Q
 
-        staged = staged.withColumn(
-            "_g", Q.gopher_quality_flags(t, **quality_gates)
-        ).withColumn("_c", Q.c4_quality_flags(t))
+        staged = (
+            staged.withColumn("_g", Q.gopher_quality_flags(t, **quality_gates))
+            .withColumn("_c", Q.c4_quality_flags(t))
+            .withColumn(
+                # repetition signals ride the staged token array — same
+                # map-side pass, no extra tokenize (0.10 dup3 override:
+                # the corpus' repetition variance straddles it, so both
+                # gate outcomes occur and the driver hash checks real
+                # run-length arithmetic)
+                "_r",
+                Q.repetition_flags_from_tokens(
+                    F.col("_toks"), max_dup3gram_char_frac=0.10
+                ),
+            )
+        )
         cols += [
             F.col("_g.word_count").alias("gopher_word_count"),
             F.col("_g.mean_word_len").alias("gopher_mean_word_len"),
             F.col("_g.passes").alias("gopher_passes"),
             F.col("_c.passes").alias("c4_passes"),
+            F.col("_r.top2gram_char_frac").alias("top2gram_char_frac"),
+            F.col("_r.dup3gram_char_frac").alias("dup3gram_char_frac"),
+            F.col("_r.passes").alias("repetition_ok"),
         ]
     return staged.select(*cols)
 

@@ -228,6 +228,30 @@ _GOPHER_OK_SQL = """(
                    replace(text, '…', '') AS no_uni,
                    string_split(text, chr(10)) AS lns
             FROM documents)
+    ),
+    rep_g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2 THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t) - 1 + 1)] ELSE [] END AS g2,
+             CASE WHEN len(t) >= 3 THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 2 + 1)] ELSE [] END AS g3
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    ),
+    rep_c2 AS (SELECT doc_id, gram, COUNT(*) AS c, COUNT(*) * length(gram) AS chars
+               FROM (SELECT doc_id, unnest(g2) AS gram FROM rep_g) GROUP BY 1, 2),
+    rep_c3 AS (SELECT doc_id, gram, COUNT(*) AS c, COUNT(*) * length(gram) AS chars
+               FROM (SELECT doc_id, unnest(g3) AS gram FROM rep_g) GROUP BY 1, 2),
+    rep_t2 AS (SELECT doc_id, chars AS topch FROM (
+                 SELECT doc_id, chars, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+                 FROM rep_c2) WHERE rn = 1),
+    rep_s2 AS (SELECT doc_id, SUM(chars) AS tot FROM rep_c2 GROUP BY 1),
+    rep_s3 AS (SELECT doc_id, SUM(chars) AS tot, SUM(chars) FILTER (c >= 2) AS dup FROM rep_c3 GROUP BY 1),
+    rep AS (
+      SELECT g.doc_id,
+             ROUND(COALESCE(t2.topch::DOUBLE / s2.tot, 0.0), 6) AS top2,
+             ROUND(COALESCE(COALESCE(s3.dup, 0)::DOUBLE / s3.tot, 0.0), 6) AS dup3
+      FROM rep_g g
+      LEFT JOIN rep_t2 t2 USING (doc_id)
+      LEFT JOIN rep_s2 s2 USING (doc_id)
+      LEFT JOIN rep_s3 s3 USING (doc_id)
     )
     SELECT d.doc_id,
            {_WS_COUNT_SQL} AS n_tokens,
@@ -249,8 +273,13 @@ _GOPHER_OK_SQL = """(
            g.gw_n AS gopher_word_count,
            ROUND(g.mean_wl, 6) AS gopher_mean_word_len,
            {_GOPHER_OK_SQL} AS gopher_passes,
-           (g.no_lorem AND g.no_brace AND (g.n_terminal / g.n_ne_lines >= 0.5)) AS c4_passes
-    FROM documents d JOIN gates g ON g.doc_id = d.doc_id
+           (g.no_lorem AND g.no_brace AND (g.n_terminal / g.n_ne_lines >= 0.5)) AS c4_passes,
+           r.top2 AS top2gram_char_frac,
+           r.dup3 AS dup3gram_char_frac,
+           (r.top2 <= 0.18 AND r.dup3 <= 0.10) AS repetition_ok
+    FROM documents d
+    JOIN gates g ON g.doc_id = d.doc_id
+    JOIN rep r ON r.doc_id = d.doc_id
     """.format(lang_case="{lang_case}"),
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,3 +115,57 @@ def test_rejects_explain_themselves(spark):
         "ellipsis_lines_ok", "alpha_words_ok", "stopwords_ok")]
     bad = audited.where(F.greatest(*[~F.col(r) for r in rule_cols]) == F.lit(False))
     assert bad.count() == 0
+
+
+# ---- Gopher repetition family ----
+
+from psy_supabase_spark.functions.quality import repetition_flags
+
+
+def _rep(spark, text, **thr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(repetition_flags("text", **thr).alias("r")).head().r
+
+
+def test_repetition_known_fractions(spark):
+    # "a b a b a b": 2-grams [a b, b a, a b, b a, a b] -> top 'a b' 3x3=9
+    # of 15 occurrence chars; 3-grams all duplicated -> dup3 = 1.0
+    r = _rep(spark, "a b a b a b")
+    assert r.top2gram_char_frac == 0.6 and r.dup3gram_char_frac == 1.0
+    assert not r.passes
+    # no repeated grams at all -> dup3 clean (top2 is inherently high on
+    # tiny docs: the single most frequent 2-gram covers 1/#grams of the
+    # chars even with no repetition — the paper's signal targets long docs)
+    r2 = _rep(spark, "unique words only here today")
+    assert r2.dup3gram_char_frac == 0.0 and r2.dup3gram_ok
+
+
+def test_repetition_tie_breaks_on_smallest_gram(spark):
+    # 'x y' and 'y x' both occur twice; top must be the lexicographically
+    # smallest max-count gram in BOTH engines ('x y' after sort)
+    r = _rep(spark, "x y x y")
+    # grams: [x y, y x, x y] -> 'x y' 2x, 'y x' 1x; unambiguous
+    assert r.top2gram_char_frac == round(2 * 3 / 9, 6)
+
+
+def test_repetition_short_and_empty_docs(spark):
+    for text in ("", "one", "two words"):
+        r = _rep(spark, text)
+        assert r.dup3gram_char_frac == 0.0 and r.dup3gram_ok
+    # below 2 tokens there are no 2-grams at all -> 0.0 by convention
+    assert _rep(spark, "").top2gram_char_frac == 0.0
+    assert _rep(spark, "one").top2gram_char_frac == 0.0
+    # exactly one 2-gram covers all of itself
+    assert _rep(spark, "two words").top2gram_char_frac == 1.0
+
+
+def test_repetition_thresholds_overridable(spark):
+    assert not _rep(spark, "a b a b a b", max_top2gram_char_frac=0.5).top2gram_ok
+    assert _rep(spark, "a b a b a b", max_top2gram_char_frac=0.61).top2gram_ok
+
+
+def test_repetition_is_exchange_free(spark):
+    docs = load_table(spark, SF, "documents")
+    df = docs.select(repetition_flags("text").alias("r"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
