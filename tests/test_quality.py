@@ -169,3 +169,24 @@ def test_repetition_is_exchange_free(spark):
     df = docs.select(repetition_flags("text").alias("r"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_arrow_twin_matches_fold(spark):
+    from psy_supabase_spark.functions.quality import repetition_flags_arrow
+    from psy_supabase_spark.functions.text import tokenize
+    from psy_supabase_spark.functions.quality import repetition_flags_from_tokens
+
+    crafted = ["a b a b a b", "x y x y", "", "one", "two words",
+               "the cat sat on the mat the cat sat again"]
+    docs = load_table(spark, SF, "documents").select(F.col("text")).limit(200)
+    extra = spark.createDataFrame([(t,) for t in crafted], "text string")
+    both = docs.unionByName(extra).select(
+        repetition_flags_from_tokens(tokenize("text")).alias("f"),
+        repetition_flags_arrow("text").alias("a"),
+    )
+    mismatch = both.where(
+        (F.col("f.top2gram_char_frac") != F.col("a.top2gram_char_frac"))
+        | (F.col("f.dup3gram_char_frac") != F.col("a.dup3gram_char_frac"))
+        | (F.col("f.passes") != F.col("a.passes"))
+    )
+    assert mismatch.count() == 0
