@@ -197,21 +197,51 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DoReMi-style domain mixture: per-language target sampling rates (%).
+# Upweight en, keep others sparse — the domain-reweighting primitive every
+# corpus-mixing pipeline needs (Xie 2023 "DoReMi" fixes weights exactly
+# like this after optimizing them offline).
+DOMAIN_RATES = {"en": 60, "es": 25, "fr": 25, "de": 25}
+DEFAULT_DOMAIN_RATE = 10
+
+
 @register(
     "deterministic_sample",
-    oracle="""
-    SELECT doc_id, lang FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(DOMAIN_RATES.items()))}
+                ELSE {DEFAULT_DOMAIN_RATE} END AS domain_rate
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+          < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(DOMAIN_RATES.items()))}
+                 ELSE {DEFAULT_DOMAIN_RATE} END
     """,
 )
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-based deterministic ~10% sample — reproducible across engines
-    and runs (unlike rand()-based sampling), the right primitive for
-    training-data subset carving."""
+    """Hash-based deterministic DOMAIN-WEIGHTED sample: each language is
+    kept at its ``DOMAIN_RATES`` percentage (default
+    ``DEFAULT_DOMAIN_RATE``) by thresholding the same md5 hash —
+    reproducible across engines and runs (unlike rand()-based sampling),
+    and the mixture-reweighting primitive for corpus carving: changing a
+    domain's weight re-draws ONLY that domain, and a domain's sample at
+    rate r is a strict subset of its sample at r' > r (nested samples,
+    so mixtures can be re-balanced without re-shuffling data).  Pure
+    map-side predicate — reaches the scan as a pushed filter."""
     from ..functions.hashing import md5_hash32
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.where(md5_hash32(F.col("doc_id").cast("string")) % 100 < 10).select("doc_id", "lang")
+    rate = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in sorted(DOMAIN_RATES.items()) for x in kv]),
+            F.col("lang"),
+        ),
+        F.lit(DEFAULT_DOMAIN_RATE),
+    )
+    return (
+        docs.withColumn("domain_rate", rate.cast("int"))
+        .where(md5_hash32(F.col("doc_id").cast("string")) % 100 < F.col("domain_rate"))
+        .select("doc_id", "lang", "domain_rate")
+    )
 
 
 @register(

@@ -104,3 +104,39 @@ def test_json_roundtrip_identity(spark, d):
     for k, v in d.items():
         got = df.select(F.get_json_object("j", f"$['{k}']").alias("v")).head().v
         assert got == str(v)
+
+
+def test_domain_weighted_sample_is_nested_and_exact(spark):
+    """Raising a domain's rate only ADDS docs (nested samples) and the
+    realized per-domain counts equal the exact hash-threshold counts."""
+    from psy_supabase_spark.functions.hashing import md5_hash32
+    from psy_supabase_spark.queries.misc_queries import deterministic_sample
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = deterministic_sample(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    h = md5_hash32(F.col("doc_id").cast("string")) % 100
+    for rate in (10, 25, 60):
+        inner = {r.doc_id for r in docs.where(h < rate).select("doc_id").collect()}
+        outer = {r.doc_id for r in docs.where(h < rate + 20).select("doc_id").collect()}
+        assert inner <= outer  # nested: same hash, higher threshold
+    # realized sample == exact per-row predicate (no approximation)
+    got = {(r.doc_id, r.domain_rate) for r in out.collect()}
+    want = {
+        (r.doc_id, r.rate)
+        for r in docs.withColumn(
+            "rate",
+            F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        F.lit("en"), F.lit(60), F.lit("es"), F.lit(25),
+                        F.lit("fr"), F.lit(25), F.lit("de"), F.lit(25),
+                    ),
+                    F.col("lang"),
+                ),
+                F.lit(10),
+            ),
+        ).where(h < F.col("rate")).select("doc_id", "rate").collect()
+    }
+    assert got == want
