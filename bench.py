@@ -31,6 +31,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from psy_supabase_spark.operators import dedup  # noqa: E402
 from psy_supabase_spark.registry import QUERIES  # noqa: E402
 from psy_supabase_spark.session import get_spark  # noqa: E402
 
@@ -219,6 +220,18 @@ def main() -> None:
     ivf_timings, ivf_extra = _ivf_section(spark, sf_dir)
     timings.update(ivf_timings)
 
+    # measure (not just name) the cost of default-on hot-id salting on the
+    # headline minhash query: same operator, valve off — the delta IS the
+    # protection premium the bench notes below explain
+    docs = load_table(spark, sf_dir, "documents")
+    unsalted = None
+    for _ in range(2):
+        t0 = time.time()
+        _run(dedup.minhash_lsh_pairs(docs, 0.5, hot_id_threshold=None))
+        dt = time.time() - t0
+        unsalted = dt if unsalted is None else min(unsalted, dt)
+    salt_overhead = round(timings["dedup_minhash_lsh"] - unsalted, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -231,13 +244,17 @@ def main() -> None:
                 "extra": {
                     "schema_version": 2,
                     **ivf_extra,
-                    # r5: minhash/srp pay ~+0.5-0.7s for default-on hot-id
-                    # detection (dedup.hot_id_estimate: one narrow job over
-                    # the banded subtree) after proving default AQE will NOT
-                    # split the skewed verify join (tests/test_scale.py) —
-                    # the r4 checkpoint+collect spelling was faster locally
-                    # but non-fault-tolerant and nondeterministic
+                    # r5: minhash/srp pay for default-on hot-id detection
+                    # (dedup.hot_id_estimate: one narrow job over the banded
+                    # subtree) after proving default AQE will NOT split the
+                    # skewed verify join (tests/test_scale.py) — the r4
+                    # checkpoint+collect spelling was faster locally but
+                    # non-fault-tolerant and nondeterministic.  The premium
+                    # is measured every run: salted headline minus the
+                    # valve-off spelling of the same operator.
                     "hot_id_detection": "default_on_estimated",
+                    "minhash_unsalted_sec": round(unsalted, 3),
+                    "minhash_salt_overhead_sec": salt_overhead,
                 },
             }
         )

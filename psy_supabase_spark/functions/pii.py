@@ -37,8 +37,12 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
     # US-SSN-shaped 3-2-4 digit groups
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
-    # NANP-ish phone: optional +1, 3-3-4 groups with -, ., or space
-    ("phone", r"\b(\+1[-. ])?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "[PHONE]"),
+    # NANP-ish phone: optional +1/1 prefix, 3-3-4 groups with -, ., or
+    # space.  The \b sits AFTER the optional prefix: '+' is a non-word
+    # char, so a leading \b could never hold between ' ' and '+' and the
+    # prefix branch would be dead (the prefix's own separator provides
+    # the left anchor instead)
+    ("phone", r"(\+?1[-. ])?\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "[PHONE]"),
 ]
 
 

@@ -72,7 +72,9 @@ def read_jsonl(
     if keep_corrupt:
         if isinstance(schema, str):
             schema = StructType.fromDDL(schema)
-        schema = schema.add("_corrupt_record", "string")
+        # StructType.add mutates in place — copy so the CALLER's schema
+        # object doesn't silently grow a _corrupt_record field
+        schema = StructType(list(schema.fields)).add("_corrupt_record", "string")
         return (
             spark.read.schema(schema)
             .option("mode", "PERMISSIVE")

@@ -64,5 +64,12 @@ def test_corrupt_line_audit_and_drop(spark, tmp_path):
     audited = read_jsonl(spark, str(raw), DDL, keep_corrupt=True).cache()
     assert audited.where(F.col("_corrupt_record").isNotNull()).count() == 1
     audited.unpersist()
+    # the caller's schema object must not grow the corrupt field
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(DDL)
+    n_fields = len(schema.fields)
+    read_jsonl(spark, str(raw), schema, keep_corrupt=True)
+    assert len(schema.fields) == n_fields
     clean = read_jsonl(spark, str(raw), DDL)
     assert clean.count() == 2

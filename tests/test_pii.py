@@ -24,6 +24,8 @@ SAMPLES = [
     "no pii here, just v1.2 and a@b (not an email), 1.2.3.4.5 run",
     "edge: 999.999.999.999 and 12-34-5678 and x@y.zz",
     "double jane@x.org bob@y.io same line 192.168.0.1 10.0.0.2",
+    "call +1 555-867-5309 or 1-800-555-1234 or +1.555.123.4567",
+    "not phones: 12 555-867-530 and x2555-123-4567y",
     "",
 ]
 
