@@ -288,3 +288,40 @@ class PsyEngine:
         from .streaming.neardup import StreamingNearDupFilter
 
         return StreamingNearDupFilter(self.spark, index_path, sink, **kw)
+
+    def decontaminate(
+        self, docs: DataFrame, benchmark: DataFrame, *, n: int = 8, **kw
+    ) -> DataFrame:
+        """Drop docs sharing any verbatim token n-gram with an eval set
+        (operators/decontam — map-side corpus explode, broadcast
+        benchmark grams)."""
+        from .operators.decontam import decontaminate
+
+        return decontaminate(docs, benchmark, n, **kw)
+
+    def redact_pii(self, df: DataFrame, col: str = "text") -> DataFrame:
+        """Replace PII (email/ipv4/ssn/phone) with typed placeholders and
+        append per-family counts (functions/pii — pure codegen chain)."""
+        from .functions.pii import PII_PATTERNS, pii_counts, redact_pii
+
+        counts = pii_counts(col)
+        # counts first (they audit the ORIGINAL text), redaction second
+        return df.withColumns(
+            {f"n_pii_{name}": counts[name] for name, _p, _t in PII_PATTERNS}
+        ).withColumn(col, redact_pii(col))
+
+    def export_training_jsonl(
+        self,
+        df: DataFrame,
+        path: str,
+        *,
+        num_shards: int | None = None,
+        max_records_per_file: int | None = 100_000,
+    ) -> None:
+        """Trainer-facing JSONL export (sources/jsonl): gzipped bounded
+        shards, null fields kept so every record carries the schema."""
+        from .sources.jsonl import write_jsonl
+
+        write_jsonl(
+            df, path, num_shards=num_shards, max_records_per_file=max_records_per_file
+        )

@@ -117,3 +117,52 @@ def ngram_case_sql(n: int = DECONTAM_N, t: str = "t") -> str:
         f"CASE WHEN len({t}) < {n} THEN [array_to_string({t}, ' ')] "
         f"ELSE [{window} for i in range(1, greatest(len({t}) - {n - 1}, 0) + 1)] END"
     )
+
+
+def flag_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECONTAM_N,
+    *,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    flag_col: str = "is_contaminated",
+) -> DataFrame:
+    """Append a per-row contamination boolean — the STREAM-SAFE twin.
+
+    :func:`decontaminate`'s anti-join needs the flagged-id set on the
+    join's right, which Spark forbids when that set derives from the
+    stream itself (LeftAnti with a streaming right).  This spelling is
+    fully stateless: each row builds its token n-gram ARRAY map-side
+    (:func:`functions.quality._token_ngrams` + the whole-text short-doc
+    gram) and probes a one-row broadcast of the benchmark's distinct
+    grams with ``arrays_overlap``.  Works identically on batch and
+    ``readStream`` frames (equivalence pinned in tests).
+
+    Scale shape: the benchmark-gram array is one broadcast row; the probe
+    is O(|doc grams| x |bench grams|) per row worst-case (arrays_overlap
+    short-circuits on first hit), so prefer :func:`decontaminate`'s
+    hash-probe for batch and this for streaming admission control where
+    the benchmark is eval-set-sized by nature.
+    """
+    from ..functions.quality import _token_ngrams
+
+    bench = benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text_col).alias("_btext"))
+    bench_grams = (
+        token_ngram_rows(bench, n, id_col="_bid", text_col="_btext")
+        .select("gram")
+        .distinct()
+        .agg(F.collect_set("gram").alias("_bench_grams"))
+    )
+
+    joined = F.trim(F.regexp_replace(F.lower(F.col(text_col)), TOKEN_SPLIT_RE, " "))
+    toks = F.split(joined, " ")
+    n_tokens = F.when(joined == "", F.lit(0)).otherwise(F.size(toks))
+    grams = F.when(n_tokens < n, F.array(joined)).otherwise(
+        F.filter(_token_ngrams(toks, n), lambda g: g != "")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(bench_grams))
+        .withColumn(flag_col, F.arrays_overlap(grams, F.col("_bench_grams")))
+        .drop("_bench_grams")
+    )

@@ -149,3 +149,67 @@ def test_clean_responses_and_topic_facade(engine, spark):
 
     ents = engine.extract_entities(df).head()
     assert ents.entities == ["panic"]  # gazetteer hit; 'anxious' != 'anxiety'
+
+
+def test_pipeline_facade_decontam_pii_export(engine, spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [
+            (0, "mail me at a.b@x.org about the quick brown fox jumps over the lazy dog"),
+            (1, "totally unrelated clean text with no secrets inside it at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    clean = engine.decontaminate(corpus, bench)
+    assert [r.doc_id for r in clean.collect()] == [1]
+
+    redacted = engine.redact_pii(corpus)
+    rows = {r.doc_id: r for r in redacted.collect()}
+    # counts audit the ORIGINAL text; the text column is redacted after
+    assert rows[0].n_pii_email == 1 and "[EMAIL]" in rows[0].text
+    assert rows[1].n_pii_email == 0 and "[EMAIL]" not in rows[1].text
+
+    out = str(tmp_path / "export")
+    engine.export_training_jsonl(redacted, out, num_shards=1)
+    from psy_supabase_spark.sources.jsonl import read_jsonl
+
+    back = read_jsonl(
+        spark, out,
+        "doc_id BIGINT, text STRING, n_pii_email INT, n_pii_ipv4 INT, n_pii_ssn INT, n_pii_phone INT",
+    )
+    assert back.count() == 2
+
+
+def test_decontam_is_streaming_compatible(spark, tmp_path):
+    """flag_contaminated is stateless map-side + broadcast (the anti-join
+    spelling can't stream: LeftAnti with a stream-derived right is
+    unsupported), so the SAME operator drops into readStream unchanged."""
+    from psy_supabase_spark.operators.decontam import flag_contaminated
+
+    src = tmp_path / "src"
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta the quick brown fox jumps over the lazy dog tonight"),
+            (1, "completely unrelated text about database query planners here"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus.write.parquet(str(src))
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    clean = flag_contaminated(stream, bench).where(~F.col("is_contaminated"))
+    assert clean.isStreaming
+    q = (
+        clean.writeStream.format("memory")
+        .queryName("decontam_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = [r.doc_id for r in spark.sql("SELECT doc_id FROM decontam_stream").collect()]
+    assert got == [1]

@@ -89,3 +89,32 @@ def test_plan_broadcasts_benchmark_and_keeps_corpus_map_side(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     keys = _re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
     assert keys and set(keys) <= {"gram", "doc_id", "id"}, keys
+
+
+def test_flag_twin_matches_anti_join_on_corpus(spark):
+    """flag_contaminated (stream-safe, per-row array probe) must agree
+    with contaminated_ids (batch hash-probe) doc for doc — including on
+    the real corpus with a slice-built benchmark."""
+    corpus, bench = _dfs(spark)
+    for n in (7, 8):
+        want = {r.doc_id for r in decontam.contaminated_ids(corpus, bench, n).collect()}
+        got = {
+            r.doc_id
+            for r in decontam.flag_contaminated(corpus, bench, n).collect()
+            if r.is_contaminated
+        }
+        assert got == want
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    arr = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9']+", " ")), " "
+    )
+    bench2 = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.array_join(F.slice(arr, 4, 18), " ").alias("text")
+    )
+    want = {r.doc_id for r in decontam.contaminated_ids(docs, bench2, 8).collect()}
+    got = {
+        r.doc_id
+        for r in decontam.flag_contaminated(docs, bench2, 8).collect()
+        if r.is_contaminated
+    }
+    assert got == want and want  # non-empty: the planted snippets flag
