@@ -82,3 +82,42 @@ def test_pii_pass_is_exchange_free(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_fuzzed_three_engine_parity(spark):
+    """200 seeded adversarial strings (random splices of PII-ish atoms,
+    separators, and noise) — Spark, DuckDB, and Python re must agree on
+    every redaction and every count.  One batch, three engines."""
+    import random
+
+    rng = random.Random(20260814)
+    atoms = [
+        "a@b.co", "x.y+z@mail.example.org", "user@@double.at", "@nodomain",
+        "10.0.0.1", "999.999.999.999", "1.2.3.4.5", "1.2.3", "256.1.1.1",
+        "123-45-6789", "12-345-6789", "123-456-789", "000-00-0000",
+        "555-867-5309", "+1 555-867-5309", "1-800-555-1234", "+1.555.123.4567",
+        "555 123 4567", "5551234567", "55-12-34", "v1.2.3", "ver 10.0",
+        "word", "two words", "", ".", "-", "@", "+1", "call", "at",
+    ]
+    seps = [" ", "  ", ", ", ". ", " x", "x ", "\t", " (", ") "]
+    texts = []
+    for _ in range(200):
+        k = rng.randint(1, 8)
+        texts.append(
+            "".join(rng.choice(atoms) + rng.choice(seps) for _ in range(k)).strip()
+        )
+
+    rows = _spark_rows(spark, texts)
+    con = duckdb.connect()
+    sql = "SELECT {} AS red, {} FROM (SELECT ? AS t)".format(
+        pii_oracle_sql("t"),
+        ", ".join(f"{e} AS {n}" for n, e in pii_counts_oracle_sql("t")),
+    )
+    for s, row in zip(texts, rows):
+        duck = con.execute(sql, [s]).fetchone()
+        py = s
+        for _n, pat, tok in PII_PATTERNS:
+            py = re.sub(pat, tok, py)
+        py_counts = [len(re.findall(p, s)) for _n, p, _t in PII_PATTERNS]
+        assert row.red == duck[0] == py, s
+        assert [row[n] for n, _p, _t in PII_PATTERNS] == list(duck[1:]) == py_counts, s
