@@ -19,8 +19,10 @@ Spark-first shape, built for the 100 TB / small-benchmark asymmetry:
 
 Tokenization and the short-doc rule mirror :mod:`operators.dedup`'s
 gram machinery (lowercase, split on non-alphanumerics; docs shorter
-than ``n`` tokens contribute their whole joined text as one gram), so
-one oracle-SQL spelling (:func:`ngram_case_sql`) serves both families.
+than ``n`` tokens contribute their whole joined text as one gram —
+except zero-token docs, which emit NO gram: empty shares no content,
+so it must never match), and one oracle-SQL spelling
+(:func:`ngram_case_sql`) serves the family.
 """
 
 from __future__ import annotations
@@ -57,9 +59,13 @@ def token_ngram_rows(
     )
     joined = F.trim(F.regexp_replace(F.lower(F.col(text_col)), TOKEN_SPLIT_RE, " "))
     n_tokens = F.when(joined == "", F.lit(0)).otherwise(F.size(F.split(joined, " ")))
+    # zero-token docs emit NO gram (an empty doc shares no content, so it
+    # must never match anything — including another empty doc); fuzz
+    # caught the '' gram as both wrong and engine-divergent (DuckDB's
+    # array_to_string([], ' ') is NULL, not '')
     short = (
         docs.select(F.col(id_col).alias("id"), joined.alias("gram"), n_tokens.alias("_n"))
-        .where(F.col("_n") < n)
+        .where((F.col("_n") < n) & (F.col("_n") > 0))
         .select("id", "gram")
     )
     return grams.unionByName(short)
@@ -114,7 +120,8 @@ def ngram_case_sql(n: int = DECONTAM_N, t: str = "t") -> str:
     <n-token docs)."""
     window = " || ' ' || ".join(f"{t}[i+{j}]" for j in range(n))
     return (
-        f"CASE WHEN len({t}) < {n} THEN [array_to_string({t}, ' ')] "
+        f"CASE WHEN len({t}) = 0 THEN [] "
+        f"WHEN len({t}) < {n} THEN [array_to_string({t}, ' ')] "
         f"ELSE [{window} for i in range(1, greatest(len({t}) - {n - 1}, 0) + 1)] END"
     )
 
@@ -158,8 +165,10 @@ def flag_contaminated(
     joined = F.trim(F.regexp_replace(F.lower(F.col(text_col)), TOKEN_SPLIT_RE, " "))
     toks = F.split(joined, " ")
     n_tokens = F.when(joined == "", F.lit(0)).otherwise(F.size(toks))
-    grams = F.when(n_tokens < n, F.array(joined)).otherwise(
-        F.filter(_token_ngrams(toks, n), lambda g: g != "")
+    grams = (
+        F.when(n_tokens == 0, F.array().cast("array<string>"))
+        .when(n_tokens < n, F.array(joined))
+        .otherwise(F.filter(_token_ngrams(toks, n), lambda g: g != ""))
     )
     return (
         corpus.crossJoin(F.broadcast(bench_grams))

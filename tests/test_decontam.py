@@ -118,3 +118,35 @@ def test_flag_twin_matches_anti_join_on_corpus(spark):
         if r.is_contaminated
     }
     assert got == want and want  # non-empty: the planted snippets flag
+
+
+def test_fuzzed_gram_parity_with_duckdb(spark):
+    """Seeded fuzz: random token-salad texts (tiny alphabet, empties,
+    punctuation runs) — token_ngram_rows must equal the DuckDB gram CASE
+    at n=2 and n=8, including short-doc and empty-doc rules."""
+    import random
+
+    rng = random.Random(20260814)
+    words = ["a", "bb", "ccc", "o'k", "Z", "42", "-", "..", ""]
+    texts = []
+    for _ in range(120):
+        k = rng.randint(0, 12)
+        texts.append(" ".join(rng.choice(words) for _ in range(k)))
+    corpus = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", list(enumerate(texts)))
+    for n in (2, 8):
+        got = sorted(
+            (r.id, r.gram)
+            for r in decontam.token_ngram_rows(corpus, n).distinct().collect()
+        )
+        want = sorted(
+            con.execute(
+                "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+                "'[^a-z0-9'']+'), x -> x != '') AS t FROM c) "
+                f"SELECT DISTINCT doc_id, unnest({decontam.ngram_case_sql(n)}) AS gram FROM toks"
+            ).fetchall()
+        )
+        assert got == want, n
