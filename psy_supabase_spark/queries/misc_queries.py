@@ -227,21 +227,15 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate r is a strict subset of its sample at r' > r (nested samples,
     so mixtures can be re-balanced without re-shuffling data).  Pure
     map-side predicate — reaches the scan as a pushed filter."""
-    from ..functions.hashing import md5_hash32
+    from ..operators.sampling import domain_weighted_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    rate = F.coalesce(
-        F.element_at(
-            F.create_map(*[F.lit(x) for kv in sorted(DOMAIN_RATES.items()) for x in kv]),
-            F.col("lang"),
-        ),
-        F.lit(DEFAULT_DOMAIN_RATE),
-    )
-    return (
-        docs.withColumn("domain_rate", rate.cast("int"))
-        .where(md5_hash32(F.col("doc_id").cast("string")) % 100 < F.col("domain_rate"))
-        .select("doc_id", "lang", "domain_rate")
-    )
+    return domain_weighted_sample(
+        docs,
+        DOMAIN_RATES,
+        default_rate=DEFAULT_DOMAIN_RATE,
+        rate_col="domain_rate",
+    ).select("doc_id", "lang", "domain_rate")
 
 
 @register(
