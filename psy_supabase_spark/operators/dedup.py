@@ -697,3 +697,78 @@ def dedup_keep_representative(
     comp = connected_components(pairs, a_col=a_col, b_col=b_col)
     drop = comp.where(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
     return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def dedup_lines(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """CORPUS-LEVEL duplicate-line removal (the Dolma / CCNet "paragraph
+    dedup" stage): every line that appears anywhere else in the corpus
+    survives only at its FIRST occurrence (min (doc_id, line_no)); later
+    occurrences are dropped and each document is reassembled from its
+    surviving lines in order.  This is the boilerplate killer — headers,
+    cookie banners, license blocks repeated across millions of pages —
+    which document-level dedup (exact/minhash) cannot touch because the
+    surrounding documents differ.
+
+    Returns (id, text, n_lines_kept, n_lines_dropped).  Documents whose
+    every line was dropped keep an empty text (auditable), not a missing
+    row.  Lines shorter than ``min_line_chars`` after trim are kept
+    verbatim without participating in dedup (blank separators are
+    structure, not boilerplate).
+
+    Scale shape (3 well-formed shuffles, no valve needed):
+
+    1. posexplode lines → group by the LINE itself, aggregating
+       ``min(struct(doc_id, line_no))``.  A line occurring 10⁹ times is
+       exactly what this stage removes, and partial (map-side)
+       aggregation reduces every hot line to one row per task before the
+       exchange — skew is structurally benign, unlike the pair-join
+       shapes that need caps/salts.
+    2. The winners (line, keeper doc, keeper pos) join back to the
+       exploded lines on the line key — same partitioning, one exchange,
+       AQE-planned.
+    3. Reassembly: group by doc, ``array_sort`` the surviving
+       (line_no, line) structs, concat.  Shuffles (id, surviving text)
+       once.
+
+    The line group key is the raw line string; at 100 TB swap in
+    ``xxhash64(line)`` + collision verify (the ``hash_first`` spelling of
+    :func:`exact_dedup`) to keep the exchange narrow.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    eligible = lines.where(F.length(F.trim(F.col("line"))) >= min_line_chars)
+    winners = eligible.groupBy("line").agg(
+        F.min(F.struct("id", "line_no")).alias("w")
+    )
+    survivors = eligible.join(winners, "line").where(
+        (F.col("id") == F.col("w.id")) & (F.col("line_no") == F.col("w.line_no"))
+    )
+    short = lines.where(F.length(F.trim(F.col("line"))) < min_line_chars)
+    kept = survivors.select("id", "line_no", "line").unionByName(
+        short.select("id", "line_no", "line")
+    )
+    n_lines = lines.groupBy("id").agg(F.count("*").alias("_n_total"))
+    kept_agg = kept.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("line_no", "line"))).alias("_k")
+    )
+    # left join from the per-doc totals: a doc whose EVERY line was
+    # dropped still comes back (empty text), it doesn't vanish
+    empty = F.array().cast("array<struct<line_no:int,line:string>>")
+    return (
+        n_lines.join(kept_agg, "id", "left")
+        .withColumn("_k", F.coalesce(F.col("_k"), empty))
+        .select(
+            F.col("id").alias(id_col),
+            F.array_join(F.transform("_k", lambda s: s.line), "\n").alias(text_col),
+            F.size("_k").cast("bigint").alias("n_lines_kept"),
+            (F.col("_n_total") - F.size("_k")).cast("bigint").alias("n_lines_dropped"),
+        )
+    )
