@@ -26,6 +26,21 @@ from ..sources.catalog import load_table
 from .dedup_queries import _CLEAN, _EXACT_JACCARD_SQL, _TOKS
 from .text_queries import _stopword_ratio_sql, _WS_COUNT_SQL
 
+# URL source-hygiene stage: the corpus carries no URLs, so (as with the
+# PII columns in text_clean_pack) each doc gets a deterministic
+# doc_id-derived URL and the gate checks the REAL host-extraction +
+# suffix-blocklist arithmetic — docs landing on the blocked host
+# (doc_id % 5 == 0 by construction) must drop.
+_URL_AUG_SQL = (
+    "{q}text || ' ref https://src' || CAST({q}doc_id % 5 AS VARCHAR) || '.example.com/page'"
+)
+_URL_BLOCKED_SQL = """len(list_filter(
+      list_transform(regexp_extract_all({aug}, '(https?://\\S+|www\\.\\S+)', 1),
+                     u -> lower(regexp_extract(u, '^(?:https?://)?(?:www\\.)?([^/:?#\\s]+)', 1))),
+      h -> h = 'src0.example.com' OR ends_with(h, '.src0.example.com'))) > 0""".format(
+    aug=_URL_AUG_SQL.format(q="d.")
+)
+
 _QUALITY_SQL = f"""ROUND((
   (CASE WHEN {_WS_COUNT_SQL} BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
   + (CASE WHEN length(text) = 0 THEN 0.0
@@ -56,6 +71,7 @@ _QUALITY_SQL = f"""ROUND((
       JOIN exact_keepers k ON d.doc_id = k.doc_id
       WHERE d.doc_id NOT IN (SELECT id_b FROM neardup_pairs)
         AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND NOT ({_URL_BLOCKED_SQL})
     ),
     gated AS (
       SELECT doc_id, text, lang, source, {_QUALITY_SQL} AS quality
@@ -100,10 +116,20 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contaminated = decontam.contaminated_ids(docs, bench, n=8)
 
+    from ..functions import url as URL
+
+    url_aug = F.concat(
+        F.col("text"),
+        F.lit(" ref https://src"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/page"),
+    )
     survivors = (
         docs.join(keepers, "doc_id", "left_semi")
         .join(neardups, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
+        # URL source hygiene: map-side predicate, no join (functions/url)
+        .where(~URL.is_blocked(url_aug, ["src0.example.com"]))
     )
 
     quality = TX.quality_score(F.col("text"))
