@@ -2,6 +2,7 @@
 
     documents → exact-dup removal → near-dup removal (n-gram Jaccard)
               → benchmark decontamination (shared-8-gram removal)
+              → URL domain-blocklist hygiene
               → quality gate → language gate → deterministic sample
               → training-format reshape
 
