@@ -88,9 +88,9 @@ _QUALITY_SQL = f"""ROUND((
     """,
 )
 def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup (exact + near-dup) → benchmark decontamination → quality/lang
-    gates → 50% hash sample → instruction-format reshape, composed from
-    the engine's operators.
+    """Dedup (exact + near-dup) → benchmark decontamination → URL
+    domain-blocklist hygiene → quality/lang gates → 50% hash sample →
+    instruction-format reshape, composed from the engine's operators.
 
     The decontamination stage's "benchmark" is built in-query (tokens
     4..21 of every ``doc_id % 97 == 0`` doc — the synthetic corpus shares
