@@ -325,3 +325,20 @@ class PsyEngine:
         write_jsonl(
             df, path, num_shards=num_shards, max_records_per_file=max_records_per_file
         )
+
+    def dedup_lines(self, docs: DataFrame, **kw) -> DataFrame:
+        """Corpus-level duplicate-line removal (operators/dedup.dedup_lines
+        — the boilerplate stage; first occurrence wins, docs reassemble
+        in order)."""
+        from .operators.dedup import dedup_lines
+
+        return dedup_lines(docs, **kw)
+
+    def filter_blocked_urls(
+        self, docs: DataFrame, blocklist: list[str], **kw
+    ) -> DataFrame:
+        """Drop (or flag, via keep_flag=) docs whose URLs hit a domain
+        blocklist (functions/url — suffix-aware, map-side)."""
+        from .functions.url import blocklist_filter
+
+        return blocklist_filter(docs, blocklist, **kw)

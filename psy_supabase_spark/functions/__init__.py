@@ -1,1 +1,1 @@
-from . import hashing, json_ops, text, vector  # noqa: F401
+from . import bpe, hashing, json_ops, ner, pii, quality, response_clean, text, url, vector  # noqa: F401

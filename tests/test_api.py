@@ -213,3 +213,14 @@ def test_decontam_is_streaming_compatible(spark, tmp_path):
     q.awaitTermination(60)
     got = [r.doc_id for r in spark.sql("SELECT doc_id FROM decontam_stream").collect()]
     assert got == [1]
+
+
+def test_line_dedup_and_url_facades(engine, spark):
+    docs = spark.createDataFrame(
+        [(1, "keep me\nSHARED"), (2, "SHARED\nmine"), (3, "see https://bad.example.com/x")],
+        "doc_id long, text string",
+    )
+    lines = {r.doc_id: r.text for r in engine.dedup_lines(docs).collect()}
+    assert lines[1] == "keep me\nSHARED" and lines[2] == "mine"
+    kept = {r.doc_id for r in engine.filter_blocked_urls(docs, ["example.com"]).collect()}
+    assert kept == {1, 2}
