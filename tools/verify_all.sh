@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# The pre-snapshot verify loop (run before every round snapshot):
+#   1. oracle gate replica at sf0.01 (the driver's correctness surface)
+#   2. full pytest suite
+#   3. bench at sf0.1 (one JSON line; compare against BENCH_r{N}.json)
+#   4. driver entry smoke
+# Exit non-zero on the first failing surface.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/4 oracle gate (sf0.01) =="
+python tools/oracle_check.py /root/testdata/sf0.01
+
+echo "== 2/4 pytest =="
+python -m pytest tests/ -q
+
+echo "== 3/4 bench (sf0.1) =="
+python bench.py 2>/dev/null | tail -1
+
+echo "== 4/4 entry smoke =="
+python - <<'PY'
+from psy_supabase_spark.session import get_spark
+import __spark_entry__ as e
+df = e.entry(get_spark("verify-smoke"))
+n = df.count()
+assert n >= 0
+print(f"entry ok: {n} rows, schema [{', '.join(c for c, _ in df.dtypes)}]")
+PY
+echo "ALL GREEN"
