@@ -326,6 +326,28 @@ class PsyEngine:
             df, path, num_shards=num_shards, max_records_per_file=max_records_per_file
         )
 
+    def score_fluency(
+        self,
+        docs: DataFrame,
+        *,
+        train_on: DataFrame | None = None,
+        vocab_cap: int | None = 1_000_000,
+        bigram_cap: int | None = 10_000_000,
+    ) -> DataFrame:
+        """Per-doc LM fluency: bigram Stupid-Backoff avg log-prob +
+        perplexity (operators/lm — the CCNet quality-filter stage).
+        ``train_on`` defaults to the scored corpus itself; pass a clean
+        reference corpus (CCNet uses Wikipedia) when you have one.  Caps
+        default ON so the model broadcasts at scale."""
+        from .operators import lm
+
+        model = lm.train_bigram_lm(
+            train_on if train_on is not None else docs,
+            vocab_cap=vocab_cap,
+            bigram_cap=bigram_cap,
+        )
+        return docs.join(lm.score_documents(docs, model), "doc_id", "left")
+
     def dedup_lines(self, docs: DataFrame, **kw) -> DataFrame:
         """Corpus-level duplicate-line removal (operators/dedup.dedup_lines
         — the boilerplate stage; first occurrence wins, docs reassemble

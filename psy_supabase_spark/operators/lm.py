@@ -1,0 +1,256 @@
+"""N-gram language-model perplexity scoring — the CCNet quality filter.
+
+Real pretraining pipelines (CCNet Wenzek 2020; RedPajama; FineWeb) score
+every document's perplexity under a small n-gram LM and drop or
+down-weight the worst tail: gibberish, boilerplate, and OCR noise score
+far worse than fluent prose under even a bigram model.  The reference
+engine has no LM stage; this is a north-star pipeline extension like
+dedup/decontam (see COVERAGE.md Extensions).
+
+Model: bigram **Stupid Backoff** (Brants 2007, "Large Language Models in
+Machine Translation") — the smoothing designed FOR distributed
+estimation at scale: score(w2|w1) = count(w1 w2)/count(w1) when the
+bigram was seen, else alpha * count(w2)/total (alpha = 0.4, the paper's
+value).  Unnormalized scores, no discounting state, every statistic a
+plain distributed count — unlike Kneser-Ney there is nothing to
+sequentialize.
+
+Spark-first shape, 100 TB rules:
+
+- **Training is two shuffle-by-key counts** (unigram, bigram) with
+  map-side partial aggregation; the token/bigram explode is shuffle-free
+  codegen (``arrays_zip`` + slice, the :mod:`operators.decontam`
+  spelling at n=2).
+- **The model is bounded, then broadcast.**  ``vocab_cap``/``bigram_cap``
+  keep the top-K rows by count via distributed sort+limit (the
+  :mod:`functions.bpe` bound pattern) — a capped-out bigram degrades
+  gracefully to the backoff term, a capped-out word to the OOV floor.
+  With caps set, scoring is one corpus scan plus broadcast hash probes;
+  uncapped (the oracle-parity mode) the joins shuffle and AQE picks the
+  strategy.
+- **Scoring is order-independent bit-for-bit.**  Each bigram's log term
+  is rounded to 6 dp and summed as DECIMAL(20,6) — exact under any
+  partitioning/ordering — then averaged in double and rounded.  A DuckDB
+  oracle reproduces the value exactly (:func:`stupid_backoff_sql`);
+  ``training_pipeline`` absorbs the score as a driver-gated column.
+
+Tokenization mirrors :mod:`operators.dedup` (lowercase, split on
+``[^a-z0-9']+``) so one oracle spelling serves the whole text family.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import TOKEN_SPLIT_RE
+
+ALPHA = 0.4  # Brants 2007's backoff weight
+
+
+def _token_array(text_col: str) -> Column:
+    joined = F.trim(F.regexp_replace(F.lower(F.col(text_col)), TOKEN_SPLIT_RE, " "))
+    return F.when(joined == "", F.array().cast("array<string>")).otherwise(
+        F.split(joined, " ")
+    )
+
+
+def _bigram_rows(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) rows — one per adjacent token pair, map-side only."""
+    arr = F.col("arr")
+    zipped = F.arrays_zip(arr.alias("w1"), F.slice(arr, 2, F.size(arr)).alias("w2"))
+    return (
+        docs.select(F.col(id_col).alias("id"), _token_array(text_col).alias("arr"))
+        .select("id", F.explode(zipped).alias("t"))
+        .where(F.col("t.w2").isNotNull())
+        .select("id", F.col("t.w1").alias("w1"), F.col("t.w2").alias("w2"))
+    )
+
+
+@dataclass(frozen=True)
+class BigramLM:
+    """A trained Stupid-Backoff bigram model.
+
+    ``unigrams``: (w, c) — token counts.  ``bigrams``: (w1, w2, c).
+    ``total``: the corpus token count — ONE scalar, computed at train
+    time (a bounded driver action like the IVF fit; folding it into the
+    scoring plan as a literal beats any join spelling — a 1-row
+    cross/constant-key join degenerates to BroadcastNestedLoopJoin under
+    constant folding, which the plan audit rightly bans).
+    ``bounded``: True when caps were applied — scoring then broadcasts
+    the model sides explicitly.
+    """
+
+    unigrams: DataFrame
+    bigrams: DataFrame
+    total: int
+    bounded: bool
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    vocab_cap: int | None = None,
+    bigram_cap: int | None = None,
+) -> BigramLM:
+    """Count-train the model: two groupBy-count passes over the corpus.
+
+    ``vocab_cap`` / ``bigram_cap`` bound the model to its top-K rows by
+    count (distributed sort+limit — nothing collects to the driver); the
+    totals row is computed BEFORE capping so probabilities keep the true
+    denominator.  At 100 TB cap both (e.g. 1M/10M) so the model
+    broadcasts; dropped rows degrade to backoff/OOV terms rather than
+    erroring.
+    """
+    toks = docs.select(F.explode(_token_array(text_col)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    # the ONLY training-time action: one aggregate scalar (computed
+    # BEFORE capping so probabilities keep the true denominator)
+    total = int(uni.agg(F.sum("c")).collect()[0][0] or 0)
+    big = (
+        _bigram_rows(
+            docs.select(F.lit(0).alias("_id"), F.col(text_col)),
+            id_col="_id",
+            text_col=text_col,
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    bounded = vocab_cap is not None or bigram_cap is not None
+    if vocab_cap is not None:
+        uni = uni.orderBy(F.col("c").desc(), F.col("w")).limit(vocab_cap)
+    if bigram_cap is not None:
+        big = big.orderBy(F.col("c").desc(), "w1", "w2").limit(bigram_cap)
+    return BigramLM(unigrams=uni, bigrams=big, total=total, bounded=bounded)
+
+
+def score_documents(
+    docs: DataFrame,
+    lm: BigramLM,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """(id_col, n_bigrams, avg_logprob, ppl) per document.
+
+    avg_logprob = mean over the doc's bigrams of the Stupid-Backoff log
+    score; docs with < 2 tokens have no bigrams → NULL score, 0 count
+    (score them by policy, don't guess).  ppl = exp(-avg_logprob), the
+    conventional reading (lower = more fluent).
+
+    Per-term rounding to 6 dp + DECIMAL summation makes the result
+    independent of partitioning and summation order — reproducible
+    cluster-wide and oracle-checkable (registry convention).
+    """
+    maybe_b = F.broadcast if lm.bounded else (lambda df: df)
+    rows = _bigram_rows(docs, id_col=id_col, text_col=text_col)
+    joined = (
+        rows.join(
+            maybe_b(lm.bigrams.select("w1", "w2", F.col("c").alias("_bc"))),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            maybe_b(lm.unigrams.select(F.col("w").alias("w1"), F.col("c").alias("_u1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            maybe_b(lm.unigrams.select(F.col("w").alias("w2"), F.col("c").alias("_u2"))),
+            "w2",
+            "left",
+        )
+    )
+    term = F.when(
+        F.col("_bc").isNotNull() & F.col("_u1").isNotNull(),
+        F.round(F.log(F.col("_bc").cast("double") / F.col("_u1")), 6),
+    ).otherwise(
+        # backoff: alpha * c(w2)/N; OOV floor: count 1 (add-one on the
+        # unseen word so the log stays finite)
+        F.round(
+            F.log(
+                F.lit(alpha)
+                * F.coalesce(F.col("_u2"), F.lit(1)).cast("double")
+                / F.lit(float(max(lm.total, 1)))
+            ),
+            6,
+        )
+    )
+    scored = joined.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum(term.cast("decimal(20,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_logprob"),
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return (
+        base.join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("avg_logprob"),
+            F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+        )
+    )
+
+
+def ppl_filter(
+    docs: DataFrame,
+    lm: BigramLM,
+    *,
+    max_ppl: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_unscored: bool = True,
+) -> DataFrame:
+    """Drop documents whose perplexity exceeds ``max_ppl`` (the CCNet
+    tail cut, with a FIXED threshold rather than corpus quantiles so the
+    gate is deterministic under corpus growth; pick the threshold once
+    from ``score_documents`` + ``approxQuantile`` on a sample and pin
+    it).  ``keep_unscored`` decides the < 2-token docs."""
+    scored = score_documents(docs, lm, id_col=id_col, text_col=text_col)
+    keep = scored.where(
+        (F.col("ppl") <= max_ppl)
+        | (F.col("avg_logprob").isNull() if keep_unscored else F.lit(False))
+    ).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
+def stupid_backoff_sql(
+    *,
+    toks_cte: str = "toks_all",
+    alpha: float = ALPHA,
+) -> str:
+    """DuckDB CTE block mirroring train+score, for composition into a
+    larger oracle.  Expects an in-scope CTE ``toks_cte`` of
+    (doc_id, t: VARCHAR[]) over the SAME corpus the model trains on;
+    emits CTE ``lm_scored`` of (doc_id, n_bigrams, avg_logprob)."""
+    return f"""
+    lm_big_rows AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM {toks_cte}, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    lm_uni AS (SELECT w, COUNT(*) AS c
+               FROM (SELECT unnest(t) AS w FROM {toks_cte}) GROUP BY w),
+    lm_tot AS (SELECT SUM(c) AS n FROM lm_uni),
+    lm_big AS (SELECT w1, w2, COUNT(*) AS c FROM lm_big_rows GROUP BY w1, w2),
+    lm_terms AS (
+      SELECT r.doc_id,
+             CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL
+                  THEN ROUND(ln(b.c::DOUBLE / u1.c), 6)
+                  ELSE ROUND(ln({alpha} * COALESCE(u2.c, 1)::DOUBLE / (SELECT n FROM lm_tot)), 6)
+             END AS term
+      FROM lm_big_rows r
+      LEFT JOIN lm_big b ON b.w1 = r.w1 AND b.w2 = r.w2
+      LEFT JOIN lm_uni u1 ON u1.w = r.w1
+      LEFT JOIN lm_uni u2 ON u2.w = r.w2
+    ),
+    lm_scored AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(CAST(SUM(CAST(term AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+      FROM lm_terms GROUP BY doc_id
+    )"""

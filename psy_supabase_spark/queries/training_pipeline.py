@@ -4,6 +4,7 @@
               → benchmark decontamination (shared-8-gram removal)
               → URL domain-blocklist hygiene
               → quality gate → language gate → deterministic sample
+              → LM fluency scoring (bigram Stupid Backoff, operators/lm)
               → training-format reshape
 
 Every stage is an operator from this engine; the whole composition is a
@@ -20,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions.hashing import md5_hash32
-from ..operators import dedup, decontam
+from ..operators import dedup, decontam, lm
 from ..operators.decontam import ngram_case_sql
 from ..registry import register
 from ..sources.catalog import load_table
@@ -78,13 +79,15 @@ _QUALITY_SQL = f"""ROUND((
       SELECT doc_id, text, lang, source, {_QUALITY_SQL} AS quality
       FROM survivors
       WHERE {_QUALITY_SQL} >= 0.6 AND lang = 'en'
-    )
-    SELECT doc_id,
-           'Summarize the following ' || source || ' document' AS instruction,
-           text AS input,
-           quality
-    FROM gated
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+    ),
+    {lm.stupid_backoff_sql()}
+    SELECT g.doc_id,
+           'Summarize the following ' || g.source || ' document' AS instruction,
+           g.text AS input,
+           g.quality,
+           s.avg_logprob AS lm_logprob
+    FROM gated g LEFT JOIN lm_scored s ON s.doc_id = g.doc_id
+    WHERE CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
     """,
 )
 def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,11 +142,21 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("quality") >= 0.6) & (F.col("lang") == "en"))
     )
     sampled = gated.where(md5_hash32(F.col("doc_id").cast("string")) % 100 < 50)
-    return sampled.select(
+
+    # LM fluency score (CCNet stage): bigram Stupid-Backoff model trained
+    # on the full corpus, scored onto the surviving sample — emitted as a
+    # column (not a filter) so the driver gate checks the whole
+    # train+score arithmetic without a data-dependent threshold
+    model = lm.train_bigram_lm(docs)
+    lm_scores = lm.score_documents(docs, model).select(
+        "doc_id", F.col("avg_logprob").alias("lm_logprob")
+    )
+    return sampled.join(lm_scores, "doc_id", "left").select(
         "doc_id",
         F.concat(F.lit("Summarize the following "), F.col("source"), F.lit(" document")).alias(
             "instruction"
         ),
         F.col("text").alias("input"),
         "quality",
+        "lm_logprob",
     )

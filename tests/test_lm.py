@@ -1,0 +1,132 @@
+"""Stupid-Backoff bigram LM: hand-computed scores, backoff/OOV terms,
+cap degradation, filter semantics, plan shape (operators/lm)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from psy_supabase_spark.operators import lm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # corpus: "a b" x2, "a c", "b" — unigrams a:3 b:3 c:1 (N=7),
+    # bigrams (a,b):2 (a,c):1
+    return _docs(
+        spark,
+        [(0, "a b"), (1, "a b"), (2, "a c"), (3, "b")],
+    )
+
+
+def test_hand_computed_scores(spark, tiny):
+    model = lm.train_bigram_lm(tiny)
+    out = {r["doc_id"]: r for r in lm.score_documents(tiny, model).collect()}
+    # doc 0/1: one bigram (a,b): ln(2/3)
+    expect_ab = round(round(math.log(2 / 3), 6) / 1, 6)
+    assert out[0]["n_bigrams"] == 1 and out[0]["avg_logprob"] == expect_ab
+    assert out[1]["avg_logprob"] == expect_ab
+    # doc 2: (a,c): ln(1/3)
+    assert out[2]["avg_logprob"] == round(round(math.log(1 / 3), 6), 6)
+    # doc 3: single token — no bigrams, NULL score
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] is None
+    # ppl = exp(-avg)
+    assert out[0]["ppl"] == round(math.exp(-expect_ab), 6)
+
+
+def test_backoff_and_oov_terms(spark, tiny):
+    model = lm.train_bigram_lm(tiny)
+    # "b a": bigram (b,a) unseen -> backoff alpha*c(a)/N = .4*3/7
+    # "a z": (a,z) unseen, z OOV -> alpha*1/N
+    probe = _docs(spark, [(10, "b a"), (11, "a z")])
+    out = {r["doc_id"]: r["avg_logprob"] for r in lm.score_documents(probe, model).collect()}
+    assert out[10] == round(round(math.log(0.4 * 3 / 7), 6), 6)
+    assert out[11] == round(round(math.log(0.4 * 1 / 7), 6), 6)
+
+
+def test_caps_degrade_to_backoff_not_error(spark, tiny):
+    # bigram_cap=1 keeps only (a,b); (a,c) must fall back to the backoff
+    # term instead of erroring, and the model marks itself bounded
+    model = lm.train_bigram_lm(tiny, vocab_cap=2, bigram_cap=1)
+    assert model.bounded
+    assert model.bigrams.count() == 1 and model.unigrams.count() == 2
+    out = {r["doc_id"]: r["avg_logprob"] for r in lm.score_documents(tiny, model).collect()}
+    # vocab_cap=2 keeps a,b (count 3 each); c capped out -> OOV floor
+    assert out[2] == round(round(math.log(0.4 * 1 / 7), 6), 6)
+    # capped model total keeps the TRUE denominator (computed pre-cap)
+    assert model.total == 7
+
+
+def test_scores_independent_of_partitioning(spark, tiny):
+    model = lm.train_bigram_lm(tiny)
+    one = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.score_documents(tiny.coalesce(1), model).collect()
+    }
+    many = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.score_documents(tiny.repartition(16), model).collect()
+    }
+    assert one == many
+
+
+def test_ppl_filter_drops_tail(spark, tiny):
+    model = lm.train_bigram_lm(tiny)
+    # gibberish doc scores at the OOV floor -> huge ppl -> dropped
+    corpus = tiny.union(_docs(spark, [(99, "zq xv qqj wv")]))
+    scored = {r["doc_id"]: r["ppl"] for r in lm.score_documents(corpus, model).collect()}
+    cut = (scored[0] + scored[99]) / 2
+    kept = {r["doc_id"] for r in lm.ppl_filter(corpus, model, max_ppl=cut).collect()}
+    assert 99 not in kept and {0, 1, 2}.issubset(kept)
+    assert 3 in kept  # unscored single-token doc kept by default
+    kept_strict = {
+        r["doc_id"]
+        for r in lm.ppl_filter(corpus, model, max_ppl=cut, keep_unscored=False).collect()
+    }
+    assert 3 not in kept_strict
+
+
+def test_bounded_model_broadcasts_in_plan(spark, tiny):
+    model = lm.train_bigram_lm(tiny, vocab_cap=100, bigram_cap=100)
+    plan = lm.score_documents(tiny, model)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_empty_and_whitespace_docs(spark):
+    docs = _docs(spark, [(0, ""), (1, "   "), (2, "x y")])
+    model = lm.train_bigram_lm(docs)
+    out = {r["doc_id"]: r for r in lm.score_documents(docs, model).collect()}
+    assert out[0]["n_bigrams"] == 0 and out[0]["avg_logprob"] is None
+    assert out[1]["n_bigrams"] == 0
+    assert out[2]["n_bigrams"] == 1
+
+
+def test_duckdb_oracle_parity_sf0001(spark):
+    import duckdb
+
+    from psy_supabase_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    model = lm.train_bigram_lm(docs)
+    sp = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm.score_documents(docs, model).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x != '')"
+    sql = (
+        f"WITH toks_all AS (SELECT doc_id, {toks} AS t FROM documents),"
+        + lm.stupid_backoff_sql()
+        + " SELECT * FROM lm_scored"
+    )
+    du = {int(r[0]): (int(r[1]), float(r[2])) for r in con.sql(sql).fetchall()}
+    assert {k: v for k, v in sp.items() if v[0] > 0} == du
