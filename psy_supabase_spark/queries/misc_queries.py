@@ -148,32 +148,103 @@ def prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDUP_EPS = 0.4  # low for the uniform-random corpus (real dup corpora use 0.95+)
+_COS_EB = """CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) = 0
+                  OR sqrt(list_dot_product(c.cv, c.cv)) = 0 THEN 0
+             ELSE list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(c.cv, c.cv))) END"""
+
+
 @register(
     "embedding_codec_roundtrip",
-    oracle="""
-    SELECT vec_id, TRUE AS roundtrip_ok,
-           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
-           len(embedding) AS dim
-    FROM embeddings
+    oracle=f"""
+    WITH RECURSIVE cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4
+    ),
+    sd_scored AS (
+      SELECT e.vec_id, c.cid, {_COS_EB} AS sim FROM embeddings e CROSS JOIN cents c
+    ),
+    sd_asg AS (
+      SELECT vec_id, cid, ROUND(sim, 6) AS csim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+        FROM sd_scored
+      ) WHERE rk = 1
+    ),
+    sd_pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM sd_asg a JOIN sd_asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) > 0
+        AND sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])) > 0
+        AND ROUND(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+                  (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 6)
+            >= {_SEMDUP_EPS}
+    ),
+    sd_edges AS (SELECT ia AS s, ib AS d FROM sd_pairs UNION SELECT ib, ia FROM sd_pairs),
+    sd_reach AS (
+      SELECT s AS id, s AS comp FROM sd_edges
+      UNION
+      SELECT e.d AS id, r.comp FROM sd_reach r JOIN sd_edges e ON e.s = r.id
+    ),
+    sd_comps AS (SELECT id, MIN(comp) AS comp FROM sd_reach GROUP BY id),
+    sd_reps AS (
+      SELECT id FROM (
+        SELECT m.id, ROW_NUMBER() OVER (PARTITION BY m.comp ORDER BY a.csim ASC, m.id ASC) AS rk
+        FROM sd_comps m JOIN sd_asg a ON a.vec_id = m.id
+      ) WHERE rk = 1
+    ),
+    sd_dropped AS (SELECT id FROM sd_comps WHERE id NOT IN (SELECT id FROM sd_reps))
+    SELECT e.vec_id, TRUE AS roundtrip_ok,
+           ROUND(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS l2_norm,
+           len(e.embedding) AS dim,
+           a.cid AS centroid_id,
+           e.vec_id NOT IN (SELECT id FROM sd_dropped) AS semdup_kept
+    FROM embeddings e JOIN sd_asg a ON a.vec_id = e.vec_id
     """,
 )
 def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12 compat codec + A4 norm/dim (merged registry slot): the
-    reference ships vectors as '[0.1,...]' strings (database.py:394-399,
-    296-301) and precomputes norms at ingest (rag_processor.py:57); our
-    engine stores native arrays and provides the codec for interop.  The
-    query PROVES the round-trip is lossless (serialize → parse → compare,
-    oracle asserts all-true) and gates the L2-norm/dim expressions."""
+    """T12 compat codec + A4 norm/dim + SemDeDup (merged registry slot):
+    the reference ships vectors as '[0.1,...]' strings
+    (database.py:394-399, 296-301) and precomputes norms at ingest
+    (rag_processor.py:57); our engine stores native arrays and provides
+    the codec for interop.  The query PROVES the round-trip is lossless
+    (serialize → parse → compare, oracle asserts all-true) and gates the
+    L2-norm/dim expressions.
+
+    ``centroid_id`` / ``semdup_kept`` gate :mod:`operators.semdedup`
+    (Abbas 2023) with DETERMINISTIC centroids — the first 4 corpus
+    vectors, the ``ann_pruned_topk_fixed_centroids`` pattern — so the
+    whole chain (GEMM assignment, within-cluster pair GEMM, connected
+    components, keep-the-cluster-edge-member rule) is value-checked by
+    the DuckDB mirror (recursive-CTE closure, same tie-breaks).  The
+    fitted-k-means path is covered by recall tests (tests/test_semdedup)."""
     from ..functions import vector as V
+    from ..operators import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
+    centers = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    asg = semdedup.assign_with_sim(emb, centers).select("vec_id", "centroid_id")
+    flagged = semdedup.semdedup(
+        emb, _SEMDUP_EPS, centers=centers, keep_flag="semdup_kept"
+    ).select("vec_id", "semdup_kept")
+
     serialized = F.concat(F.lit("["), F.array_join(F.col("embedding").cast("array<string>"), ","), F.lit("]"))
     parsed = F.from_json(serialized, "array<float>")
-    return emb.select(
-        "vec_id",
-        (parsed == F.col("embedding")).alias("roundtrip_ok"),
-        V.round6(V.l2_norm("embedding")).alias("l2_norm"),
-        F.size("embedding").cast("bigint").alias("dim"),
+    return (
+        emb.select(
+            "vec_id",
+            (parsed == F.col("embedding")).alias("roundtrip_ok"),
+            V.round6(V.l2_norm("embedding")).alias("l2_norm"),
+            F.size("embedding").cast("bigint").alias("dim"),
+        )
+        .join(asg, "vec_id")
+        .join(flagged, "vec_id")
     )
 
 
