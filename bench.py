@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "multimodal_features",      # mapInPandas path
     "events_hourly_rollup",     # tumbling rollup
     "winnow_neardup",           # winnowing fingerprints + pair search
+    "semdedup_pairs",           # SemDeDup cluster + within-cluster GEMM
+    "lm_score",                 # bigram Stupid-Backoff train + score
 ]
 
 
@@ -73,7 +75,35 @@ def _winnow_neardup(spark, sf_dir):
     )
 
 
-LOCAL_QUERIES = {"winnow_neardup": _winnow_neardup}
+def _semdedup_pairs(spark, sf_dir):
+    # SemDeDup pair stage over the embeddings table: seeded k-means fit +
+    # one GEMM assignment pass + within-cluster GEMM pair search.  eps
+    # 0.5 (the corpus is uniform-random — its worst case, like IVF).
+    from psy_supabase_spark.operators import semdedup
+    from psy_supabase_spark.sources.catalog import load_table
+
+    return semdedup.semdedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), 0.5, n_clusters=8
+    )
+
+
+def _lm_score(spark, sf_dir):
+    # CCNet LM stage end-to-end: train the bigram Stupid-Backoff model on
+    # the corpus (two count shuffles) and score every doc (bounded model
+    # -> broadcast probes)
+    from psy_supabase_spark.operators import lm
+    from psy_supabase_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.train_bigram_lm(docs, vocab_cap=1_000_000, bigram_cap=10_000_000)
+    return lm.score_documents(docs, model)
+
+
+LOCAL_QUERIES = {
+    "winnow_neardup": _winnow_neardup,
+    "semdedup_pairs": _semdedup_pairs,
+    "lm_score": _lm_score,
+}
 
 # (lists, nprobe) sweep, cheapest scan fraction first; first config with
 # recall@10 >= 0.9 wins.  Uniform-random vectors are IVF's worst case —

@@ -326,6 +326,25 @@ class PsyEngine:
             df, path, num_shards=num_shards, max_records_per_file=max_records_per_file
         )
 
+    def semantic_dedup(
+        self,
+        embedded_docs: DataFrame,
+        eps: float = 0.95,
+        *,
+        n_clusters: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        **kw,
+    ) -> DataFrame:
+        """Remove semantic duplicates in embedding space (operators/
+        semdedup — SemDeDup, Abbas 2023: k-means clusters, within-cluster
+        cosine, keep the cluster-edge member per duplicate group)."""
+        from .operators.semdedup import semdedup
+
+        return semdedup(
+            embedded_docs, eps, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col, **kw
+        )
+
     def score_fluency(
         self,
         docs: DataFrame,
@@ -347,6 +366,15 @@ class PsyEngine:
             bigram_cap=bigram_cap,
         )
         return docs.join(lm.score_documents(docs, model), "doc_id", "left")
+
+    def export_training_shards(
+        self, df: DataFrame, path: str, n_shards: int, **kw
+    ) -> DataFrame:
+        """Deterministic globally-shuffled near-equal shards for the
+        trainer (sources/shards); returns the per-shard audit frame."""
+        from .sources.shards import write_training_shards
+
+        return write_training_shards(df, path, n_shards, **kw)
 
     def dedup_lines(self, docs: DataFrame, **kw) -> DataFrame:
         """Corpus-level duplicate-line removal (operators/dedup.dedup_lines
