@@ -281,7 +281,8 @@ DEFAULT_DOMAIN_RATE = 10
     oracle=f"""
     SELECT doc_id, lang,
            CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(DOMAIN_RATES.items()))}
-                ELSE {DEFAULT_DOMAIN_RATE} END AS domain_rate
+                ELSE {DEFAULT_DOMAIN_RATE} END AS domain_rate,
+           CAST(CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard
     FROM documents
     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
           < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(DOMAIN_RATES.items()))}
@@ -297,16 +298,25 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain's weight re-draws ONLY that domain, and a domain's sample at
     rate r is a strict subset of its sample at r' > r (nested samples,
     so mixtures can be re-balanced without re-shuffling data).  Pure
-    map-side predicate — reaches the scan as a pushed filter."""
+    map-side predicate — reaches the scan as a pushed filter.
+
+    The ``shard`` column gates :func:`sources.shards.shard_assignments`
+    (seed 0, 8 shards — the trainer hand-off's membership hash) against
+    the oracle's md5 spelling: sample-then-shard is exactly the corpus
+    → carve → shard pipeline tail."""
     from ..operators.sampling import domain_weighted_sample
+    from ..sources.shards import shard_assignments
 
     docs = load_table(spark, sf_dir, "documents")
-    return domain_weighted_sample(
+    sampled = domain_weighted_sample(
         docs,
         DOMAIN_RATES,
         default_rate=DEFAULT_DOMAIN_RATE,
         rate_col="domain_rate",
-    ).select("doc_id", "lang", "domain_rate")
+    )
+    return shard_assignments(sampled, 8, seed=0).select(
+        "doc_id", "lang", "domain_rate", "shard"
+    )
 
 
 @register(

@@ -224,3 +224,29 @@ def test_line_dedup_and_url_facades(engine, spark):
     assert lines[1] == "keep me\nSHARED" and lines[2] == "mine"
     kept = {r.doc_id for r in engine.filter_blocked_urls(docs, ["example.com"]).collect()}
     assert kept == {1, 2}
+
+
+def test_fluency_semdedup_shard_facades(engine, spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a b"), (3, "zq xv")],
+        "doc_id long, text string",
+    )
+    # train on the clean reference slice (the CCNet setup), score everything
+    ref = docs.where(F.col("doc_id") < 3)
+    scored = {r.doc_id: r.ppl for r in engine.score_fluency(docs, train_on=ref).collect()}
+    assert scored[3] > scored[1]  # OOV gibberish scores worse than modal text
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    kept = {
+        r.vec_id
+        for r in engine.semantic_dedup(
+            emb, 0.99, centers=[[1.0, 0.0], [0.0, 1.0]]
+        ).collect()
+    }
+    assert 3 in kept and len(kept) == 2  # one of the near-identical pair dropped
+
+    audit = engine.export_training_shards(docs, str(tmp_path / "sh"), 2).collect()
+    assert sum(r.n_rows for r in audit) == 3
