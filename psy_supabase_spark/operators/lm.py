@@ -220,6 +220,127 @@ def ppl_filter(
     return docs.join(keep, id_col, "left_semi")
 
 
+def ppl_buckets(
+    scored: DataFrame,
+    *,
+    quantiles: tuple[float, float] = (1 / 3, 2 / 3),
+    score_col: str = "ppl",
+    bucket_col: str = "ppl_bucket",
+    relative_error: float = 0.001,
+) -> tuple[DataFrame, tuple[float, float]]:
+    """CCNet's head/middle/tail perplexity carve (Wenzek 2020 §4.3):
+    bucket documents by corpus ppl terciles — pipelines keep head+middle
+    and drop (or downweight) tail.
+
+    Thresholds come from ``approxQuantile`` (Greenwald-Khanna — one pass,
+    bounded state, the only quantile that scales); they are RETURNED so
+    a pipeline computes them once on a sample epoch and then pins the
+    literals into :func:`ppl_filter`-style map-side gates (a quantile
+    recomputed per run would silently shift the cut as the corpus
+    grows).  NULL scores (< 2-token docs) bucket as 'unscored'.
+    """
+    lo, hi = scored.approxQuantile(score_col, list(quantiles), relative_error)
+    c = F.col(score_col)
+    out = scored.withColumn(
+        bucket_col,
+        F.when(c.isNull(), F.lit("unscored"))
+        .when(c <= lo, F.lit("head"))
+        .when(c <= hi, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return out, (lo, hi)
+
+
+def collect_model(lm: BigramLM, *, max_rows: int = 5_000_000) -> dict:
+    """Driver-side dict form of a BOUNDED model, for the stream-safe
+    scorer.  Refuses unbounded models over ``max_rows`` total entries —
+    train with vocab_cap/bigram_cap first (the same hard-ceiling contract
+    as :mod:`functions.bpe`'s word collect)."""
+    uni = {r["w"]: r["c"] for r in lm.unigrams.collect()}
+    big = {(r["w1"], r["w2"]): r["c"] for r in lm.bigrams.collect()}
+    if len(uni) + len(big) > max_rows:
+        raise ValueError(
+            f"collect_model: {len(uni) + len(big)} model rows > max_rows={max_rows}; "
+            "train with vocab_cap/bigram_cap to bound the model first"
+        )
+    return {"uni": uni, "big": big, "total": lm.total}
+
+
+def score_stream(
+    docs: DataFrame,
+    model: dict,
+    *,
+    text_col: str = "text",
+    alpha: float = ALPHA,
+    score_col: str = "avg_logprob",
+) -> DataFrame:
+    """Append the Stupid-Backoff score as a column — the STREAM-SAFE twin
+    of :func:`score_documents` (the repo's batch/stream-twin rule, like
+    :func:`operators.decontam.flag_contaminated`).
+
+    The batch spelling's groupBy + model joins are not admissible on a
+    ``readStream`` frame without watermark state; this twin is fully
+    STATELESS: the collected (bounded) model rides the closure of one
+    Arrow-batched pandas UDF, each row scored in a single pass over its
+    bigrams.  Rounding mirrors the batch path exactly — per-term HALF_UP
+    to 6 dp, summed in integer micro-units (the DECIMAL(20,6) twin), so
+    stream and batch scores are bit-identical (pinned in tests).
+    """
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd  # noqa: F401 — resolves the UDF's type hints
+    from pyspark.sql.functions import pandas_udf
+
+    globals()["pd"] = pd  # PEP-563 strings eval against module globals
+
+    uni, big, total = model["uni"], model["big"], max(model["total"], 1)
+    split = re.compile(TOKEN_SPLIT_RE)
+    q6 = Decimal("0.000001")
+
+    def _round6_micros(x: float) -> int:
+        # Decimal(repr(x)), NOT Decimal(x): Spark's ROUND feeds HALF_UP
+        # the double's SHORTEST decimal form (Double.toString) — Python's
+        # repr is the same shortest round-trip — while Decimal(float)
+        # expands the exact binary value; they disagree on 7th-digit ties
+        # (found by the batch==twin parity test at sf0.001, doc 392)
+        return int(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP).scaleb(6))
+
+    oov_micros = _round6_micros(math.log(alpha * 1.0 / total))
+
+    @pandas_udf("double")
+    def _score(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in split.split((t or "").lower()) if w != ""]
+            if len(toks) < 2:
+                out.append(None)
+                continue
+            acc = 0
+            n = 0
+            for w1, w2 in zip(toks, toks[1:]):
+                bc = big.get((w1, w2))
+                u1 = uni.get(w1)
+                if bc is not None and u1 is not None:
+                    acc += _round6_micros(math.log(bc / u1))
+                else:
+                    u2 = uni.get(w2)
+                    acc += (
+                        _round6_micros(math.log(alpha * u2 / total))
+                        if u2 is not None
+                        else oov_micros
+                    )
+                n += 1
+            # mirror batch exactly: DECIMAL sum -> double cast -> double
+            # divide -> HALF_UP round (both divisions correctly rounded)
+            avg = acc / 1e6 / n
+            out.append(float(Decimal(repr(avg)).quantize(q6, rounding=ROUND_HALF_UP)))
+        return pd.Series(out, dtype="float64")
+
+    return docs.withColumn(score_col, _score(F.col(text_col)))
+
+
 def stupid_backoff_sql(
     *,
     toks_cte: str = "toks_all",

@@ -130,3 +130,77 @@ def test_duckdb_oracle_parity_sf0001(spark):
     )
     du = {int(r[0]): (int(r[1]), float(r[2])) for r in con.sql(sql).fetchall()}
     assert {k: v for k, v in sp.items() if v[0] > 0} == du
+
+
+def test_stream_twin_matches_batch_scores(spark):
+    """score_stream (stateless Arrow UDF twin) == score_documents
+    (distributed joins) bit-for-bit on the real corpus."""
+    from psy_supabase_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    model = lm.train_bigram_lm(docs, vocab_cap=100_000, bigram_cap=1_000_000)
+    batch = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.score_documents(docs, model).collect()
+    }
+    twin = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.score_stream(docs, lm.collect_model(model)).collect()
+    }
+    assert twin == batch
+
+
+def test_stream_twin_runs_on_readstream(spark, tmp_path):
+    """The twin is admissible on a readStream frame and drains to the
+    batch answer (the admission-pipeline composition contract)."""
+    from psy_supabase_spark.sources.catalog import load_table
+
+    ref = load_table(spark, "/root/testdata/sf0.001", "documents")
+    model = lm.collect_model(lm.train_bigram_lm(ref, vocab_cap=100_000, bigram_cap=1_000_000))
+
+    src = str(tmp_path / "src")
+    docs = _docs(spark, [(1, "a b c"), (2, ""), (3, "the cat sat")])
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = lm.score_stream(stream, model)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lm_admission")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in spark.sql("SELECT * FROM lm_admission").collect()
+    }
+    want = {
+        r["doc_id"]: r["avg_logprob"] for r in lm.score_stream(docs, model).collect()
+    }
+    assert got == want and set(got) == {1, 2, 3}
+
+
+def test_collect_model_refuses_unbounded_blowup(spark, tiny):
+    model = lm.train_bigram_lm(tiny)
+    with pytest.raises(ValueError, match="max_rows"):
+        lm.collect_model(model, max_rows=2)
+
+
+def test_ppl_buckets_terciles(spark):
+    from psy_supabase_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    model = lm.train_bigram_lm(docs)
+    scored = lm.score_documents(docs, model)
+    bucketed, (lo, hi) = lm.ppl_buckets(scored)
+    assert lo <= hi
+    counts = {r["ppl_bucket"]: r["n"] for r in bucketed.groupBy("ppl_bucket").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"head", "middle", "tail", "unscored"}
+    n = sum(counts.values())
+    # terciles: each real bucket holds roughly a third (approx quantile)
+    for b in ("head", "middle", "tail"):
+        assert counts.get(b, 0) > 0.2 * n
+    # buckets respect the returned thresholds exactly
+    mx_head = bucketed.where(F.col("ppl_bucket") == "head").agg(F.max("ppl")).head()[0]
+    mn_tail = bucketed.where(F.col("ppl_bucket") == "tail").agg(F.min("ppl")).head()[0]
+    assert mx_head <= lo < hi < mn_tail
