@@ -262,6 +262,20 @@ def main() -> None:
         unsalted = dt if unsalted is None else min(unsalted, dt)
     salt_overhead = round(timings["dedup_minhash_lsh"] - unsalted, 3)
 
+    # same treatment for text_profile's r5 growth: the headline query
+    # absorbed the Gopher/C4 gates + Arrow repetition signals; measure
+    # the profile without the gate columns so the absorbed-evidence cost
+    # stays a number, not a narrative
+    from psy_supabase_spark.operators import textanalysis as TA
+
+    profile_base = None
+    for _ in range(2):
+        t0 = time.time()
+        _run(TA.text_profile(docs))
+        dt = time.time() - t0
+        profile_base = dt if profile_base is None else min(profile_base, dt)
+    gates_overhead = round(timings["text_profile"] - profile_base, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -285,6 +299,7 @@ def main() -> None:
                     "hot_id_detection": "default_on_estimated",
                     "minhash_unsalted_sec": round(unsalted, 3),
                     "minhash_salt_overhead_sec": salt_overhead,
+                    "text_profile_gates_overhead_sec": gates_overhead,
                 },
             }
         )

@@ -138,9 +138,29 @@ def semdedup_pairs(
     if centers is None:
         centers = _fit_centers(corpus, n_clusters, seed, vec_col)
 
-    assigned = assign_with_sim(corpus, centers, id_col=id_col, vec_col=vec_col).join(
-        corpus.select(id_col, vec_col), id_col
+    # assignment CARRIES the vector through the Arrow pass instead of
+    # re-joining the corpus on id: the only exchange in the pair stage is
+    # the groupBy(centroid_id) — plan-asserted in tests
+    ct = np.array(centers, dtype=np.float64).T.copy()
+    asg_schema = StructType(
+        [
+            corpus.schema[id_col],
+            corpus.schema[vec_col],
+            StructField("centroid_id", IntegerType(), False),
+        ]
     )
+
+    def assign_carry(batches):
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            sims = (m / nrm[:, None]) @ ct
+            out = pdf[[id_col, vec_col]].copy()
+            out["centroid_id"] = sims.argmax(axis=1).astype("int32")
+            yield out
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(assign_carry, schema=asg_schema)
 
     out_schema = StructType(
         [

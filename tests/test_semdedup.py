@@ -191,3 +191,21 @@ def test_zero_vectors_never_pair(spark):
     df = _emb_df(spark, vecs)
     out = semdedup.semdedup_pairs(df, 0.0, centers=[[1.0] + [0.0] * (DIM - 1)]).collect()
     assert out == []
+
+
+def test_pair_stage_single_exchange(spark):
+    """The pair stage's only shuffle is the groupBy(centroid_id): the
+    assignment pass carries the vector, so there is no corpus re-join."""
+    vecs, _ = _planted(n_base=10)
+    df = _emb_df(spark, vecs)
+    plan = (
+        semdedup.semdedup_pairs(df, 0.99, centers=[[1.0] + [0.0] * (DIM - 1)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(centroid_id", plan)) == 1
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
