@@ -345,6 +345,22 @@ class PsyEngine:
             embedded_docs, eps, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col, **kw
         )
 
+    def train_quality_model(self, labeled: DataFrame, **kw):
+        """Fit the learned quality classifier (operators/quality_clf —
+        hashed-token logistic regression, distributed L-BFGS).  Bootstrap
+        labels with quality_clf.weak_labels_from_gates when no curated
+        reference set exists."""
+        from .operators.quality_clf import train_quality_classifier
+
+        return train_quality_classifier(labeled, **kw)
+
+    def score_quality(self, docs: DataFrame, model, **kw) -> DataFrame:
+        """Append P(quality) from a trained model — one map-side pass of
+        the broadcast weight vector (stream-admissible)."""
+        from .operators.quality_clf import score_quality
+
+        return score_quality(docs, model, **kw)
+
     def score_fluency(
         self,
         docs: DataFrame,

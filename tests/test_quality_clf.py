@@ -1,0 +1,78 @@
+"""Learned quality classifier (operators/quality_clf): separable-corpus
+sanity, weak-label bootstrap agreement, scoring schema hygiene, filter
+threshold, and the no-Python-UDF plan check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from psy_supabase_spark.operators import quality_clf
+
+
+GOOD = "the quick brown fox jumps over the lazy dog and then walks home quietly"
+JUNK = "zxq zxq zxq lorem ipsum {{{ }}} buy now click here zxq zxq"
+
+
+@pytest.fixture(scope="module")
+def separable(spark):
+    rows = [(i, f"{GOOD} variant {i}", 1.0) for i in range(40)] + [
+        (100 + i, f"{JUNK} {i}", 0.0) for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def test_separable_corpus_ranks_correctly(spark, separable):
+    model = quality_clf.train_quality_classifier(separable, n_features=1 << 12)
+    scored = quality_clf.score_quality(separable, model)
+    rows = {r["doc_id"]: r["quality_prob"] for r in scored.collect()}
+    good = [v for k, v in rows.items() if k < 100]
+    junk = [v for k, v in rows.items() if k >= 100]
+    assert min(good) > max(junk)
+    assert min(good) > 0.9 and max(junk) < 0.1
+
+
+def test_scoring_drops_ml_plumbing_columns(spark, separable):
+    model = quality_clf.train_quality_classifier(separable, n_features=1 << 12)
+    out = quality_clf.score_quality(separable.drop("label"), model)
+    assert set(out.columns) == {"doc_id", "text", "quality_prob"}
+
+
+def test_learned_filter_threshold(spark, separable):
+    model = quality_clf.train_quality_classifier(separable, n_features=1 << 12)
+    kept = quality_clf.quality_filter_learned(separable, model, min_prob=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == set(range(40))
+
+
+def test_weak_label_bootstrap_generalizes_gates(spark):
+    """Train on gate-derived weak labels over the real corpus; the
+    classifier must agree with its teacher on a large majority (it
+    smooths the hard thresholds, so 100% agreement is not expected)."""
+    from psy_supabase_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # gopher-only: C4's terminal-punctuation rule fails this whole corpus
+    # (no punctuated line endings), which would collapse labels to one class
+    labeled = quality_clf.weak_labels_from_gates(
+        docs, families=("gopher",), min_words=25, min_stopword_hits=1
+    )
+    labels = {r["doc_id"]: r["label"] for r in labeled.select("doc_id", "label").collect()}
+    assert 0.0 < sum(labels.values()) < len(labels), "need both classes"
+    model = quality_clf.train_quality_classifier(labeled)
+    scored = quality_clf.score_quality(labeled, model)
+    agree = scored.where(
+        ((F.col("quality_prob") >= 0.5) & (F.col("label") == 1.0))
+        | ((F.col("quality_prob") < 0.5) & (F.col("label") == 0.0))
+    ).count()
+    assert agree / len(labels) >= 0.85
+
+
+def test_no_python_udf_in_scoring_plan(spark, separable):
+    model = quality_clf.train_quality_classifier(separable, n_features=1 << 12)
+    plan = (
+        quality_clf.score_quality(separable, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
