@@ -77,3 +77,52 @@ def train_val_test_split(
     val = df.where((b >= test_pct) & (b < test_pct + val_pct))
     train = df.where(b >= test_pct + val_pct)
     return train, val, test
+
+
+def component_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`train_val_test_split` with near-duplicate LEAKAGE made
+    structurally impossible: every doc splits by the hash of its dedup
+    COMPONENT representative (``pairs`` from any pair-emitting dedup
+    operator → connected components), so two near-copies can never land
+    in different splits — the eval-contamination mode a per-doc hash
+    split cannot prevent (this module's header told callers to "dedup
+    first"; this operator enforces it when callers keep the duplicates).
+    Docs outside any component split by their own key, unchanged."""
+    from .dedup import connected_components
+
+    comps = connected_components(pairs).withColumnRenamed("id", key_col)
+    keyed = df.join(comps, key_col, "left").withColumn(
+        "_split_key", F.coalesce(F.col("component"), F.col(key_col)).cast("string")
+    )
+    b = hash_bucket(F.col("_split_key"))
+    test = keyed.where(b < test_pct)
+    val = keyed.where((b >= test_pct) & (b < test_pct + val_pct))
+    train = keyed.where(b >= test_pct + val_pct)
+    drop = lambda d: d.drop("_split_key", "component")  # noqa: E731
+    return drop(train), drop(val), drop(test)
+
+
+def graded_sample(
+    df: DataFrame,
+    score_col: str,
+    *,
+    key_col: str = "doc_id",
+    floor: float = 0.0,
+) -> DataFrame:
+    """Keep each row with probability ∝ its quality score (GPT-3 App. A's
+    graded keep, made DETERMINISTIC: keep iff hash-bucket/100 <
+    max(score, floor)) — high scorers almost always survive, low scorers
+    survive occasionally (distribution coverage without keeping all the
+    junk).  Same nested/reproducible hash as every sampler here; pure
+    map-side predicate."""
+    b = hash_bucket(F.col(key_col))  # [0, 100)
+    return df.where(
+        b.cast("double") < F.greatest(F.col(score_col), F.lit(floor)) * 100.0
+    )

@@ -73,3 +73,43 @@ def test_query_matches_operator(spark):
         ).select("doc_id", "domain_rate").collect()
     }
     assert got == want
+
+
+def test_component_safe_split_never_straddles_neardups(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # chains of near-dups: (0,1),(1,2) share a component; (10,11); ...
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 150, 3)]
+        + [(i + 1, i + 2) for i in range(0, 150, 3)],
+        "id_a long, id_b long",
+    )
+    train, val, test = sampling.component_safe_split(
+        docs, pairs, val_pct=20, test_pct=20
+    )
+    t = {r.doc_id for r in train.collect()}
+    v = {r.doc_id for r in val.collect()}
+    s = {r.doc_id for r in test.collect()}
+    assert t | v | s == set(range(200)) and not (t & v or t & s or v & s)
+    # every 3-chain lands whole in one split
+    for base in range(0, 150, 3):
+        chain = {base, base + 1, base + 2}
+        assert chain <= t or chain <= v or chain <= s, f"chain {chain} straddles"
+    # output schema is the input schema (plumbing columns dropped)
+    assert train.columns == docs.columns
+
+
+def test_graded_sample_keep_rate_tracks_score(spark):
+    rows = [(i, 0.9) for i in range(500)] + [(1000 + i, 0.1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    kept = sampling.graded_sample(df, "score")
+    hi = kept.where(F.col("score") == 0.9).count()
+    lo = kept.where(F.col("score") == 0.1).count()
+    assert 400 <= hi <= 500 and 20 <= lo <= 200
+    # deterministic: same call, same rows
+    again = {r.doc_id for r in sampling.graded_sample(df, "score").collect()}
+    assert again == {r.doc_id for r in kept.collect()}
+    # floor guarantees a minimum keep probability even at score 0
+    zeros = spark.createDataFrame([(i, 0.0) for i in range(500)], "doc_id long, score double")
+    assert sampling.graded_sample(zeros, "score", floor=0.2).count() > 50
