@@ -345,6 +345,14 @@ class PsyEngine:
             embedded_docs, eps, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col, **kw
         )
 
+    def corpus_report(self, docs: DataFrame, **kw) -> DataFrame:
+        """Per-(lang, source) ROLLUP of doc/token counts, length stats,
+        mean quality, and gate pass rates (operators/textanalysis) —
+        the after-every-carve audit dashboard."""
+        from .operators.textanalysis import corpus_report
+
+        return corpus_report(docs, **kw)
+
     def train_quality_model(self, labeled: DataFrame, **kw):
         """Fit the learned quality classifier (operators/quality_clf —
         hashed-token logistic regression, distributed L-BFGS).  Bootstrap

@@ -253,3 +253,46 @@ def pack_sequences(
         return pdf[out_cols]
 
     return chunks.groupBy(group_col).applyInPandas(_pack, out_schema)
+
+
+def corpus_report(
+    docs: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """The pipeline audit dashboard: per-(group...) ROLLUP of document
+    counts, token totals, length stats, mean quality, and heuristic-gate
+    pass rates — the numbers a corpus owner checks after every carve
+    (what did the gates drop, which domain shrank, is the token budget
+    on target).
+
+    One pass: the per-doc measures are map-side codegen
+    (:mod:`functions.text` / :mod:`functions.quality`), the ROLLUP is a
+    single shuffle with map-side partial aggregation; grand-total and
+    per-prefix rows come free from the rollup lattice (NULL group values
+    = subtotal rows, the SQL convention)."""
+    from ..functions import quality as Q
+
+    t = F.col(text_col)
+    measured = docs.withColumns(
+        {
+            "_nt": TX.token_count(t),
+            "_q": TX.quality_score(t),
+            "_gp": Q.gopher_quality_flags(t)["passes"].cast("double"),
+            "_cp": Q.c4_quality_flags(t)["passes"].cast("double"),
+        }
+    )
+    return (
+        measured.rollup(*group_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.round(F.avg("_nt"), 2).alias("mean_tokens"),
+            F.expr("percentile(_nt, 0.5)").cast("double").alias("p50_tokens"),
+            F.round(F.avg("_q"), 6).alias("mean_quality"),
+            F.round(F.avg("_gp"), 6).alias("gopher_pass_rate"),
+            F.round(F.avg("_cp"), 6).alias("c4_pass_rate"),
+        )
+        .orderBy(*[F.col(c).asc_nulls_first() for c in group_cols])
+    )

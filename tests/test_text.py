@@ -111,3 +111,25 @@ def test_quality_score_range(spark, sf_dir):
         F.min("q").alias("lo"), F.max("q").alias("hi")
     ).head()
     assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_corpus_report_rollup(spark):
+    from psy_supabase_spark.operators.textanalysis import corpus_report
+    from psy_supabase_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rep = corpus_report(docs).collect()
+    total = [r for r in rep if r["lang"] is None and r["source"] is None]
+    assert len(total) == 1 and total[0]["n_docs"] == docs.count()
+    # lang subtotals sum to the grand total
+    lang_rows = [r for r in rep if r["lang"] is not None and r["source"] is None]
+    assert sum(r["n_docs"] for r in lang_rows) == total[0]["n_docs"]
+    assert sum(r["n_tokens"] for r in lang_rows) == total[0]["n_tokens"]
+    # leaf rows sum within each lang
+    for lr in lang_rows:
+        leaves = [
+            r for r in rep if r["lang"] == lr["lang"] and r["source"] is not None
+        ]
+        assert sum(r["n_docs"] for r in leaves) == lr["n_docs"]
+    # rates are rates
+    assert all(0.0 <= r["gopher_pass_rate"] <= 1.0 for r in rep)
