@@ -243,7 +243,13 @@ def semdedup(
         centers=centers,
     )
     comps = connected_components(pairs)
-    sims = assign_with_sim(corpus, centers, id_col=id_col, vec_col=vec_col)
+    # the keep rule needs centroid_sim ONLY for component members (the
+    # duplicate set is small relative to the corpus): prune the second
+    # GEMM pass to them instead of re-scoring everything
+    member_vecs = corpus.join(
+        comps.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+    sims = assign_with_sim(member_vecs, centers, id_col=id_col, vec_col=vec_col)
     members = comps.join(
         sims.select(F.col(id_col).alias("id"), "centroid_sim"), "id"
     )
