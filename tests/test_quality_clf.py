@@ -76,3 +76,29 @@ def test_no_python_udf_in_scoring_plan(spark, separable):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scoring_is_stream_admissible(spark, separable, tmp_path):
+    """score_quality is a stateless transform of broadcast weights, so it
+    runs unchanged on a readStream frame (batch/stream-twin rule)."""
+    model = quality_clf.train_quality_classifier(separable, n_features=1 << 12)
+    src = str(tmp_path / "src")
+    separable.drop("label").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        quality_clf.score_quality(stream, model)
+        .writeStream.format("memory")
+        .queryName("clf_admission")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in spark.sql("SELECT * FROM clf_admission").collect()
+    }
+    want = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_clf.score_quality(separable.drop("label"), model).collect()
+    }
+    assert got == want
