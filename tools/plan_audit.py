@@ -49,13 +49,19 @@ CARTESIAN_WHITELIST = {
 def audit(sf_dir: str) -> int:
     import psy_supabase_spark.queries  # noqa: F401  (side-effect registration)
 
+    # bench-only queries (not in the 50-slot registry) are audited too —
+    # a perf headline with a banned plan shape is still a banned plan
+    import bench
+
     spark = get_spark("plan-audit")
     violations = []
     rows = []
-    for name in sorted(QUERIES):
+    audited = dict(QUERIES)
+    audited.update({f"bench:{k}": v for k, v in bench.LOCAL_QUERIES.items()})
+    for name in sorted(audited):
         try:
             plan = (
-                QUERIES[name](spark, sf_dir)
+                audited[name](spark, sf_dir)
                 ._jdf.queryExecution()
                 .executedPlan()
                 .toString()
