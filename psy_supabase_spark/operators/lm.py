@@ -73,7 +73,8 @@ def _bigram_rows(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
 class BigramLM:
     """A trained Stupid-Backoff bigram model.
 
-    ``unigrams``: (w, c) — token counts.  ``bigrams``: (w1, w2, c).
+    ``unigrams``: (w, c) — token counts.  ``bigrams``: (w1, w2, c, blp)
+    — counts plus the baked bigram log-prob round(ln(c/c(w1)), 6).
     ``total``: the corpus token count — ONE scalar, computed at train
     time (a bounded driver action like the IVF fit; folding it into the
     scoring plan as a literal beats any join spelling — a 1-row
@@ -124,6 +125,20 @@ def train_bigram_lm(
         uni = uni.orderBy(F.col("c").desc(), F.col("w")).limit(vocab_cap)
     if bigram_cap is not None:
         big = big.orderBy(F.col("c").desc(), "w1", "w2").limit(bigram_cap)
+    # bake the bigram log-prob INTO the model (a model-sized join at
+    # train time) so scoring needs two broadcast probes, not three: the
+    # w1-count join moves off the corpus-sized exploded relation.  Inner
+    # join: a bigram whose w1 was capped out of the vocab loses its blp
+    # and degrades to the backoff term at score time — the same
+    # defensive semantics the old three-join guard had.
+    big = big.join(
+        uni.select(F.col("w").alias("w1"), F.col("c").alias("_c1")), "w1"
+    ).select(
+        "w1",
+        "w2",
+        "c",
+        F.round(F.log(F.col("c").cast("double") / F.col("_c1")), 6).alias("blp"),
+    )
     return BigramLM(unigrams=uni, bigrams=big, total=total, bounded=bounded)
 
 
@@ -148,37 +163,27 @@ def score_documents(
     """
     maybe_b = F.broadcast if lm.bounded else (lambda df: df)
     rows = _bigram_rows(docs, id_col=id_col, text_col=text_col)
-    joined = (
-        rows.join(
-            maybe_b(lm.bigrams.select("w1", "w2", F.col("c").alias("_bc"))),
-            ["w1", "w2"],
-            "left",
-        )
-        .join(
-            maybe_b(lm.unigrams.select(F.col("w").alias("w1"), F.col("c").alias("_u1"))),
-            "w1",
-            "left",
-        )
-        .join(
-            maybe_b(lm.unigrams.select(F.col("w").alias("w2"), F.col("c").alias("_u2"))),
-            "w2",
-            "left",
-        )
-    )
-    term = F.when(
-        F.col("_bc").isNotNull() & F.col("_u1").isNotNull(),
-        F.round(F.log(F.col("_bc").cast("double") / F.col("_u1")), 6),
-    ).otherwise(
-        # backoff: alpha * c(w2)/N; OOV floor: count 1 (add-one on the
-        # unseen word so the log stays finite)
+    total = float(max(lm.total, 1))
+    # backoff log-prob per vocabulary word, derived from the model at
+    # score time (alpha is a scoring knob, so it cannot be baked in)
+    backoff = lm.unigrams.select(
+        F.col("w").alias("w2"),
         F.round(
-            F.log(
-                F.lit(alpha)
-                * F.coalesce(F.col("_u2"), F.lit(1)).cast("double")
-                / F.lit(float(max(lm.total, 1)))
-            ),
-            6,
-        )
+            F.log(F.lit(alpha) * F.col("c").cast("double") / F.lit(total)), 6
+        ).alias("_ulp"),
+    )
+    joined = rows.join(
+        maybe_b(lm.bigrams.select("w1", "w2", F.col("blp").alias("_blp"))),
+        ["w1", "w2"],
+        "left",
+    ).join(maybe_b(backoff), "w2", "left")
+    # term precedence: seen bigram > seen-w2 backoff > OOV floor (add-one
+    # on the unseen word so the log stays finite); the floor stays a JVM
+    # log+round expression so its last-ulp behavior matches the oracle's
+    term = F.coalesce(
+        F.col("_blp"),
+        F.col("_ulp"),
+        F.round(F.log(F.lit(alpha * 1.0 / total)), 6),
     )
     scored = joined.groupBy("id").agg(
         F.count("*").alias("n_bigrams"),
