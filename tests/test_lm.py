@@ -204,3 +204,31 @@ def test_ppl_buckets_terciles(spark):
     mx_head = bucketed.where(F.col("ppl_bucket") == "head").agg(F.max("ppl")).head()[0]
     mn_tail = bucketed.where(F.col("ppl_bucket") == "tail").agg(F.min("ppl")).head()[0]
     assert mx_head <= lo < hi < mn_tail
+
+
+def test_stream_twin_parity_on_unicode_edge_cases(spark):
+    """Java and Python disagree on some unicode lower/regex semantics
+    (dotted-I, sharp-s, combining marks) — pin that the twin matches the
+    batch path on a corpus of nasty strings, not just ASCII."""
+    nasty = [
+        "İstanbul I ı İ",            # Turkish dotted/dotless I
+        "STRASSE straße ß",          # sharp s
+        "naïve café résumé",          # combining-capable accents
+        "ｆｕｌｌｗｉｄｔｈ ａｂｃ",   # fullwidth latin
+        "数字123と漢字 mixed ascii",   # CJK + digits
+        "emoji 🎉 party 🎉 emoji",
+        "a'b don't 'quoted' ''",
+        "tabs\tand\nnewlines\r\nmix a b",
+        "ZÆRO Øre Åre højt",
+        "ДВА слова по-русски a b",
+    ]
+    docs = _docs(spark, list(enumerate(nasty)))
+    model = lm.train_bigram_lm(docs)
+    batch = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm.score_documents(docs, model).collect()
+    }
+    twin_df = lm.score_stream(docs, lm.collect_model(model))
+    twin = {r["doc_id"]: r["avg_logprob"] for r in twin_df.collect()}
+    for k, (n, score) in batch.items():
+        assert twin[k] == score, (k, nasty[k], n, score, twin[k])
