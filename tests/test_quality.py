@@ -190,3 +190,43 @@ def test_repetition_arrow_twin_matches_fold(spark):
         | (F.col("f.passes") != F.col("a.passes"))
     )
     assert mismatch.count() == 0
+
+
+def test_compression_ratio_two_sided(spark):
+    from psy_supabase_spark.functions.quality import compression_flags
+
+    import random
+
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randint(0x4E00, 0x9FFF)) for _ in range(1500))
+    sentences = [
+        f"sentence number {i} talks about {w} in a slightly different way"
+        for i, w in enumerate(["rivers", "markets", "planets", "music", "bread",
+                               "glaciers", "engines", "poems", "harbors", "maps"])
+    ]
+    rows = [
+        (1, "spam " * 400),            # pure repetition -> ratio ~0.01
+        (2, ". ".join(sentences)),     # varied prose, > 500 bytes (ratio ~0.22)
+        (3, noise),                    # high-entropy unicode -> ratio ~0.73
+        (4, ""),                       # empty -> NULL ratio, abstain
+        (5, "short but random qz9#"),  # under min_len -> abstain
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", compression_flags("text").alias("c")).collect()
+    }
+    assert out[1]["too_repetitive"] and not out[1]["passes"]
+    assert out[2]["passes"] and 0.1 <= out[2]["ratio"] <= 0.7
+    assert out[3]["too_random"] and not out[3]["passes"]
+    assert out[4]["ratio"] is None and out[4]["passes"]
+    assert out[5]["passes"]  # length abstention
+
+
+def test_compression_ratio_deterministic(spark):
+    from psy_supabase_spark.functions.quality import compression_ratio
+
+    df = spark.createDataFrame([(i, f"text body {i} " * 30) for i in range(50)], "doc_id long, text string")
+    a = {r["doc_id"]: r["r"] for r in df.select("doc_id", compression_ratio("text").alias("r")).collect()}
+    b = {r["doc_id"]: r["r"] for r in df.repartition(16).select("doc_id", compression_ratio("text").alias("r")).collect()}
+    assert a == b
