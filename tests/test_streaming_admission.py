@@ -63,3 +63,55 @@ def test_streaming_admission_matches_batch(spark, tmp_path):
     q.awaitTermination(60)
     got = {(r.doc_id, r.text) for r in spark.sql("SELECT * FROM admission").collect()}
     assert got == want
+
+
+def test_full_admission_with_lm_and_classifier(spark, tmp_path):
+    """The COMPLETE stateless admission stack — contamination flag,
+    heuristic gates, URL blocklist, PII redaction, LM fluency score,
+    learned quality probability — composes in one streaming pass and
+    matches batch."""
+    from psy_supabase_spark.operators import lm, quality_clf
+
+    src = tmp_path / "src2"
+    batch = spark.createDataFrame(DOCS, "doc_id long, text string")
+    batch.write.parquet(str(src))
+    bench = spark.createDataFrame([(EVAL_SNIPPET,)], "text string")
+
+    ref = spark.createDataFrame([(i, GOOD) for i in range(10)], "doc_id long, text string")
+    model = lm.collect_model(
+        lm.train_bigram_lm(ref, vocab_cap=10_000, bigram_cap=100_000)
+    )
+    labeled = spark.createDataFrame(
+        [(i, GOOD + f" v{i}", 1.0) for i in range(20)]
+        + [(100 + i, f"zq zq zq lorem {i}", 0.0) for i in range(20)],
+        "doc_id long, text string, label double",
+    )
+    clf = quality_clf.train_quality_classifier(labeled, n_features=1 << 12)
+
+    def full(df):
+        out = _admission(df, bench)
+        out = lm.score_stream(out, model)
+        return quality_clf.score_quality(out, clf)
+
+    want = {
+        (r.doc_id, r.avg_logprob, r.quality_prob) for r in full(batch).collect()
+    }
+    assert len(want) == 1  # doc 0 only, now carrying both scores
+    (row,) = want
+    assert row[1] is not None and row[2] > 0.5
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        full(stream)
+        .writeStream.format("memory")
+        .queryName("admission_full")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    got = {
+        (r.doc_id, r.avg_logprob, r.quality_prob)
+        for r in spark.sql("SELECT * FROM admission_full").collect()
+    }
+    assert got == want
