@@ -54,7 +54,31 @@ def _pii_augmented() -> F.Column:
     )
 
 
+# Deterministic HTML augmentation (same rationale as the PII suffix): the
+# corpus is markup-free, so the extraction column is gated on text wrapped
+# in a doc_id-derived page — script subtree, heading, entity, comment all
+# present, so the driver hash checks every chain stage on real bytes.
+_HTML_WRAP_SQL = (
+    "('<html><head><script>var page=' || CAST(doc_id AS VARCHAR) || ';</script></head>"
+    "<body><h1>Doc ' || CAST(doc_id % 7 AS VARCHAR) || '</h1><!-- c --><p>' || text ||"
+    " ' &amp; fin</p></body></html>')"
+)
+
+
+def _html_wrapped() -> F.Column:
+    return F.concat(
+        F.lit("<html><head><script>var page="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></head><body><h1>Doc "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</h1><!-- c --><p>"),
+        F.col("text"),
+        F.lit(" &amp; fin</p></body></html>"),
+    )
+
+
 def _text_clean_pack_oracle() -> str:
+    from ..functions.html import html_oracle_sql
     from ..functions.pii import pii_counts_oracle_sql, pii_oracle_sql
 
     src = f"({_PII_SUFFIX_SQL})"
@@ -68,7 +92,8 @@ def _text_clean_pack_oracle() -> str:
              '[^a-zA-Z0-9\s.,!?''"-]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned,
            regexp_replace(text, '(https?://\S+|www\.\S+)', '', 'g') AS no_urls,
            {pii_oracle_sql(src)} AS pii_redacted,
-           {count_cols}
+           {count_cols},
+           {html_oracle_sql(_HTML_WRAP_SQL)} AS html_text
     FROM documents
     """
 
@@ -81,7 +106,10 @@ def text_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged registry slot: one scan, every chain map-side codegen, all
     driver-gated.  The PII columns run over a deterministic doc_id-derived
     augmentation (see ``_PII_SUFFIX_SQL``) because the synthetic corpus
-    itself is PII-free."""
+    itself is PII-free; ``html_text`` gates the WET-style HTML extraction
+    chain (functions/html) the same way — text wrapped in a doc_id-derived
+    page exercising every chain stage."""
+    from ..functions.html import html_to_text
     from ..functions.pii import PII_PATTERNS, pii_counts, redact_pii
 
     docs = load_table(spark, sf_dir, "documents")
@@ -93,6 +121,7 @@ def text_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.strip_urls(F.col("text")).alias("no_urls"),
         redact_pii(pii_src).alias("pii_redacted"),
         *[counts[name].alias(f"n_pii_{name}") for name, _p, _t in PII_PATTERNS],
+        html_to_text(_html_wrapped()).alias("html_text"),
     )
 
 
