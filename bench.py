@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "winnow_neardup",           # winnowing fingerprints + pair search
     "semdedup_pairs",           # SemDeDup cluster + within-cluster GEMM
     "lm_score",                 # bigram Stupid-Backoff train + score
+    "exact_substr",             # ExactSubstr span excision (Lee 2021)
 ]
 
 
@@ -99,10 +100,23 @@ def _lm_score(spark, sf_dir):
     return lm.score_documents(docs, model)
 
 
+def _exact_substr(spark, sf_dir):
+    # ExactSubstr excision end-to-end (window rows -> dup grams -> merge
+    # -> rebuild) at L=20: the synthetic corpus has little true span
+    # duplication, so this prices the machinery, not the removals
+    from psy_supabase_spark.operators import substr
+    from psy_supabase_spark.sources.catalog import load_table
+
+    return substr.excise_duplicate_spans(
+        load_table(spark, sf_dir, "documents"), 20
+    )
+
+
 LOCAL_QUERIES = {
     "winnow_neardup": _winnow_neardup,
     "semdedup_pairs": _semdedup_pairs,
     "lm_score": _lm_score,
+    "exact_substr": _exact_substr,
 }
 
 # (lists, nprobe) sweep, cheapest scan fraction first; first config with

@@ -345,6 +345,22 @@ class PsyEngine:
             embedded_docs, eps, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col, **kw
         )
 
+    def excise_duplicate_spans(self, docs: DataFrame, length: int = 50, **kw) -> DataFrame:
+        """Cut duplicated ≥length-token spans out of every document,
+        keeping one copy corpus-wide (operators/substr — Lee 2021's
+        ExactSubstr as a data-parallel window identity)."""
+        from .operators.substr import excise_duplicate_spans
+
+        return excise_duplicate_spans(docs, length, **kw)
+
+    def extract_html(self, df: DataFrame, col: str = "text") -> DataFrame:
+        """Replace an HTML column with its extracted text (functions/html
+        — the WET-style regex chain; wire a trafilatura-class extractor
+        via mapInPandas for production main-content detection)."""
+        from .functions.html import html_to_text
+
+        return df.withColumn(col, html_to_text(col))
+
     def corpus_report(self, docs: DataFrame, **kw) -> DataFrame:
         """Per-(lang, source) ROLLUP of doc/token counts, length stats,
         mean quality, and gate pass rates (operators/textanalysis) —
