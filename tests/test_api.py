@@ -250,3 +250,22 @@ def test_fluency_semdedup_shard_facades(engine, spark, tmp_path):
 
     audit = engine.export_training_shards(docs, str(tmp_path / "sh"), 2).collect()
     assert sum(r.n_rows for r in audit) == 3
+
+
+def test_substr_html_report_facades(engine, spark):
+    boiler = " ".join(f"w{k}" for k in range(15))
+    docs = spark.createDataFrame(
+        [(1, f"intro {boiler} outro"), (2, f"other {boiler} tail"), (3, "clean doc")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in engine.excise_duplicate_spans(docs, 15).collect()}
+    assert boiler in out[1] and boiler not in out[2] and out[3] == "clean doc"
+
+    html = spark.createDataFrame(
+        [(1, "<p>hello &amp; world</p>")], "doc_id long, text string"
+    )
+    assert engine.extract_html(html).head().text == "hello & world"
+
+    rep = engine.corpus_report(docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")), group_cols=("lang",))
+    rows = rep.collect()
+    assert {r["lang"] for r in rows} == {None, "en"}
