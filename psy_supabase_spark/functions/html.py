@@ -41,13 +41,15 @@ HTML_CHAIN: list[tuple[str, str]] = [
     (r"(?s)<!--.*?-->", " "),
     (r"(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote)[^>]*>", "\n"),
     (r"(?s)<[^>]+>", " "),
-    (r"&amp;", "&"),
+    # entity decode: &amp; LAST, or "&amp;lt;" (renders as "&lt;") would
+    # double-decode to "<" — the other half of the injection-order rule
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
     (r"&apos;", "'"),
     (r"&nbsp;", " "),
+    (r"&amp;", "&"),
     (r"[ \t\r\f]+", " "),          # collapse horizontal space
     (r" ?\n ?", "\n"),             # trim around newlines
     (r"\n{2,}", "\n"),             # collapse blank lines

@@ -22,6 +22,8 @@ CASES = [
     ("entities only &quot;q&quot; &apos;a&apos; &gt;", "entities only \"q\" 'a' >"),
     # entity decode AFTER tag strip: encoded markup must NOT get stripped
     ("&lt;script&gt;evil()&lt;/script&gt;", "<script>evil()</script>"),
+    # &amp; decodes LAST: "&amp;lt;" renders as the literal "&lt;", never "<"
+    ("double &amp;lt; encoded &amp;amp; here", "double &lt; encoded &amp; here"),
     # whitespace collapse
     ("<p>a   b\t\tc</p>\n\n\n<p>d</p>", "a b c\nd"),
 ]
