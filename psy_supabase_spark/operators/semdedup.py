@@ -189,17 +189,32 @@ def semdedup_pairs(
         nz = nrm > 0
         nrm[~nz] = 1.0
         u = m / nrm[:, None]
-        sims = np.round(u @ u.T, 6)
-        ia, ib = np.triu_indices(n, k=1)
-        keep = (sims[ia, ib] >= eps) & nz[ia] & nz[ib]
-        ia, ib = ia[keep], ib[keep]
+        # BLOCKED pair GEMM: a full n×n sims matrix (plus triu index
+        # arrays) is O(n²) memory — 80 GB at the 100k cap.  Row blocks
+        # of ~10M cells keep the working set ~80 MB at ANY n; time stays
+        # the same O(n²d) the cap already bounds.
+        block = max(1, 10_000_000 // n)
+        la, lb, ls = [], [], []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = np.round(u[s:e] @ u.T, 6)
+            cols = np.arange(n)[None, :]
+            rows = np.arange(s, e)[:, None]
+            keep = (sims >= eps) & (cols > rows) & nz[None, :] & nz[s:e][:, None]
+            bi, bj = np.nonzero(keep)
+            la.append(bi + s)
+            lb.append(bj)
+            ls.append(sims[bi, bj])
+        ia = np.concatenate(la)
+        ib = np.concatenate(lb)
+        sv = np.concatenate(ls)
         lo = np.minimum(ids[ia], ids[ib])
         hi = np.maximum(ids[ia], ids[ib])
         return pd.DataFrame(
             {
                 "id_a": lo,
                 "id_b": hi,
-                "sim": sims[ia, ib],
+                "sim": sv,
                 "centroid_id": np.full(len(lo), key[0], dtype="int32"),
             }
         )
