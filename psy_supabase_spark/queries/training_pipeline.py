@@ -5,6 +5,7 @@
               → URL domain-blocklist hygiene
               → quality gate → language gate → deterministic sample
               → LM fluency scoring (bigram Stupid Backoff, operators/lm)
+              → ExactSubstr span-dedup evidence (operators/substr)
               → training-format reshape
 
 Every stage is an operator from this engine; the whole composition is a
@@ -43,6 +44,62 @@ _URL_BLOCKED_SQL = """len(list_filter(
     aug=_URL_AUG_SQL.format(q="d.")
 )
 
+# ExactSubstr stage gate: the synthetic corpus' only long duplicated
+# spans are whole-doc exact dups, so (the PII/URL/HTML augmentation
+# pattern) every doc_id % 11 == 0 doc gains a FIXED 14-token boilerplate
+# suffix — a real multi-doc duplicated span exercising window rows,
+# hash-prefilter + string verify, canonical keep-first, interval merge,
+# and excision.  L=12 suits the short synthetic docs (the paper uses 50).
+_SPAN_L = 12
+_BOILER = (
+    " shared boiler plate span alpha beta gamma delta epsilon zeta eta theta iota kappa"
+)
+
+_DUPSPAN_CTES = f"""
+    span_aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || '{_BOILER}' ELSE text END AS t2
+      FROM documents
+    ),
+    span_toks AS (SELECT doc_id, list_filter(string_split_regex(trim(t2), '\\s+'), x -> x != '') AS t FROM span_aug),
+    span_wins AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i+1:i+{_SPAN_L}], ' ') AS gram
+      FROM span_toks, unnest(range(0, greatest(len(t)-{_SPAN_L}+1, 0))) u(i)
+    ),
+    span_counted AS (
+      SELECT gram, MIN(doc_id * 4294967296 + pos) AS first_enc
+      FROM span_wins GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    span_dup AS (
+      SELECT w.doc_id, w.pos
+      FROM span_wins w JOIN span_counted c USING (gram)
+      WHERE w.doc_id * 4294967296 + w.pos <> c.first_enc
+    ),
+    span_grp AS (
+      SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+      FROM (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_L} THEN 1 ELSE 0 END AS brk
+        FROM span_dup)
+    ),
+    span_ivals AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SPAN_L} AS e
+      FROM span_grp GROUP BY doc_id, g
+    ),
+    span_lists AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS sp FROM span_ivals GROUP BY doc_id),
+    span_out AS (
+      SELECT t.doc_id AS doc_id,
+             [t.t[i] for i in range(1, len(t.t)+1)
+              if sl.sp IS NULL OR len(list_filter(sl.sp, x -> (i-1) >= x.s AND (i-1) < x.e)) = 0] AS kept,
+             len(t.t) AS ntoks
+      FROM span_toks t LEFT JOIN span_lists sl ON sl.doc_id = t.doc_id
+    ),
+    span_final AS (
+      SELECT doc_id, md5(array_to_string(kept, ' ')) AS dupspan_md5,
+             CAST(ntoks - len(kept) AS INT) AS dupspan_removed
+      FROM span_out
+    )"""
+
 _QUALITY_SQL = f"""ROUND((
   (CASE WHEN {_WS_COUNT_SQL} BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
   + (CASE WHEN length(text) = 0 THEN 0.0
@@ -80,13 +137,18 @@ _QUALITY_SQL = f"""ROUND((
       FROM survivors
       WHERE {_QUALITY_SQL} >= 0.6 AND lang = 'en'
     ),
-    {lm.stupid_backoff_sql()}
+    {lm.stupid_backoff_sql()},
+    {_DUPSPAN_CTES}
     SELECT g.doc_id,
            'Summarize the following ' || g.source || ' document' AS instruction,
            g.text AS input,
            g.quality,
-           s.avg_logprob AS lm_logprob
-    FROM gated g LEFT JOIN lm_scored s ON s.doc_id = g.doc_id
+           s.avg_logprob AS lm_logprob,
+           sf.dupspan_md5,
+           sf.dupspan_removed
+    FROM gated g
+    LEFT JOIN lm_scored s ON s.doc_id = g.doc_id
+    LEFT JOIN span_final sf ON sf.doc_id = g.doc_id
     WHERE CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
     """,
 )
@@ -151,12 +213,38 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm_scores = lm.score_documents(docs, model).select(
         "doc_id", F.col("avg_logprob").alias("lm_logprob")
     )
-    return sampled.join(lm_scores, "doc_id", "left").select(
+
+    # ExactSubstr stage (operators/substr) over the boilerplate-augmented
+    # corpus: per-doc excised-text md5 + removed-token count, joined onto
+    # the output so the driver hash checks the whole span machinery
+    from ..operators import substr
+
+    span_aug = docs.select(
         "doc_id",
-        F.concat(F.lit("Summarize the following "), F.col("source"), F.lit(" document")).alias(
-            "instruction"
-        ),
-        F.col("text").alias("input"),
-        "quality",
-        "lm_logprob",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(_BOILER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    span_cols = substr.excise_duplicate_spans(span_aug, _SPAN_L).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("dupspan_md5"),
+        F.col("n_removed_tokens").alias("dupspan_removed"),
+    )
+
+    return (
+        sampled.join(lm_scores, "doc_id", "left")
+        .join(span_cols, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("Summarize the following "), F.col("source"), F.lit(" document")
+            ).alias("instruction"),
+            F.col("text").alias("input"),
+            "quality",
+            "lm_logprob",
+            "dupspan_md5",
+            "dupspan_removed",
+        )
     )
