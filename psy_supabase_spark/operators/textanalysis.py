@@ -260,6 +260,7 @@ def corpus_report(
     *,
     group_cols: tuple[str, ...] = ("lang", "source"),
     text_col: str = "text",
+    approx: bool = False,
 ) -> DataFrame:
     """The pipeline audit dashboard: per-(group...) ROLLUP of document
     counts, token totals, length stats, mean quality, and heuristic-gate
@@ -271,7 +272,10 @@ def corpus_report(
     (:mod:`functions.text` / :mod:`functions.quality`), the ROLLUP is a
     single shuffle with map-side partial aggregation; grand-total and
     per-prefix rows come free from the rollup lattice (NULL group values
-    = subtotal rows, the SQL convention)."""
+    = subtotal rows, the SQL convention).  ``approx=True`` swaps the
+    exact median for ``percentile_approx`` — exact percentile buffers
+    every group value; at 100 TB the grand-total row would buffer the
+    corpus, so the approx spelling is the cluster default."""
     from ..functions import quality as Q
 
     t = F.col(text_col)
@@ -289,7 +293,9 @@ def corpus_report(
             F.count("*").alias("n_docs"),
             F.sum("_nt").cast("long").alias("n_tokens"),
             F.round(F.avg("_nt"), 2).alias("mean_tokens"),
-            F.expr("percentile(_nt, 0.5)").cast("double").alias("p50_tokens"),
+            F.expr(
+                "percentile_approx(_nt, 0.5, 10000)" if approx else "percentile(_nt, 0.5)"
+            ).cast("double").alias("p50_tokens"),
             F.round(F.avg("_q"), 6).alias("mean_quality"),
             F.round(F.avg("_gp"), 6).alias("gopher_pass_rate"),
             F.round(F.avg("_cp"), 6).alias("c4_pass_rate"),

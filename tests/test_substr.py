@@ -146,3 +146,30 @@ def test_excision_plan_has_no_python(spark, corpus):
         .toString()
     )
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_property_random_corpora_match_bruteforce(spark):
+    """Hypothesis fuzz: random tiny-vocab corpora (duplication-dense by
+    construction) — operator excision must equal the reference on every
+    example, both keep modes."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=0, max_size=25).map(" ".join)
+    corpus_strat = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=5, deadline=None)
+    @given(corpus_strat, st.booleans())
+    def check(texts, keep_first):
+        docs = {i: t for i, t in enumerate(texts)}
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        _, want_text, want_removed = _brute(docs, 4, keep_first=keep_first)
+        out = {
+            r["doc_id"]: (r["text"], r["n_removed_tokens"])
+            for r in substr.excise_duplicate_spans(df, 4, keep_first=keep_first).collect()
+        }
+        for i in docs:
+            # brute force normalizes whitespace the same way (split/join)
+            assert out[i] == (want_text[i], want_removed[i]), (i, docs[i])
+
+    check()
