@@ -699,6 +699,34 @@ def dedup_keep_representative(
     return docs.join(F.broadcast(drop), id_col, "left_anti")
 
 
+def duplicate_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    weight_col: str = "sample_weight",
+) -> DataFrame:
+    """SOFT dedup: every doc keeps flowing, weighted 1/|its duplicate
+    component| — so each piece of CONTENT contributes unit total weight
+    to the loss no matter how many near-copies exist.  The
+    downweight-don't-drop treatment (the SoftDeDup idea; also how
+    mixture pipelines express "seen n times ⇒ 1/n epochs") — use it when
+    hard removal (:func:`dedup_keep_representative`) would throw away
+    annotation or provenance diversity the copies carry.  Unpaired docs
+    weigh 1.0; the component-size relation is tiny and broadcasts."""
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("_csize"))
+    weights = comp.join(sizes, "component").select(
+        F.col("id").alias(id_col),
+        (F.lit(1.0) / F.col("_csize")).alias(weight_col),
+    )
+    return docs.join(F.broadcast(weights), id_col, "left").withColumn(
+        weight_col, F.coalesce(F.col(weight_col), F.lit(1.0))
+    )
+
+
 def dedup_lines(
     docs: DataFrame,
     *,

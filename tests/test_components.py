@@ -66,3 +66,21 @@ def test_dedup_keep_representative_end_to_end(spark):
     assert kept_ids == all_ids - non_reps
     # every component keeps exactly its representative
     assert all(c in kept_ids for c in set(comp.values()))
+
+
+def test_duplicate_weights_unit_mass_per_component(spark):
+    from psy_supabase_spark.operators.dedup import duplicate_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], "doc_id long, text string"
+    )
+    # components: {0,1,2} (chain), {5,6}; 3,4,7 unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.sample_weight for r in duplicate_weights(docs, pairs).collect()}
+    assert out[0] == out[1] == out[2] == pytest.approx(1 / 3)
+    assert out[5] == out[6] == pytest.approx(1 / 2)
+    assert out[3] == out[4] == out[7] == 1.0
+    # unit mass per content piece: total weight == number of components + singles
+    assert sum(out.values()) == pytest.approx(2 + 3)
