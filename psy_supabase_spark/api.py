@@ -345,6 +345,13 @@ class PsyEngine:
             embedded_docs, eps, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col, **kw
         )
 
+    def soft_dedup_weights(self, docs: DataFrame, pairs: DataFrame, **kw) -> DataFrame:
+        """Append 1/|duplicate-component| sample weights instead of
+        dropping copies (operators/dedup.duplicate_weights)."""
+        from .operators.dedup import duplicate_weights
+
+        return duplicate_weights(docs, pairs, **kw)
+
     def excise_duplicate_spans(self, docs: DataFrame, length: int = 50, **kw) -> DataFrame:
         """Cut duplicated ≥length-token spans out of every document,
         keeping one copy corpus-wide (operators/substr — Lee 2021's

@@ -8,11 +8,12 @@
               → ExactSubstr span-dedup evidence (operators/substr)
               → training-format reshape
 
-Every stage is an operator from this engine; the whole composition is a
-single lazy DataFrame DAG (one job), and the DuckDB oracle reproduces it
-stage for stage — the strongest end-to-end correctness statement the
-gate can make.  At 100 TB each stage keeps the scale shape documented in
-SCALE.md (inverted-index near-dup join, codegen'd scoring, hash sample).
+Every stage is an operator from this engine; the composition is one lazy
+DataFrame DAG (plus the LM's single train-time count scalar), and the
+DuckDB oracle reproduces it stage for stage — the strongest end-to-end
+correctness statement the gate can make.  At 100 TB each stage keeps the
+scale shape documented in SCALE.md (inverted-index near-dup join,
+codegen'd scoring, hash sample).
 """
 
 from __future__ import annotations
