@@ -269,3 +269,10 @@ def test_substr_html_report_facades(engine, spark):
     rep = engine.corpus_report(docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")), group_cols=("lang",))
     rows = rep.collect()
     assert {r["lang"] for r in rows} == {None, "en"}
+
+
+def test_soft_dedup_weights_facade(engine, spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(4)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    w = {r.doc_id: r.sample_weight for r in engine.soft_dedup_weights(docs, pairs).collect()}
+    assert w == {0: 0.5, 1: 0.5, 2: 1.0, 3: 1.0}
