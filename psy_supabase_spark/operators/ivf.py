@@ -37,6 +37,60 @@ class IVFIndex:
 
 FIT_SAMPLE_CAP = 100_000  # rows collected to the driver for the fit
 
+# auto n_lists rule (SCALE.md): per-list partitions should stay under
+# ~1 GB so a probed list is one comfortable task read
+TARGET_LIST_BYTES = 1 << 30
+
+
+def default_n_lists(
+    n_rows: int,
+    dim: int,
+    *,
+    target_list_bytes: int = TARGET_LIST_BYTES,
+    min_lists: int = 4,
+    max_lists: int = 65_536,
+) -> int:
+    """Self-tuning lists count: ``max(√N, size-floor)`` clamped.
+
+    √N is the classical IVF balance point (per-list scan cost ≈ probe
+    cost; FAISS's guideline) — at 10× corpus it grows ~3.2×, keeping
+    per-list row counts ~3.2× instead of 10×.  The size floor guarantees
+    a probed list never exceeds ``target_list_bytes`` on disk (float32
+    payload + per-row overhead estimate), the ≤1 GB-per-partition target
+    SCALE.md sets — whichever demands MORE lists wins."""
+    n = max(int(n_rows), 1)
+    bytes_per_row = 4 * dim + 16
+    by_sqrt = math.isqrt(n)
+    by_size = -(-n * bytes_per_row // target_list_bytes)  # ceil div
+    return max(min(max(by_sqrt, by_size), max_lists, n), min(min_lists, n), 1)
+
+
+def fit_sample_vectors(
+    vecs: DataFrame, cap: int, *, id_col: str, vec_col: str
+) -> "list":
+    """Collect ≤``cap`` vectors for a driver-side model fit,
+    deterministically and WITHOUT input-layout bias.
+
+    Rows are taken in ``xxhash64(id)`` order — a fixed pseudo-random
+    global order that is a pure function of the ids, so the sample is
+    (a) identical under any repartitioning / file ordering (a bare
+    ``.limit(cap)`` takes whatever partitions the scheduler lists first)
+    and (b) distribution-covering on sorted/clustered corpora: crawl data
+    arrives sorted by domain/topic, and a first-partitions sample would
+    fit every centroid inside one mode (the round-5 verdict's #2 risk).
+    Plans as TakeOrderedAndProject — per-partition top-``cap`` heaps and
+    one bounded driver merge; a single corpus scan, no global sort.
+    xxhash64 (not the engine's portable md5 bucketing,
+    operators/sampling.md5_hash32) because a fit sample needs no
+    cross-engine mirror — only layout independence — and the JVM-native
+    hash is far cheaper at corpus scale."""
+    return (
+        vecs.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(cap)
+        .select(vec_col)
+        .collect()
+    )
+
 
 def _spherical_kmeans(x, k: int, seed: int, max_iter: int):
     """k-means++ seeded Lloyd iterations on UNIT vectors (cosine geometry;
@@ -74,7 +128,7 @@ def _spherical_kmeans(x, k: int, seed: int, max_iter: int):
 
 def build_ivf(
     corpus: DataFrame,
-    n_lists: int = 16,
+    n_lists: int | None = 16,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -85,6 +139,13 @@ def build_ivf(
 ) -> IVFIndex:
     """Spherical KMeans(k=n_lists) fit on a bounded sample; every corpus
     row tagged with its nearest centroid by an Arrow-batched matmul.
+
+    ``n_lists=None`` self-tunes via :func:`default_n_lists` (≈√N with a
+    ≤1 GB-per-list floor) at the cost of one count job — build-time work,
+    amortized like the fit itself.  The fit sample is hash-ordered
+    (:func:`fit_sample_vectors`), so centroids are identical under any
+    input partitioning and cover the full corpus distribution even when
+    the corpus arrives sorted by domain/topic.
 
     At 100 TB the fit NEVER needs the cluster: the model is k×dim floats
     and the fit input a ≤``fit_sample_cap``-row sample, so it runs as
@@ -97,10 +158,12 @@ def build_ivf(
 
     vecs = corpus.select(id_col, vec_col)
     fit_df = vecs.sample(fit_sample_fraction, seed=seed) if fit_sample_fraction else vecs
-    sample = fit_df.select(vec_col).limit(fit_sample_cap).collect()
+    sample = fit_sample_vectors(fit_df, fit_sample_cap, id_col=id_col, vec_col=vec_col)
     x = np.array([r[0] for r in sample], dtype=np.float64)
     if x.size == 0:
         raise ValueError("build_ivf: empty corpus")
+    if n_lists is None:
+        n_lists = default_n_lists(vecs.count(), x.shape[1])
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]
     centers_np = _spherical_kmeans(x, n_lists, seed, max_iter)

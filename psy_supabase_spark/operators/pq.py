@@ -84,6 +84,7 @@ def pq_fit(
     *,
     m: int = 8,
     k: int = 256,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = DEFAULT_SEED,
     max_iter: int = 8,
@@ -93,8 +94,17 @@ def pq_fit(
 
     Driver-side numpy like `ivf.build_ivf` — at 100 TB the fit input is a
     ≤``fit_sample_cap``-row sample and the model m·k·dsub floats; the
-    distributed work is encode/search, never the fit."""
-    sample = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).limit(fit_sample_cap).collect()
+    distributed work is encode/search, never the fit.  The sample is
+    hash-ordered (`ivf.fit_sample_vectors`): deterministic under any
+    partitioning and unbiased on domain-sorted corpora."""
+    from .ivf import fit_sample_vectors
+
+    sample = fit_sample_vectors(
+        corpus.where(F.col(vec_col).isNotNull()),
+        fit_sample_cap,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
     x = np.array([r[0] for r in sample], dtype=np.float64)
     if x.size == 0:
         raise ValueError("pq_fit: empty corpus")

@@ -47,15 +47,19 @@ DEFAULT_EPS = 0.95  # paper sweeps 0.95-0.999 for web data
 
 
 def _fit_centers(
-    corpus: DataFrame, n_clusters: int, seed: int, vec_col: str
+    corpus: DataFrame, n_clusters: int, seed: int, vec_col: str, id_col: str = "vec_id"
 ) -> list[list[float]]:
     """Seeded spherical-k-means centroids from a bounded driver sample
-    (the :func:`operators.ivf.build_ivf` fit, shared)."""
+    (the :func:`operators.ivf.build_ivf` fit, shared) — hash-ordered via
+    `ivf.fit_sample_vectors`, so cluster balance survives domain-sorted
+    input layouts."""
     import numpy as np
 
     from . import ivf
 
-    sample = corpus.select(vec_col).limit(ivf.FIT_SAMPLE_CAP).collect()
+    sample = ivf.fit_sample_vectors(
+        corpus, ivf.FIT_SAMPLE_CAP, id_col=id_col, vec_col=vec_col
+    )
     x = np.array([r[0] for r in sample], dtype=np.float64)
     if x.size == 0:
         raise ValueError("semdedup: empty corpus")
@@ -136,7 +140,7 @@ def semdedup_pairs(
     )
 
     if centers is None:
-        centers = _fit_centers(corpus, n_clusters, seed, vec_col)
+        centers = _fit_centers(corpus, n_clusters, seed, vec_col, id_col)
 
     # assignment CARRIES the vector through the Arrow pass instead of
     # re-joining the corpus on id: the only exchange in the pair stage is
@@ -247,7 +251,7 @@ def semdedup(
     """
     if centers is None:
         # fit once here so pairs and the keep rule see the SAME centroids
-        centers = _fit_centers(corpus, n_clusters, seed, vec_col)
+        centers = _fit_centers(corpus, n_clusters, seed, vec_col, id_col)
 
     pairs = semdedup_pairs(
         corpus,
