@@ -493,6 +493,195 @@ def ivf_search_batch(
     return _salted_topk(scored, k, query_id, id_col, n_salts)
 
 
+def _collect_query_batch(
+    queries: DataFrame, query_id: str, query_vec: str, max_queries: int, dim: int | None
+):
+    """Bounded driver fetch of the query batch (queries are the small side
+    by definition — same contract as the broadcast in ivf_search_batch);
+    drops NULL / wrong-dim vectors exactly as the scoring paths do."""
+    qrows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"query batch exceeds max_queries={max_queries}; split the batch"
+        )
+    if dim is not None:
+        qrows = [r for r in qrows if r[1] is not None and len(r[1]) == dim]
+    if not qrows:
+        raise ValueError("empty query batch")
+    return qrows
+
+
+def ivf_search_batch_gemm(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    *,
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+    sq8_store: DataFrame | None = None,
+    rescore_factor: int = 3,
+) -> DataFrame:
+    """N-query IVF ANN with Arrow/GEMM scoring — the WIDE-dim serving path.
+
+    :func:`ivf_search_batch` scores each (row, query) pair with a codegen
+    HOF fold over the vector.  At dim 64 that is the right trade (stays
+    JVM-side, no Python boundary); at the reference's real width
+    (``vector(1536)``, query.txt:84 — actual embeddings dim 2048,
+    text_generator.py:314-316) the per-element interpreted lambda cost
+    dominates and the plan for probe selection would carry
+    n_lists × dim literal expressions.  This variant:
+
+    1. collects the bounded query batch driver-side (the pq_search_batch
+       contract) and picks per-query probes in numpy — same distances and
+       tie-breaks as :func:`rank_centroids` (zero-norm → +inf, ties on
+       centroid id);
+    2. filters the corpus to the probe UNION (file-level partition
+       pruning on a persisted layout);
+    3. scores each Arrow batch against ALL queries with ONE
+       (batch × dim)·(dim × nq) GEMM, masks each query to ITS probe set
+       (union-coarseness never leaks another query's lists into results),
+       and emits only the per-batch top-k per query — the map-side
+       partial-top-k combiner, so the shuffle carries
+       O(batches · nq · k) rows;
+    4. final exact top-k per query by (similarity DESC, id ASC).
+
+    Output matches :func:`ivf_search_batch` row-for-row on the testdata
+    (parity-tested; the GEMM accumulates pairwise vs the fold's
+    left-to-right — a last-ulp difference only, erased by round6 except
+    on knife-edge rounding boundaries never observed).
+
+    ``sq8_store`` (from :func:`quantized_store` / a read-back
+    :func:`write_ivf_sq8_layout` layout) switches to SQ8-GEMM serving:
+    the coarse GEMM runs over the int8 codes (cosine is scale-invariant,
+    so raw ints score correctly), keeps ``k·rescore_factor`` per query,
+    and re-scores survivors at full precision — the IVF-SQ8 ladder with
+    both passes GEMM-shaped."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(index.centers[0]) if index.centers else None
+    qrows = _collect_query_batch(queries, query_id, query_vec, max_queries, dim)
+    qids = [r[0] for r in qrows]
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    live = qn > 0  # zero-norm queries produce NULL sims → no results
+    qunit = np.where(live[:, None], qmat / np.where(qn == 0, 1.0, qn)[:, None], 0.0)
+
+    cmat = np.array(index.centers, dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1)
+    with np.errstate(invalid="ignore"):
+        cd = 1.0 - (qunit @ (cmat / np.where(cn == 0, 1.0, cn)[:, None]).T)
+    cd[:, cn == 0] = np.inf
+    cd[~live, :] = np.inf
+    n_lists = len(index.centers)
+    mask = np.zeros((n_lists, len(qids)), dtype=bool)  # (centroid, query)
+    union: set[int] = set()
+    for qi in range(len(qids)):
+        if not live[qi]:
+            continue
+        order = np.lexsort((np.arange(n_lists), cd[qi]))[:nprobe]
+        mask[order, qi] = True
+        union.update(int(c) for c in order)
+    probe_ids = sorted(union)
+
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    id_field = index.assigned.schema[id_col]
+    out_schema = (
+        f"{query_id} {qid_t}, {id_field.name} {id_field.dataType.simpleString()}, "
+        "similarity double"
+    )
+    qids_arr = np.array(qids)
+
+    def make_scorer(vcol: str, keep: int):
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                vals = pdf[vcol].tolist()
+                ok = np.fromiter(
+                    (v is not None and len(v) == dim for v in vals),
+                    dtype=bool,
+                    count=len(vals),
+                )
+                if not ok.any():
+                    continue
+                rows = np.flatnonzero(ok)
+                m = np.stack([np.asarray(vals[i], dtype=np.float64) for i in rows])
+                nrm = np.linalg.norm(m, axis=1)
+                nz = nrm > 0
+                rows = rows[nz]
+                if not len(rows):
+                    continue
+                u = m[nz] / nrm[nz][:, None]
+                sims = np.round(u @ qunit.T, 6)  # (B, nq)
+                cids = pdf["centroid_id"].to_numpy()[rows].astype(np.int64)
+                allowed = mask[cids, :] & live[None, :]  # (B, nq)
+                sims = np.where(allowed, sims, -np.inf)
+                ids = pdf[id_field.name].to_numpy()[rows]
+                id_order = np.argsort(ids, kind="stable")
+                out_q, out_i, out_s = [], [], []
+                for qi in range(len(qids_arr)):
+                    sq = sims[id_order, qi]
+                    top = id_order[np.argsort(-sq, kind="stable")[: min(keep, len(rows))]]
+                    good = sims[top, qi] > -np.inf
+                    top = top[good]
+                    out_q.extend([qids_arr[qi]] * len(top))
+                    out_i.extend(ids[top].tolist())
+                    out_s.extend(sims[top, qi].tolist())
+                if out_q:
+                    yield pd.DataFrame(
+                        {query_id: out_q, id_field.name: out_i, "similarity": out_s}
+                    )
+
+        return score
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("similarity").desc(), F.col(id_col).asc()
+    )
+    if sq8_store is None:
+        pruned = index.assigned.where(F.col("centroid_id").isin(probe_ids)).select(
+            id_col, "centroid_id", vec_col
+        )
+        partial = pruned.mapInPandas(make_scorer(vec_col, k), schema=out_schema)
+        return partial.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+            F.col("rank") <= k
+        )
+
+    # SQ8 ladder: int8 coarse GEMM → top k·f per query → exact rescore
+    first_k = k * rescore_factor
+    coarse_src = sq8_store.where(F.col("centroid_id").isin(probe_ids)).select(
+        id_col, "centroid_id", F.col("_qs.q").alias("_qvals")
+    )
+    cand = (
+        coarse_src.mapInPandas(make_scorer("_qvals", first_k), schema=out_schema)
+        .withColumn("_pr", F.row_number().over(w))
+        .where(F.col("_pr") <= first_k)
+        .select(query_id, id_col)
+    )
+    qdf = queries.select(query_id, query_vec)
+    rescored = (
+        index.assigned.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qdf), query_id)
+        .select(
+            query_id,
+            F.col(id_col),
+            V.round6(V.cosine_similarity(F.col(vec_col), F.col(query_vec))).alias(
+                "similarity"
+            ),
+        )
+        .where(F.col("similarity").isNotNull())
+    )
+    return rescored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= k
+    )
+
+
 def _salted_topk(
     scored: DataFrame, k: int, query_id: str, id_col: str, n_salts: int
 ) -> DataFrame:

@@ -1,0 +1,93 @@
+"""Deterministic synthetic corpora for scale / dimensionality validation.
+
+The driver testdata fixes embeddings at dim 64 (TESTDATA.md), but the
+reference's declared workload is ``vector(1536)`` (reference
+`query.txt:84`) and its generator actually emits dim-2048 embeddings
+(reference `text_generator.py:314-316`).  GEMM batch shapes, SQ8/PQ
+compression ratios, and LSH banding constants all shift with dimension,
+so the vector family is validated at the real width against corpora
+produced here (BENCH extras ``dim1536_*``; tools/scale_step.py).
+
+Every row is a pure function of ``(seed, vec_id)`` — generation is
+deterministic under any partitioning, any cluster size, and any retry
+(the same property the hash samplers in operators/sampling guarantee).
+Vectors are drawn as mode + Gaussian noise around ``n_modes`` planted
+unit modes: real embedding corpora cluster (that is WHY IVF works), and
+uniform-random vectors are the measured worst case already covered by
+the driver testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def synthetic_embeddings(
+    spark: SparkSession,
+    n: int,
+    dim: int,
+    *,
+    n_modes: int = 32,
+    noise: float = 0.3,
+    seed: int = 1536,
+    id_start: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(vec_id long, embedding array<float>): ``n`` clustered vectors.
+
+    Row ``i`` = unit(mode[i % n_modes] + noise·N(0,1)) where each row's
+    RNG is seeded ``(seed, vec_id)`` — distributed generation with no
+    driver materialization and no partitioning dependence.  float32
+    storage mirrors the testdata embeddings table."""
+    import numpy as np
+    import pandas as pd
+
+    mode_rng = np.random.default_rng(seed)
+    modes = mode_rng.standard_normal((n_modes, dim))
+    modes /= np.linalg.norm(modes, axis=1)[:, None]
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = np.empty((len(ids), dim), dtype=np.float64)
+            for j, i in enumerate(ids):
+                rng = np.random.default_rng([seed, int(i)])
+                v = modes[int(i) % n_modes] + noise * rng.standard_normal(dim)
+                out[j] = v / np.linalg.norm(v)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(out.astype(np.float32))}
+            )
+
+    rng_df = spark.range(id_start, id_start + n)
+    if partitions is not None:
+        rng_df = rng_df.repartition(partitions)
+    return rng_df.mapInPandas(gen, schema="vec_id long, embedding array<float>")
+
+
+def scaled_documents(docs: DataFrame, factor: int, *, id_stride: int = 10_000_000) -> DataFrame:
+    """A ``factor``× document corpus for scale-step measurement.
+
+    Copy k keeps copy 0's text verbatim; copies k>0 pass the text through
+    a per-copy Caesar rotation of the letters (a BIJECTION on the
+    alphabet, applied identically to every doc in a copy): WITHIN-copy
+    duplicate structure — exact-equality groups, shingle overlaps,
+    Jaccard values — is preserved isomorphically, while CROSS-copy tokens
+    and shingles differ, so dedup pair counts scale ~linearly in
+    ``factor`` instead of quadratically.  Duplicating text verbatim would
+    measure a planted pair explosion, not the operator's scaling."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    copies = []
+    for k in range(factor):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * id_stride))
+        if k > 0:
+            rot = k % 25 + 1  # never the identity rotation
+            rl = lower[rot:] + lower[:rot]
+            ru = upper[rot:] + upper[:rot]
+            c = c.withColumn("text", F.translate(F.col("text"), lower + upper, rl + ru))
+        copies.append(c)
+    return reduce(lambda a, b: a.unionByName(b), copies)
