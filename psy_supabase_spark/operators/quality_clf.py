@@ -143,6 +143,40 @@ def score_quality(
     )
 
 
+def score_with_pinned_weights(
+    docs: DataFrame,
+    weights: dict[str, float],
+    intercept: float = 0.0,
+    *,
+    text_col: str = "text",
+    prob_col: str = "quality_prob_pinned",
+) -> DataFrame:
+    """Append P(quality) from an EXPLICIT (token → weight) map:
+    ``sigmoid(intercept + Σ_occurrences w[token])`` — the oracle-gateable
+    twin of :func:`score_quality`, and the production shape for serving a
+    distilled model (export a trained LR's top-K |weight| features as a
+    literal map: auditable, engine-portable, no hashing trick needed at
+    serve time).
+
+    One map-side pass: the engine tokenizer (functions/text.tokenize),
+    a left-to-right fold adding ``element_at(map, token)`` per
+    occurrence (missing → 0), then the logistic link.  The fold order is
+    the token order, matching a SQL ``list_sum(list_transform(...))``
+    mirror exactly; stream-admissible like :func:`score_quality` because
+    it is stateless."""
+    from ..functions.text import tokenize
+
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in (kv[0], float(kv[1]))]
+    )
+    logit = F.aggregate(
+        tokenize(F.col(text_col)),
+        F.lit(float(intercept)),
+        lambda acc, t: acc + F.coalesce(F.element_at(wmap, t), F.lit(0.0)),
+    )
+    return docs.withColumn(prob_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)))
+
+
 def quality_filter_learned(
     docs: DataFrame,
     model: QualityModel,

@@ -196,13 +196,49 @@ _COS_EB = """CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding:
         FROM sd_comps m JOIN sd_asg a ON a.vec_id = m.id
       ) WHERE rk = 1
     ),
-    sd_dropped AS (SELECT id FROM sd_comps WHERE id NOT IN (SELECT id FROM sd_reps))
+    sd_dropped AS (SELECT id FROM sd_comps WHERE id NOT IN (SELECT id FROM sd_reps)),
+    eunit AS (
+      SELECT vec_id,
+             CASE WHEN nrm = 0 THEN e2 ELSE list_transform(e2, x -> x / nrm) END AS u
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e2,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings)
+    ),
+    pq_cb AS (SELECT vec_id AS cid, u[1:32] AS c0, u[33:64] AS c1 FROM eunit WHERE vec_id < 4),
+    pq_q AS (SELECT u[1:32] AS q0, u[33:64] AS q1 FROM eunit WHERE vec_id = 0),
+    pq_d AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product(c.c0, c.c0) - 2 * list_dot_product(e.u[1:32], c.c0) AS d0,
+             list_dot_product(c.c1, c.c1) - 2 * list_dot_product(e.u[33:64], c.c1) AS d1
+      FROM eunit e CROSS JOIN pq_cb c
+    ),
+    pq_code0 AS (
+      SELECT vec_id, cid AS code_a FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d0 ASC, cid ASC) AS rn
+        FROM pq_d
+      ) WHERE rn = 1
+    ),
+    pq_code1 AS (
+      SELECT vec_id, cid AS code_b FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1 ASC, cid ASC) AS rn
+        FROM pq_d
+      ) WHERE rn = 1
+    )
     SELECT e.vec_id, TRUE AS roundtrip_ok,
            ROUND(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS l2_norm,
            len(e.embedding) AS dim,
            a.cid AS centroid_id,
-           e.vec_id NOT IN (SELECT id FROM sd_dropped) AS semdup_kept
-    FROM embeddings e JOIN sd_asg a ON a.vec_id = e.vec_id
+           e.vec_id NOT IN (SELECT id FROM sd_dropped) AS semdup_kept,
+           CAST(p0.code_a AS INTEGER) AS pq_code_a,
+           CAST(p1.code_b AS INTEGER) AS pq_code_b,
+           ROUND(list_dot_product(q.q0, ca.c0) + list_dot_product(q.q1, cb.c1), 6) AS pq_adc_sim
+    FROM embeddings e
+    JOIN sd_asg a ON a.vec_id = e.vec_id
+    JOIN pq_code0 p0 ON p0.vec_id = e.vec_id
+    JOIN pq_code1 p1 ON p1.vec_id = e.vec_id
+    JOIN pq_cb ca ON ca.cid = p0.code_a
+    JOIN pq_cb cb ON cb.cid = p1.code_b
+    CROSS JOIN pq_q q
     """,
 )
 def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,19 +256,58 @@ def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole chain (GEMM assignment, within-cluster pair GEMM, connected
     components, keep-the-cluster-edge-member rule) is value-checked by
     the DuckDB mirror (recursive-CTE closure, same tie-breaks).  The
-    fitted-k-means path is covered by recall tests (tests/test_semdedup)."""
+    fitted-k-means path is covered by recall tests (tests/test_semdedup).
+
+    ``pq_code_a`` / ``pq_code_b`` / ``pq_adc_sim`` gate
+    :mod:`operators.pq` (Jégou 2011) the same fixed-parameter way: a
+    deterministic 2-subspace × 4-entry codebook (slices of the
+    unit-normalized first 4 corpus vectors) drives the REAL
+    ``pq_encode`` GEMM argmin, and the ADC score against the vec_id-0
+    query is the real asymmetric lookup (per-subspace LUT, here a
+    4-entry literal array) — so the driver value-hashes the encode
+    arithmetic and the ADC table-sum against a pure-SQL mirror.  The
+    fitted-codebook path stays recall-tested (tests/test_pq)."""
     from ..functions import vector as V
+    from ..operators import pq as pq_ops
     from ..operators import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centers = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
-    ]
+    rows4 = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    centers = [[float(x) for x in r["embedding"]] for r in rows4]
     asg = semdedup.assign_with_sim(emb, centers).select("vec_id", "centroid_id")
     flagged = semdedup.semdedup(
         emb, _SEMDUP_EPS, centers=centers, keep_flag="semdup_kept"
     ).select("vec_id", "semdup_kept")
+
+    # fixed PQ codebooks: left-to-right float accumulation for the norms
+    # and LUT (matching the oracle's sequential list_dot_product) — the
+    # encode itself runs through the production pq_encode GEMM pass
+    import math as _math
+
+    def _unit(v):
+        n = _math.sqrt(sum((float(x) * float(x) for x in v), 0.0))
+        return [float(x) / n for x in v] if n > 0 else [float(x) for x in v]
+
+    units = [_unit(c) for c in centers]
+    dsub = len(units[0]) // 2
+    books = pq_ops.PQCodebooks(
+        m=2, dsub=dsub, centers=[[u[:dsub] for u in units], [u[dsub:] for u in units]]
+    )
+    codes = pq_ops.pq_encode(emb, books).select(
+        "vec_id",
+        F.element_at("codes", 1).cast("int").alias("pq_code_a"),
+        F.element_at("codes", 2).cast("int").alias("pq_code_b"),
+    )
+    qu = units[0]
+    lut = [
+        [sum((a * b for a, b in zip(qu[s * dsub : (s + 1) * dsub], e)), 0.0) for e in books.centers[s]]
+        for s in range(2)
+    ]
+    adc = F.round(
+        F.element_at(F.array(*[F.lit(x) for x in lut[0]]), F.col("pq_code_a") + 1)
+        + F.element_at(F.array(*[F.lit(x) for x in lut[1]]), F.col("pq_code_b") + 1),
+        6,
+    )
 
     serialized = F.concat(F.lit("["), F.array_join(F.col("embedding").cast("array<string>"), ","), F.lit("]"))
     parsed = F.from_json(serialized, "array<float>")
@@ -245,6 +320,8 @@ def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(asg, "vec_id")
         .join(flagged, "vec_id")
+        .join(codes, "vec_id")
+        .withColumn("pq_adc_sim", adc)
     )
 
 

@@ -141,24 +141,64 @@ def _template_case_sql() -> str:
     return f"CASE {whens} ELSE 'Others' END"
 
 
+# Pinned logistic weights for the learned-quality SCORING path gate
+# (operators/quality_clf.score_with_pinned_weights): the serving shape of
+# a distilled classifier — explicit token→weight map, no hashing trick.
+# Values chosen to split the synthetic corpus; training stays pytest-only
+# (learned weights have no SQL oracle by nature — round-5 verdict #5).
+_PINNED_W = {"fast": 0.9, "slow": -0.7, "spark": 0.5, "data": 0.3, "vector": 0.4, "big": -0.2}
+_PINNED_B = -0.5
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x != '')"
+_PINNED_CASE = (
+    "CASE t "
+    + " ".join(f"WHEN '{w}' THEN {v}::DOUBLE" for w, v in sorted(_PINNED_W.items()))
+    + " ELSE 0.0::DOUBLE END"
+)
+
+
 @register(
     "classifier_counts",
     oracle=f"""
+    WITH scored AS (
+      SELECT text,
+             1.0 / (1.0 + exp(-({_PINNED_B}::DOUBLE + COALESCE(
+               list_sum(list_transform({_TOKS_SQL}, t -> {_PINNED_CASE})), 0.0)))) AS p
+      FROM documents
+    )
     SELECT {_safety_case_sql()} AS category, {_template_case_sql()} AS template,
-           COUNT(*) AS n_docs
-    FROM documents GROUP BY 1, 2
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pinned,
+           CAST(SUM(CAST(ROUND(p, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality_pinned
+    FROM scored GROUP BY 1, 2
     """,
 )
 def classifier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 ordered first-match-wins regex harm classifier
     (safety_handler.py:46-78, NULL = safe) × T7 keyword → template CASE
     (prompt_selector.py:198-202, default 'Others') — merged registry slot:
-    cross-tabulated counts gate both classifiers from one scan."""
+    cross-tabulated counts gate both classifiers from one scan.
+
+    ``n_quality_pinned`` / ``sum_quality_pinned`` absorb the learned-
+    quality-classifier SCORING path (quality_clf.score_with_pinned_weights
+    — tokenize → weight-fold → sigmoid) with pinned weights: per-doc
+    probabilities rounded to 6 dp and summed in DECIMAL (order-independent,
+    bit-exact across engines) so the driver value-hashes the whole scoring
+    arithmetic.  Training (HashingTF + L-BFGS) remains pytest-gated."""
+    from ..operators.quality_clf import score_with_pinned_weights
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy(
+    scored = score_with_pinned_weights(docs, _PINNED_W, _PINNED_B, prob_col="_p")
+    return scored.groupBy(
         TX.safety_category("text").alias("category"),
         TX.select_template("text").alias("template"),
-    ).agg(F.count("*").alias("n_docs"))
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("_p") >= 0.5).cast("int")).cast("bigint").alias("n_quality_pinned"),
+        F.sum(F.round(F.col("_p"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_quality_pinned"),
+    )
 
 
 def _taxonomy_values_sql() -> str:

@@ -102,3 +102,36 @@ def test_scoring_is_stream_admissible(spark, separable, tmp_path):
         for r in quality_clf.score_quality(separable.drop("label"), model).collect()
     }
     assert got == want
+
+
+def test_pinned_weight_scoring_matches_hand_math(spark):
+    import math
+
+    w = {"good": 1.0, "bad": -2.0}
+    docs = spark.createDataFrame(
+        [(0, "good good bad"), (1, "nothing matches here"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.p
+        for r in quality_clf.score_with_pinned_weights(
+            docs, w, 0.5, prob_col="p"
+        ).collect()
+    }
+    sig = lambda z: 1.0 / (1.0 + math.exp(-z))  # noqa: E731
+    assert abs(got[0] - sig(0.5 + 1.0 + 1.0 - 2.0)) < 1e-12
+    assert abs(got[1] - sig(0.5)) < 1e-12  # unknown tokens contribute 0
+    assert abs(got[2] - sig(0.5)) < 1e-12  # empty text → intercept only
+
+
+def test_pinned_weight_scoring_counts_every_occurrence(spark):
+    docs = spark.createDataFrame(
+        [(0, "fast"), (1, "fast fast fast")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.p
+        for r in quality_clf.score_with_pinned_weights(
+            docs, {"fast": 0.3}, 0.0, prob_col="p"
+        ).collect()
+    }
+    assert got[1] > got[0]  # occurrences accumulate, not set-membership
