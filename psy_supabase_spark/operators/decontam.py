@@ -162,16 +162,25 @@ def flag_contaminated(
         .agg(F.collect_set("gram").alias("_bench_grams"))
     )
 
+    # MATERIALIZE the token array before the gram lambda: _token_ngrams
+    # reads k-1 successors per gram via element_at(toks, ·), and a bare
+    # expression tree there makes every element_at re-run the whole
+    # regexp_replace+split on the document text (~n_tokens·(k-1) regex
+    # passes per row — measured 87 s at sf0.1 vs 0.9 s with the projected
+    # column; Catalyst does not CSE inside lambda bodies)
     joined = F.trim(F.regexp_replace(F.lower(F.col(text_col)), TOKEN_SPLIT_RE, " "))
-    toks = F.split(joined, " ")
-    n_tokens = F.when(joined == "", F.lit(0)).otherwise(F.size(toks))
+    staged = corpus.withColumn("_fc_joined", joined).withColumn(
+        "_fc_toks", F.split(F.col("_fc_joined"), " ")
+    )
+    jc, toks = F.col("_fc_joined"), F.col("_fc_toks")
+    n_tokens = F.when(jc == "", F.lit(0)).otherwise(F.size(toks))
     grams = (
         F.when(n_tokens == 0, F.array().cast("array<string>"))
-        .when(n_tokens < n, F.array(joined))
+        .when(n_tokens < n, F.array(jc))
         .otherwise(F.filter(_token_ngrams(toks, n), lambda g: g != ""))
     )
     return (
-        corpus.crossJoin(F.broadcast(bench_grams))
+        staged.crossJoin(F.broadcast(bench_grams))
         .withColumn(flag_col, F.arrays_overlap(grams, F.col("_bench_grams")))
-        .drop("_bench_grams")
+        .drop("_bench_grams", "_fc_joined", "_fc_toks")
     )

@@ -272,16 +272,76 @@ def write_ivf_layout(index: IVFIndex, path: str, *, vec_col: str = "embedding") 
     ).partitionBy("centroid_id").parquet(path)
 
 
+QUANTIZE_ARROW_DIM = 256  # above this width the Arrow path wins (see below)
+
+
 def quantized_store(
-    index: IVFIndex, *, id_col: str = "vec_id", vec_col: str = "embedding"
+    index: IVFIndex,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    arrow: bool | None = None,
 ) -> DataFrame:
     """The IVF-SQ8 storage form: (id, centroid_id, int8 payload, coarse
     norm).  72 B/row vs 256 B for float32 dim-64 — what a billion-vector
     serving tier keeps hot.  ``_qnorm`` is ‖q‖ of the INT array: cosine is
     scale-invariant, so the coarse pass scores raw ints against the query
-    with one fold and no dequantization."""
-    base = index.assigned.select(id_col, "centroid_id", V.quantize_int8(vec_col).alias("_qs"))
-    return base.withColumn("_qnorm", V.l2_norm(F.col("_qs.q")))
+    with one fold and no dequantization.
+
+    ``arrow`` switches the quantize kernel: the default (None) picks the
+    codegen HOF expression below ``QUANTIZE_ARROW_DIM`` and an
+    Arrow-batched numpy pass above it.  The expression spelling is three
+    interpreted per-element folds per row — the right trade at dim 64
+    (no Python boundary), but measured 267 s for a 20k-row dim-1536
+    store vs ~2 s for the numpy pass (the round-6 width validation's
+    second finding, after the probe-literal plan).  Outputs are
+    row-identical (HALF_UP rounding reproduced in numpy; parity pinned
+    in tests)."""
+    dim = len(index.centers[0]) if index.centers else 0
+    if arrow is None:
+        arrow = dim >= QUANTIZE_ARROW_DIM
+    if not arrow:
+        base = index.assigned.select(
+            id_col, "centroid_id", V.quantize_int8(vec_col).alias("_qs")
+        )
+        return base.withColumn("_qnorm", V.l2_norm(F.col("_qs.q")))
+
+    import numpy as np
+    import pandas as pd
+
+    id_t = index.assigned.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_t}, centroid_id int, "
+        "_qs struct<scale: double, q: array<tinyint>>, _qnorm double"
+    )
+
+    def quant(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].tolist()]
+            )
+            amax = np.abs(m).max(axis=1)
+            scale = np.where(amax == 0.0, 1.0, amax / 127.0)
+            r = m / scale[:, None]
+            # HALF_UP like F.round (np.round is half-even): away-from-zero
+            q = (np.floor(np.abs(r) + 0.5) * np.sign(r)).astype(np.int8)
+            qn = np.sqrt((q.astype(np.float64) ** 2).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "centroid_id": pdf["centroid_id"].astype("int32"),
+                    "_qs": [
+                        {"scale": float(s), "q": row} for s, row in zip(scale, q)
+                    ],
+                    "_qnorm": qn,
+                }
+            )
+
+    return index.assigned.select(id_col, "centroid_id", vec_col).mapInPandas(
+        quant, schema=schema
+    )
 
 
 def write_ivf_sq8_layout(

@@ -75,6 +75,80 @@ def srp_signature_np(vec_col: str, planes: list[list[float]]) -> Column:
     return _sig(F.col(vec_col))
 
 
+def suggest_banding(
+    n_rows: int,
+    threshold: float,
+    *,
+    target_bucket: int = 64,
+    target_recall: float = 0.95,
+    max_bands: int = 32,
+    min_bits: int = 3,
+    max_bits: int = 20,
+) -> tuple[int, int]:
+    """(n_planes, bands) for :func:`srp_neardup_pairs`, scaled to corpus
+    size and threshold — the knob the round-6 scale-step measurement
+    showed MUST move with N: the dim-64 default (3-bit bands) keeps
+    ~N/8-deep buckets, so candidate pairs grow ~N²/8 — 12.5M at 5k rows
+    (fine), 1.25G at 50k (a wall).
+
+    bits/band = log2(n/target_bucket) keeps expected bucket depth — and
+    therefore candidates ≈ bands · N · depth/2 — LINEAR in N.  bands is
+    then the smallest count reaching ``target_recall`` for pairs AT the
+    threshold (per-bit agreement p = 1 − acos(t)/π, band match p^bits,
+    recall 1−(1−p^bits)^bands), clamped to ``max_bands``.  Low thresholds
+    at large N are intrinsically expensive (LSH math, not implementation):
+    the clamp trades recall for cost and the returned config's actual
+    recall should be read off the formula."""
+    import math as m
+
+    bits = min(max(min_bits, m.ceil(m.log2(max(n_rows, 2) / target_bucket))), max_bits)
+    p = 1.0 - m.acos(max(min(threshold, 1.0), -1.0)) / m.pi
+    band_p = p**bits
+    if band_p >= 1.0:
+        bands = 1
+    else:
+        bands = m.ceil(m.log(1.0 - target_recall) / m.log(1.0 - band_p))
+        bands = min(max(bands, 1), max_bands)
+    return bits * bands, bands
+
+
+def cosine_pairs_np(a: Column, b: Column) -> Column:
+    """Row-wise cosine of two array columns as ONE Arrow-batched numpy
+    pass (stacked matrices, einsum row-dots) — the wide-dim verify kernel.
+
+    At dim 64 the Catalyst fold (functions/vector.cosine_similarity with
+    precomputed norms) wins: no Python boundary.  At the reference's real
+    width the per-element interpreted lambda dominates — 25M candidate
+    folds × 1536 elements priced the dim-1536 SRP verify beyond 8 minutes,
+    vs ~1 s of GEMM (round-6 width validation).  NULL / length-mismatched
+    / zero-norm rows yield NaN — callers MUST fold NaN to NULL before any
+    threshold predicate (Spark orders NaN above all doubles); see the
+    ``F.isnan`` guard in :func:`srp_neardup_pairs`."""
+
+    @F.pandas_udf("double")
+    def _cos(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        la, lb = sa.tolist(), sb.tolist()
+        out = np.full(len(la), np.nan)
+        ok = [
+            i
+            for i, (x, y) in enumerate(zip(la, lb))
+            if x is not None and y is not None and len(x) == len(y) and len(x) > 0
+        ]
+        if ok:
+            ma = np.stack([np.asarray(la[i], dtype=np.float64) for i in ok])
+            mb = np.stack([np.asarray(lb[i], dtype=np.float64) for i in ok])
+            na = np.linalg.norm(ma, axis=1)
+            nb = np.linalg.norm(mb, axis=1)
+            dots = np.einsum("ij,ij->i", ma, mb)
+            denom = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, dots / denom, np.nan)
+            out[ok] = sims
+        return pd.Series(out)
+
+    return _cos(a, b)
+
+
 def srp_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.5,
@@ -87,6 +161,7 @@ def srp_neardup_pairs(
     seed: int = DEFAULT_SEED,
     bucket_cap: int | None = dedup.DEFAULT_BUCKET_CAP,
     hot_id_threshold: int | None = 100_000,
+    verify_arrow: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs (cosine ≥ threshold) via SRP banding + exact verify.
 
@@ -145,14 +220,25 @@ def srp_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # precompute norms once per vector: verification then costs ONE dot
-    # product per candidate instead of three (same doubles as computing
-    # sqrt(dot(x,x)) inline, so oracle-rounded values are unchanged)
-    withnorm = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), V.l2_norm(vec_col).alias("nrm")
-    )
-    va = withnorm.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
-    vb = withnorm.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    # verify kernel: Catalyst folds with precomputed norms at narrow dims
+    # (one dot per candidate, no Python boundary); Arrow GEMM
+    # (cosine_pairs_np) at wide dims where the interpreted per-element
+    # fold dominates — auto-switched on ``dim``, explicit override kept
+    if verify_arrow is None:
+        verify_arrow = dim >= 256
+    if verify_arrow:
+        base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+        vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    else:
+        # precompute norms once per vector: verification then costs ONE dot
+        # product per candidate instead of three (same doubles as computing
+        # sqrt(dot(x,x)) inline, so oracle-rounded values are unchanged)
+        withnorm = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), V.l2_norm(vec_col).alias("nrm")
+        )
+        va = withnorm.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
+        vb = withnorm.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
     if hot_id_threshold is not None:
         from . import scale
 
@@ -172,9 +258,16 @@ def srp_neardup_pairs(
             joined = cands.join(va, "id_a").join(vb, "id_b")
     else:
         joined = cands.join(va, "id_a").join(vb, "id_b")
-    sim = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(None).cast("double")).otherwise(
-        V.round6(V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-    )
+    if verify_arrow:
+        # NaN → NULL before the threshold test: Spark orders NaN ABOVE
+        # every double, so a bare `NaN >= threshold` would admit the
+        # degenerate rows the expression twin's NULL rejects
+        raw = cosine_pairs_np(F.col("va"), F.col("vb"))
+        sim = F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(F.round(raw, 6))
+    else:
+        sim = F.when(
+            (F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(None).cast("double")
+        ).otherwise(V.round6(V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))))
     return (
         joined.select("id_a", "id_b", sim.alias("similarity"))
         .where(F.col("similarity").isNotNull() & (F.col("similarity") >= threshold))

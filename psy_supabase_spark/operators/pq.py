@@ -189,6 +189,7 @@ def pq_search_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 10_000,
+    rescore_arrow: bool | None = None,
     _qrows: list | None = None,
 ) -> DataFrame:
     """N-query ANN over a PQ-encoded store: map-side ADC + map-side
@@ -236,7 +237,8 @@ def pq_search_batch(
     qid_field = queries.schema[query_id].dataType.simpleString()
     id_field = encoded.schema[id_col]
     part_schema = (
-        f"{query_id} {qid_field}, {id_field.name} {id_field.dataType.simpleString()}"
+        f"{query_id} {qid_field}, {id_field.name} {id_field.dataType.simpleString()}, "
+        "_adc double"
     )
 
     def adc(batches):
@@ -250,32 +252,74 @@ def pq_search_batch(
             for s in range(m):
                 scores += lut[:, s, codes[:, s]]
             keep = min(first_k, len(codes))
-            out_q, out_i = [], []
+            out_q, out_i, out_s = [], [], []
             order = np.argsort(ids, kind="stable")  # id-ordered base for ties
             for qi in range(len(qids)):
                 sq = scores[qi][order]
                 top = order[np.argsort(-sq, kind="stable")[:keep]]
                 out_q.extend([qids[qi]] * len(top))
                 out_i.extend(ids[top].tolist())
-            yield pd.DataFrame({query_id: out_q, id_field.name: out_i})
+                out_s.extend(scores[qi][top].tolist())
+            yield pd.DataFrame(
+                {query_id: out_q, id_field.name: out_i, "_adc": out_s}
+            )
 
-    partial = encoded.mapInPandas(adc, schema=part_schema)
-    # exact rescore of the per-query survivors (global k·f after the
-    # map-side partials union; the extra survivors only widen recall)
-    qdf = queries.select(query_id, query_vec, V.l2_norm(query_vec).alias("_qn"))
-    cand = partial.join(F.broadcast(qdf), query_id)
-    corpus_n = corpus.select(id_col, vec_col, V.l2_norm(vec_col).alias("_cn"))
-    sim = F.when(
-        (F.col("_cn") == 0.0) | (F.col("_qn") == 0.0), F.lit(None).cast("double")
-    ).otherwise(
-        V.round6(V.dot(F.col(vec_col), F.col(query_vec)) / (F.col("_cn") * F.col("_qn")))
+    from pyspark.sql import Window as _W
+
+    # GLOBAL per-query cap at k·f on the approx score BEFORE the rescore:
+    # the map-side partials emit O(#batches · nq · k·f) rows (that is the
+    # combiner design — bounded shuffle), but rescoring all of them would
+    # move a wide vector per candidate; the cap fixes the rescore at
+    # nq · k·f rows regardless of batch/partition count (measured 5-10×
+    # on the dim-1536 batch-100: the uncapped rescore was the whole cost).
+    # Ties on (_adc, id) — deterministic under any batching.
+    w_adc = _W.partitionBy(query_id).orderBy(F.col("_adc").desc(), F.col(id_field.name).asc())
+    partial = (
+        encoded.mapInPandas(adc, schema=part_schema)
+        .withColumn("_pr", F.row_number().over(w_adc))
+        .where(F.col("_pr") <= first_k)
+        .select(query_id, id_field.name)
     )
-    rescored = (
-        corpus_n.join(F.broadcast(cand), id_col)
-        .select(query_id, F.col(id_col), sim.alias("similarity"))
-        .where(F.col("similarity").isNotNull())
-        .dropDuplicates([query_id, id_col])
+    # exact rescore of the ≤ nq·k·f survivors: candidates join IDS-ONLY
+    # (the wide query vector attaches from the tiny queries frame, never
+    # rides a per-candidate broadcast).  (query,id) pairs are unique by
+    # construction — each encoded id lives in exactly one Arrow batch —
+    # so no dedup pass is needed.  The cosine kernel auto-switches like
+    # lsh.srp_neardup_pairs' verify: codegen fold with precomputed norms
+    # at narrow dims, Arrow GEMM (lsh.cosine_pairs_np, evaluated ONCE via
+    # a materialized column — a CASE around the raw UDF would run the
+    # Python stage twice) at wide dims.
+    if rescore_arrow is None:
+        rescore_arrow = dim >= 256
+    qvec_df = queries.select(query_id, query_vec)
+    base = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(partial), id_col)
+        .join(F.broadcast(qvec_df), query_id)
     )
+    if rescore_arrow:
+        from .lsh import cosine_pairs_np
+
+        rescored = (
+            base.withColumn("_raw", cosine_pairs_np(F.col(vec_col), F.col(query_vec)))
+            .select(
+                query_id,
+                F.col(id_col),
+                F.when(F.isnan(F.col("_raw")), F.lit(None).cast("double"))
+                .otherwise(F.round(F.col("_raw"), 6))
+                .alias("similarity"),
+            )
+            .where(F.col("similarity").isNotNull())
+        )
+    else:
+        cn, qn = V.l2_norm(vec_col), V.l2_norm(query_vec)
+        sim = F.when((cn == 0.0) | (qn == 0.0), F.lit(None).cast("double")).otherwise(
+            V.round6(V.dot(F.col(vec_col), F.col(query_vec)) / (cn * qn))
+        )
+        rescored = (
+            base.select(query_id, F.col(id_col), sim.alias("similarity"))
+            .where(F.col("similarity").isNotNull())
+        )
     w = Window.partitionBy(query_id).orderBy(F.col("similarity").desc(), F.col(id_col).asc())
     return rescored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
         F.col("rank") <= k

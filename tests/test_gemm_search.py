@@ -120,3 +120,105 @@ def test_scaled_documents_preserves_dup_structure(spark):
     orig = {r.text for r in docs.collect()}
     kept = {r.text for r in tripled.where(F.col("doc_id") < 100).collect()}
     assert kept == orig
+
+
+def test_quantized_store_arrow_parity(spark):
+    """Arrow/numpy quantization must be ROW-IDENTICAL to the codegen HOF
+    spelling (HALF_UP rounding, scale, int8 codes, coarse norm)."""
+    emb = load_table(spark, SF, "embeddings")
+    index = ivf.build_ivf(emb, n_lists=4)
+    expr = {
+        r.vec_id: (r.centroid_id, r._qs.scale, tuple(r._qs.q), r._qnorm)
+        for r in ivf.quantized_store(index, arrow=False).collect()
+    }
+    arrow = {
+        r.vec_id: (r.centroid_id, r._qs.scale, tuple(r._qs.q), r._qnorm)
+        for r in ivf.quantized_store(index, arrow=True).collect()
+    }
+    assert arrow == expr
+
+
+def test_quantized_store_arrow_handles_halfway_and_zero(spark):
+    import pandas as pd  # noqa: F401
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.5, -0.5, 0.0]),   # ±63.5 after scaling → HALF_UP ±64
+            (1, [0.0, 0.0, 0.0, 0.0]),    # zero vector → scale 1, all-0 codes
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    index = ivf.IVFIndex(centers=[[1.0, 0.0, 0.0, 0.0]], assigned=None)
+    index.assigned = ivf.assign_to_centroids(df, index.centers)
+    expr = {
+        r.vec_id: (r._qs.scale, tuple(r._qs.q), r._qnorm)
+        for r in ivf.quantized_store(index, arrow=False).collect()
+    }
+    arrow = {
+        r.vec_id: (r._qs.scale, tuple(r._qs.q), r._qnorm)
+        for r in ivf.quantized_store(index, arrow=True).collect()
+    }
+    assert arrow == expr
+    assert expr[0][1] == (127, 64, -64, 0)
+    assert expr[1][1] == (0, 0, 0, 0)
+
+
+def test_srp_arrow_verify_parity(spark):
+    """Arrow GEMM verify must emit the same pairs (ids AND rounded sims)
+    as the expression-fold verify at dim 64."""
+    from psy_supabase_spark.operators import lsh
+
+    emb = load_table(spark, SF, "embeddings")
+    expr = {
+        (r.id_a, r.id_b, r.similarity)
+        for r in lsh.srp_neardup_pairs(emb, 0.3, verify_arrow=False).collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b, r.similarity)
+        for r in lsh.srp_neardup_pairs(emb, 0.3, verify_arrow=True).collect()
+    }
+    assert arrow == expr and len(expr) > 0
+
+
+def test_cosine_pairs_np_degenerate_rows(spark):
+    """Zero-norm / NULL / ragged rows must never survive the threshold
+    filter (NaN folded to NULL before comparison)."""
+    from psy_supabase_spark.operators import lsh
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], [1.0, 0.0]),
+            (1, [0.0, 0.0], [1.0, 0.0]),   # zero norm
+            (2, None, [1.0, 0.0]),          # NULL side
+            (3, [1.0], [1.0, 0.0]),         # ragged
+        ],
+        "pid long, va array<double>, vb array<double>",
+    )
+    raw = lsh.cosine_pairs_np(F.col("va"), F.col("vb"))
+    sim = F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(raw)
+    out = df.select("pid", sim.alias("s")).where(F.col("s") >= 0.5).collect()
+    assert [r.pid for r in out] == [0]
+
+
+def test_suggest_banding_scales_linearly():
+    from psy_supabase_spark.operators.lsh import suggest_banding
+
+    n1, b1 = suggest_banding(5_000, 0.9)
+    n10, b10 = suggest_banding(50_000, 0.9)
+    bits1, bits10 = n1 // b1, n10 // b10
+    assert bits10 > bits1  # deeper corpus → more bits per band
+    # expected bucket depth stays bounded → candidates ~linear in N
+    assert 50_000 / (1 << bits10) <= 64
+    # recall at the threshold stays ≥ ~0.9 for both configs
+    import math
+
+    for bits, bands in ((bits1, b1), (bits10, b10)):
+        p = 1 - math.acos(0.9) / math.pi
+        assert 1 - (1 - p**bits) ** bands >= 0.9
+
+
+def test_suggest_banding_low_threshold_clamps():
+    from psy_supabase_spark.operators.lsh import suggest_banding
+
+    n, b = suggest_banding(1_000_000, 0.5)
+    assert b <= 32 and n // b <= 20  # clamped, not unbounded

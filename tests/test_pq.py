@@ -192,3 +192,25 @@ def test_append_to_pq_layout(spark, emb, books, tmp_path):
         index, enc, queries, books, k=3, nprobe=4, corpus=emb, rescore_factor=4
     ).collect()
     assert got[0].vec_id == 450
+
+
+def test_pq_rescore_arrow_parity(spark):
+    """The Arrow rescore kernel must reproduce the expression rescore
+    row-for-row (ids, rounded sims, ranks) at dim 64."""
+    from pyspark.sql import functions as F
+
+    from psy_supabase_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    books = pq.pq_fit(emb, m=8)
+    enc = pq.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    rows = lambda arrow: {  # noqa: E731
+        (r.query_id, r.vec_id, r.similarity, r.rank)
+        for r in pq.pq_search_batch(
+            enc, queries, books, emb, k=5, rescore_arrow=arrow
+        ).collect()
+    }
+    assert rows(True) == rows(False)

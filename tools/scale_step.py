@@ -1,0 +1,135 @@
+"""Scale-step measurement (round-6 verdict #3): run the dedup / LSH /
+ANN families at 1×, 3×, and 10× the sf0.1 corpus and print the scaling
+curve as one JSON line.
+
+The 10× corpora are synthesized from sf0.1 (sources/synth):
+
+- documents: per-copy Caesar-rotated text — within-copy duplicate
+  structure preserved isomorphically, cross-copy pair counts ~linear
+  (see `scaled_documents`), so a family that scales superlinearly here
+  does so because of ITS OWN machinery (bucket growth, shuffle width),
+  not because the input's pair structure exploded.
+- embeddings: fresh (seed, id)-deterministic clustered vectors at the
+  same dim 64 (1000 near-dup micro-modes per 50k rows).
+
+Wall-clock is single-run per (family, factor) — the point is the SHAPE
+of the curve (≲linear for the valved paths), not ±20% noise.  Results
+are recorded in SCALE.md §"Measured scale-step" with the commit hash.
+
+Usage:  python tools/scale_step.py [factors...]   (default: 1 3 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from psy_supabase_spark.operators import dedup, ivf, lsh  # noqa: E402
+from psy_supabase_spark.session import get_spark  # noqa: E402
+from psy_supabase_spark.sources.catalog import load_table  # noqa: E402
+from psy_supabase_spark.sources.synth import scaled_documents, synthetic_embeddings  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+EMB_PER_X = 5_000  # sf0.1 embeddings row count
+MODES_PER_X = 1_000
+
+
+def _persist(df, name: str):
+    path = os.path.join(tempfile.mkdtemp(prefix=f"scale_{name}_"), name)
+    df.write.parquet(path)
+    return path
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    spark = get_spark("scale-step")
+    base_docs = load_table(spark, SF_DIR, "documents")
+    out: dict[str, dict] = {}
+
+    for fx in factors:
+        docs = spark.read.parquet(_persist(scaled_documents(base_docs, fx), f"docs{fx}"))
+        emb = spark.read.parquet(
+            _persist(
+                synthetic_embeddings(
+                    spark, EMB_PER_X * fx, 64, n_modes=MODES_PER_X * fx, seed=64
+                ),
+                f"emb{fx}",
+            )
+        )
+        n_docs, n_emb = docs.count(), emb.count()
+
+        fam: dict[str, float] = {"n_docs": n_docs, "n_emb": n_emb}
+
+        t0 = time.time()
+        fam["exact_dedup_groups"] = dedup.exact_dedup(docs, hash_first=True).count()
+        fam["exact_dedup_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        fam["minhash_pairs"] = dedup.minhash_lsh_pairs(docs, 0.5).count()
+        fam["minhash_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        fam["simhash_pairs"] = dedup.simhash_neardup_pairs(docs, 3).count()
+        fam["simhash_sec"] = round(time.time() - t0, 2)
+
+        # banding scaled with N (lsh.suggest_banding): the dim-64 default
+        # (3-bit bands) is quadratic in corpus size — 1.25G candidate
+        # pairs at 10×; scaled bits keep candidates ~linear
+        n_planes, bands = lsh.suggest_banding(n_emb, 0.9)
+        t0 = time.time()
+        fam["srp_pairs"] = lsh.srp_neardup_pairs(
+            emb, 0.9, n_planes=n_planes, bands=bands
+        ).count()
+        fam["srp_sec"] = round(time.time() - t0, 2)
+        fam["srp_banding"] = f"{n_planes}p/{bands}b"
+
+        t0 = time.time()
+        index = ivf.build_ivf(emb, n_lists=None)  # auto √N rule
+        index.assigned = index.assigned.cache()
+        index.assigned.count()
+        fam["ivf_lists"] = len(index.centers)
+        fam["ivf_build_sec"] = round(time.time() - t0, 2)
+        queries = emb.where(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+        t0 = time.time()
+        ivf.ivf_search_batch(index, queries, k=10, nprobe=4).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        fam["ivf_batch100_sec"] = round(time.time() - t0, 2)
+        index.assigned.unpersist()
+
+        out[f"x{fx}"] = fam
+        print(f"-- x{fx}: {json.dumps(fam)}", file=sys.stderr)
+
+    # ratios vs x1, normalized by factor (1.0 = perfectly linear scaling)
+    if "x1" in out:
+        for fx in factors:
+            if fx == 1:
+                continue
+            key = f"x{fx}"
+            out[f"ratio_{key}"] = {
+                m.replace("_sec", "_per_x"): round(out[key][m] / (out["x1"][m] * fx), 2)
+                for m in (
+                    "exact_dedup_sec",
+                    "minhash_sec",
+                    "simhash_sec",
+                    "srp_sec",
+                    "ivf_batch100_sec",
+                )
+                if out["x1"][m] > 0
+            }
+    print(json.dumps({"sf_dir": SF_DIR, "factors": factors, **out}))
+
+
+if __name__ == "__main__":
+    main()
