@@ -273,6 +273,7 @@ def write_ivf_layout(index: IVFIndex, path: str, *, vec_col: str = "embedding") 
 
 
 QUANTIZE_ARROW_DIM = 256  # above this width the Arrow path wins (see below)
+GEMM_ROUTE_CELLS = 4096  # n_lists*dim above which batch search auto-GEMMs
 
 
 def quantized_store(
@@ -441,6 +442,7 @@ def ivf_search_batch(
     sq8: bool = False,
     sq8_store: DataFrame | None = None,
     rescore_factor: int = 3,
+    gemm: bool | None = None,
 ) -> DataFrame:
     """N-query ANN through the IVF index in ONE distributed pass — the
     production serving shape (per-query ``ivf_search`` calls cost a
@@ -477,8 +479,40 @@ def ivf_search_batch(
     candidates at the k·rescore_factor boundary.  Measured equal on the
     testdata (tests/test_dedup.py::test_ivf_sq8_composition and the
     batch-parity test — empirical pins, not proofs); production SLAs
-    should state recall@k, not exactness."""
+    should state recall@k, not exactness.
+
+    AUTO-ROUTING: when the probe-selection expression would carry
+    n_lists × dim ≥ GEMM_ROUTE_CELLS literals (each centroid is inlined
+    as a constant array and folded per query), this delegates to
+    :func:`ivf_search_batch_gemm` — same rows (parity-pinned), Arrow
+    scoring.  Measured: 70 lists × dim 64 already costs 14.4 s/batch-100
+    in the expression spelling vs ~1 s GEMM.  Pass ``gemm=False`` to pin
+    the expression path (spec twin / tests)."""
     from pyspark.sql import Window
+
+    dim = len(index.centers[0]) if index.centers else 0
+    if gemm is None:
+        gemm = len(index.centers) * dim >= GEMM_ROUTE_CELLS
+    if gemm:
+        store = None
+        if sq8:
+            store = (
+                sq8_store
+                if sq8_store is not None
+                else quantized_store(index, id_col=id_col, vec_col=vec_col)
+            )
+        return ivf_search_batch_gemm(
+            index,
+            queries,
+            k,
+            nprobe,
+            query_id=query_id,
+            query_vec=query_vec,
+            id_col=id_col,
+            vec_col=vec_col,
+            sq8_store=store,
+            rescore_factor=rescore_factor,
+        )
 
     structs = []
     for cid, center in enumerate(index.centers):

@@ -222,3 +222,50 @@ def test_suggest_banding_low_threshold_clamps():
 
     n, b = suggest_banding(1_000_000, 0.5)
     assert b <= 32 and n // b <= 20  # clamped, not unbounded
+
+
+def test_batch_search_auto_routes_to_gemm(spark):
+    """n_lists x dim >= GEMM_ROUTE_CELLS auto-delegates ivf_search_batch
+    to the GEMM path — rows must equal the pinned expression spelling."""
+    emb = load_table(spark, SF, "embeddings")
+    index = ivf.build_ivf(emb, n_lists=80)  # 80 x 64 = 5120 >= 4096
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    auto = _rows(ivf.ivf_search_batch(index, queries, k=5, nprobe=3))
+    expr = _rows(ivf.ivf_search_batch(index, queries, k=5, nprobe=3, gemm=False))
+    assert auto == expr
+
+
+def test_dim2048_smoke_all_kernels(spark):
+    """The reference's ACTUAL embedding width is 2048 (text_generator.py:
+    314-316, vs the declared vector(1536) of query.txt:84) — one smoke
+    over the full wide-dim kernel set at that width pins that nothing
+    hard-codes a dimension: GEMM search, Arrow quantize + SQ8 ladder,
+    PQ encode/ADC (m=16 -> dsub 128), Arrow verify."""
+    from psy_supabase_spark.operators import lsh, pq
+
+    corpus = synthetic_embeddings(spark, 300, 2048, n_modes=30, seed=7)
+    index = ivf.build_ivf(corpus, n_lists=8)
+    queries = corpus.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = ivf.ivf_search_batch(index, queries, k=3, nprobe=2).collect()  # auto-GEMM
+    tops = {r.query_id: r.vec_id for r in got if r.rank == 1}
+    assert tops == {0: 0, 1: 1}
+
+    store = ivf.quantized_store(index)  # auto-Arrow at this width
+    got = ivf.ivf_search_batch_gemm(index, queries, k=3, nprobe=2, sq8_store=store).collect()
+    assert {r.query_id: r.vec_id for r in got if r.rank == 1} == {0: 0, 1: 1}
+
+    books = pq.pq_fit(corpus, m=16, fit_sample_cap=300)
+    assert books.dsub == 128
+    enc = pq.pq_encode(corpus, books)
+    got = pq.pq_search_batch(enc, queries, books, corpus, k=3).collect()  # auto-Arrow rescore
+    assert {r.query_id: r.vec_id for r in got if r.rank == 1} == {0: 0, 1: 1}
+
+    n_planes, bands = lsh.suggest_banding(300, 0.9)
+    pairs = lsh.srp_neardup_pairs(
+        corpus, 0.9, dim=2048, n_planes=n_planes, bands=bands
+    )  # auto-Arrow verify
+    assert pairs.count() > 0  # 10 near-copies per mode -> plenty of pairs
