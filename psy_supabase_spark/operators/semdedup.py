@@ -44,6 +44,16 @@ from pyspark.sql import Window
 from .dedup import connected_components
 
 DEFAULT_EPS = 0.95  # paper sweeps 0.95-0.999 for web data
+TARGET_CLUSTER_ROWS = 4_096  # auto n_clusters aims here (pair GEMM ~16M cells)
+
+
+def default_n_clusters(n_rows: int, *, target: int = TARGET_CLUSTER_ROWS) -> int:
+    """Self-tuning cluster count: ``max(16, ceil(N / target))`` — the
+    paper scales k with corpus size so clusters stay ~10³-10⁵ rows; this
+    rule keeps the within-cluster pair GEMM ~target² cells and makes the
+    `cluster_cap` valve a backstop instead of the primary control.
+    Mirrors `ivf.default_n_lists` (round-6 self-tuning rule family)."""
+    return max(16, -(-max(int(n_rows), 1) // target))
 
 
 def _fit_centers(
@@ -118,7 +128,7 @@ def semdedup_pairs(
     corpus: DataFrame,
     eps: float = DEFAULT_EPS,
     *,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -128,7 +138,8 @@ def semdedup_pairs(
     """(id_a, id_b, sim, centroid_id) — within-cluster pairs with cosine
     ≥ ``eps`` (id_a < id_b, sim rounded to 6 dp).  ``centers`` overrides
     the fitted centroids (deterministic-oracle mode, the
-    ``ann_pruned_topk_fixed_centroids`` pattern)."""
+    ``ann_pruned_topk_fixed_centroids`` pattern).  ``n_clusters=None``
+    self-tunes via :func:`default_n_clusters` (one count job)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -140,6 +151,8 @@ def semdedup_pairs(
     )
 
     if centers is None:
+        if n_clusters is None:
+            n_clusters = default_n_clusters(corpus.count())
         centers = _fit_centers(corpus, n_clusters, seed, vec_col, id_col)
 
     # assignment CARRIES the vector through the Arrow pass instead of
@@ -233,7 +246,7 @@ def semdedup(
     corpus: DataFrame,
     eps: float = DEFAULT_EPS,
     *,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -251,6 +264,8 @@ def semdedup(
     """
     if centers is None:
         # fit once here so pairs and the keep rule see the SAME centroids
+        if n_clusters is None:
+            n_clusters = default_n_clusters(corpus.count())
         centers = _fit_centers(corpus, n_clusters, seed, vec_col, id_col)
 
     pairs = semdedup_pairs(

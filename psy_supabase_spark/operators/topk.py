@@ -191,3 +191,52 @@ def neighbors_above(
         .select("id_a", "id_b", sim.alias(score_col))
         .where(F.col(score_col).isNotNull() & (F.col(score_col) >= threshold))
     )
+
+
+def knn_join_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Exact brute-force KNN join with Arrow/GEMM scoring — the WIDE-dim
+    twin of :func:`knn_join` (whose per-pair HOF fold is the right trade
+    only at narrow dims; at the reference's real width — vector(1536),
+    query.txt:84 — the interpreted fold dominates).
+
+    Implemented as a single-list IVF GEMM search with a full probe: all
+    corpus rows belong to one synthetic centroid, so
+    `ivf.ivf_search_batch_gemm` degenerates to exact brute force (one
+    (batch × dim)·(dim × nq) GEMM per Arrow batch + map-side partial
+    top-k).  Output matches :func:`knn_join` row-for-row (parity-pinned:
+    same rounding, same (similarity DESC, id ASC) ranking)."""
+    from . import ivf as ivf_ops
+
+    head = corpus.select(F.size(corpus_vec).alias("d")).where(
+        F.col(corpus_vec).isNotNull()
+    ).head()
+    if head is None:
+        raise ValueError("knn_join_gemm: empty corpus")
+    dim = head["d"]
+    assigned = corpus.select(
+        F.col(corpus_id), F.col(corpus_vec), F.lit(0).cast("int").alias("centroid_id")
+    )
+    index = ivf_ops.IVFIndex(
+        centers=[[1.0] + [0.0] * (dim - 1)], assigned=assigned
+    )
+    return ivf_ops.ivf_search_batch_gemm(
+        index,
+        queries,
+        k,
+        nprobe=1,
+        query_id=query_id,
+        query_vec=query_vec,
+        id_col=corpus_id,
+        vec_col=corpus_vec,
+        max_queries=max_queries,
+    )

@@ -269,3 +269,20 @@ def test_dim2048_smoke_all_kernels(spark):
         corpus, 0.9, dim=2048, n_planes=n_planes, bands=bands
     )  # auto-Arrow verify
     assert pairs.count() > 0  # 10 near-copies per mode -> plenty of pairs
+
+
+def test_knn_join_gemm_parity(spark):
+    """Brute-force GEMM KNN must equal the expression knn_join exactly."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    expr = {
+        (r.query_id, r.vec_id, r.similarity, r.rank)
+        for r in topk.knn_join(emb, queries, k=4).collect()
+    }
+    gemm = {
+        (r.query_id, r.vec_id, r.similarity, r.rank)
+        for r in topk.knn_join_gemm(emb, queries, k=4).collect()
+    }
+    assert gemm == expr and len(expr) == 20

@@ -209,3 +209,26 @@ def test_pair_stage_single_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning\(centroid_id", plan)) == 1
     assert plan.count("Exchange") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_default_n_clusters_rule():
+    from psy_supabase_spark.operators.semdedup import default_n_clusters
+
+    assert default_n_clusters(1_000) == 16          # floor
+    assert default_n_clusters(100_000) == 25        # ceil(100k/4096)
+    assert default_n_clusters(1_000_000_000) == 244141
+    # clusters stay ~target-sized: pair GEMM bounded without the cap valve
+    for n in (10_000, 10_000_000):
+        k = default_n_clusters(n)
+        assert n / k <= 4_096
+
+
+def test_semdedup_auto_clusters(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    from psy_supabase_spark.operators.semdedup import semdedup_pairs
+
+    # n_clusters=None must fit (floor 16, clamped to n by the kmeans) and run
+    assert semdedup_pairs(df, 0.99, n_clusters=None).count() >= 0
