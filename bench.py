@@ -317,7 +317,11 @@ def _dim1536_section(spark) -> dict[str, object]:
     t0 = time.time()
     books = pq.pq_fit(emb, m=16, fit_sample_cap=5_000)
     pq_path = os.path.join(tempfile.mkdtemp(prefix="dim1536_pq_"), "pq")
-    pq.pq_encode(emb, books).write.mode("overwrite").parquet(pq_path)
+    # ONE encode pass carries centroid_id (passthrough) so the same store
+    # serves flat-PQ and IVF-PQ; encode/persist is build-time work
+    pq.pq_encode(index.assigned, books, passthrough=["centroid_id"]).write.mode(
+        "overwrite"
+    ).parquet(pq_path)
     enc = spark.read.parquet(pq_path)
     extra["dim1536_pq_build_sec"] = round(time.time() - t0, 3)
     t0 = time.time()
@@ -326,6 +330,16 @@ def _dim1536_section(spark) -> dict[str, object]:
     )
     extra["dim1536_pq_batch100_sec"] = round(time.time() - t0, 3)
     extra["dim1536_pq_recall_at_10"] = _avg_recall(gt, got, k)
+
+    # full FAISS ladder: coarse probe prune + ADC + exact rescore
+    t0 = time.time()
+    got = _recall_map(
+        pq.ivf_pq_search_batch(
+            index, enc, queries, books, k=k, nprobe=4, rescore_factor=8
+        ).collect()
+    )
+    extra["dim1536_ivfpq_batch100_sec"] = round(time.time() - t0, 3)
+    extra["dim1536_ivfpq_recall_at_10"] = _avg_recall(gt, got, k)
 
     # banding widened with corpus size: the dim-64 default (3-bit bands,
     # 8 keys/band) puts ~2500 rows in every bucket at 20k rows → ~25M

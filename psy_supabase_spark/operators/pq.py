@@ -412,16 +412,32 @@ def ivf_pq_search_batch(
             "split the batch or raise the bound"
         )
     dim = codebooks.m * codebooks.dsub
-    probe_union = sorted(
-        {
-            cid
-            # malformed vectors can't rank centroids (zip would silently
-            # truncate) — skip them here exactly as the search drops them
-            for r in qrows
-            if r[1] is not None and len(r[1]) == dim
-            for cid in ivf_ops.rank_centroids(index.centers, list(r[1]))[:nprobe]
-        }
-    )
+    # vectorized probe selection — one (nq × dim)·(dim × n_lists) GEMM
+    # with rank_centroids' exact semantics (zero-norm → +inf, ties on
+    # centroid id); the per-query pure-Python spelling costs
+    # nq·n_lists·dim interpreter mults (~5M at a 100-query dim-1536
+    # batch — the round-6 width validation's last Python hot spot).
+    # Malformed vectors are skipped exactly as the search drops them.
+    ok_rows = [r for r in qrows if r[1] is not None and len(r[1]) == dim]
+    probe_union: list[int] = []
+    if ok_rows:
+        qm = np.array([r[1] for r in ok_rows], dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        live = qn > 0
+        qu = np.where(live[:, None], qm / np.where(qn == 0, 1.0, qn)[:, None], 0.0)
+        cm = np.array(index.centers, dtype=np.float64)
+        cn = np.linalg.norm(cm, axis=1)
+        cd = 1.0 - (qu @ (cm / np.where(cn == 0, 1.0, cn)[:, None]).T)
+        cd[:, cn == 0] = np.inf
+        cd[~live, :] = np.inf
+        n_lists = len(index.centers)
+        union: set[int] = set()
+        for qi in range(len(ok_rows)):
+            if not live[qi]:
+                continue
+            order = np.lexsort((np.arange(n_lists), cd[qi]))[:nprobe]
+            union.update(int(c) for c in order)
+        probe_union = sorted(union)
     pruned = encoded.where(F.col("centroid_id").isin(probe_union))
     if corpus is None:
         corpus = index.assigned

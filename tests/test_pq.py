@@ -214,3 +214,31 @@ def test_pq_rescore_arrow_parity(spark):
         ).collect()
     }
     assert rows(True) == rows(False)
+
+
+def test_vectorized_probe_union_matches_rank_centroids(spark):
+    """ivf_pq_search_batch's GEMM probe selection must produce the same
+    probe union as per-query ivf.rank_centroids."""
+    from psy_supabase_spark.operators import ivf
+
+    emb = load_table(spark, SF, "embeddings")
+    index = ivf.build_ivf(emb, n_lists=8)
+    qrows = [list(r.embedding) for r in emb.where(F.col("vec_id") < 20).collect()]
+    want = sorted({c for q in qrows for c in ivf.rank_centroids(index.centers, q)[:3]})
+
+    import numpy as np
+
+    qm = np.array(qrows, dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qu = qm / qn[:, None]
+    cm = np.array(index.centers, dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+    cd = 1.0 - (qu @ (cm / cn[:, None]).T)
+    got = sorted(
+        {
+            int(c)
+            for qi in range(len(qrows))
+            for c in np.lexsort((np.arange(len(index.centers)), cd[qi]))[:3]
+        }
+    )
+    assert got == want
