@@ -78,15 +78,23 @@ def fit_sample_vectors(
     and (b) distribution-covering on sorted/clustered corpora: crawl data
     arrives sorted by domain/topic, and a first-partitions sample would
     fit every centroid inside one mode (the round-5 verdict's #2 risk).
-    Plans as TakeOrderedAndProject — per-partition top-``cap`` heaps and
-    one bounded driver merge; a single corpus scan, no global sort.
+    TWO-PHASE so no executor ever heaps WIDE rows: phase 1 takes the
+    top-``cap`` ids by hash over the id column alone (parquet column
+    pruning makes this a narrow scan; TakeOrderedAndProject heaps are
+    ~16 B/row — a single-phase TakeOrdered over the vectors would hold
+    cap × dim bytes per task, ~600 MB at dim 1536/cap 100k).  Phase 2
+    broadcast-semi-joins the ≤cap ids back to fetch their vectors and
+    re-sorts the bounded result so the collected ORDER (which seeds
+    k-means++) is a pure function of the ids too.
     xxhash64 (not the engine's portable md5 bucketing,
     operators/sampling.md5_hash32) because a fit sample needs no
     cross-engine mirror — only layout independence — and the JVM-native
     hash is far cheaper at corpus scale."""
+    order = [F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()]
+    ids = vecs.select(id_col).orderBy(*order).limit(cap)
     return (
-        vecs.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(cap)
+        vecs.join(F.broadcast(ids), id_col, "left_semi")
+        .orderBy(*order)
         .select(vec_col)
         .collect()
     )
