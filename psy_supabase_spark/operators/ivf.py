@@ -680,6 +680,14 @@ def ivf_search_batch_gemm(
     cd[:, cn == 0] = np.inf
     cd[~live, :] = np.inf
     n_lists = len(index.centers)
+    # the probe mask ships DENSE in the task closure — a loud valve, not
+    # an OOM, when lists × queries explodes (auto-√N lists on a 10⁹-row
+    # corpus is ~32k lists; a 10k-query batch would be a 320 MB closure)
+    if n_lists * len(qids) > 64_000_000:
+        raise ValueError(
+            f"ivf_search_batch_gemm: probe mask {n_lists} lists × "
+            f"{len(qids)} queries exceeds 64M cells; split the query batch"
+        )
     mask = np.zeros((n_lists, len(qids)), dtype=bool)  # (centroid, query)
     union: set[int] = set()
     for qi in range(len(qids)):
