@@ -163,7 +163,18 @@ class PsyEngine:
                 index, queries, k=k, nprobe=nprobe, id_col="content", vec_col="embedding"
             ).select("query_id", F.col("content"), "similarity", "rank")
         kb = self.store.scan(KNOWLEDGE_BASE, user_id=user_id)
-        return topk.knn_join(kb, queries, k=k, corpus_id="content", corpus_vec="embedding").select(
+        # brute route picks the kernel by measured width: the expression
+        # KNN's per-pair fold is the narrow-dim winner (no Python
+        # boundary); at the reference's real widths (1536/2048) the GEMM
+        # twin wins by ~40× (SCALE.md §width validation).  One head probe
+        # per call — facade calls are per-request, not per-plan.
+        head = kb.select(F.size("embedding").alias("d")).where(
+            F.col("embedding").isNotNull()
+        ).head()
+        join_fn = (
+            topk.knn_join_gemm if head is not None and head["d"] >= 256 else topk.knn_join
+        )
+        return join_fn(kb, queries, k=k, corpus_id="content", corpus_vec="embedding").select(
             "query_id", F.col("content"), "similarity", "rank"
         )
 

@@ -276,3 +276,24 @@ def test_soft_dedup_weights_facade(engine, spark):
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     w = {r.doc_id: r.sample_weight for r in engine.soft_dedup_weights(docs, pairs).collect()}
     assert w == {0: 0.5, 1: 0.5, 2: 1.0, 3: 1.0}
+
+
+def test_batch_serving_wide_dim_routes_gemm(engine, spark):
+    """A wide-dim tenant KB must route the brute batch path through the
+    GEMM kernel (width-probed) and still rank correctly."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(512)
+    docs = []
+    for name, flip in (("doc a", 1.0), ("doc b", -1.0)):
+        v = (flip * base + 0.01 * rng.standard_normal(512)).tolist()
+        docs.append((name, [float(x) for x in v]))
+    kb = spark.createDataFrame(docs, "content string, embedding array<double>")
+    engine.add_documents("wide_user", kb)
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in base.tolist()])],
+        "query_id long, query_embedding array<double>",
+    )
+    got = engine.find_similar_documents_batch("wide_user", queries, k=1).collect()
+    assert got[0].content == "doc a" and got[0].rank == 1
