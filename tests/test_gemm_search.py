@@ -286,3 +286,25 @@ def test_knn_join_gemm_parity(spark):
         for r in topk.knn_join_gemm(emb, queries, k=4).collect()
     }
     assert gemm == expr and len(expr) == 20
+
+
+def test_gemm_search_prunes_persisted_wide_layout(spark, tmp_path):
+    """The GEMM batch path over a persisted partitionBy(centroid_id)
+    layout must keep FILE-LEVEL partition pruning at width — the probe
+    union filter sits below the mapInPandas scorer, so only probed list
+    directories are read."""
+    import re as _re
+
+    corpus = synthetic_embeddings(spark, 1000, 512, n_modes=8, seed=11)
+    index = ivf.build_ivf(corpus, n_lists=8)
+    path = str(tmp_path / "wide_layout")
+    ivf.write_ivf_layout(index, path)
+    stored = ivf.IVFIndex(centers=index.centers, assigned=spark.read.parquet(path))
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    out = ivf.ivf_search_batch_gemm(stored, queries, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[[^\]]*centroid_id", plan)
+    got = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
+    assert got == {0: 0, 1: 1, 2: 2}
