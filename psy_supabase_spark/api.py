@@ -115,6 +115,34 @@ class PsyEngine:
 
     # ---- retrieval (reference query.txt:186-205, rag_processor.py:26-75) ----
 
+    @staticmethod
+    def _is_wide(kb: DataFrame) -> bool:
+        """One head probe: at ≥ dim 256 the GEMM kernels beat the
+        expression folds by ~40× (SCALE.md §width validation).  Facade
+        calls are per-request, so the probe job is acceptable here —
+        never inside a registered query plan."""
+        head = kb.select(F.size("embedding").alias("d")).where(
+            F.col("embedding").isNotNull()
+        ).head()
+        return head is not None and head["d"] >= 256
+
+    @staticmethod
+    def _single_query_gemm(kb: DataFrame, query_vec: Sequence[float], k: int) -> DataFrame:
+        """Single-query brute top-k through the batch GEMM kernel (a
+        1-row query frame; same rounding and (sim DESC, id ASC) ranking
+        as topk.topk_similarity — parity pinned in tests)."""
+        queries = kb.sparkSession.createDataFrame(
+            [(0, [float(x) for x in query_vec])],
+            "query_id long, query_embedding array<double>",
+        )
+        return (
+            topk.knn_join_gemm(
+                kb, queries, k=k, corpus_id="content", corpus_vec="embedding"
+            )
+            .orderBy("rank")
+            .drop("query_id", "rank")
+        )
+
     def find_similar_documents(self, user_id: str, query_vec: Sequence[float], k: int = 5) -> DataFrame:
         """J1 server semantics: cosine DISTANCE ASC LIMIT k.  Uses the IVF
         index when built (reference builds ivfflat but never routes queries
@@ -124,6 +152,11 @@ class PsyEngine:
             hits = ivf_ops.ivf_search(index, list(query_vec), k=k, id_col="content", vec_col="embedding")
             return hits.select("content", (F.lit(1.0) - F.col("similarity")).alias("distance"))
         kb = self.store.scan(KNOWLEDGE_BASE, user_id=user_id)
+        if self._is_wide(kb):
+            hits = self._single_query_gemm(kb, query_vec, k)
+            return hits.select(
+                "content", (F.lit(1.0) - F.col("similarity")).alias("distance")
+            )
         return topk.topk_distance(
             kb, list(query_vec), k=k, id_col="content", embedding_col="embedding"
         ).select("content", "distance")
@@ -134,6 +167,8 @@ class PsyEngine:
         kb = self.store.scan(KNOWLEDGE_BASE, user_id=user_id)
         if kb.isEmpty():
             kb = self.store.scan(KNOWLEDGE_BASE, user_id=DEFAULT_TENANT)
+        if self._is_wide(kb):
+            return self._single_query_gemm(kb, query_vec, k).select("content", "similarity")
         return topk.topk_similarity(
             kb, list(query_vec), k=k, id_col="content", embedding_col="embedding"
         ).select("content", "similarity")

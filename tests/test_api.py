@@ -297,3 +297,34 @@ def test_batch_serving_wide_dim_routes_gemm(engine, spark):
     )
     got = engine.find_similar_documents_batch("wide_user", queries, k=1).collect()
     assert got[0].content == "doc a" and got[0].rank == 1
+
+
+def test_single_query_wide_dim_routes_gemm(engine, spark):
+    """Wide-dim KBs route the single-query J1/J2 paths through the GEMM
+    kernel with the same ranking semantics as the expression top-k."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((4, 300))
+    kb = spark.createDataFrame(
+        [(f"wd{i}", [float(x) for x in vecs[i]]) for i in range(4)],
+        "content string, embedding array<double>",
+    )
+    engine.add_documents("wide_single", kb)
+    q = [float(x) for x in vecs[2]]
+
+    sim = engine.get_relevant_documents("wide_single", q, k=2).collect()
+    assert sim[0].content == "wd2" and abs(sim[0].similarity - 1.0) < 1e-6
+
+    dist = engine.find_similar_documents("wide_single", q, k=2).collect()
+    assert dist[0].content == "wd2" and abs(dist[0].distance) < 1e-6
+    # parity with the expression spelling on the same KB
+    from psy_supabase_spark.operators import topk as topk_ops
+
+    want = [
+        (r.content, r.similarity)
+        for r in topk_ops.topk_similarity(
+            kb, q, k=2, id_col="content", embedding_col="embedding"
+        ).collect()
+    ]
+    assert [(r.content, r.similarity) for r in sim] == want
