@@ -149,6 +149,33 @@ def cosine_pairs_np(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
+def banded_rows(sig_df: DataFrame, n_planes: int, bands: int) -> DataFrame:
+    """(id, band, key) rows from an ``(id, sig array<int>)`` frame — the
+    SRP band-key explode shared by the batch pair search and the
+    streaming admission filter (the stream indexes signatures once and
+    re-derives band keys per micro-batch with THIS same spelling, so the
+    two sides of its join can never disagree on banding)."""
+    rows_per_band = n_planes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "",
+                    *[
+                        F.element_at(F.col("sig"), band * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for band in range(bands)
+        ]
+    )
+    return sig_df.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def srp_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.5,
@@ -190,26 +217,8 @@ def srp_neardup_pairs(
     output, bounded per-reducer fan-in.
     """
     planes = hyperplanes(dim, n_planes, seed)
-    rows_per_band = n_planes // bands
     sig = corpus.select(F.col(id_col).alias("id"), srp_signature_np(vec_col, planes).alias("sig"))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.concat_ws(
-                    "",
-                    *[
-                        F.element_at(F.col("sig"), band * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("key"),
-            )
-            for band in range(bands)
-        ]
-    )
-    banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = banded_rows(sig, n_planes, bands)
     counted = dedup.counted_buckets(banded, bucket_cap)
     banded = counted.drop("_bn")
     # ids-only candidate join (64-float vectors never ride the band shuffle)

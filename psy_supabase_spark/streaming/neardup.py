@@ -36,8 +36,60 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators import dedup
+from ..operators import dedup, lsh
 from ..sources.txlog import TxTable
+
+
+# ---- incremental (band, key, cnt, idx_version) counts machinery --------
+# shared by the SimHash (text) and SRP (embedding) admission filters: one
+# row per occupied bucket, folded forward per batch (O(batch) upkeep), a
+# version stamp tying the counts to the index head, and a full-recompute
+# fallback on stamp mismatch (crash between index.append and the counts
+# overwrite) — a performance device whose failure mode costs time, never
+# correctness.
+
+
+def counts_oversized(counts_tx: TxTable, index_version: int, cap: int | None, rebuild):
+    """Oversized (band, key) frame — from the counts table when its stamp
+    matches ``index_version``, else ``rebuild()`` (one O(index) pass;
+    self-repairs on the next fold).  None when the valve is disabled."""
+    if cap is None:
+        return None
+    if counts_tx.latest_version() >= 0:
+        counts = counts_tx.read()
+        stamped = counts.agg(F.max("idx_version")).head()[0]
+        if stamped == index_version:
+            return counts.where(F.col("cnt") > cap).select("band", "key")
+    return rebuild()
+
+
+def fold_counts(
+    counts_tx: TxTable,
+    batch_banded: DataFrame,
+    v_before: int,
+    v_after: int,
+    rebuild_banded,
+) -> None:
+    """Fold a batch's (id, band, key) occupancy into the counts table,
+    stamped with ``v_after``.  Incremental merge only when the stored
+    stamp equals ``v_before`` (the index exactly as it stood before this
+    batch's append) — anything else rebuilds from ``rebuild_banded()``."""
+    batch_counts = batch_banded.groupBy("band", "key").agg(F.count("*").alias("cnt"))
+    merged = None
+    if counts_tx.latest_version() >= 0:
+        prior = counts_tx.read()
+        if prior.agg(F.max("idx_version")).head()[0] == v_before:
+            merged = (
+                prior.select("band", "key", "cnt")
+                .unionByName(batch_counts)
+                .groupBy("band", "key")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+    if merged is None:
+        merged = (
+            rebuild_banded().groupBy("band", "key").agg(F.count("*").alias("cnt"))
+        )
+    counts_tx.overwrite(merged.withColumn("idx_version", F.lit(v_after)))
 
 
 class StreamingNearDupFilter:
@@ -84,17 +136,12 @@ class StreamingNearDupFilter:
         index head, else one full recompute over ``idx_banded`` (the
         pre-counts / crashed-mid-update fallback; self-repairs on the
         next :meth:`process_batch`)."""
-        if self.bucket_cap is None:
-            return None
-        if self.counts.latest_version() >= 0:
-            counts = self.counts.read()
-            stamped = counts.agg(F.max("idx_version")).head()[0]
-            if stamped == self.index.latest_version():
-                return (
-                    counts.where(F.col("cnt") > self.bucket_cap)
-                    .select("band", "key")
-                )
-        return dedup.oversized_buckets(idx_banded, self.bucket_cap)
+        return counts_oversized(
+            self.counts,
+            self.index.latest_version(),
+            self.bucket_cap,
+            lambda: dedup.oversized_buckets(idx_banded, self.bucket_cap),
+        )
 
     # -- pure decision function (static DF in, static DF out): unit-testable
     def admit(self, batch: DataFrame) -> DataFrame:
@@ -181,44 +228,161 @@ class StreamingNearDupFilter:
         the fallback costs time, never correctness."""
         if self.bucket_cap is None:
             return
-        batch_counts = (
+        fold_counts(
+            self.counts,
             dedup.simhash_banded(
-                admitted_sketches.select(
-                    F.col(self.id_col).alias("id"), "simhash"
-                ),
+                admitted_sketches.select(F.col(self.id_col).alias("id"), "simhash"),
                 self.max_hamming,
-            )
-            .groupBy("band", "key")
-            .agg(F.count("*").alias("cnt"))
+            ),
+            v_before,
+            self.index.latest_version(),
+            lambda: dedup.simhash_banded(
+                self.index.read().select(F.col(self.id_col).alias("id"), "simhash"),
+                self.max_hamming,
+            ),
         )
-        merged = None
-        if self.counts.latest_version() >= 0:
-            prior = self.counts.read()
-            # incremental merge is valid ONLY if the stored counts reflect
-            # the index exactly as it stood before this batch's append —
-            # a stale stamp (earlier crash between append and overwrite)
-            # would double-count or undercount, so rebuild instead
-            if prior.agg(F.max("idx_version")).head()[0] == v_before:
-                merged = (
-                    prior.select("band", "key", "cnt")
-                    .unionByName(batch_counts)
-                    .groupBy("band", "key")
-                    .agg(F.sum("cnt").alias("cnt"))
-                )
-        if merged is None:
-            # first batch, or repair after a stamp mismatch / fresh counts
-            # table next to a pre-existing index: rebuild from the index
-            # head (the one allowed O(index) pass)
-            merged = (
-                dedup.simhash_banded(
-                    self.index.read().select(
-                        F.col(self.id_col).alias("id"), "simhash"
-                    ),
-                    self.max_hamming,
-                )
-                .groupBy("band", "key")
-                .agg(F.count("*").alias("cnt"))
-            )
-        self.counts.overwrite(
-            merged.withColumn("idx_version", F.lit(self.index.latest_version()))
+
+
+class StreamingEmbeddingNearDupFilter:
+    """foreachBatch admission for an EMBEDDING stream — the SRP twin of
+    :class:`StreamingNearDupFilter` (completes the streaming column of
+    the dedup modality matrix: exact / text-near / EMBEDDING-near).
+
+    Per micro-batch: SRP-sign the incoming vectors (one GEMM per Arrow
+    batch, `operators/lsh.srp_signature_np`), band-join against the
+    accumulating signature index (`lsh.banded_rows` on BOTH sides — the
+    stored signature is the only state, band keys re-derive identically),
+    exact-verify candidates by cosine (`lsh.cosine_pairs_np`, NaN→NULL
+    guarded), reject hits ≥ ``threshold``, keep one representative per
+    within-batch near-dup component, then transactionally append the
+    admitted ``(id, vector, sig)`` rows to the index.
+
+    Same crash-replay contract as the SimHash filter (decide → sink →
+    append; see :meth:`StreamingNearDupFilter.process_batch`) and the
+    same incremental (band, key, cnt, idx_version) valve table.  One
+    semantic difference, by design: SimHash's valve must SUBDIVIDE
+    oversized buckets (its band join is provably lossless and must stay
+    so); SRP banding is probabilistic already, so oversized index
+    buckets are DROPPED from the candidate join — the batch operator's
+    `cap_buckets` argument verbatim (a bucket that deep carries no
+    discriminating signal); precision stays 1.0 because every emitted
+    rejection is exact-verified.
+
+    Index growth is bounded by admitted volume; index-side join rows are
+    (band, key, id) — narrow regardless of ``dim`` (vectors are attached
+    only for exact-verified candidates)."""
+
+    def __init__(
+        self,
+        spark,
+        index_path: str,
+        sink=None,
+        *,
+        threshold: float = 0.9,
+        dim: int = 64,
+        n_planes: int = 24,
+        bands: int = 8,
+        seed: int = lsh.DEFAULT_SEED,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        bucket_cap: int | None = dedup.DEFAULT_BUCKET_CAP,
+    ):
+        self.index = TxTable(spark, index_path)
+        self.counts = TxTable(spark, index_path.rstrip("/") + ".bucket_counts")
+        self.sink = sink
+        self.threshold = threshold
+        self.dim = dim
+        self.n_planes = n_planes
+        self.bands = bands
+        self.seed = seed
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.bucket_cap = bucket_cap
+        self.planes = lsh.hyperplanes(dim, n_planes, seed)
+
+    def _sig(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(self.id_col).alias("id"),
+            lsh.srp_signature_np(self.vec_col, self.planes).alias("sig"),
         )
+
+    def _banded(self, sig_df: DataFrame) -> DataFrame:
+        return lsh.banded_rows(sig_df, self.n_planes, self.bands)
+
+    # -- pure decision function (static DF in/out): unit-testable
+    def admit(self, batch: DataFrame) -> DataFrame:
+        if self.index.latest_version() >= 0:
+            idx = self.index.read()
+            idx_banded = self._banded(idx.select(F.col(self.id_col).alias("id"), "sig"))
+            over = counts_oversized(
+                self.counts,
+                self.index.latest_version(),
+                self.bucket_cap,
+                lambda: dedup.oversized_buckets(idx_banded, self.bucket_cap),
+            )
+            if over is not None:
+                idx_banded = idx_banded.join(over, ["band", "key"], "left_anti")
+            batch_banded = self._banded(self._sig(batch))
+            cand = (
+                batch_banded.alias("b")
+                .join(idx_banded.alias("i"), ["band", "key"])
+                .select(F.col("b.id").alias("bid"), F.col("i.id").alias("iid"))
+                .distinct()
+            )
+            bv = batch.select(F.col(self.id_col).alias("bid"), F.col(self.vec_col).alias("_bv"))
+            iv = idx.select(F.col(self.id_col).alias("iid"), F.col(self.vec_col).alias("_iv"))
+            raw = lsh.cosine_pairs_np(F.col("_bv"), F.col("_iv"))
+            sim = F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(raw)
+            hit_ids = (
+                cand.join(bv, "bid")
+                .join(iv, "iid")
+                .where(sim >= self.threshold)
+                .select(F.col("bid").alias("id"))
+                .distinct()
+            )
+            survivors = batch.join(
+                hit_ids, batch[self.id_col] == hit_ids.id, "left_anti"
+            )
+        else:
+            survivors = batch
+        pairs = lsh.srp_neardup_pairs(
+            survivors,
+            self.threshold,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            dim=self.dim,
+            n_planes=self.n_planes,
+            bands=self.bands,
+            seed=self.seed,
+            bucket_cap=self.bucket_cap,
+        )
+        comp = dedup.connected_components(pairs)
+        losers = comp.where(F.col("id") != F.col("component")).select("id")
+        return survivors.join(
+            losers, survivors[self.id_col] == losers.id, "left_anti"
+        )
+
+    def process_batch(self, batch: DataFrame, epoch_id: int | None = None) -> DataFrame:
+        """Decide → sink → append, exactly the SimHash filter's order and
+        replay-idempotence argument (appending first would turn the
+        sink-then-crash window into silent permanent loss)."""
+        admitted = self.admit(batch)
+        out = admitted.localCheckpoint(eager=True)
+        if self.sink is not None:
+            self.sink(out, epoch_id)
+        store = out.select(self.id_col, self.vec_col).withColumn(
+            "sig", lsh.srp_signature_np(self.vec_col, self.planes)
+        )
+        v_before = self.index.latest_version()
+        self.index.append(store)
+        if self.bucket_cap is not None:
+            fold_counts(
+                self.counts,
+                self._banded(store.select(F.col(self.id_col).alias("id"), "sig")),
+                v_before,
+                self.index.latest_version(),
+                lambda: self._banded(
+                    self.index.read().select(F.col(self.id_col).alias("id"), "sig")
+                ),
+            )
+        return out

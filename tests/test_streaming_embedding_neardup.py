@@ -1,0 +1,157 @@
+"""Streaming EMBEDDING near-dup admission (SRP twin of the SimHash
+filter): cross-batch rejection against the accumulating index,
+within-batch first-occurrence dedup, crash-replay idempotence, and the
+incremental counts valve."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from psy_supabase_spark.streaming.neardup import StreamingEmbeddingNearDupFilter
+
+DIM = 16
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        f"vec_id long, embedding array<double>",
+    )
+
+
+def _base(seed, n=4):
+    rng = np.random.default_rng(seed)
+    out = rng.standard_normal((n, DIM))
+    return out / np.linalg.norm(out, axis=1)[:, None]
+
+
+def test_cross_batch_and_within_batch_dedup(spark, tmp_path):
+    b = _base(1)
+    filt = StreamingEmbeddingNearDupFilter(
+        spark, str(tmp_path / "idx"), dim=DIM, threshold=0.95
+    )
+    # batch 1: two distinct vectors + a near-copy of the first
+    batch1 = _vecs(
+        spark,
+        [(0, b[0]), (1, b[1]), (2, b[0] + 0.01 * _base(2)[0])],
+    )
+    out1 = {r.vec_id for r in filt.process_batch(batch1).collect()}
+    assert out1 == {0, 1}  # within-batch: min-id representative wins
+
+    # batch 2: a near-copy of an INDEXED vector, plus a genuinely new one
+    batch2 = _vecs(
+        spark,
+        [(10, b[1] + 0.01 * _base(3)[0]), (11, b[2])],
+    )
+    out2 = {r.vec_id for r in filt.process_batch(batch2).collect()}
+    assert out2 == {11}  # 10 rejected against the index
+
+
+def test_replay_idempotent_after_index_commit(spark, tmp_path):
+    b = _base(4)
+    filt = StreamingEmbeddingNearDupFilter(
+        spark, str(tmp_path / "idx2"), dim=DIM, threshold=0.95
+    )
+    batch = _vecs(spark, [(0, b[0]), (1, b[1])])
+    first = {r.vec_id for r in filt.process_batch(batch).collect()}
+    assert first == {0, 1}
+    # replay the same batch (crash after append): everything now indexed
+    replay = {r.vec_id for r in filt.process_batch(batch).collect()}
+    assert replay == set()
+
+
+def test_counts_match_recompute_and_survive_stale_stamp(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    b = _base(5, n=6)
+    filt = StreamingEmbeddingNearDupFilter(
+        spark, str(tmp_path / "idx3"), dim=DIM, threshold=0.99
+    )
+    filt.process_batch(_vecs(spark, [(i, b[i]) for i in range(3)]))
+    filt.process_batch(_vecs(spark, [(i + 10, b[i + 3]) for i in range(3)]))
+
+    # incremental counts == full recompute over the index head
+    got = {
+        (r.band, r.key): r.cnt
+        for r in filt.counts.read().select("band", "key", "cnt").collect()
+    }
+    want = {
+        (r.band, r.key): r.cnt
+        for r in filt._banded(
+            filt.index.read().select(F.col("vec_id").alias("id"), "sig")
+        )
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+    assert filt.counts.read().agg(F.max("idx_version")).head()[0] == filt.index.latest_version()
+
+    # stale stamp (simulated crash between append and counts overwrite):
+    # the next batch detects the mismatch, rebuilds, and re-stamps
+    filt.counts.overwrite(
+        filt.counts.read().withColumn("idx_version", F.lit(-99))
+    )
+    filt.process_batch(_vecs(spark, [(100, 0.9 * b[0] + 0.45 * b[1])]))
+    again = {
+        (r.band, r.key): r.cnt
+        for r in filt.counts.read().select("band", "key", "cnt").collect()
+    }
+    rebuilt = {
+        (r.band, r.key): r.cnt
+        for r in filt._banded(
+            filt.index.read().select(F.col("vec_id").alias("id"), "sig")
+        )
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert again == rebuilt
+
+
+def test_oversized_index_buckets_dropped_not_fatal(spark, tmp_path):
+    """With a tiny bucket_cap every index bucket is over cap — candidate
+    generation degrades (recall valve) but admission still runs and
+    within-batch exact verify keeps precision."""
+    b = _base(6)
+    filt = StreamingEmbeddingNearDupFilter(
+        spark, str(tmp_path / "idx4"), dim=DIM, threshold=0.95, bucket_cap=0
+    )
+    filt.process_batch(_vecs(spark, [(0, b[0])]))
+    # near-copy of an indexed vector: the capped index join can't see it
+    # (all buckets dropped) — documented recall trade, not a crash
+    out = {
+        r.vec_id
+        for r in filt.process_batch(
+            _vecs(spark, [(1, b[0] + 0.01 * _base(7)[0])])
+        ).collect()
+    }
+    assert out == {1}
+
+
+def test_stream_integration_available_now(spark, tmp_path):
+    """End-to-end through a real readStream + foreachBatch drain."""
+    b = _base(8)
+    src = tmp_path / "src"
+    _vecs(spark, [(0, b[0]), (1, b[0] + 0.005 * _base(9)[0]), (2, b[1])]).write.parquet(
+        str(src)
+    )
+    admitted = []
+    filt = StreamingEmbeddingNearDupFilter(
+        spark,
+        str(tmp_path / "idx5"),
+        sink=lambda df, _e: admitted.extend(r.vec_id for r in df.collect()),
+        dim=DIM,
+        threshold=0.95,
+    )
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").parquet(
+        str(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda df, e: filt.process_batch(df, e))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(admitted) == [0, 2]
