@@ -435,11 +435,51 @@ def _stream_admission_section(spark, sf_dir: str) -> dict[str, object]:
     )
     q.awaitTermination()
     wall = time.time() - t0
-    return {
+    extra = {
         "stream_admission_n_docs": n_docs,
         "stream_admission_wall_sec": round(wall, 3),
         "stream_admission_docs_per_sec": round(n_docs / wall, 1),
     }
+
+    # embedding-modality admission twin: the sf0.1 embeddings through the
+    # SRP streaming filter (index starts empty; within-run the stream is
+    # its own dedup pressure) — stateful foreachBatch path, maxFiles
+    # bounded so multiple micro-batches exercise the cross-batch index
+    from psy_supabase_spark.streaming.neardup import StreamingEmbeddingNearDupFilter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    esrc = os.path.join(tempfile.mkdtemp(prefix="admission_emb_"), "emb")
+    emb.repartition(4).write.parquet(esrc)
+    filt = StreamingEmbeddingNearDupFilter(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="admission_embidx_"), "idx"),
+        threshold=0.9,
+    )
+    estream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(esrc)
+    )
+    t0 = time.time()
+    q = (
+        estream.writeStream.foreachBatch(lambda df, e: filt.process_batch(df, e))
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="admission_embckpt_"), "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    # ~2 micro-batches at this layout: wall is dominated by the per-batch
+    # fixed cost (signature pass + band join + components + two txlog
+    # commits ≈ 7-10 s/batch locally) — the number prices the stateful
+    # path's overhead floor, not its asymptotic throughput
+    extra["stream_embedding_neardup_vecs_per_sec"] = round(n_emb / wall, 1)
+    extra["stream_embedding_neardup_wall_sec"] = round(wall, 3)
+    return extra
 
 
 def main() -> None:
