@@ -126,6 +126,28 @@ def main() -> int:
     )
     print("15. shards written:", out_dir)
     audit.show()
+
+    # ---- embedding side (round 6): the surviving corpus's vectors get
+    # semantic dedup and an ANN serving index — auto-tuned (√N lists,
+    # N/4096 clusters) and GEMM-routed when the width calls for it
+    from psy_supabase_spark.operators import ivf, semdedup
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(train.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+        .cache()
+    )
+    n_emb = emb.count()
+    kept = semdedup.semdedup(emb, 0.99, n_clusters=None).cache()
+    print(f"\n16. semantic dedup (SemDeDup eps=0.99, auto k): {n_emb} -> {kept.count()} vectors")
+
+    index = ivf.build_ivf(kept, n_lists=None)
+    queries = (
+        kept.limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding"))
+    )
+    print(f"17. ANN serving (auto lists={len(index.centers)}, GEMM-routed when wide):")
+    ivf.ivf_search_batch(index, queries, k=3, nprobe=4).show()
     return 0
 
 
