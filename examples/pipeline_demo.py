@@ -20,6 +20,8 @@ Stages (the order real pipelines run them):
 13. component-safe split            operators/sampling
 14. corpus report (after)           operators/textanalysis
 15. deterministic shards            sources/shards
+16. semantic dedup (auto k)         operators/semdedup
+17. ANN serving (auto lists)        operators/ivf
 """
 
 from __future__ import annotations
