@@ -308,3 +308,36 @@ def test_gemm_search_prunes_persisted_wide_layout(spark, tmp_path):
     assert _re.search(r"PartitionFilters: \[[^\]]*centroid_id", plan)
     got = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_quantized_store_arrow_parity_knife_edges(spark):
+    """Adversarial sweep at the HALF_UP boundaries: elements engineered
+    so x/scale lands on (or a ulp around) k+0.5 for many k, plus sign
+    flips and near-zero values — the two rounding spellings must agree
+    on every code."""
+    rows = []
+    vid = 0
+    for denom_max in (1.0, 3.7, 127.0):
+        scale = denom_max / 127.0
+        elems = [denom_max]  # pins the scale
+        for k in range(0, 126, 7):
+            elems += [(k + 0.5) * scale, -(k + 0.5) * scale]
+        for eps in (1e-16, -1e-16):
+            elems += [(63.5 + eps) * scale]
+        elems += [0.0, scale * 1e-12, -scale * 1e-12]
+        # pad to a fixed dim of 64
+        elems = (elems + [0.0] * 64)[:64]
+        rows.append((vid, [float(x) for x in elems]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    index = ivf.IVFIndex(centers=[[1.0] + [0.0] * 63], assigned=None)
+    index.assigned = ivf.assign_to_centroids(df, index.centers)
+    expr = {
+        r.vec_id: (r._qs.scale, tuple(r._qs.q), r._qnorm)
+        for r in ivf.quantized_store(index, arrow=False).collect()
+    }
+    arrow = {
+        r.vec_id: (r._qs.scale, tuple(r._qs.q), r._qnorm)
+        for r in ivf.quantized_store(index, arrow=True).collect()
+    }
+    assert arrow == expr
