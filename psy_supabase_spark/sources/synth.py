@@ -87,6 +87,11 @@ def scaled_documents(docs: DataFrame, factor: int, *, id_stride: int = 10_000_00
 
     lower = "abcdefghijklmnopqrstuvwxyz"
     upper = lower.upper()
+    if factor > 26:
+        # rotations cycle mod 25: copy k and copy k+25 would share a
+        # rotation and become verbatim cross-copy duplicates — exactly the
+        # pair explosion this construction exists to avoid
+        raise ValueError("scaled_documents: factor > 26 would repeat rotations")
     copies = []
     for k in range(factor):
         c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * id_stride))

@@ -341,3 +341,30 @@ def test_quantized_store_arrow_parity_knife_edges(spark):
         for r in ivf.quantized_store(index, arrow=True).collect()
     }
     assert arrow == expr
+
+
+def test_scaled_documents_factor_guard(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="rotations"):
+        scaled_documents(docs, 27)
+
+
+def test_suggest_banding_invariants():
+    """Property sweep: bounds hold and the recall target is met whenever
+    the band count is not clamped."""
+    import math
+
+    from psy_supabase_spark.operators.lsh import suggest_banding
+
+    for n in (100, 5_000, 50_000, 10**7, 10**9):
+        for t in (0.5, 0.7, 0.9, 0.95, 0.99):
+            n_planes, bands = suggest_banding(n, t)
+            bits = n_planes // bands
+            assert 3 <= bits <= 20 and 1 <= bands <= 32
+            assert n_planes == bits * bands
+            p = 1 - math.acos(t) / math.pi
+            recall = 1 - (1 - p**bits) ** bands
+            if bands < 32:  # unclamped → the 0.95 target must be met
+                assert recall >= 0.95 - 1e-9
