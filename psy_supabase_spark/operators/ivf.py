@@ -328,9 +328,21 @@ def quantized_store(
         for pdf in batches:
             if pdf.empty:
                 continue
-            m = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].tolist()]
+            # same ok-mask as pq_encode / the GEMM scorer: NULL or
+            # wrong-dim rows are unservable — skip them instead of
+            # letting np.stack crash the task (the expression kernel
+            # NULLs them; every scoring path drops NULLs, so counts of
+            # SERVABLE rows agree)
+            vals = pdf[vec_col].tolist()
+            ok = np.fromiter(
+                (v is not None and len(v) == dim for v in vals),
+                dtype=bool,
+                count=len(vals),
             )
+            if not ok.any():
+                continue
+            rows = np.flatnonzero(ok)
+            m = np.stack([np.asarray(vals[i], dtype=np.float64) for i in rows])
             amax = np.abs(m).max(axis=1)
             scale = np.where(amax == 0.0, 1.0, amax / 127.0)
             r = m / scale[:, None]
@@ -339,8 +351,8 @@ def quantized_store(
             qn = np.sqrt((q.astype(np.float64) ** 2).sum(axis=1))
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
-                    "centroid_id": pdf["centroid_id"].astype("int32"),
+                    id_col: pdf[id_col].to_numpy()[rows],
+                    "centroid_id": pdf["centroid_id"].to_numpy()[rows].astype("int32"),
                     "_qs": [
                         {"scale": float(s), "q": row} for s, row in zip(scale, q)
                     ],
@@ -451,6 +463,7 @@ def ivf_search_batch(
     sq8_store: DataFrame | None = None,
     rescore_factor: int = 3,
     gemm: bool | None = None,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """N-query ANN through the IVF index in ONE distributed pass — the
     production serving shape (per-query ``ivf_search`` calls cost a
@@ -495,7 +508,11 @@ def ivf_search_batch(
     :func:`ivf_search_batch_gemm` — same rows (parity-pinned), Arrow
     scoring.  Measured: 70 lists × dim 64 already costs 14.4 s/batch-100
     in the expression spelling vs ~1 s GEMM.  Pass ``gemm=False`` to pin
-    the expression path (spec twin / tests)."""
+    the expression path (spec twin / tests).  ``max_queries`` bounds the
+    GEMM route's driver-side query fetch and is forwarded verbatim — a
+    caller with a legitimately large batch raises the bound here instead
+    of having to know about the routing (the expression path, which never
+    collects queries, ignores it)."""
     from pyspark.sql import Window
 
     dim = len(index.centers[0]) if index.centers else 0
@@ -520,6 +537,7 @@ def ivf_search_batch(
             vec_col=vec_col,
             sq8_store=store,
             rescore_factor=rescore_factor,
+            max_queries=max_queries,
         )
 
     structs = []

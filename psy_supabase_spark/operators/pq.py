@@ -96,15 +96,19 @@ def pq_fit(
     ≤``fit_sample_cap``-row sample and the model m·k·dsub floats; the
     distributed work is encode/search, never the fit.  The sample is
     hash-ordered (`ivf.fit_sample_vectors`): deterministic under any
-    partitioning and unbiased on domain-sorted corpora."""
+    partitioning and unbiased on domain-sorted corpora.  A vectors-only
+    frame (no ``id_col``) falls back to the legacy ``.limit(cap)`` sample
+    — still bounded, but layout-DEPENDENT; pass ids for the hash-ordered
+    guarantee."""
     from .ivf import fit_sample_vectors
 
-    sample = fit_sample_vectors(
-        corpus.where(F.col(vec_col).isNotNull()),
-        fit_sample_cap,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    live = corpus.where(F.col(vec_col).isNotNull())
+    if id_col in corpus.columns:
+        sample = fit_sample_vectors(
+            live, fit_sample_cap, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        sample = live.select(vec_col).limit(fit_sample_cap).collect()
     x = np.array([r[0] for r in sample], dtype=np.float64)
     if x.size == 0:
         raise ValueError("pq_fit: empty corpus")
@@ -274,11 +278,16 @@ def pq_search_batch(
     # on the dim-1536 batch-100: the uncapped rescore was the whole cost).
     # Ties on (_adc, id) — deterministic under any batching.
     w_adc = _W.partitionBy(query_id).orderBy(F.col("_adc").desc(), F.col(id_field.name).asc())
+    # dropDuplicates guards against encoded stores with repeated ids
+    # (append/union builds): each id lives in ONE Arrow batch only when
+    # ids are unique, so without it a duplicated id could occupy several
+    # top-k slots.  Cheap — the frame is already ≤ nq·k·f rows.
     partial = (
         encoded.mapInPandas(adc, schema=part_schema)
         .withColumn("_pr", F.row_number().over(w_adc))
         .where(F.col("_pr") <= first_k)
         .select(query_id, id_field.name)
+        .dropDuplicates([query_id, id_field.name])
     )
     # exact rescore of the ≤ nq·k·f survivors: candidates join IDS-ONLY
     # (the wide query vector attaches from the tiny queries frame, never

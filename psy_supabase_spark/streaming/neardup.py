@@ -332,7 +332,13 @@ class StreamingEmbeddingNearDupFilter:
             bv = batch.select(F.col(self.id_col).alias("bid"), F.col(self.vec_col).alias("_bv"))
             iv = idx.select(F.col(self.id_col).alias("iid"), F.col(self.vec_col).alias("_iv"))
             raw = lsh.cosine_pairs_np(F.col("_bv"), F.col("_iv"))
-            sim = F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(raw)
+            # round to 6 dp HALF_UP exactly like srp_neardup_pairs'
+            # verify: the within-batch pass and this index-hit pass must
+            # agree on knife-edge similarities (raw 0.8999996 rounds to
+            # 0.9 in both) or admission depends on WHICH pass saw the pair
+            sim = F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(
+                F.round(raw, 6)
+            )
             hit_ids = (
                 cand.join(bv, "bid")
                 .join(iv, "iid")

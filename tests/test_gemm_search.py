@@ -368,3 +368,53 @@ def test_suggest_banding_invariants():
             recall = 1 - (1 - p**bits) ** bands
             if bands < 32:  # unclamped → the 0.95 target must be met
                 assert recall >= 0.95 - 1e-9
+
+
+def test_quantized_store_arrow_skips_malformed(spark):
+    """NULL / wrong-dim embeddings must be SKIPPED by the Arrow quant
+    kernel (np.stack would otherwise crash the task) — the same ok-mask
+    contract as pq_encode and the GEMM scorer.  The expression kernel
+    NULLs such rows instead; every scoring path drops NULLs, so the
+    SERVABLE row sets agree."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.5, -0.5, 0.0], 0),
+            (1, None, 0),
+            (2, [1.0], 0),  # wrong dim
+            (3, [0.25, 0.25, 0.25, 0.25], 0),
+        ],
+        "vec_id long, embedding array<double>, centroid_id int",
+    )
+    index = ivf.IVFIndex(centers=[[1.0, 0.0, 0.0, 0.0]], assigned=df)
+    arrow_rows = ivf.quantized_store(index, arrow=True).collect()
+    assert sorted(r.vec_id for r in arrow_rows) == [0, 3]
+    expr_ok = {
+        r.vec_id: (r._qs.scale, tuple(r._qs.q), r._qnorm)
+        for r in ivf.quantized_store(index, arrow=False).collect()
+        if r._qs is not None
+        and r._qs.q is not None
+        and len(r._qs.q) == 4
+    }
+    got = {r.vec_id: (r._qs.scale, tuple(r._qs.q), r._qnorm) for r in arrow_rows}
+    assert got == {k: expr_ok[k] for k in (0, 3)}
+
+
+def test_ivf_search_batch_max_queries_passthrough(spark):
+    """The GEMM auto-route's driver-side query fetch is bounded by
+    max_queries — and ivf_search_batch must forward the caller's bound
+    rather than hard-failing batches over the built-in default
+    (ADVICE r6: previously-working large batches on wide indexes broke
+    when the auto-route landed)."""
+    import pytest
+
+    emb = load_table(spark, SF, "embeddings")
+    index = ivf.build_ivf(emb, n_lists=8)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf.ivf_search_batch(index, queries, k=3, nprobe=2, gemm=True, max_queries=3)
+    got = ivf.ivf_search_batch(
+        index, queries, k=3, nprobe=2, gemm=True, max_queries=5
+    )
+    assert got.select("query_id").distinct().count() == 5

@@ -242,3 +242,30 @@ def test_vectorized_probe_union_matches_rank_centroids(spark):
         }
     )
     assert got == want
+
+
+def test_pq_fit_vectors_only_fallback(emb):
+    """A vectors-only frame (no id column) fits via the legacy bounded
+    .limit(cap) sample instead of raising an unresolved-column error
+    (ADVICE r6) — layout-dependent, but bounded and working."""
+    books = pq.pq_fit(emb.select("embedding"), m=8)
+    assert books.m == 8 and books.dsub == 8
+    assert len(books.centers) == 8
+
+
+def test_pq_search_duplicate_id_store_dedups(spark, emb, books):
+    """An encoded store with repeated ids (append/union builds) must not
+    yield duplicate (query, id) rows inside the final top-k (ADVICE r6:
+    the dropDuplicates guard)."""
+    enc = pq.pq_encode(emb, books)
+    dup_store = enc.union(enc)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = pq.pq_search_batch(dup_store, queries, books, emb, k=5).collect()
+    pairs = [(r.query_id, r.vec_id) for r in got]
+    assert len(pairs) == len(set(pairs))
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())

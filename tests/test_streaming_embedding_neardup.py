@@ -155,3 +155,30 @@ def test_stream_integration_available_now(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(admitted) == [0, 2]
+
+
+def test_index_hit_threshold_rounds_like_batch_pass(spark, tmp_path):
+    """Knife-edge similarity: a cross-batch pair with RAW cosine just
+    under the threshold but 6-dp-HALF_UP-rounding TO it must be rejected
+    by the index-hit pass exactly as the within-batch pass
+    (srp_neardup_pairs) would reject it — admission must not depend on
+    which pass saw the pair (ADVICE r6)."""
+    import math
+
+    c = 0.8999998  # rounds to 0.900000 at 6 dp; raw compare would admit
+    s = math.sqrt(1.0 - c * c)
+    v1 = np.zeros(DIM)
+    v1[0] = 1.0
+    u = np.zeros(DIM)
+    u[1] = 1.0
+    v2 = c * v1 + s * u  # cosine(v1, v2) == c exactly (unit vectors)
+    # bands == n_planes (1-bit bands): a 26° pair collides in SOME band
+    # with probability 1 - (theta/pi)^24 ≈ 1 — candidate generation is
+    # not the thing under test here
+    filt = StreamingEmbeddingNearDupFilter(
+        spark, str(tmp_path / "idx"), dim=DIM, threshold=0.9, n_planes=24, bands=24
+    )
+    out1 = {r.vec_id for r in filt.process_batch(_vecs(spark, [(0, v1)])).collect()}
+    assert out1 == {0}
+    out2 = {r.vec_id for r in filt.process_batch(_vecs(spark, [(1, v2)])).collect()}
+    assert out2 == set()  # rounded 0.900000 >= 0.9 → duplicate, rejected
