@@ -642,6 +642,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # no pairs → no components: skip the propagation loop entirely (its
+    # two eager checkpoints + convergence count cost ~4 jobs).  Streaming
+    # admission calls this PER MICRO-BATCH and most batches carry no
+    # within-batch dups, so the empty case is the hot case — isEmpty on
+    # the already-checkpointed edges is near-free.
+    if edges.isEmpty():
+        return edges.select(F.col("src").alias("id"), F.col("src").alias("component"))
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -137,72 +137,107 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.neighbors_above(emb, 0.5)
 
 
+# GEMM-route fixture: 64 fixed centroids × dim 64 = 4096 cells, exactly
+# ivf.GEMM_ROUTE_CELLS — the public batch entrypoint auto-routes to the
+# Arrow/GEMM kernel with NO override flag (asserted in the query body).
+_GEMM_N_CENTS = 64
+_GEMM_N_QUERIES = 10
+_GEMM_NPROBE = 8
+
+
 @register(
     "ann_pruned_topk_fixed_centroids",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_ID}),
-    cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-    qdist AS (
-      SELECT cid,
-             1 - list_dot_product(cv::DOUBLE[], qv::DOUBLE[]) /
-                 (sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[])) *
-                  sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) AS d
-      FROM cents, q
-    ),
-    probes AS (SELECT cid FROM qdist ORDER BY d ASC NULLS LAST, cid ASC LIMIT 2),
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                   WHERE vec_id < {_GEMM_N_CENTS}),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {_GEMM_N_QUERIES}
+            AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+    -- assignment mirrors ivf.assign_to_centroids: argmax over RAW dot
+    -- products of the row-normalized vector (per-row norm is constant
+    -- inside the argmax, so raw dot DESC is the identical order)
     assigned AS (
       SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY 1 - list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) /
-                          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-                           sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))) ASC NULLS LAST,
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])
+                          DESC NULLS LAST,
                           c.cid ASC
                ) AS rn
         FROM embeddings e CROSS JOIN cents c
       ) WHERE rn = 1
+    ),
+    -- per-query probe selection mirrors the GEMM kernel's lexsort over
+    -- (cosine distance, centroid id)
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY 1 - list_dot_product(c.cv::DOUBLE[], q.qv::DOUBLE[]) /
+                          (sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])) *
+                           sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))
+                          ASC NULLS LAST,
+                          c.cid ASC
+               ) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= {_GEMM_NPROBE}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id, (ROUND({_COS_SQL}, 6) + 0.0) AS similarity
+      FROM embeddings e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      JOIN probes p ON p.cid = a.cid
+      JOIN q ON q.query_id = p.query_id
+      WHERE sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY similarity DESC, vec_id ASC) AS rank
+      FROM scored
     )
-    SELECT e.vec_id, (ROUND({_COS_SQL}, 6) + 0.0) AS similarity
-    FROM embeddings e
-    JOIN assigned a ON a.vec_id = e.vec_id
-    JOIN probes p ON p.cid = a.cid
-    CROSS JOIN q
-    WHERE sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
-      AND sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) > 0
-    ORDER BY similarity DESC, e.vec_id ASC
-    LIMIT {TOPK}
+    SELECT query_id, vec_id, similarity, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOPK}
     """,
 )
 def ann_pruned_topk_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 pruning logic, ORACLE-GATED: IVF with a deterministic centroid
-    set (the 8 vectors vec_id<8) instead of KMeans — assignment via
-    broadcast distance-rank window, probe selection via distance top-2,
-    pruned exact top-k within.  Proves the prune/assign/rank machinery
-    bit-for-bit; the KMeans twin (ann_ivf_topk) adds learned centroids."""
-    from pyspark.sql import Window
+    """X1 pruning logic, ORACLE-GATED, served by the GEMM batch kernel:
+    IVF with a deterministic centroid set (the 64 vectors vec_id < 64)
+    instead of KMeans, a fixed 10-query batch, and the
+    PUBLIC entrypoint `ivf.ivf_search_batch` with no route override —
+    64 lists × dim 64 = 4096 cells meets GEMM_ROUTE_CELLS exactly, so
+    the auto-route provably lands on `ivf_search_batch_gemm` (asserted
+    below; the r6 verdict's #4: the wide-dim serving path needed a
+    hash-green oracle row, not just pytest parity).  Proves
+    assign/probe/mask/rank of the Arrow serving kernel value-for-value
+    against a recursive SQL mirror; the KMeans twin (ann_ivf_topk) adds
+    learned centroids, and the single-query expression path stays
+    pytest-parity-pinned (tests/test_gemm_search.py)."""
+    from ..operators import ivf as ivf_ops
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    cents = [
+        list(r[0])
+        for r in emb.where(F.col("vec_id") < _GEMM_N_CENTS)
+        .select("embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    dim = len(cents[0])
+    # the route is load-bearing: this query's oracle evidence is FOR the
+    # GEMM kernel, so fail loudly if a config drift would silently fall
+    # back to the expression path
+    assert len(cents) * dim >= ivf_ops.GEMM_ROUTE_CELLS, (
+        f"{len(cents)} lists x dim {dim} no longer auto-routes to GEMM"
     )
-    qvec = _query_vec(spark, sf_dir)
-    qlit = V.query_vector_lit(qvec)
-
-    d_assign = F.lit(1.0) - V.cosine_similarity(F.col("embedding"), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy(d_assign.asc_nulls_last(), F.col("cid").asc())
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
+    index = ivf_ops.IVFIndex(
+        centers=cents, assigned=ivf_ops.assign_to_centroids(emb, cents)
     )
-    d_query = F.lit(1.0) - V.cosine_similarity(F.col("cv"), qlit)
-    probes = (
-        cents.select("cid", d_query.alias("d"))
-        .orderBy(F.col("d").asc_nulls_last(), F.col("cid").asc())
-        .limit(2)
-        .select("cid")
+    queries = emb.where(F.col("vec_id") < _GEMM_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
     )
-    pruned = emb.join(assigned, "vec_id").join(F.broadcast(probes), "cid")
-    return topk.topk_similarity(pruned, qvec, k=TOPK)
+    return ivf_ops.ivf_search_batch(
+        index, queries, k=TOPK, nprobe=_GEMM_NPROBE
+    ).select("query_id", "vec_id", "similarity", "rank")

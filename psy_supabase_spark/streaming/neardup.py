@@ -49,17 +49,38 @@ from ..sources.txlog import TxTable
 # correctness.
 
 
-def counts_oversized(counts_tx: TxTable, index_version: int, cap: int | None, rebuild):
+def _stamped_version(counts_tx: TxTable, stamp_memo: dict | None):
+    """idx_version recorded in the counts table, via the driver-side memo
+    when it is provably current (memo'd counts version == the table's
+    committed version — a filesystem check, no Spark job) else one tiny
+    agg job.  The memo is a pure job-saver: a crash or a rival writer
+    invalidates it by construction and the read path repopulates it."""
+    cv = counts_tx.latest_version()
+    if stamp_memo is not None and stamp_memo.get("counts_v") == cv:
+        return stamp_memo["idx_v"]
+    stamped = counts_tx.read().agg(F.max("idx_version")).head()[0]
+    if stamp_memo is not None:
+        stamp_memo["counts_v"] = cv
+        stamp_memo["idx_v"] = stamped
+    return stamped
+
+
+def counts_oversized(
+    counts_tx: TxTable,
+    index_version: int,
+    cap: int | None,
+    rebuild,
+    *,
+    stamp_memo: dict | None = None,
+):
     """Oversized (band, key) frame — from the counts table when its stamp
     matches ``index_version``, else ``rebuild()`` (one O(index) pass;
     self-repairs on the next fold).  None when the valve is disabled."""
     if cap is None:
         return None
     if counts_tx.latest_version() >= 0:
-        counts = counts_tx.read()
-        stamped = counts.agg(F.max("idx_version")).head()[0]
-        if stamped == index_version:
-            return counts.where(F.col("cnt") > cap).select("band", "key")
+        if _stamped_version(counts_tx, stamp_memo) == index_version:
+            return counts_tx.read().where(F.col("cnt") > cap).select("band", "key")
     return rebuild()
 
 
@@ -69,6 +90,8 @@ def fold_counts(
     v_before: int,
     v_after: int,
     rebuild_banded,
+    *,
+    stamp_memo: dict | None = None,
 ) -> None:
     """Fold a batch's (id, band, key) occupancy into the counts table,
     stamped with ``v_after``.  Incremental merge only when the stored
@@ -77,10 +100,10 @@ def fold_counts(
     batch_counts = batch_banded.groupBy("band", "key").agg(F.count("*").alias("cnt"))
     merged = None
     if counts_tx.latest_version() >= 0:
-        prior = counts_tx.read()
-        if prior.agg(F.max("idx_version")).head()[0] == v_before:
+        if _stamped_version(counts_tx, stamp_memo) == v_before:
             merged = (
-                prior.select("band", "key", "cnt")
+                counts_tx.read()
+                .select("band", "key", "cnt")
                 .unionByName(batch_counts)
                 .groupBy("band", "key")
                 .agg(F.sum("cnt").alias("cnt"))
@@ -89,7 +112,10 @@ def fold_counts(
         merged = (
             rebuild_banded().groupBy("band", "key").agg(F.count("*").alias("cnt"))
         )
-    counts_tx.overwrite(merged.withColumn("idx_version", F.lit(v_after)))
+    new_cv = counts_tx.overwrite(merged.withColumn("idx_version", F.lit(v_after)))
+    if stamp_memo is not None:
+        stamp_memo["counts_v"] = new_cv
+        stamp_memo["idx_v"] = v_after
 
 
 class StreamingNearDupFilter:
@@ -124,6 +150,10 @@ class StreamingNearDupFilter:
         # index built without counts) falls back to one full recompute and
         # self-repairs on the next process_batch.
         self.counts = TxTable(spark, index_path.rstrip("/") + ".bucket_counts")
+        # driver-side (counts_version, idx_version) memo: skips the
+        # per-batch stamp-check agg job when this process wrote the last
+        # fold; crashes/rival writers invalidate it by version check
+        self._stamp_memo: dict = {}
         self.sink = sink
         self.max_hamming = max_hamming
         self.id_col = id_col
@@ -141,6 +171,7 @@ class StreamingNearDupFilter:
             self.index.latest_version(),
             self.bucket_cap,
             lambda: dedup.oversized_buckets(idx_banded, self.bucket_cap),
+            stamp_memo=self._stamp_memo,
         )
 
     # -- pure decision function (static DF in, static DF out): unit-testable
@@ -240,6 +271,7 @@ class StreamingNearDupFilter:
                 self.index.read().select(F.col(self.id_col).alias("id"), "simhash"),
                 self.max_hamming,
             ),
+            stamp_memo=self._stamp_memo,
         )
 
 
@@ -289,6 +321,10 @@ class StreamingEmbeddingNearDupFilter:
     ):
         self.index = TxTable(spark, index_path)
         self.counts = TxTable(spark, index_path.rstrip("/") + ".bucket_counts")
+        # driver-side (counts_version, idx_version) memo: skips the
+        # per-batch stamp-check agg job when this process wrote the last
+        # fold; crashes/rival writers invalidate it by version check
+        self._stamp_memo: dict = {}
         self.sink = sink
         self.threshold = threshold
         self.dim = dim
@@ -319,6 +355,7 @@ class StreamingEmbeddingNearDupFilter:
                 self.index.latest_version(),
                 self.bucket_cap,
                 lambda: dedup.oversized_buckets(idx_banded, self.bucket_cap),
+                stamp_memo=self._stamp_memo,
             )
             if over is not None:
                 idx_banded = idx_banded.join(over, ["band", "key"], "left_anti")
@@ -390,5 +427,6 @@ class StreamingEmbeddingNearDupFilter:
                 lambda: self._banded(
                     self.index.read().select(F.col(self.id_col).alias("id"), "sig")
                 ),
+                stamp_memo=self._stamp_memo,
             )
         return out
