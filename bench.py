@@ -57,7 +57,40 @@ BENCH_QUERIES = [
     "semdedup_pairs",           # SemDeDup cluster + within-cluster GEMM
     "lm_score",                 # bigram Stupid-Backoff train + score
     "exact_substr",             # ExactSubstr span excision (Lee 2021)
+    "training_pipeline",        # the composed 17-stage end-to-end DAG
 ]
+
+
+def _calibration_sec(spark) -> float:
+    """FROZEN reference workload — never change this function: its time
+    prices the box+JVM each round (hash + shuffle + agg over a generated
+    range, no I/O, no engine code under test), so round-over-round query
+    diffs can be separated from environment drift.  Motivated by round 7's
+    re-baseline: rerunning round 6's identical headline code measured
+    33.60 s vs the 30.44 s recorded at round-6 time and 27.92 s at round
+    5 — ~10%/round inflation on untouched code, i.e. host drift that
+    per-query attribution cannot explain.  min of 3."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.col("id") % 1000).alias("k"),
+                (F.pmod(F.xxhash64("id"), F.lit(1_000_000))).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.sum("h").alias("s"), F.count("*").alias("c"))
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 def _winnow_neardup(spark, sf_dir):
@@ -80,11 +113,16 @@ def _semdedup_pairs(spark, sf_dir):
     # SemDeDup pair stage over the embeddings table: seeded k-means fit +
     # one GEMM assignment pass + within-cluster GEMM pair search.  eps
     # 0.5 (the corpus is uniform-random — its worst case, like IVF).
+    # n_clusters=None exercises the SELF-TUNING default (r6 verdict #7:
+    # the headline must price the rule the scale step relies on, not a
+    # hand-picked k); the chosen k is echoed in extras and the legacy
+    # k=8 config is re-measured as semdedup_fixed8_sec for
+    # round-over-round comparability.
     from psy_supabase_spark.operators import semdedup
     from psy_supabase_spark.sources.catalog import load_table
 
     return semdedup.semdedup_pairs(
-        load_table(spark, sf_dir, "embeddings"), 0.5, n_clusters=8
+        load_table(spark, sf_dir, "embeddings"), 0.5, n_clusters=None
     )
 
 
@@ -119,10 +157,13 @@ LOCAL_QUERIES = {
     "exact_substr": _exact_substr,
 }
 
-# (lists, nprobe) sweep, cheapest scan fraction first; first config with
-# recall@10 >= 0.9 wins.  Uniform-random vectors are IVF's worst case —
-# real embedding corpora cluster far better, so this is a lower bound.
-IVF_SWEEP = [(16, 8), (8, 4), (8, 5), (8, 6), (16, 12)]
+# lists come from the engine's SELF-TUNING rule (ivf.default_n_lists ≈
+# √N with a size floor — r6 verdict #7: the headline must exercise the
+# rule, not a pinned table); nprobe sweeps cheapest-first and the first
+# config with recall@10 >= 0.9 wins.  Uniform-random vectors are IVF's
+# worst case — real embedding corpora cluster far better, so this is a
+# lower bound.
+NPROBE_SWEEP = [4, 6, 8, 12, 16, 24, 32, 48]
 IVF_RECALL_TARGET = 0.9
 
 
@@ -140,19 +181,20 @@ def _ivf_section(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, object
     qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
     exact_ids = [r.vec_id for r in topk.topk_similarity(emb, qvec, k=10).collect()]
 
-    chosen, chosen_recall, best = None, -1.0, None
-    for lists, nprobe in IVF_SWEEP:
+    # lists: the self-tuning rule the scale step relies on
+    lists = ivf.default_n_lists(emb.count(), len(qvec))
+    nprobe, chosen_recall, best = None, -1.0, None
+    for np_try in NPROBE_SWEEP:
         index = ivf.build_ivf_cached(emb, f"{sf_dir}/embeddings", n_lists=lists)
-        ids = [r.vec_id for r in ivf.ivf_search(index, qvec, k=10, nprobe=nprobe).collect()]
+        ids = [r.vec_id for r in ivf.ivf_search(index, qvec, k=10, nprobe=np_try).collect()]
         recall = ivf.recall_at_k(exact_ids, ids, 10)
-        if best is None or recall > best[2]:
-            best = (lists, nprobe, recall)
+        if best is None or recall > best[1]:
+            best = (np_try, recall)
         if recall >= IVF_RECALL_TARGET:
-            chosen, chosen_recall = (lists, nprobe), recall
+            nprobe, chosen_recall = np_try, recall
             break
-    if chosen is None:  # fall back to the best-observed config
-        chosen, chosen_recall = (best[0], best[1]), best[2]
-    lists, nprobe = chosen
+    if nprobe is None:  # fall back to the best-observed config
+        nprobe, chosen_recall = best
 
     # amortized build: fit + assign + persist the partition-pruned layout
     layout = os.path.join(tempfile.mkdtemp(prefix="ivf_bench_"), "layout")
@@ -222,6 +264,7 @@ def _ivf_section(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, object
     extra = {
         "ivf_build_sec": build_sec,
         "ivf_lists": lists,
+        "ivf_lists_rule": "default_n_lists(auto)",
         "ivf_nprobe": nprobe,
         "ivf_recall_at_10": chosen_recall,
         "ivf_batch100_full_sec": batch_full_sec,
@@ -341,14 +384,15 @@ def _dim1536_section(spark) -> dict[str, object]:
     extra["dim1536_ivfpq_batch100_sec"] = round(time.time() - t0, 3)
     extra["dim1536_ivfpq_recall_at_10"] = _avg_recall(gt, got, k)
 
-    # banding widened with corpus size: the dim-64 default (3-bit bands,
-    # 8 keys/band) puts ~2500 rows in every bucket at 20k rows → ~25M
-    # candidate pairs; 12-bit × 16 bands keeps buckets ~5 deep at ~0.96
-    # candidate recall for 0.9-cosine pairs, and the Arrow verify kernel
-    # (auto at wide dim) prices each candidate as GEMM, not a 1536-fold
+    # banding from the SELF-TUNING rule (r6 verdict #3/#7: the 15 s
+    # measurement used hand-picked 192p/16b — 12-bit bands whose 192-plane
+    # signature GEMM and 16-way explode were the cost; suggest_banding
+    # picks the recall-targeted minimum for THIS corpus size/threshold)
+    n_planes, bands = lsh.suggest_banding(n, 0.9, dim=dim)
+    extra["dim1536_srp_banding"] = f"{n_planes}p/{bands}b(auto)"
     t0 = time.time()
     extra["dim1536_srp_pairs"] = lsh.srp_neardup_pairs(
-        emb, 0.9, dim=dim, n_planes=192, bands=16
+        emb, 0.9, dim=dim, n_planes=n_planes, bands=bands
     ).count()
     extra["dim1536_srp_pairs_sec"] = round(time.time() - t0, 3)
 
@@ -443,27 +487,45 @@ def _stream_admission_section(spark, sf_dir: str) -> dict[str, object]:
 
     # embedding-modality admission twin: the sf0.1 embeddings through the
     # SRP streaming filter (index starts empty; within-run the stream is
-    # its own dedup pressure) — stateful foreachBatch path, maxFiles
-    # bounded so multiple micro-batches exercise the cross-batch index
+    # its own dedup pressure) — stateful foreachBatch path, 10 single-file
+    # micro-batches so the cross-batch index is exercised repeatedly and
+    # the per-batch FIXED cost can be separated from the marginal per-doc
+    # cost (r6 verdict #2: the 2-batch blend neither proved nor priced
+    # the stateful path).  The floor is measured directly: one EMPTY
+    # batch through the same process_batch after the stream drains prices
+    # index-read + band-join-with-nothing + components + txlog commits at
+    # final index size; marginal throughput excludes batches × floor.
     from psy_supabase_spark.streaming.neardup import StreamingEmbeddingNearDupFilter
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_emb = emb.count()
     esrc = os.path.join(tempfile.mkdtemp(prefix="admission_emb_"), "emb")
-    emb.repartition(4).write.parquet(esrc)
+    n_batches = 10
+    emb.repartition(n_batches).write.parquet(esrc)
+    # fold_every=8: the counts commit (2nd txlog write per batch, O(index
+    # buckets) rewrite) amortizes across 8 batches — the production
+    # throughput knob, echoed below
     filt = StreamingEmbeddingNearDupFilter(
         spark,
         os.path.join(tempfile.mkdtemp(prefix="admission_embidx_"), "idx"),
         threshold=0.9,
+        fold_every=8,
     )
+    batch_walls: list[float] = []
+
+    def _timed_batch(df, e):
+        b0 = time.time()
+        filt.process_batch(df, e)
+        batch_walls.append(time.time() - b0)
+
     estream = (
         spark.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", "1")
         .parquet(esrc)
     )
     t0 = time.time()
     q = (
-        estream.writeStream.foreachBatch(lambda df, e: filt.process_batch(df, e))
+        estream.writeStream.foreachBatch(_timed_batch)
         .option(
             "checkpointLocation",
             os.path.join(tempfile.mkdtemp(prefix="admission_embckpt_"), "ckpt"),
@@ -473,12 +535,25 @@ def _stream_admission_section(spark, sf_dir: str) -> dict[str, object]:
     )
     q.awaitTermination()
     wall = time.time() - t0
-    # ~2 micro-batches at this layout: wall is dominated by the per-batch
-    # fixed cost (signature pass + band join + components + two txlog
-    # commits ≈ 7-10 s/batch locally) — the number prices the stateful
-    # path's overhead floor, not its asymptotic throughput
-    extra["stream_embedding_neardup_vecs_per_sec"] = round(n_emb / wall, 1)
+    # floor: an empty batch through the identical code path (min of 2 —
+    # the first run also JITs the empty-edge plans)
+    empty = spark.createDataFrame([], emb.schema)
+    floor = None
+    for _ in range(2):
+        f0 = time.time()
+        filt.process_batch(empty)
+        dt = time.time() - f0
+        floor = dt if floor is None else min(floor, dt)
+    batched = sum(batch_walls)
+    marginal = batched - len(batch_walls) * floor
     extra["stream_embedding_neardup_wall_sec"] = round(wall, 3)
+    extra["stream_embedding_neardup_vecs_per_sec"] = round(n_emb / wall, 1)
+    extra["stream_embedding_neardup_batches"] = len(batch_walls)
+    extra["stream_embedding_neardup_fold_every"] = 8
+    extra["stream_embedding_neardup_floor_sec_per_batch"] = round(floor, 3)
+    extra["stream_embedding_neardup_marginal_vecs_per_sec"] = (
+        round(n_emb / marginal, 1) if marginal > 0 else None
+    )
     return extra
 
 
@@ -492,6 +567,10 @@ def main() -> None:
 
     for t in ("lineitem", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
+
+    # box calibration FIRST (after warmup, before any query): a frozen
+    # workload whose time moves only with the environment
+    calib_sec = _calibration_sec(spark)
 
     # min of 2 runs per query: single-run numbers on this box swing ±20%
     # (JIT, page cache, GC); the min is the stable capability estimate and
@@ -552,6 +631,37 @@ def main() -> None:
         profile_base = dt if profile_base is None else min(profile_base, dt)
     gates_overhead = round(timings["text_profile"] - profile_base, 3)
 
+    # attribution extras (r6 verdict #1): price the deliberate trades the
+    # headline queries absorbed, the way salting was priced in r5.
+    from psy_supabase_spark.operators import ivf as _ivf
+    from psy_supabase_spark.operators import semdedup as _semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # (a) the two-phase hash-ordered fit sample vs the legacy layout-biased
+    # .limit(cap) — the premium semdedup_pairs/IVF/PQ builds pay for
+    # layout-independent, distribution-covering fits
+    two_phase = naive = None
+    for _ in range(2):
+        t0 = time.time()
+        _ivf.fit_sample_vectors(
+            emb, _ivf.FIT_SAMPLE_CAP, id_col="vec_id", vec_col="embedding"
+        )
+        dt = time.time() - t0
+        two_phase = dt if two_phase is None else min(two_phase, dt)
+        t0 = time.time()
+        emb.select("embedding").limit(_ivf.FIT_SAMPLE_CAP).collect()
+        dt = time.time() - t0
+        naive = dt if naive is None else min(naive, dt)
+    fit_premium = round(two_phase - naive, 3)
+    # (b) the legacy fixed-k SemDeDup config, for round-over-round
+    # comparability with r5/r6 now that the headline uses the auto rule
+    semdedup_fixed8 = None
+    for _ in range(2):
+        t0 = time.time()
+        _run(_semdedup.semdedup_pairs(emb, 0.5, n_clusters=8))
+        dt = time.time() - t0
+        semdedup_fixed8 = dt if semdedup_fixed8 is None else min(semdedup_fixed8, dt)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -562,7 +672,21 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "extra": {
-                    "schema_version": 2,
+                    "schema_version": 3,
+                    # frozen-workload box calibration: divide any query's
+                    # time by calib_sec before comparing across rounds —
+                    # round 7 measured IDENTICAL r6 headline code at
+                    # 33.60 s vs the 30.44 s recorded at round-6 time and
+                    # r5's 27.92 s (drift_identical_code_* below), so raw
+                    # round-over-round diffs conflate host drift with code
+                    "calib_sec": calib_sec,
+                    "drift_identical_code_r6_rerun_total_sec": 33.603,
+                    "semdedup_auto_n_clusters": _semdedup.default_n_clusters(
+                        emb.count()
+                    ),
+                    "semdedup_fixed8_sec": round(semdedup_fixed8, 3),
+                    "fit_sample_premium_sec": fit_premium,
+                    "fit_sample_naive_limit_sec": round(naive, 3),
                     **ivf_extra,
                     **dim1536_extra,
                     **stream_extra,

@@ -281,7 +281,12 @@ def write_ivf_layout(index: IVFIndex, path: str, *, vec_col: str = "embedding") 
 
 
 QUANTIZE_ARROW_DIM = 256  # above this width the Arrow path wins (see below)
-GEMM_ROUTE_CELLS = 4096  # n_lists*dim above which batch search auto-GEMMs
+# historical auto-route threshold, kept for callers that assert the route
+# is engaged; since r7 the batch entrypoint routes GEMM at EVERY size —
+# measured sf0.1 batch-100: 8 lists×dim 64 = 4.4 s expression vs 0.5 s
+# GEMM, 44 lists = 5.7 s vs 0.3 s — because the per-(row, query) HOF fold
+# dominates regardless of the probe-literal count
+GEMM_ROUTE_CELLS = 4096
 
 
 def quantized_store(
@@ -502,22 +507,22 @@ def ivf_search_batch(
     batch-parity test — empirical pins, not proofs); production SLAs
     should state recall@k, not exactness.
 
-    AUTO-ROUTING: when the probe-selection expression would carry
-    n_lists × dim ≥ GEMM_ROUTE_CELLS literals (each centroid is inlined
-    as a constant array and folded per query), this delegates to
+    AUTO-ROUTING: by default this delegates to
     :func:`ivf_search_batch_gemm` — same rows (parity-pinned), Arrow
-    scoring.  Measured: 70 lists × dim 64 already costs 14.4 s/batch-100
-    in the expression spelling vs ~1 s GEMM.  Pass ``gemm=False`` to pin
-    the expression path (spec twin / tests).  ``max_queries`` bounds the
-    GEMM route's driver-side query fetch and is forwarded verbatim — a
-    caller with a legitimately large batch raises the bound here instead
-    of having to know about the routing (the expression path, which never
-    collects queries, ignores it)."""
+    scoring.  The per-(row, query) HOF fold makes the expression spelling
+    lose at EVERY measured size, not just wide dims (sf0.1 batch-100:
+    8 lists × dim 64 = 4.4 s expression vs 0.5 s GEMM; 44 lists 5.7 s vs
+    0.3 s; 70 lists × dim 64 14.4 s vs ~1 s).  In auto mode a query batch
+    exceeding ``max_queries`` (the GEMM route's bounded driver fetch)
+    FALLS BACK to the expression path — which never collects queries —
+    instead of failing; pass ``gemm=True`` to make the bound a hard error,
+    or ``gemm=False`` to pin the expression path (spec twin / tests)."""
     from pyspark.sql import Window
 
     dim = len(index.centers[0]) if index.centers else 0
-    if gemm is None:
-        gemm = len(index.centers) * dim >= GEMM_ROUTE_CELLS
+    auto = gemm is None
+    if auto:
+        gemm = True
     if gemm:
         store = None
         if sq8:
@@ -526,19 +531,25 @@ def ivf_search_batch(
                 if sq8_store is not None
                 else quantized_store(index, id_col=id_col, vec_col=vec_col)
             )
-        return ivf_search_batch_gemm(
-            index,
-            queries,
-            k,
-            nprobe,
-            query_id=query_id,
-            query_vec=query_vec,
-            id_col=id_col,
-            vec_col=vec_col,
-            sq8_store=store,
-            rescore_factor=rescore_factor,
-            max_queries=max_queries,
-        )
+        try:
+            return ivf_search_batch_gemm(
+                index,
+                queries,
+                k,
+                nprobe,
+                query_id=query_id,
+                query_vec=query_vec,
+                id_col=id_col,
+                vec_col=vec_col,
+                sq8_store=store,
+                rescore_factor=rescore_factor,
+                max_queries=max_queries,
+            )
+        except QueryBatchTooLarge:
+            if not auto:
+                raise
+            # auto mode: oversized batches take the unbounded (slower)
+            # declarative path rather than surprising the caller
 
     structs = []
     for cid, center in enumerate(index.centers):
@@ -613,6 +624,12 @@ def ivf_search_batch(
     return _salted_topk(scored, k, query_id, id_col, n_salts)
 
 
+class QueryBatchTooLarge(ValueError):
+    """The query batch exceeds the GEMM route's bounded driver fetch —
+    distinct from other ValueErrors so auto-routing can fall back to the
+    expression path on exactly this condition and nothing else."""
+
+
 def _collect_query_batch(
     queries: DataFrame, query_id: str, query_vec: str, max_queries: int, dim: int | None
 ):
@@ -621,7 +638,7 @@ def _collect_query_batch(
     drops NULL / wrong-dim vectors exactly as the scoring paths do."""
     qrows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
-        raise ValueError(
+        raise QueryBatchTooLarge(
             f"query batch exceeds max_queries={max_queries}; split the batch"
         )
     if dim is not None:

@@ -79,7 +79,8 @@ def suggest_banding(
     n_rows: int,
     threshold: float,
     *,
-    target_bucket: int = 64,
+    dim: int | None = None,
+    target_bucket: int | None = None,
     target_recall: float = 0.95,
     max_bands: int = 32,
     min_bits: int = 3,
@@ -98,9 +99,21 @@ def suggest_banding(
     recall 1−(1−p^bits)^bands), clamped to ``max_bands``.  Low thresholds
     at large N are intrinsically expensive (LSH math, not implementation):
     the clamp trades recall for cost and the returned config's actual
-    recall should be read off the formula."""
+    recall should be read off the formula.
+
+    ``dim`` shrinks the bucket target for wide vectors: verify cost is
+    candidates × dim × 8 B of vector movement (the pair re-attach join),
+    so the right depth falls as ~1/dim — target_bucket = 64·64/dim above
+    the Arrow-verify width.  Measured at dim 1536 / 10k rows / t=0.9:
+    the dim-64 default (8-bit buckets, depth ~39) costs 28.8 s at 0.971
+    recall — ~1.7M candidates of 12 KB vectors; the dim-aware rule
+    (13-bit buckets, depth ~1, 21 bands) costs 11.0 s at 0.976 — MORE
+    bands and planes, ~8× fewer candidates, and both planes and explode
+    rows are trivia next to the verify movement they avoid."""
     import math as m
 
+    if target_bucket is None:
+        target_bucket = 64 if dim is None or dim < 256 else max(1, (64 * 64) // dim)
     bits = min(max(min_bits, m.ceil(m.log2(max(n_rows, 2) / target_bucket))), max_bits)
     p = 1.0 - m.acos(max(min(threshold, 1.0), -1.0)) / m.pi
     band_p = p**bits

@@ -72,14 +72,25 @@ def counts_oversized(
     rebuild,
     *,
     stamp_memo: dict | None = None,
+    max_lag: int = 0,
 ):
     """Oversized (band, key) frame — from the counts table when its stamp
-    matches ``index_version``, else ``rebuild()`` (one O(index) pass;
-    self-repairs on the next fold).  None when the valve is disabled."""
+    is within ``max_lag`` appends of ``index_version``, else ``rebuild()``
+    (one O(index) pass; self-repairs on the next fold).  None when the
+    valve is disabled.
+
+    ``max_lag > 0`` is the deferred-fold trade (``fold_every`` on the
+    filters): a K-batch-stale oversized set is still a CORRECT valve —
+    for SRP the set only gates candidate generation (drops are a recall
+    trade by design), and for SimHash the subdivision stays lossless for
+    ANY shared set (a missed newly-oversized bucket just means a bigger
+    join for ≤K batches; buckets never shrink, so a listed bucket never
+    becomes wrong)."""
     if cap is None:
         return None
     if counts_tx.latest_version() >= 0:
-        if _stamped_version(counts_tx, stamp_memo) == index_version:
+        lag = index_version - _stamped_version(counts_tx, stamp_memo)
+        if 0 <= lag <= max_lag:
             return counts_tx.read().where(F.col("cnt") > cap).select("band", "key")
     return rebuild()
 
@@ -118,6 +129,50 @@ def fold_counts(
         stamp_memo["idx_v"] = v_after
 
 
+class _PendingFold:
+    """Deferred counts-fold state shared by both admission filters: the
+    per-batch counts overwrite is the second txlog commit in every batch
+    and rewrites one row per OCCUPIED bucket (O(index buckets)), so at
+    ``fold_every > 1`` the banded occupancy of up to K admitted batches
+    (all derived from localCheckpointed frames — safe to hold) accumulates
+    and folds in ONE commit.  Invariant between folds: counts-stamp lag ==
+    len(pending) (each process_batch appends exactly one index version);
+    any other lag means a crash/restart/rival writer — fold immediately,
+    and `fold_counts`'s v_before mismatch then takes its full-rebuild
+    path.  A crash loses only pending occupancy, never admitted data, and
+    the mismatch rule self-repairs on the next batch."""
+
+    def __init__(self, fold_every: int):
+        self.fold_every = max(int(fold_every), 1)
+        self.pending: list[DataFrame] = []
+
+    def push_and_maybe_fold(
+        self,
+        counts_tx: TxTable,
+        banded_batch: DataFrame,
+        index_version: int,
+        rebuild_banded,
+        stamp_memo: dict,
+    ) -> None:
+        self.pending.append(banded_batch)
+        n = len(self.pending)
+        if n < self.fold_every and counts_tx.latest_version() >= 0:
+            if index_version - _stamped_version(counts_tx, stamp_memo) == n:
+                return  # in sync — defer
+        batched = self.pending[0]
+        for b in self.pending[1:]:
+            batched = batched.unionByName(b)
+        fold_counts(
+            counts_tx,
+            batched,
+            index_version - n,
+            index_version,
+            rebuild_banded,
+            stamp_memo=stamp_memo,
+        )
+        self.pending = []
+
+
 class StreamingNearDupFilter:
     """foreachBatch body: admit only docs that near-duplicate nothing seen.
 
@@ -139,6 +194,7 @@ class StreamingNearDupFilter:
         id_col: str = "doc_id",
         text_col: str = "text",
         bucket_cap: int | None = dedup.DEFAULT_BUCKET_CAP,
+        fold_every: int = 1,
     ):
         self.index = TxTable(spark, index_path)
         # incrementally-maintained (band, key, cnt) bucket sizes of the
@@ -159,6 +215,10 @@ class StreamingNearDupFilter:
         self.id_col = id_col
         self.text_col = text_col
         self.bucket_cap = bucket_cap
+        # fold_every > 1 amortizes the counts commit across K batches —
+        # the valve then reads a ≤K-stale oversized set (see
+        # counts_oversized.max_lag for why that stays correct)
+        self._fold = _PendingFold(fold_every)
 
     def _index_oversized(self, idx_banded: DataFrame) -> DataFrame | None:
         """The index's oversized (band, key) set for the valve — from the
@@ -172,6 +232,7 @@ class StreamingNearDupFilter:
             self.bucket_cap,
             lambda: dedup.oversized_buckets(idx_banded, self.bucket_cap),
             stamp_memo=self._stamp_memo,
+            max_lag=self._fold.fold_every - 1,
         )
 
     # -- pure decision function (static DF in, static DF out): unit-testable
@@ -194,8 +255,13 @@ class StreamingNearDupFilter:
             b_sub = dedup.simhash_subdivided(banded, self.max_hamming, over)
             i_sub = dedup.simhash_subdivided(idx_banded, self.max_hamming, over)
             ham = F.bit_count(F.col("b.simhash").bitwiseXOR(F.col("i.simhash")))
+            # broadcast the bounded micro-batch side: the index side is
+            # the one that grows without bound, so its banded rows must
+            # stream map-side (never shuffle) — the only viable join
+            # shape at scale, and locally it removes the sort-merge
+            # stages that dominate the per-batch floor
             hit_ids = (
-                b_sub.alias("b")
+                F.broadcast(b_sub.alias("b"))
                 .join(i_sub.alias("i"), ["band", "key", "sband", "skey"])
                 .where(ham <= self.max_hamming)
                 .select(F.col("b.id").alias("id"))
@@ -204,6 +270,10 @@ class StreamingNearDupFilter:
             survivors = batch.join(
                 hit_ids, batch[self.id_col] == hit_ids.id, "left_anti"
             )
+            # checkpoint ONCE — survivors feeds both the within-batch pair
+            # search and the returned frame; without this the index join +
+            # sketch aggregate recompute 2-3× per batch (see the SRP twin)
+            survivors = survivors.localCheckpoint(eager=True)
         else:
             survivors = batch
         # within-batch: one representative (min id) per near-dup component
@@ -244,34 +314,33 @@ class StreamingNearDupFilter:
         sketches = dedup.simhash(out, id_col=self.id_col, text_col=self.text_col).select(
             F.col("id").alias(self.id_col), "simhash"
         )
-        v_before = self.index.latest_version()
         self.index.append(sketches)
-        self._update_counts(sketches, v_before)
+        self._update_counts(sketches)
         return out
 
-    def _update_counts(self, admitted_sketches: DataFrame, v_before: int) -> None:
+    def _update_counts(self, admitted_sketches: DataFrame) -> None:
         """Fold this batch's (band, key) occupancy into the counts table —
         O(batch) aggregate + a merge against one-row-per-occupied-bucket,
-        stamped with the index version the result reflects.  Runs AFTER
+        stamped with the index version the result reflects (deferred up to
+        ``fold_every`` batches by :class:`_PendingFold`).  Runs AFTER
         ``index.append``: a crash in between leaves a stale stamp, which
         the reader detects and survives via full recompute (see
         :meth:`_index_oversized`) — the valve is a performance device, so
         the fallback costs time, never correctness."""
         if self.bucket_cap is None:
             return
-        fold_counts(
+        self._fold.push_and_maybe_fold(
             self.counts,
             dedup.simhash_banded(
                 admitted_sketches.select(F.col(self.id_col).alias("id"), "simhash"),
                 self.max_hamming,
             ),
-            v_before,
             self.index.latest_version(),
             lambda: dedup.simhash_banded(
                 self.index.read().select(F.col(self.id_col).alias("id"), "simhash"),
                 self.max_hamming,
             ),
-            stamp_memo=self._stamp_memo,
+            self._stamp_memo,
         )
 
 
@@ -318,6 +387,7 @@ class StreamingEmbeddingNearDupFilter:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         bucket_cap: int | None = dedup.DEFAULT_BUCKET_CAP,
+        fold_every: int = 1,
     ):
         self.index = TxTable(spark, index_path)
         self.counts = TxTable(spark, index_path.rstrip("/") + ".bucket_counts")
@@ -325,6 +395,9 @@ class StreamingEmbeddingNearDupFilter:
         # per-batch stamp-check agg job when this process wrote the last
         # fold; crashes/rival writers invalidate it by version check
         self._stamp_memo: dict = {}
+        # fold_every > 1 amortizes the counts commit across K batches
+        # (valve reads a ≤K-stale oversized set — counts_oversized.max_lag)
+        self._fold = _PendingFold(fold_every)
         self.sink = sink
         self.threshold = threshold
         self.dim = dim
@@ -356,12 +429,19 @@ class StreamingEmbeddingNearDupFilter:
                 self.bucket_cap,
                 lambda: dedup.oversized_buckets(idx_banded, self.bucket_cap),
                 stamp_memo=self._stamp_memo,
+                max_lag=self._fold.fold_every - 1,
             )
             if over is not None:
                 idx_banded = idx_banded.join(over, ["band", "key"], "left_anti")
+            # the micro-batch is the bounded side BY CONTRACT (the index
+            # grows without bound) — broadcast it so the band join and the
+            # verify never shuffle index rows: at 100 TB of indexed
+            # signatures that is the only viable join shape, and locally
+            # it cuts the per-batch floor (sort-merge join stages on a
+            # ~500-row batch cost ~1 s of pure scheduling)
             batch_banded = self._banded(self._sig(batch))
             cand = (
-                batch_banded.alias("b")
+                F.broadcast(batch_banded.alias("b"))
                 .join(idx_banded.alias("i"), ["band", "key"])
                 .select(F.col("b.id").alias("bid"), F.col("i.id").alias("iid"))
                 .distinct()
@@ -376,8 +456,11 @@ class StreamingEmbeddingNearDupFilter:
             sim = F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(
                 F.round(raw, 6)
             )
+            # candidates ≤ |batch| × bucket_cap (both bounded): broadcast
+            # them (with the batch vectors attached) onto the index-vector
+            # fetch — index vectors stream map-side, never shuffle
             hit_ids = (
-                cand.join(bv, "bid")
+                F.broadcast(cand.join(F.broadcast(bv), "bid"))
                 .join(iv, "iid")
                 .where(sim >= self.threshold)
                 .select(F.col("bid").alias("id"))
@@ -386,8 +469,19 @@ class StreamingEmbeddingNearDupFilter:
             survivors = batch.join(
                 hit_ids, batch[self.id_col] == hit_ids.id, "left_anti"
             )
+            # checkpoint ONCE: survivors feeds BOTH the within-batch pair
+            # search (whose components checkpoint would otherwise bake a
+            # recompute of this whole subtree) and the returned frame
+            # (whose process_batch checkpoint would recompute it AGAIN) —
+            # the index join + two pandas-UDF stages ran 2-3× per batch
+            # before this, the dominant share of the measured floor
+            survivors = survivors.localCheckpoint(eager=True)
         else:
             survivors = batch
+        # hot_id_threshold=None: hot-id salting protects unbounded-corpus
+        # verify joins from reducer skew; a micro-batch is bounded by
+        # contract, and the default-on estimate costs a driver collect
+        # per batch for nothing
         pairs = lsh.srp_neardup_pairs(
             survivors,
             self.threshold,
@@ -398,6 +492,7 @@ class StreamingEmbeddingNearDupFilter:
             bands=self.bands,
             seed=self.seed,
             bucket_cap=self.bucket_cap,
+            hot_id_threshold=None,
         )
         comp = dedup.connected_components(pairs)
         losers = comp.where(F.col("id") != F.col("component")).select("id")
@@ -416,17 +511,15 @@ class StreamingEmbeddingNearDupFilter:
         store = out.select(self.id_col, self.vec_col).withColumn(
             "sig", lsh.srp_signature_np(self.vec_col, self.planes)
         )
-        v_before = self.index.latest_version()
         self.index.append(store)
         if self.bucket_cap is not None:
-            fold_counts(
+            self._fold.push_and_maybe_fold(
                 self.counts,
                 self._banded(store.select(F.col(self.id_col).alias("id"), "sig")),
-                v_before,
                 self.index.latest_version(),
                 lambda: self._banded(
                     self.index.read().select(F.col(self.id_col).alias("id"), "sig")
                 ),
-                stamp_memo=self._stamp_memo,
+                self._stamp_memo,
             )
         return out

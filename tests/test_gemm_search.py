@@ -418,3 +418,18 @@ def test_ivf_search_batch_max_queries_passthrough(spark):
         index, queries, k=3, nprobe=2, gemm=True, max_queries=5
     )
     assert got.select("query_id").distinct().count() == 5
+
+
+def test_auto_route_falls_back_on_oversized_batch(spark):
+    """In AUTO mode a query batch over max_queries falls back to the
+    expression path (same rows) instead of raising; explicit gemm=True
+    keeps the hard error (r7: GEMM became the default route at every
+    size, so the bound must not break large-batch callers)."""
+    emb = load_table(spark, SF, "embeddings")
+    index = ivf.build_ivf(emb, n_lists=8)
+    queries = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    auto = _rows(ivf.ivf_search_batch(index, queries, k=3, nprobe=2, max_queries=4))
+    expr = _rows(ivf.ivf_search_batch(index, queries, k=3, nprobe=2, gemm=False))
+    assert auto == expr

@@ -182,3 +182,72 @@ def test_index_hit_threshold_rounds_like_batch_pass(spark, tmp_path):
     assert out1 == {0}
     out2 = {r.vec_id for r in filt.process_batch(_vecs(spark, [(1, v2)])).collect()}
     assert out2 == set()  # rounded 0.900000 >= 0.9 → duplicate, rejected
+
+
+def test_deferred_counts_fold_and_crash_catchup(spark, tmp_path):
+    """fold_every=3: the counts table commits once per 3 batches (the
+    amortized-commit knob), reads tolerate the ≤2-batch stamp lag, and a
+    'crash' that loses pending occupancy self-repairs via the
+    v_before-mismatch full rebuild on the next fold."""
+    from pyspark.sql import functions as F
+
+    from psy_supabase_spark.streaming.neardup import StreamingEmbeddingNearDupFilter
+
+    b = _base(11, n=12)
+    filt = StreamingEmbeddingNearDupFilter(
+        spark, str(tmp_path / "idxf"), dim=DIM, threshold=0.99, fold_every=3
+    )
+
+    def counts_version():
+        return filt.counts.latest_version()
+
+    filt.process_batch(_vecs(spark, [(0, b[0])]))
+    v1 = counts_version()  # first batch folds (counts table created)
+    filt.process_batch(_vecs(spark, [(1, b[1])]))
+    filt.process_batch(_vecs(spark, [(2, b[2])]))
+    assert counts_version() == v1  # deferred: no commit on batches 2-3
+    filt.process_batch(_vecs(spark, [(3, b[3])]))
+    assert counts_version() == v1 + 1  # 3 pending -> one fold
+
+    def recomputed():
+        return {
+            (r.band, r.key): r.cnt
+            for r in filt._banded(
+                filt.index.read().select(F.col("vec_id").alias("id"), "sig")
+            )
+            .groupBy("band", "key")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+
+    got = {
+        (r.band, r.key): r.cnt
+        for r in filt.counts.read().select("band", "key", "cnt").collect()
+    }
+    assert got == recomputed()
+
+    # crash: a NEW filter instance (pending lost, memo empty) over the
+    # same paths — its first batch sees lag != len(pending) and folds
+    # immediately via the full-rebuild path
+    filt2 = StreamingEmbeddingNearDupFilter(
+        spark, str(tmp_path / "idxf"), dim=DIM, threshold=0.99, fold_every=3
+    )
+    filt2.process_batch(_vecs(spark, [(4, b[4])]))
+    filt2.process_batch(_vecs(spark, [(5, b[5])]))  # in-sync? lag rule decides
+    got2 = {
+        (r.band, r.key): r.cnt
+        for r in filt2.counts.read().select("band", "key", "cnt").collect()
+    }
+    stamped = filt2.counts.read().agg(F.max("idx_version")).head()[0]
+    lag = filt2.index.latest_version() - stamped
+    assert 0 <= lag <= 2  # within the fold_every-1 tolerance
+    # counts at its stamp == recompute over the index AT THAT VERSION
+    idx_at = filt2.index.read(version=stamped)
+    want2 = {
+        (r.band, r.key): r.cnt
+        for r in filt2._banded(idx_at.select(F.col("vec_id").alias("id"), "sig"))
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got2 == want2

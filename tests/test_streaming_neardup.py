@@ -176,9 +176,8 @@ def test_oversized_bucket_changing_between_batches_stays_aligned(spark, tmp_path
     # Rejection of A therefore has to travel through band 0's bucket.
     near = sh_a ^ (1 << 8) ^ (1 << 16) ^ (1 << 24)
     n_df = spark.createDataFrame([(100, near)], "doc_id long, simhash long")
-    v0 = filt.index.latest_version()
     filt.index.append(n_df)
-    filt._update_counts(n_df, v0)
+    filt._update_counts(n_df)
     # batch 1 is small: band-0 bucket (low byte of sh_a) is NOT oversized.
     # batch 2 grows the index: four far sketches (hamming >= 5 from A,
     # bits flipped only inside bands 1-2) share A's band-0 key → the
@@ -190,9 +189,8 @@ def test_oversized_bucket_changing_between_batches_stays_aligned(spark, tmp_path
     far_df = spark.createDataFrame(
         [(200 + i, s) for i, s in enumerate(far)], "doc_id long, simhash long"
     )
-    v1 = filt.index.latest_version()
     filt.index.append(far_df)
-    filt._update_counts(far_df, v1)
+    filt._update_counts(far_df)
     over = filt._index_oversized(None)  # counts in sync → no index scan needed
     assert (0, sh_a & 0xFF) in {(r.band, r.key) for r in over.collect()}
     # batch 3 through the real path: A must be rejected via n, reachable

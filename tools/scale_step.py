@@ -11,6 +11,9 @@ The 10× corpora are synthesized from sf0.1 (sources/synth):
   not because the input's pair structure exploded.
 - embeddings: fresh (seed, id)-deterministic clustered vectors at the
   same dim 64 (1000 near-dup micro-modes per 50k rows).
+- wide embeddings: dim-1536 clustered vectors (10k rows per factor) for
+  the GEMM / PQ / IVF-PQ serving-tier curves (r7: the ladder's scaling
+  was previously extrapolated from a single 1× measurement).
 
 Wall-clock is single-run per (family, factor) — the point is the SHAPE
 of the curve (≲linear for the valved paths), not ±20% noise.  Results
@@ -32,7 +35,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from psy_supabase_spark.operators import dedup, ivf, lsh  # noqa: E402
+from psy_supabase_spark.operators import dedup, ivf, lsh, pq  # noqa: E402
 from psy_supabase_spark.session import get_spark  # noqa: E402
 from psy_supabase_spark.sources.catalog import load_table  # noqa: E402
 from psy_supabase_spark.sources.synth import scaled_documents, synthetic_embeddings  # noqa: E402
@@ -40,6 +43,8 @@ from psy_supabase_spark.sources.synth import scaled_documents, synthetic_embeddi
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 EMB_PER_X = 5_000  # sf0.1 embeddings row count
 MODES_PER_X = 1_000
+WIDE_PER_X = 10_000  # dim-1536 serving-tier corpus per factor
+WIDE_MODES_PER_X = 1_000
 
 
 def _persist(df, name: str):
@@ -108,6 +113,52 @@ def main() -> None:
         fam["ivf_batch100_sec"] = round(time.time() - t0, 2)
         index.assigned.unpersist()
 
+        # WIDE-DIM serving tiers at the reference's real width (r6 verdict
+        # #5: the serving ladder's scaling curve was extrapolated from a
+        # single 1× point) — GEMM-routed IVF batch, PQ ADC, and IVF-PQ
+        # over a dim-1536 clustered corpus growing with the same factor.
+        wemb = spark.read.parquet(
+            _persist(
+                synthetic_embeddings(
+                    spark, WIDE_PER_X * fx, 1536, n_modes=WIDE_MODES_PER_X * fx, seed=96
+                ),
+                f"wemb{fx}",
+            )
+        )
+        fam["n_wide"] = wemb.count()
+        t0 = time.time()
+        widx = ivf.build_ivf(wemb, n_lists=None)  # auto √N rule
+        widx.assigned = widx.assigned.cache()
+        widx.assigned.count()
+        fam["wide_ivf_lists"] = len(widx.centers)
+        fam["wide_ivf_build_sec"] = round(time.time() - t0, 2)
+        wqueries = wemb.where(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+        t0 = time.time()
+        ivf.ivf_search_batch_gemm(widx, wqueries, k=10, nprobe=4).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        fam["wide_gemm_batch100_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        books = pq.pq_fit(wemb, m=16, fit_sample_cap=5_000)
+        enc = pq.pq_encode(widx.assigned, books, passthrough=["centroid_id"]).cache()
+        enc.count()
+        fam["wide_pq_build_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        pq.pq_search_batch(enc, wqueries, books, wemb, k=10, rescore_factor=8).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        fam["wide_pq_batch100_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        pq.ivf_pq_search_batch(
+            widx, enc, wqueries, books, k=10, nprobe=4, rescore_factor=8
+        ).write.mode("overwrite").format("noop").save()
+        fam["wide_ivfpq_batch100_sec"] = round(time.time() - t0, 2)
+        enc.unpersist()
+        widx.assigned.unpersist()
+
         out[f"x{fx}"] = fam
         print(f"-- x{fx}: {json.dumps(fam)}", file=sys.stderr)
 
@@ -125,6 +176,9 @@ def main() -> None:
                     "simhash_sec",
                     "srp_sec",
                     "ivf_batch100_sec",
+                    "wide_gemm_batch100_sec",
+                    "wide_pq_batch100_sec",
+                    "wide_ivfpq_batch100_sec",
                 )
                 if out["x1"][m] > 0
             }
