@@ -554,6 +554,59 @@ def _stream_admission_section(spark, sf_dir: str) -> dict[str, object]:
     extra["stream_embedding_neardup_marginal_vecs_per_sec"] = (
         round(n_emb / marginal, 1) if marginal > 0 else None
     )
+
+    # text-modality stateful twin (SimHash filter) under the identical
+    # 10-batch / floor / marginal protocol — the embedding number alone
+    # left the text filter's stateful path unpriced
+    from psy_supabase_spark.streaming.neardup import StreamingNearDupFilter
+
+    tsrc = os.path.join(tempfile.mkdtemp(prefix="admission_txt_"), "docs")
+    docs.repartition(n_batches).write.parquet(tsrc)
+    tfilt = StreamingNearDupFilter(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="admission_txtidx_"), "idx"),
+        fold_every=8,
+    )
+    t_walls: list[float] = []
+
+    def _timed_tbatch(df, e):
+        b0 = time.time()
+        tfilt.process_batch(df, e)
+        t_walls.append(time.time() - b0)
+
+    tstream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tsrc)
+    )
+    t0 = time.time()
+    q = (
+        tstream.writeStream.foreachBatch(_timed_tbatch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="admission_txtckpt_"), "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t_wall = time.time() - t0
+    tempty = spark.createDataFrame([], docs.schema)
+    t_floor = None
+    for _ in range(2):
+        f0 = time.time()
+        tfilt.process_batch(tempty)
+        dt = time.time() - f0
+        t_floor = dt if t_floor is None else min(t_floor, dt)
+    t_marginal = sum(t_walls) - len(t_walls) * t_floor
+    extra["stream_text_neardup_wall_sec"] = round(t_wall, 3)
+    extra["stream_text_neardup_docs_per_sec"] = round(n_docs / t_wall, 1)
+    extra["stream_text_neardup_batches"] = len(t_walls)
+    extra["stream_text_neardup_fold_every"] = 8
+    extra["stream_text_neardup_floor_sec_per_batch"] = round(t_floor, 3)
+    extra["stream_text_neardup_marginal_docs_per_sec"] = (
+        round(n_docs / t_marginal, 1) if t_marginal > 0 else None
+    )
     return extra
 
 

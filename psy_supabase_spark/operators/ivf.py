@@ -166,12 +166,22 @@ def build_ivf(
 
     vecs = corpus.select(id_col, vec_col)
     fit_df = vecs.sample(fit_sample_fraction, seed=seed) if fit_sample_fraction else vecs
-    sample = fit_sample_vectors(fit_df, fit_sample_cap, id_col=id_col, vec_col=vec_col)
+    if n_lists is None:
+        head = fit_df.select(vec_col).where(F.col(vec_col).isNotNull()).head()
+        if head is None:
+            raise ValueError("build_ivf: empty corpus")
+        n_lists = default_n_lists(vecs.count(), len(head[0]))
+    # k-means needs ~tens of points per centroid, not the whole corpus
+    # (FAISS guidance: 30-256 training points per list) — capping the
+    # collected sample at 64·k (floor 10k, never above the caller's cap)
+    # keeps the driver fetch O(k·dim) instead of O(cap·dim): the 100k-row
+    # dim-1536 scale-step build spent most of its 59 s collecting a 1.2 GB
+    # sample to fit 316 centroids that ~20k points determine just as well
+    eff_cap = min(fit_sample_cap, max(10_000, 64 * n_lists))
+    sample = fit_sample_vectors(fit_df, eff_cap, id_col=id_col, vec_col=vec_col)
     x = np.array([r[0] for r in sample], dtype=np.float64)
     if x.size == 0:
         raise ValueError("build_ivf: empty corpus")
-    if n_lists is None:
-        n_lists = default_n_lists(vecs.count(), x.shape[1])
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]
     centers_np = _spherical_kmeans(x, n_lists, seed, max_iter)
