@@ -162,6 +162,82 @@ def cosine_pairs_np(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
+def _int8_view(
+    corpus: DataFrame, *, id_col: str, vec_col: str, arrow: bool
+) -> DataFrame:
+    """(id, q array<tinyint>, qn, eps) per corpus row — the coarse-verify
+    payload.  ``q`` is the per-vector symmetric int8 quantization
+    (functions/vector.quantize_int8 semantics, HALF_UP in both kernels),
+    ``qn`` its norm, and ``eps`` the SOUND per-vector cosine error bound
+    ``scale·√d / ‖v‖``: with e = s·q − v (so ‖e‖ ≤ s·√d/2 elementwise)
+    and x̂ = x/‖x‖, the unit-vector perturbation obeys ‖q̂ − v̂‖ ≤
+    2‖e‖/‖v‖ ≤ s·√d/‖v‖, and for unit vectors |q̂_a·q̂_b − v̂_a·v̂_b| ≤
+    ‖q̂_a − v̂_a‖ + ‖q̂_b − v̂_b‖ — so a pair whose int8 cosine falls below
+    ``threshold − (eps_a + eps_b)`` PROVABLY fails the exact test and can
+    be dropped before any float vector moves."""
+    if not arrow:
+        return (
+            corpus.select(
+                F.col(id_col).alias("id"),
+                V.quantize_int8(vec_col).alias("_qs"),
+                V.l2_norm(vec_col).alias("_nrm"),
+            )
+            .select(
+                "id",
+                F.col("_qs.q").alias("q"),
+                V.l2_norm(F.col("_qs.q")).alias("qn"),
+                # zero-norm rows can never pass the exact verify (NULL
+                # sim); +inf keeps the bound sound and ANSI-safe (double
+                # x/0 RAISES under ANSI, it does not yield Infinity)
+                F.when(F.col("_nrm") == 0.0, F.lit(float("inf"))).otherwise(
+                    F.col("_qs.scale")
+                    * F.sqrt(F.size(F.col("_qs.q")).cast("double"))
+                    / F.col("_nrm")
+                ).alias("eps"),
+            )
+        )
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    schema = f"id {id_t}, q array<tinyint>, qn double, eps double"
+
+    def quant(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = pdf[vec_col].tolist()
+            ok = np.fromiter(
+                (v is not None and len(v) > 0 for v in vals),
+                dtype=bool,
+                count=len(vals),
+            )
+            if not ok.any():
+                continue
+            rows = np.flatnonzero(ok)
+            # ragged-safe: group by length so np.stack never mixes dims
+            out_id, out_q, out_qn, out_eps = [], [], [], []
+            by_len: dict[int, list[int]] = {}
+            for i in rows:
+                by_len.setdefault(len(vals[i]), []).append(i)
+            for dim_l, idxs in by_len.items():
+                m = np.stack([np.asarray(vals[i], dtype=np.float64) for i in idxs])
+                amax = np.abs(m).max(axis=1)
+                scale = np.where(amax == 0.0, 1.0, amax / 127.0)
+                r = m / scale[:, None]
+                # HALF_UP like F.round (np.round is half-even)
+                q = (np.floor(np.abs(r) + 0.5) * np.sign(r)).astype(np.int8)
+                qn = np.sqrt((q.astype(np.float64) ** 2).sum(axis=1))
+                nrm = np.linalg.norm(m, axis=1)
+                with np.errstate(divide="ignore"):
+                    eps = np.where(nrm > 0, scale * np.sqrt(dim_l) / nrm, np.inf)
+                out_id.extend(pdf[id_col].to_numpy()[idxs].tolist())
+                out_q.extend(list(q))
+                out_qn.extend(qn.tolist())
+                out_eps.extend(eps.tolist())
+            yield pd.DataFrame({"id": out_id, "q": out_q, "qn": out_qn, "eps": out_eps})
+
+    return corpus.select(id_col, vec_col).mapInPandas(quant, schema=schema)
+
+
 def banded_rows(sig_df: DataFrame, n_planes: int, bands: int) -> DataFrame:
     """(id, band, key) rows from an ``(id, sig array<int>)`` frame — the
     SRP band-key explode shared by the batch pair search and the
@@ -202,6 +278,7 @@ def srp_neardup_pairs(
     bucket_cap: int | None = dedup.DEFAULT_BUCKET_CAP,
     hot_id_threshold: int | None = 100_000,
     verify_arrow: bool | None = None,
+    coarse_verify: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs (cosine ≥ threshold) via SRP banding + exact verify.
 
@@ -225,16 +302,29 @@ def srp_neardup_pairs(
     Hot ids are ESTIMATED from the valve window's bucket sizes
     (:func:`.dedup.hot_id_estimate`: Σ(bucket−1) upper-bounds pair
     membership; top-10k hottest, deterministic, no localCheckpoint) and,
-    only when hot ids exist, their vector rows are replicated across
+    only when hot ids exist, their payload rows are replicated across
     salts via :func:`.scale.salted_join_hot_keys` — row-identical
     output, bounded per-reducer fan-in.
+
+    ``coarse_verify`` (default: auto — ON at the Arrow-verify width):
+    candidates are first scored on int8 quantized vectors (8× narrower
+    payload than float64 arrays) and a pair is dropped only when its
+    coarse cosine falls below ``threshold − (eps_a + eps_b)`` — the
+    per-pair SOUND quantization error bound carried by
+    :func:`_int8_view` — so the drop PROVABLY cannot lose a qualifying
+    pair and the float vectors are re-attached only for the surviving
+    sliver.  Output is row-identical to the direct verify (pinned in
+    tests).  Measured dim 1536 / 10k rows / t=0.9: 17.8 s → ~10 s.  At
+    narrow dims it is a wash (the per-candidate cost there is join-row
+    overhead and the same interpreted fold on int8 as on float64, not
+    payload bytes), so the narrow path keeps the single-stage verify.
     """
     planes = hyperplanes(dim, n_planes, seed)
     sig = corpus.select(F.col(id_col).alias("id"), srp_signature_np(vec_col, planes).alias("sig"))
     banded = banded_rows(sig, n_planes, bands)
     counted = dedup.counted_buckets(banded, bucket_cap)
     banded = counted.drop("_bn")
-    # ids-only candidate join (64-float vectors never ride the band shuffle)
+    # ids-only candidate join (vector payloads never ride the band shuffle)
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
@@ -248,6 +338,60 @@ def srp_neardup_pairs(
     # fold dominates — auto-switched on ``dim``, explicit override kept
     if verify_arrow is None:
         verify_arrow = dim >= 256
+    if coarse_verify is None:
+        coarse_verify = verify_arrow
+
+    hot: list = []
+    if hot_id_threshold is not None:
+        # ONE hot set covers both sides (the estimate is side-agnostic);
+        # salting a merely-warm id is harmless (row-identical), so the
+        # shared superset costs nothing but payload replication.  Bounded
+        # (≤10k) driver fetch — a narrow job over the banded rows (GEMM
+        # recomputed once: map-side, deterministic, fault-tolerant,
+        # ~0.1s/sf0.1 — unlike a localCheckpoint); the salt machinery
+        # engages only when hot ids exist, so the clean-corpus case pays
+        # one light job and keeps the plain joins.
+        hot = [r[0] for r in dedup.hot_id_estimate(counted, hot_id_threshold).collect()]
+
+    def _attach(pairs: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
+        if hot:
+            from . import scale
+
+            out = scale.salted_join_hot_keys(pairs, left, "id_a", hot, n_salts=16)
+            return scale.salted_join_hot_keys(out, right, "id_b", hot, n_salts=16)
+        return pairs.join(left, "id_a").join(right, "id_b")
+
+    if coarse_verify:
+        q8 = _int8_view(corpus, id_col=id_col, vec_col=vec_col, arrow=verify_arrow)
+        qa = q8.select(
+            F.col("id").alias("id_a"),
+            F.col("q").alias("_qa"),
+            F.col("qn").alias("_qna"),
+            F.col("eps").alias("_ea"),
+        )
+        qb = q8.select(
+            F.col("id").alias("id_b"),
+            F.col("q").alias("_qb"),
+            F.col("qn").alias("_qnb"),
+            F.col("eps").alias("_eb"),
+        )
+        coarse_joined = _attach(cands, qa, qb)
+        if verify_arrow:
+            rawc = cosine_pairs_np(F.col("_qa"), F.col("_qb"))
+            coarse = F.when(F.isnan(rawc), F.lit(None).cast("double")).otherwise(rawc)
+        else:
+            coarse = F.when(
+                (F.col("_qna") == 0.0) | (F.col("_qnb") == 0.0),
+                F.lit(None).cast("double"),
+            ).otherwise(V.dot(F.col("_qa"), F.col("_qb")) / (F.col("_qna") * F.col("_qnb")))
+        # 1e-6 slack: the exact test compares the 6-dp HALF_UP-ROUNDED
+        # cosine (round can lift a value by 5e-7), plus float ordering
+        # slop — everything else is the sound quantization bound itself
+        cands = coarse_joined.where(
+            coarse.isNotNull()
+            & (coarse >= F.lit(threshold) - (F.col("_ea") + F.col("_eb")) - F.lit(1e-6))
+        ).select("id_a", "id_b")
+
     if verify_arrow:
         base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
@@ -261,25 +405,7 @@ def srp_neardup_pairs(
         )
         va = withnorm.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
         vb = withnorm.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
-    if hot_id_threshold is not None:
-        from . import scale
-
-        # ONE hot set covers both sides (the estimate is side-agnostic);
-        # salting a merely-warm id is harmless (row-identical), so the
-        # shared superset costs nothing but dim replication.  Bounded
-        # (≤10k) driver fetch — a narrow job over the banded rows (GEMM
-        # recomputed once: map-side, deterministic, fault-tolerant,
-        # ~0.1s/sf0.1 — unlike a localCheckpoint); the salt machinery
-        # engages only when hot ids exist, so the clean-corpus case pays
-        # one light job and keeps the plain joins.
-        hot = [r[0] for r in dedup.hot_id_estimate(counted, hot_id_threshold).collect()]
-        if hot:
-            joined = scale.salted_join_hot_keys(cands, va, "id_a", hot, n_salts=16)
-            joined = scale.salted_join_hot_keys(joined, vb, "id_b", hot, n_salts=16)
-        else:
-            joined = cands.join(va, "id_a").join(vb, "id_b")
-    else:
-        joined = cands.join(va, "id_a").join(vb, "id_b")
+    joined = _attach(cands, va, vb)
     if verify_arrow:
         # NaN → NULL before the threshold test: Spark orders NaN ABOVE
         # every double, so a bare `NaN >= threshold` would admit the

@@ -433,3 +433,36 @@ def test_auto_route_falls_back_on_oversized_batch(spark):
     auto = _rows(ivf.ivf_search_batch(index, queries, k=3, nprobe=2, max_queries=4))
     expr = _rows(ivf.ivf_search_batch(index, queries, k=3, nprobe=2, gemm=False))
     assert auto == expr
+
+
+def test_coarse_verify_row_identical_and_sound(spark):
+    """The int8 coarse pre-verify must be a PURE optimization: output
+    row-identical to the direct verify at both widths (the drop rule
+    threshold - (eps_a + eps_b) is a sound quantization bound, so only
+    provably-failing pairs are dropped), including degenerate rows
+    (NULL / zero / wrong-length vectors)."""
+    from psy_supabase_spark.operators import lsh
+    from psy_supabase_spark.sources.synth import synthetic_embeddings
+
+    def rows(df):
+        return {(r.id_a, r.id_b, r.similarity) for r in df.collect()}
+
+    # narrow width (expression kernels), degenerate rows mixed in
+    emb = load_table(spark, SF, "embeddings")
+    degen = spark.createDataFrame(
+        [(100001, None), (100002, [0.0] * 64), (100003, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(degen)
+    plain = rows(lsh.srp_neardup_pairs(corpus, 0.5, coarse_verify=False))
+    coarse = rows(lsh.srp_neardup_pairs(corpus, 0.5, coarse_verify=True))
+    assert coarse == plain
+
+    # wide width (Arrow kernels + auto coarse): planted near-dup modes
+    wemb = synthetic_embeddings(spark, 1_000, 512, n_modes=100)
+    np_, b_ = lsh.suggest_banding(1_000, 0.9, dim=512)
+    kw = dict(dim=512, n_planes=np_, bands=b_)
+    wide_plain = rows(lsh.srp_neardup_pairs(wemb, 0.9, coarse_verify=False, **kw))
+    wide_auto = rows(lsh.srp_neardup_pairs(wemb, 0.9, **kw))  # auto → coarse ON
+    assert wide_auto == wide_plain
+    assert len(wide_auto) > 0  # planted modes must actually produce pairs

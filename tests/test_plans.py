@@ -143,3 +143,13 @@ def test_sq8_batch_plan_broadcasts_and_avoids_cartesian(spark):
     plan = physical_plan(out)
     assert "BroadcastHashJoin" in plan  # probes + candidates broadcast onto the store
     assert "CartesianProduct" not in plan
+
+
+def test_registry_is_exactly_fifty_and_fully_oracled():
+    """The driver records exactly the first 50 registrations (round-1
+    behavior pinned in registry.py) — a 51st would be silently dropped
+    and an unregistered oracle would weaken a slot to rows-only."""
+    from psy_supabase_spark.registry import ORACLES, QUERIES
+
+    assert len(QUERIES) == 50
+    assert set(ORACLES) == set(QUERIES)
