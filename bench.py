@@ -505,11 +505,19 @@ def _stream_admission_section(spark, sf_dir: str) -> dict[str, object]:
     # fold_every=8: the counts commit (2nd txlog write per batch, O(index
     # buckets) rewrite) amortizes across 8 batches — the production
     # throughput knob, echoed below
+    # expected_n sizes the (frozen-at-construction) banding for the full
+    # index instead of the legacy 24p/8b — with 3-bit bands every batch
+    # row collides with ~N/8 indexed rows per band, the dominant marginal
+    # cost of the r7 measurement
     filt = StreamingEmbeddingNearDupFilter(
         spark,
         os.path.join(tempfile.mkdtemp(prefix="admission_embidx_"), "idx"),
         threshold=0.9,
         fold_every=8,
+        expected_n=n_emb,
+    )
+    extra["stream_embedding_neardup_banding"] = (
+        f"{filt.n_planes}p/{filt.bands}b(auto@{n_emb})"
     )
     batch_walls: list[float] = []
 

@@ -381,14 +381,34 @@ class StreamingEmbeddingNearDupFilter:
         *,
         threshold: float = 0.9,
         dim: int = 64,
-        n_planes: int = 24,
-        bands: int = 8,
+        n_planes: int | None = None,
+        bands: int | None = None,
         seed: int = lsh.DEFAULT_SEED,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         bucket_cap: int | None = dedup.DEFAULT_BUCKET_CAP,
         fold_every: int = 1,
+        expected_n: int | None = None,
     ):
+        # banding is FROZEN at construction (signatures are the stored
+        # state — retuning later would orphan the index), so size it for
+        # the EXPECTED index, not the first micro-batch: with the legacy
+        # fixed 24p/8b (3-bit bands) a 2.5k-row index collides every
+        # batch row with ~N/8 indexed rows per band — candidate volume
+        # grows O(N·batch), the dominant marginal cost the round-7 bench
+        # measured.  ``expected_n`` routes through lsh.suggest_banding
+        # (same rule the batch operator and scale step use); explicit
+        # n_planes/bands still win, and the legacy default stays 24p/8b
+        # for small indexes.
+        if n_planes is None or bands is None:
+            if expected_n is not None:
+                auto_planes, auto_bands = lsh.suggest_banding(
+                    expected_n, threshold, dim=dim
+                )
+            else:
+                auto_planes, auto_bands = 24, 8
+            n_planes = n_planes if n_planes is not None else auto_planes
+            bands = bands if bands is not None else auto_bands
         self.index = TxTable(spark, index_path)
         self.counts = TxTable(spark, index_path.rstrip("/") + ".bucket_counts")
         # driver-side (counts_version, idx_version) memo: skips the
