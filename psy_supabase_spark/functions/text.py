@@ -102,6 +102,52 @@ def tokenize(col: ColumnOrName) -> Column:
     return F.filter(toks, lambda t: t != "")
 
 
+def s_stem(tok: Column) -> Column:
+    """Harman's S-stemmer (Harman 1991, "How effective is suffixing?",
+    JASIS 42(1)) — the published three-rule plural stripper, as a pure
+    CASE cascade (first applicable rule wins):
+
+    1. ``ies`` → ``y``   unless the word ends ``eies`` / ``aies``
+    2. ``es``  → ``e``   unless the word ends ``aes`` / ``ees`` / ``oes``
+    3. drop final ``s``  unless the word ends ``us`` / ``ss``
+
+    This is the engine's ORACLE-GATEABLE stemming tier for T3 (SURVEY
+    §2): unlike Porter/Snowball (measure-based conditions, no DuckDB
+    mirror in this container), every rule is a suffix test both engines
+    spell identically — and all patterns are RE2-safe (no lookbehind),
+    so the DuckDB twin uses the same regexes verbatim.  The spaCy
+    lemmatizer stays the container-gated full-strength extension."""
+    return (
+        F.when(
+            tok.rlike("ies$") & ~tok.rlike("[ea]ies$"),
+            F.regexp_replace(tok, "ies$", "y"),
+        )
+        .when(
+            tok.rlike("es$") & ~tok.rlike("[aeo]es$"),
+            F.regexp_replace(tok, "s$", ""),
+        )
+        .when(
+            tok.rlike("s$") & ~tok.rlike("(us|ss)$"),
+            F.regexp_replace(tok, "s$", ""),
+        )
+        .otherwise(tok)
+    )
+
+
+def s_stem_sql(var: str) -> str:
+    """DuckDB spelling of :func:`s_stem` over token variable ``var`` —
+    the identical rule cascade with the identical (RE2-safe) regexes."""
+    return (
+        f"CASE WHEN regexp_matches({var}, 'ies$') AND NOT regexp_matches({var}, '[ea]ies$')"
+        f" THEN regexp_replace({var}, 'ies$', 'y')"
+        f" WHEN regexp_matches({var}, 'es$') AND NOT regexp_matches({var}, '[aeo]es$')"
+        f" THEN regexp_replace({var}, 's$', '')"
+        f" WHEN regexp_matches({var}, 's$') AND NOT regexp_matches({var}, '(us|ss)$')"
+        f" THEN regexp_replace({var}, 's$', '')"
+        f" ELSE {var} END"
+    )
+
+
 def token_count(col: ColumnOrName) -> Column:
     """Whitespace token count (reference prompt_selector.py:325)."""
     return F.size(F.filter(F.split(_c(col), r"\s+"), lambda t: t != ""))

@@ -109,7 +109,6 @@ def text_profile(
     t = F.col(text_col)
     sw = F.array(*[F.lit(w) for w in TX.STOPWORDS])
     keep = F.array(*[F.lit(w) for w in TX.KEEP_WORDS])
-    kept = F.filter(F.col("_toks"), lambda x: ~F.array_contains(sw, x) | F.array_contains(keep, x))
     # tokenize/token_count contain filter() lambdas, which block codegen
     # CSE — staged as named columns so each runs ONCE per row instead of
     # once per consuming output column (the SCALE.md staging rule); the
@@ -118,6 +117,13 @@ def text_profile(
     staged = (
         docs.withColumn("_toks", TX.tokenize(t))
         .withColumn("_dtoks", F.array_distinct(F.col("_toks")))
+        .withColumn(
+            "_kept",
+            F.filter(
+                F.col("_toks"),
+                lambda x: ~F.array_contains(sw, x) | F.array_contains(keep, x),
+            ),
+        )
         .withColumn("_nws", TX.token_count(t))
         .withColumn("_swr", TX.stopword_ratio_from_tokens(F.col("_toks")))
     )
@@ -125,7 +131,12 @@ def text_profile(
         id_col,
         F.col("_nws").cast("bigint").alias("n_tokens"),
         F.size(F.col("_dtoks")).cast("bigint").alias("n_distinct_tokens"),
-        F.size(kept).cast("bigint").alias("n_kept"),
+        F.size(F.col("_kept")).cast("bigint").alias("n_kept"),
+        # T3's native stemming tier: distinct S-stemmed kept tokens
+        # (Harman's three-rule stemmer — oracle-mirrored CASE cascade)
+        F.size(
+            F.array_distinct(F.transform(F.col("_kept"), TX.s_stem))
+        ).cast("bigint").alias("n_stem_distinct"),
         TX.length_bucket_from_count(F.col("_nws")).alias("length_bucket"),
         F.round(F.col("_swr"), 6).alias("stopword_ratio"),
         TX.quality_score_from(t, F.col("_nws"), F.col("_swr")).alias("quality_score"),

@@ -327,6 +327,10 @@ _GOPHER_OK_SQL = """(
            len(list_distinct({_TOKENS_SQL})) AS n_distinct_tokens,
            len(list_filter({_TOKENS_SQL}, x -> NOT list_contains({_sql_list(TX.STOPWORDS)}, x)
                                 OR list_contains({_sql_list(TX.KEEP_WORDS)}, x))) AS n_kept,
+           len(list_distinct(list_transform(
+             list_filter({_TOKENS_SQL}, x -> NOT list_contains({_sql_list(TX.STOPWORDS)}, x)
+                                  OR list_contains({_sql_list(TX.KEEP_WORDS)}, x)),
+             x -> {TX.s_stem_sql("x")}))) AS n_stem_distinct,
            CASE WHEN {_WS_COUNT_SQL} < 20 THEN 'too_short'
                 WHEN {_WS_COUNT_SQL} <= 500 THEN 'appropriate'
                 ELSE 'too_long' END AS length_bucket,

@@ -133,3 +133,34 @@ def test_corpus_report_rollup(spark):
         assert sum(r["n_docs"] for r in leaves) == lr["n_docs"]
     # rates are rates
     assert all(0.0 <= r["gopher_pass_rate"] <= 1.0 for r in rep)
+
+
+def test_s_stem_rule_cascade(spark):
+    """Harman 1991 three-rule S-stemmer: hand-computed expectations,
+    including every exception class and the first-rule-wins ordering."""
+    from pyspark.sql import functions as F
+
+    from psy_supabase_spark.functions import text as TX
+
+    cases = {
+        "studies": "study",     # rule 1
+        "aies": "aie",          # rule-1 exception -> falls to rule 2
+        "eies": "eie",          # rule-1 exception -> falls to rule 2
+        "churches": "churche",  # rule 2 (es -> e)
+        "shoes": "shoe",        # rule-2 exception (oes) -> rule 3 drops s
+        "cats": "cat",          # rule 3
+        "bus": "bus",           # rule-3 exception (us)
+        "glass": "glass",       # rule-3 exception (ss)
+        "dog": "dog",           # no rule
+        "s": "",                # bare s drops
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "tok string")
+    got = {r.tok: r.stem for r in df.select("tok", TX.s_stem(F.col("tok")).alias("stem")).collect()}
+    assert got == cases
+
+    # DuckDB twin is the identical cascade
+    import duckdb
+
+    for w, want in cases.items():
+        sql = TX.s_stem_sql(f"'{w}'")
+        assert duckdb.sql(f"SELECT {sql}").fetchone()[0] == want, w
