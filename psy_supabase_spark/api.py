@@ -182,16 +182,39 @@ class PsyEngine:
         )
 
     def find_similar_documents_batch(
-        self, user_id: str, queries: DataFrame, k: int = 5, *, nprobe: int = 4
+        self,
+        user_id: str,
+        queries: DataFrame,
+        k: int = 5,
+        *,
+        nprobe: int = 4,
+        method: str = "auto",
     ) -> DataFrame:
         """N-query serving in ONE distributed pass: `(query_id,
         query_embedding)` rows in, `(query_id, content, similarity, rank)`
-        out.  Routes through the IVF index when built
-        (`ivf.ivf_search_batch` — map-side probe selection, salted
-        two-phase top-k), else the brute-force broadcast KNN join.  The
-        reference has no batch path at all (one RPC per request,
-        `rag_processor.py:45-65`); this is the serving shape its workload
-        actually needs."""
+        out.  ``method="auto"`` routes through the IVF index when built
+        (`ivf.ivf_search_batch` — GEMM-default serving, salted two-phase
+        top-k), else the brute-force broadcast KNN join;
+        ``method="lsh"`` forces the train-free SRP-bucketed ANN
+        (`lsh.srp_topk` — no index build, self-tuned banding, pre-filter
+        recall semantics).  The reference has no batch path at all (one
+        RPC per request, `rag_processor.py:45-65`); this is the serving
+        shape its workload actually needs."""
+        if method == "lsh":
+            from .operators import lsh as lsh_ops
+
+            kb = self.store.scan(KNOWLEDGE_BASE, user_id=user_id)
+            head = kb.select(F.size("embedding").alias("d")).where(
+                F.col("embedding").isNotNull()
+            ).head()
+            return lsh_ops.srp_topk(
+                kb,
+                queries,
+                k=k,
+                id_col="content",
+                vec_col="embedding",
+                dim=int(head["d"]) if head is not None else 64,
+            ).select("query_id", F.col("content"), "similarity", "rank")
         index = self._ivf_indexes.get(user_id)
         if index is not None:
             return ivf_ops.ivf_search_batch(

@@ -265,6 +265,93 @@ def banded_rows(sig_df: DataFrame, n_planes: int, bands: int) -> DataFrame:
     )
 
 
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    dim: int = 64,
+    n_planes: int | None = None,
+    bands: int | None = None,
+    seed: int = DEFAULT_SEED,
+    bucket_cap: int | None = dedup.DEFAULT_BUCKET_CAP,
+    n_salts: int = 16,
+    verify_arrow: bool | None = None,
+) -> DataFrame:
+    """SRP-bucketed batch ANN top-k — the LSH alternative to IVF when no
+    index layout has been built (the module docstring's "cheap ANN
+    pre-filter"): no training pass, no persisted state, just the seeded
+    hyperplane set both sides re-derive.
+
+    1. corpus and queries get the SAME seeded SRP signatures (one GEMM
+       per Arrow batch) and band keys (`banded_rows` — the near-dup
+       machinery verbatim, so `suggest_banding` applies: when
+       ``n_planes``/``bands`` are omitted they self-tune for the corpus
+       size via one count job, targeting candidate-RECALL at high
+       cosine, which is where top-k neighbors live);
+    2. candidates = (query, corpus row) sharing ≥1 band — an ids-only
+       equi-join with the query side BROADCAST (queries ≪ corpus by
+       contract, the `knn_join` shape) and the `cap_buckets` valve on
+       the corpus side;
+    3. exact cosine over candidates only (kernel auto-picked by width,
+       like the near-dup verify), then the salted two-phase per-query
+       top-k (`ivf._salted_topk` — no reducer sorts more than its salt
+       share).
+
+    Output schema matches `topk.knn_join` / `ivf.ivf_search_batch`:
+    (query_id, id, similarity, rank).  Recall is the banding's candidate
+    recall at the neighbors' cosine — measured in tests on a clustered
+    corpus; a query whose bucket finds < k candidates returns fewer rows
+    (pre-filter semantics — compose with a brute fallback when exact-k
+    is required).  Scale: the corpus never shuffles for candidate
+    generation (broadcast band join), candidates ride ids-only, and
+    vectors re-attach once per surviving candidate."""
+    from .ivf import _salted_topk
+
+    if n_planes is None or bands is None:
+        auto_p, auto_b = suggest_banding(corpus.count(), 0.9, dim=dim)
+        n_planes = n_planes if n_planes is not None else auto_p
+        bands = bands if bands is not None else auto_b
+    planes = hyperplanes(dim, n_planes, seed)
+    c_sig = corpus.select(
+        F.col(id_col).alias("id"), srp_signature_np(vec_col, planes).alias("sig")
+    )
+    c_banded = dedup.counted_buckets(banded_rows(c_sig, n_planes, bands), bucket_cap).drop(
+        "_bn"
+    )
+    q_sig = queries.select(
+        F.col(query_id).alias("id"), srp_signature_np(query_vec, planes).alias("sig")
+    )
+    q_banded = banded_rows(q_sig, n_planes, bands).select(
+        F.col("id").alias("qid"), "band", "key"
+    )
+    cand = (
+        F.broadcast(q_banded)
+        .join(c_banded, ["band", "key"])
+        .select("qid", "id")
+        .distinct()
+    )
+    if verify_arrow is None:
+        verify_arrow = dim >= 256
+    qv = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_cv"))
+    attached = cand.join(F.broadcast(qv), "qid").join(cv, "id")
+    if verify_arrow:
+        raw = cosine_pairs_np(F.col("_cv"), F.col("_qv"))
+        sim = F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(F.round(raw, 6))
+    else:
+        sim = V.round6(V.cosine_similarity(F.col("_cv"), F.col("_qv")))
+    scored = (
+        attached.select(F.col("qid").alias(query_id), F.col("id").alias(id_col), sim.alias("similarity"))
+        .where(F.col("similarity").isNotNull())
+    )
+    return _salted_topk(scored, k, query_id, id_col, n_salts)
+
+
 def srp_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.5,

@@ -88,6 +88,11 @@ def test_batch_serving_both_routes(engine, spark):
     indexed = engine.find_similar_documents_batch("alice", queries, k=1, nprobe=2)
     got_idx = {r.query_id: r.content for r in indexed.collect()}
     assert got_idx == got  # full probe == brute force
+    # the train-free LSH route: same winners (self-hit-grade queries
+    # always share every band with their nearest doc)
+    lsh_hits = engine.find_similar_documents_batch("alice", queries, k=1, method="lsh")
+    got_lsh = {r.query_id: r.content for r in lsh_hits.collect()}
+    assert got_lsh == got
 
 
 def test_build_context_rolls_three_turns(engine):

@@ -466,3 +466,40 @@ def test_coarse_verify_row_identical_and_sound(spark):
     wide_auto = rows(lsh.srp_neardup_pairs(wemb, 0.9, **kw))  # auto → coarse ON
     assert wide_auto == wide_plain
     assert len(wide_auto) > 0  # planted modes must actually produce pairs
+
+
+def test_srp_topk_recall_and_shape(spark):
+    """SRP-bucketed ANN top-k (lsh.srp_topk): schema matches the other
+    batch serving paths, the query's own vector tops its list, and
+    recall@10 vs exact brute force is high on a clustered corpus (the
+    banding targets candidate recall at high cosine)."""
+    from psy_supabase_spark.operators import ivf, lsh
+    from psy_supabase_spark.sources.synth import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, 2_000, 64, n_modes=200).cache()
+    emb.count()
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = lsh.srp_topk(emb, queries, k=10, dim=64)
+    assert got.columns == ["query_id", "vec_id", "similarity", "rank"]
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    # exact ground truth via the GEMM brute twin (single full probe)
+    index = ivf.IVFIndex(
+        centers=[[1.0] + [0.0] * 63],
+        assigned=emb.withColumn("centroid_id", F.lit(0)),
+    )
+    gt = {}
+    for r in ivf.ivf_search_batch_gemm(index, queries, k=10, nprobe=1).collect():
+        gt.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    recalls = []
+    for q, pairs in gt.items():
+        want = {v for _, v in pairs}
+        have = {v for _, v in by_q.get(q, [])}
+        recalls.append(len(want & have) / 10.0)
+        # self-hit must rank first (exact verify of candidates)
+        assert sorted(by_q[q])[0][1] == q
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    emb.unpersist()
