@@ -404,9 +404,13 @@ def _dim1536_section(spark) -> dict[str, object]:
     # picks the recall-targeted minimum for THIS corpus size/threshold)
     n_planes, bands = lsh.suggest_banding(n, 0.9, dim=dim)
     extra["dim1536_srp_banding"] = f"{n_planes}p/{bands}b(auto)"
+    # auto verify routing: n·dim·8 B = 123 MB fits the broadcast valve, so
+    # the matrix ships once and bare id-pairs score in place (the join
+    # route with its payload-attach shuffles stays the >valve scale path)
+    extra["dim1536_srp_verify_route"] = "broadcast(auto)"
     t0 = time.time()
     extra["dim1536_srp_pairs"] = lsh.srp_neardup_pairs(
-        emb, 0.9, dim=dim, n_planes=n_planes, bands=bands
+        emb, 0.9, dim=dim, n_planes=n_planes, bands=bands, n_rows=n
     ).count()
     extra["dim1536_srp_pairs_sec"] = round(time.time() - t0, 3)
 

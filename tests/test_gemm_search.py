@@ -458,14 +458,16 @@ def test_coarse_verify_row_identical_and_sound(spark):
     coarse = rows(lsh.srp_neardup_pairs(corpus, 0.5, coarse_verify=True))
     assert coarse == plain
 
-    # wide width (Arrow kernels + auto coarse): planted near-dup modes
+    # wide width (Arrow kernels + auto coarse): planted near-dup modes.
+    # verify_route pinned to "join" — the route where the coarse int8
+    # pre-drop exists (auto would take the small-corpus broadcast route)
     wemb = synthetic_embeddings(spark, 1_000, 512, n_modes=100)
     np_, b_ = lsh.suggest_banding(1_000, 0.9, dim=512)
-    kw = dict(dim=512, n_planes=np_, bands=b_)
+    kw = dict(dim=512, n_planes=np_, bands=b_, verify_route="join")
     wide_plain = rows(lsh.srp_neardup_pairs(wemb, 0.9, coarse_verify=False, **kw))
-    wide_auto = rows(lsh.srp_neardup_pairs(wemb, 0.9, **kw))  # auto → coarse ON
-    assert wide_auto == wide_plain
-    assert len(wide_auto) > 0  # planted modes must actually produce pairs
+    wide_coarse = rows(lsh.srp_neardup_pairs(wemb, 0.9, **kw))  # auto → coarse ON
+    assert wide_coarse == wide_plain
+    assert len(wide_coarse) > 0  # planted modes must actually produce pairs
 
 
 def test_srp_topk_recall_and_shape(spark):
@@ -503,3 +505,72 @@ def test_srp_topk_recall_and_shape(spark):
         assert sorted(by_q[q])[0][1] == q
     assert sum(recalls) / len(recalls) >= 0.8, recalls
     emb.unpersist()
+
+
+def test_broadcast_verify_route_row_identical(spark):
+    """The broadcast verify route must be a PURE optimization of the join
+    route: row-identical output (ids and 6-dp similarities) on a wide
+    corpus with degenerate rows mixed in (NULL / wrong-dim vectors are
+    excluded from the broadcast matrix and score NULL, zero vectors score
+    NULL via the 0-denominator — exactly the join kernel's treatment)."""
+    from psy_supabase_spark.operators import lsh
+    from psy_supabase_spark.sources.synth import synthetic_embeddings
+
+    def rows(df):
+        return sorted((r.id_a, r.id_b, r.similarity) for r in df.collect())
+
+    emb = synthetic_embeddings(spark, 1_000, 512, n_modes=100)
+    degen = spark.createDataFrame(
+        [(100001, None), (100002, [0.0] * 512), (100003, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(degen)
+    np_, b_ = lsh.suggest_banding(1_000, 0.9, dim=512)
+    kw = dict(dim=512, n_planes=np_, bands=b_)
+    join_rows = rows(lsh.srp_neardup_pairs(corpus, 0.9, verify_route="join", **kw))
+    bc_rows = rows(lsh.srp_neardup_pairs(corpus, 0.9, verify_route="broadcast", **kw))
+    auto_rows = rows(lsh.srp_neardup_pairs(corpus, 0.9, **kw))  # auto → broadcast
+    assert bc_rows == join_rows
+    assert auto_rows == join_rows
+    assert len(join_rows) > 0
+
+
+def test_broadcast_verify_valves(spark):
+    """The broadcast route's driver fetch is hard-valved: a corpus larger
+    than max_broadcast_bytes raises (explicit route) or falls back to the
+    join route (auto); narrow dims without the Arrow kernel refuse the
+    broadcast route outright (the expression fold is the oracle-pinned
+    spelling)."""
+    import pytest
+
+    from psy_supabase_spark.operators import lsh
+    from psy_supabase_spark.sources.synth import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, 200, 512, n_modes=20)
+    np_, b_ = lsh.suggest_banding(200, 0.9, dim=512)
+    kw = dict(dim=512, n_planes=np_, bands=b_)
+
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        lsh.srp_neardup_pairs(
+            emb, 0.9, verify_route="broadcast", max_broadcast_bytes=1024, **kw
+        ).count()
+
+    # auto with a tiny valve must quietly take the join route and still
+    # produce the identical answer
+    auto_small = sorted(
+        (r.id_a, r.id_b, r.similarity)
+        for r in lsh.srp_neardup_pairs(
+            emb, 0.9, n_rows=200, max_broadcast_bytes=1024, **kw
+        ).collect()
+    )
+    join_rows = sorted(
+        (r.id_a, r.id_b, r.similarity)
+        for r in lsh.srp_neardup_pairs(emb, 0.9, verify_route="join", **kw).collect()
+    )
+    assert auto_small == join_rows
+
+    with pytest.raises(ValueError, match="Arrow kernel"):
+        lsh.srp_neardup_pairs(emb.limit(10), 0.5, verify_route="broadcast")
+
+    with pytest.raises(ValueError, match="verify_route"):
+        lsh.srp_neardup_pairs(emb.limit(10), 0.5, verify_route="bogus")
