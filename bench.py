@@ -636,6 +636,80 @@ def _stream_admission_section(spark, sf_dir: str) -> dict[str, object]:
     return extra
 
 
+def _corpus_analytics_section(spark, sf_dir: str) -> dict[str, object]:
+    """Price the round-7 corpus-analytics operators (heavy hitters, BM25,
+    TF-IDF keyterms) as extras: none is a headline query (the shared
+    headline set stays round-over-round comparable), but their cost and
+    the MG-vs-declarative delta should be measured, not guessed."""
+    from psy_supabase_spark.operators import heavyhitters as hh
+    from psy_supabase_spark.operators import retrieval as rt
+    from psy_supabase_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    extra: dict[str, object] = {}
+
+# trigram units: the synthetic corpus has a ~31-word vocabulary, so
+    # unigram heavy hitters degenerates to "count the vocab"; the
+    # trigram space (~30k distinct at sf0.1) is where the MG summary
+    # actually works for its living.  The distribution is near-uniform
+    # (hostile to MG by construction), so first find the capacity whose
+    # exactness certificate holds, echo it, then time at that capacity.
+    cap = 4096
+    while True:
+        try:
+            n_mg = hh.top_tokens(docs, 50, capacity=cap, ngram=3).count()
+            break
+        except ValueError:
+            cap *= 4
+    extra["hh_trigram_capacity"] = cap
+    best_mg = best_exact = None
+    for _ in range(2):
+        t0 = time.time()
+        n_mg = hh.top_tokens(docs, 50, capacity=cap, ngram=3).count()
+        dt = time.time() - t0
+        best_mg = dt if best_mg is None else min(best_mg, dt)
+        t0 = time.time()
+        n_exact = hh.top_tokens_exact(docs, 50, ngram=3).count()
+        dt = time.time() - t0
+        best_exact = dt if best_exact is None else min(best_exact, dt)
+    extra["hh_trigram_top50_mg_sec"] = round(best_mg, 3)
+    extra["hh_trigram_top50_exact_sec"] = round(best_exact, 3)
+    extra["hh_trigram_top50_rows"] = int(min(n_mg, n_exact))
+
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        rt.bm25_topk(docs, ["fast", "query"], 10).collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    extra["bm25_top10_sec"] = round(best, 3)
+
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        _run(rt.keyterms_tfidf(docs, 3))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    extra["keyterms_top3_sec"] = round(best, 3)
+
+    # DSIR selection (features → two distribution fits → decimal-exact
+    # weights → Gumbel-top-k), target = the English slice
+    from pyspark.sql import functions as F
+
+    from psy_supabase_spark.operators import dsir
+
+    target = docs.where(F.col("lang") == "en")
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        n_sel = dsir.dsir_select(docs, target, 500).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    extra["dsir_select500_sec"] = round(best, 3)
+    extra["dsir_select500_rows"] = int(n_sel)
+    return extra
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -683,6 +757,8 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0"
         else {}
     )
+
+    analytics_extra = _corpus_analytics_section(spark, sf_dir)
 
     # measure (not just name) the cost of default-on hot-id salting on the
     # headline minhash query: same operator, valve off — the delta IS the
@@ -769,6 +845,7 @@ def main() -> None:
                     **ivf_extra,
                     **dim1536_extra,
                     **stream_extra,
+                    **analytics_extra,
                     # r5: minhash/srp pay for default-on hot-id detection
                     # (dedup.hot_id_estimate: one narrow job over the banded
                     # subtree) after proving default AQE will NOT split the

@@ -424,7 +424,33 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
                '[^a-zA-Z0-9\\s.,!?''"-]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
       FROM documents
     ),
-    toks AS (SELECT doc_id, list_distinct({_TOKENS_SQL}) AS t FROM documents)
+    toks AS (SELECT doc_id, list_distinct({_TOKENS_SQL}) AS t FROM documents),
+    alltok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token
+               FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)),
+    stats AS (SELECT count(*) AS n_docs, sum(len({_TOKENS_SQL})) AS sum_dl
+              FROM documents),
+    hh20 AS (SELECT token FROM (SELECT token, count(*) AS c FROM alltok
+                                GROUP BY token ORDER BY c DESC, token LIMIT 20)),
+    ntop AS (SELECT doc_id, count(*) AS n_top20 FROM alltok
+             WHERE token IN (SELECT token FROM hh20) GROUP BY doc_id),
+    tfq AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl FROM alltok
+            WHERE token IN ('fast', 'query') GROUP BY doc_id, token),
+    dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+    bm AS (SELECT tfq.doc_id,
+                  round(sum(ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))
+                        * (tfq.tf * 2.2) / (tfq.tf + 1.2 * (0.25 + 0.75 * tfq.dl
+                            / (CAST(s.sum_dl AS DOUBLE)/s.n_docs)))), 6) AS bm25
+           FROM tfq JOIN dfq d USING (token) CROSS JOIN stats s
+           GROUP BY tfq.doc_id),
+    tfa AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl FROM alltok
+            GROUP BY doc_id, token),
+    dfa AS (SELECT token, count(*) AS df FROM tfa GROUP BY token),
+    kt AS (SELECT doc_id, token,
+                  row_number() OVER (PARTITION BY doc_id
+                      ORDER BY round((tfa.tf::DOUBLE / tfa.dl)
+                                     * ln(s.n_docs::DOUBLE / d.df), 6) DESC,
+                               token) AS rn
+           FROM tfa JOIN dfa d USING (token) CROSS JOIN stats s)
     SELECT a.doc_id,
            CAST(('0x' || substr(md5(cl.c), 1, 8)) AS BIGINT) AS fingerprint,
            CASE WHEN b.doc_id IS NULL OR len(a.t) = 0 THEN NULL
@@ -435,7 +461,10 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
                 ELSE 'medium' END AS template_adherence,
            CAST(len(w1.fps) AS BIGINT) AS n_winnow_fps,
            CASE WHEN w2.doc_id IS NULL THEN NULL
-                ELSE CAST(len(list_intersect(w1.fps, w2.fps)) AS BIGINT) END AS winnow_shared_next
+                ELSE CAST(len(list_intersect(w1.fps, w2.fps)) AS BIGINT) END AS winnow_shared_next,
+           CAST(COALESCE(ntop.n_top20, 0) AS BIGINT) AS n_top20,
+           COALESCE(bm.bm25, 0.0) AS bm25_fq,
+           kt1.token AS keyterm
     FROM toks a
     JOIN cleaned cl ON cl.doc_id = a.doc_id
     JOIN winnow w1 ON w1.doc_id = a.doc_id
@@ -447,6 +476,9 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
                  text || CASE WHEN doc_id % 2 = 0 THEN ' ok?' ELSE ' i understand' END AS resp
           FROM documents) adh ON adh.doc_id = a.doc_id
     LEFT JOIN toks b ON b.doc_id = a.doc_id + 1
+    LEFT JOIN ntop ON ntop.doc_id = a.doc_id
+    LEFT JOIN bm ON bm.doc_id = a.doc_id
+    LEFT JOIN (SELECT doc_id, token FROM kt WHERE rn = 1) kt1 ON kt1.doc_id = a.doc_id
     """,
 )
 def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,7 +499,19 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's fingerprint-sketch size and the shared-fingerprint count
     with the NEXT document — the exact quantity winnow_neardup_pairs
     thresholds on — mirrored in DuckDB by an unrolled rolling-hash +
-    window-min CTE built from the same constants."""
+    window-min CTE built from the same constants.
+
+    ``n_top20`` / ``bm25_fq`` / ``keyterm`` are the corpus-analytics
+    driver-evidence columns (round 7): per-doc multiplicity of the
+    corpus top-20 tokens as found by the Misra-Gries + exact-recount
+    heavy hitters (operators/heavyhitters — the oracle recomputes the
+    top-20 exactly, so a wrong candidate set or certificate flips the
+    membership counts), the doc's Okapi BM25 score for the fixed query
+    ('fast','query') (operators/retrieval.bm25_scores, 0.0 when no
+    term matches), and the doc's rank-1 TF-IDF keyterm
+    (operators/retrieval.keyterms_tfidf, tie-break token ASC)."""
+    from ..operators import heavyhitters as HH
+    from ..operators import retrieval as RT
     from ..operators import winnow as WN
 
     docs = load_table(spark, sf_dir, "documents")
@@ -500,7 +544,31 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tb").isNotNull(), F.round(TX.term_overlap("ta", "tb"), 6)
         ).alias("term_overlap"),
     )
-    return fp.join(ov, "doc_id").join(adh, "doc_id").join(wn, "doc_id")
+    top20 = F.array(
+        *[
+            F.lit(r.token)
+            for r in HH.top_tokens(docs, 20, capacity=4096, auto_grow=True).collect()
+        ]
+    )
+    ntop = docs.select(
+        "doc_id",
+        F.size(F.filter(TX.tokenize("text"), lambda t: F.array_contains(top20, t)))
+        .cast("bigint")
+        .alias("n_top20"),
+    )
+    bm = RT.bm25_scores(docs, ["fast", "query"]).select(
+        "doc_id", F.col("bm25").alias("bm25_fq")
+    )
+    kt = RT.keyterms_tfidf(docs, 1).select("doc_id", "keyterm")
+    return (
+        fp.join(ov, "doc_id")
+        .join(adh, "doc_id")
+        .join(wn, "doc_id")
+        .join(ntop, "doc_id")
+        .join(bm, "doc_id", "left")
+        .join(kt, "doc_id", "left")
+        .withColumn("bm25_fq", F.coalesce("bm25_fq", F.lit(0.0)))
+    )
 
 
 @register(

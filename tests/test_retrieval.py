@@ -1,0 +1,134 @@
+"""BM25 / TF-IDF retrieval — DuckDB value parity, ranking determinism,
+and plan shape (broadcast stats, no Python on the data path)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from psy_supabase_spark.operators import retrieval as rt
+from psy_supabase_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.01"
+TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x != '')"
+
+
+def _bm25_oracle(terms: list[str], k1=1.2, b=0.75):
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    con = duckdb.connect()
+    return con.sql(
+        f"""
+        WITH base AS (SELECT doc_id, {TOK} AS toks
+                      FROM '{SF}/documents.parquet'),
+        tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM base),
+        stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl
+                  FROM (SELECT doc_id, any_value(dl) AS dl FROM tok GROUP BY doc_id)),
+        tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+               FROM tok WHERE token IN ({tlist}) GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        sc AS (SELECT tf.doc_id,
+                      ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))
+                        * (tf.tf * {k1 + 1.0}) /
+                        (tf.tf + {k1} * ({1.0 - b} + {b} * tf.dl /
+                           (CAST(s.sum_dl AS DOUBLE)/s.n_docs))) AS s1
+               FROM tf JOIN dfreq d USING (token) CROSS JOIN stats s)
+        SELECT doc_id, round(sum(s1), 6) AS bm25 FROM sc GROUP BY doc_id
+        """
+    ).fetchall()
+
+
+def test_bm25_matches_duckdb(spark):
+    docs = load_table(spark, SF, "documents")
+    got = sorted((r.doc_id, r.bm25) for r in rt.bm25_scores(docs, ["fast", "query"]).collect())
+    want = sorted((int(a), float(b)) for a, b in _bm25_oracle(["fast", "query"]))
+    assert len(got) > 0
+    assert got == want
+
+
+def test_bm25_single_term_and_topk(spark):
+    docs = load_table(spark, SF, "documents")
+    got = sorted((r.doc_id, r.bm25) for r in rt.bm25_scores(docs, ["join"]).collect())
+    want = sorted((int(a), float(b)) for a, b in _bm25_oracle(["join"]))
+    assert got == want
+
+    top = rt.bm25_topk(docs, ["join"], 5).collect()
+    assert len(top) == 5
+    # ordered DESC with id ASC tie-break, and the scores are the max ones
+    scores = [r.bm25 for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] == max(b for _, b in got)
+
+
+def test_bm25_rejects_empty_query(spark):
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="non-empty"):
+        rt.bm25_scores(docs, [])
+
+
+def test_keyterms_tfidf_matches_duckdb(spark):
+    docs = load_table(spark, SF, "documents")
+    got = sorted(
+        (r.doc_id, r.rank, r.keyterm, r.tfidf)
+        for r in rt.keyterms_tfidf(docs, 2).collect()
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        f"""
+        WITH base AS (SELECT doc_id, {TOK} AS toks
+                      FROM '{SF}/documents.parquet'),
+        tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM base),
+        stats AS (SELECT count(*) AS n_docs
+                  FROM (SELECT DISTINCT doc_id FROM tok)),
+        tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+               FROM tok GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        kt AS (SELECT tf.doc_id, tf.token,
+                      round((tf.tf::DOUBLE / tf.dl) * ln(s.n_docs::DOUBLE / d.df), 6) AS tfidf
+               FROM tf JOIN dfreq d USING (token) CROSS JOIN stats s)
+        SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank,
+               token, tfidf
+        FROM kt QUALIFY rank <= 2
+        """
+    ).fetchall()
+    want = sorted((int(a), int(b), c, float(d)) for a, b, c, d in want)
+    assert len(got) > 0
+    assert got == want
+
+
+def test_min_df_prunes(spark):
+    """min_df must only remove terms with df below the floor — surviving
+    rows are a subset of the unpruned ranking re-ranked."""
+    docs = load_table(spark, SF, "documents")
+    full = rt.keyterms_tfidf(docs, 1)
+    pruned = rt.keyterms_tfidf(docs, 1, min_df=3)
+    # every pruned keyterm must have df >= 3 in the full tf table
+    df_tbl = {
+        r.token: r.df
+        for r in rt._doc_tokens(docs, "text", "doc_id")
+        .groupBy("id", "token")
+        .count()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    for r in pruned.collect():
+        assert df_tbl[r.keyterm] >= 3
+    assert pruned.count() <= full.count()
+
+
+def test_plan_shapes(spark):
+    """BM25's stats/df joins must be broadcast hash joins (no cartesian,
+    no sort-merge on the 1-row side) and the whole plan Python-free."""
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        rt.bm25_scores(docs, ["fast", "query"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -159,6 +159,31 @@ def main() -> None:
         enc.unpersist()
         widx.assigned.unpersist()
 
+        # corpus-analytics family (r7): trigram heavy hitters (MG pass
+        # shuffle stays capacity·P-bounded while the declarative twin's
+        # shuffle grows with the distinct-trigram count) and DSIR
+        # selection (feature shuffle linear in tokens, fits bounded)
+        from psy_supabase_spark.operators import dsir, heavyhitters as hh
+
+        cap = 16_384
+        while True:
+            try:
+                t0 = time.time()
+                hh.top_tokens(docs, 50, capacity=cap, ngram=3).count()
+                fam["hh_trigram_mg_sec"] = round(time.time() - t0, 2)
+                break
+            except ValueError:
+                cap *= 4
+        fam["hh_trigram_capacity"] = cap
+        t0 = time.time()
+        hh.top_tokens_exact(docs, 50, ngram=3).count()
+        fam["hh_trigram_exact_sec"] = round(time.time() - t0, 2)
+
+        target = docs.where(F.col("doc_id") % 5 == 0)
+        t0 = time.time()
+        dsir.dsir_select(docs, target, 500).count()
+        fam["dsir_select_sec"] = round(time.time() - t0, 2)
+
         out[f"x{fx}"] = fam
         print(f"-- x{fx}: {json.dumps(fam)}", file=sys.stderr)
 
@@ -179,6 +204,9 @@ def main() -> None:
                     "wide_gemm_batch100_sec",
                     "wide_pq_batch100_sec",
                     "wide_ivfpq_batch100_sec",
+                    "hh_trigram_mg_sec",
+                    "hh_trigram_exact_sec",
+                    "dsir_select_sec",
                 )
                 if out["x1"][m] > 0
             }
