@@ -648,7 +648,7 @@ def _corpus_analytics_section(spark, sf_dir: str) -> dict[str, object]:
     docs = load_table(spark, sf_dir, "documents")
     extra: dict[str, object] = {}
 
-# trigram units: the synthetic corpus has a ~31-word vocabulary, so
+    # trigram units: the synthetic corpus has a ~31-word vocabulary, so
     # unigram heavy hitters degenerates to "count the vocab"; the
     # trigram space (~30k distinct at sf0.1) is where the MG summary
     # actually works for its living.  The distribution is near-uniform
