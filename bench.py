@@ -29,9 +29,16 @@ and the timed `ann_ivf_search` entry measures SEARCH ONLY against the
 persisted partition-pruned layout.
 
 Each query executes fully via the noop sink (no driver collect, no
-result materialization cost in the timing).  The output schema is
-stable round-over-round: {metric, value, unit, queries{name: sec},
-sf, extra{...}} — diff BENCH_r{N}.json mechanically.
+result materialization cost in the timing).
+
+Output contract (r8): the stdout JSON line carries ONLY
+{metric, value, unit, queries{name: sec}, sf, extra_file} and is
+asserted < 1,800 chars — round 7's line grew past the driver's
+2,000-char tail window and the round lost its perf artifact
+(BENCH_r07.json parsed:null).  The full extras block (calibration,
+per-calib ratios, IVF/PQ/streaming/analytics telemetry) is written to
+BENCH_EXTRA.json next to this file and committed with the round — diff
+that sidecar mechanically.
 """
 
 from __future__ import annotations
@@ -274,6 +281,32 @@ def _ivf_section(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, object
     ]
     pq_recall = ivf.recall_at_k(exact_ids, pq_ids, 10)
 
+    # FIXED-CONFIG trend anchor (r7 verdict #2/#5): the auto-lists rule +
+    # sweep changed the benched config between rounds (16 lists/nprobe 12
+    # at r6 → 44/32 at r7), conflating policy with perf in the headline's
+    # trend line.  Measure r6's exact config every round alongside the
+    # auto headline so one stated policy stays comparable across rounds.
+    fixed_lists, fixed_nprobe = 16, 12
+    fixed_layout = os.path.join(tempfile.mkdtemp(prefix="ivf_fixed_"), "layout")
+    fixed_index = ivf.build_ivf(emb, n_lists=fixed_lists)
+    ivf.write_ivf_layout(fixed_index, fixed_layout)
+    fixed_sec = None
+    for _ in range(3):
+        t0 = time.time()
+        _run(
+            ivf.search_layout(
+                spark, fixed_layout, fixed_index.centers, qvec, k=5,
+                nprobe=fixed_nprobe,
+            )
+        )
+        dt = time.time() - t0
+        fixed_sec = dt if fixed_sec is None else min(fixed_sec, dt)
+    fixed_ids = [
+        r.vec_id
+        for r in ivf.ivf_search(fixed_index, qvec, k=10, nprobe=fixed_nprobe).collect()
+    ]
+    fixed_recall = ivf.recall_at_k(exact_ids, fixed_ids, 10)
+
     timings = {"ann_ivf_search": search_sec}
     extra = {
         "ivf_build_sec": build_sec,
@@ -281,6 +314,8 @@ def _ivf_section(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, object
         "ivf_lists_rule": "default_n_lists(auto)",
         "ivf_nprobe": nprobe,
         "ivf_recall_at_10": chosen_recall,
+        "ivf_fixed16x12_search_sec": round(fixed_sec, 3),
+        "ivf_fixed16x12_recall_at_10": fixed_recall,
         "ivf_batch100_full_sec": batch_full_sec,
         "ivf_batch100_sq8_sec": batch_sq8_sec,
         "ivf_sq8_recall_at_10": sq8_recall,
@@ -675,6 +710,11 @@ def _corpus_analytics_section(spark, sf_dir: str) -> dict[str, object]:
     extra["hh_trigram_top50_mg_sec"] = round(best_mg, 3)
     extra["hh_trigram_top50_exact_sec"] = round(best_exact, 3)
     extra["hh_trigram_top50_rows"] = int(min(n_mg, n_exact))
+    # r8: the auto route must pick the cheaper plan on THIS corpus —
+    # echo what it chose so the crossover heuristic stays auditable
+    # (small trigram vocab here → expect "exact", matching the timings
+    # above; MG is the web-scale vocabulary-bound regime)
+    extra["hh_auto_route"] = hh.route_top_tokens(docs, capacity=cap, ngram=3)
 
     best = None
     for _ in range(2):
@@ -729,16 +769,26 @@ def main() -> None:
     # (JIT, page cache, GC); the min is the stable capability estimate and
     # makes round-over-round BENCH diffs meaningful
     # the LSH trio swings hardest (multi-stage plans, pandas-UDF stages);
-    # a third repetition pins their min to the stable estimate
+    # a third repetition pins their min to the stable estimate.
+    # SUB-SECOND queries escalate to min-of-5 (r7 verdict #4: their
+    # round-over-round swings — rolling_context +43%, knn_join_multi +22%
+    # — exceeded measured host drift on untouched code; at <1 s the
+    # per-rep noise floor dominates 2 reps, so buy the extra samples
+    # exactly where they're cheapest).
     noisy = {"dedup_minhash_lsh", "simhash_neardup", "embedding_neardup_lsh"}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        best = None
-        for _ in range(3 if name in noisy else 2):
+        best, reps = None, 0
+        while True:
             t0 = time.time()
             _run((QUERIES.get(name) or LOCAL_QUERIES[name])(spark, sf_dir))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            reps += 1
+            base = 3 if name in noisy else 2
+            if reps < base or (best < 1.0 and reps < 5):
+                continue
+            break
         timings[name] = round(best, 3)
 
     ivf_timings, ivf_extra = _ivf_section(spark, sf_dir)
@@ -818,50 +868,69 @@ def main() -> None:
         semdedup_fixed8 = dt if semdedup_fixed8 is None else min(semdedup_fixed8, dt)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "extra": {
-                    "schema_version": 3,
-                    # frozen-workload box calibration: divide any query's
-                    # time by calib_sec before comparing across rounds —
-                    # round 7 measured IDENTICAL r6 headline code at
-                    # 33.60 s vs the 30.44 s recorded at round-6 time and
-                    # r5's 27.92 s (drift_identical_code_* below), so raw
-                    # round-over-round diffs conflate host drift with code
-                    "calib_sec": calib_sec,
-                    "drift_identical_code_r6_rerun_total_sec": 33.603,
-                    "semdedup_auto_n_clusters": _semdedup.default_n_clusters(
-                        emb.count()
-                    ),
-                    "semdedup_fixed8_sec": round(semdedup_fixed8, 3),
-                    "fit_sample_premium_sec": fit_premium,
-                    "fit_sample_naive_limit_sec": round(naive, 3),
-                    **ivf_extra,
-                    **dim1536_extra,
-                    **stream_extra,
-                    **analytics_extra,
-                    # r5: minhash/srp pay for default-on hot-id detection
-                    # (dedup.hot_id_estimate: one narrow job over the banded
-                    # subtree) after proving default AQE will NOT split the
-                    # skewed verify join (tests/test_scale.py) — the r4
-                    # checkpoint+collect spelling was faster locally but
-                    # non-fault-tolerant and nondeterministic.  The premium
-                    # is measured every run: salted headline minus the
-                    # valve-off spelling of the same operator.
-                    "hot_id_detection": "default_on_estimated",
-                    "minhash_unsalted_sec": round(unsalted, 3),
-                    "minhash_salt_overhead_sec": salt_overhead,
-                    "text_profile_gates_overhead_sec": gates_overhead,
-                },
-            }
-        )
+    extra = {
+        "schema_version": 4,
+        # frozen-workload box calibration: divide any query's
+        # time by calib_sec before comparing across rounds —
+        # round 7 measured IDENTICAL r6 headline code at
+        # 33.60 s vs the 30.44 s recorded at round-6 time and
+        # r5's 27.92 s (drift_identical_code_* below), so raw
+        # round-over-round diffs conflate host drift with code
+        "calib_sec": calib_sec,
+        "drift_identical_code_r6_rerun_total_sec": 33.603,
+        # calib-relative per-query ratios (r7 verdict #4): the
+        # drift-normalized trend line — compare THESE across rounds,
+        # not raw seconds
+        "queries_per_calib": {
+            k: round(v / calib_sec, 3) for k, v in timings.items()
+        },
+        "semdedup_auto_n_clusters": _semdedup.default_n_clusters(emb.count()),
+        "semdedup_fixed8_sec": round(semdedup_fixed8, 3),
+        "fit_sample_premium_sec": fit_premium,
+        "fit_sample_naive_limit_sec": round(naive, 3),
+        **ivf_extra,
+        **dim1536_extra,
+        **stream_extra,
+        **analytics_extra,
+        # r5: minhash/srp pay for default-on hot-id detection
+        # (dedup.hot_id_estimate: one narrow job over the banded
+        # subtree) after proving default AQE will NOT split the
+        # skewed verify join (tests/test_scale.py) — the r4
+        # checkpoint+collect spelling was faster locally but
+        # non-fault-tolerant and nondeterministic.  The premium
+        # is measured every run: salted headline minus the
+        # valve-off spelling of the same operator.
+        "hot_id_detection": "default_on_estimated",
+        "minhash_unsalted_sec": round(unsalted, 3),
+        "minhash_salt_overhead_sec": salt_overhead,
+        "text_profile_gates_overhead_sec": gates_overhead,
+    }
+
+    # OUTPUT CONTRACT (r7 verdict #1): the driver parses the stdout JSON
+    # from a 2,000-char tail window — round 7's single line grew to 3,099
+    # chars and the round shipped with parsed:null.  The stdout line now
+    # carries ONLY the headline block plus a pointer; the full extras
+    # block goes to a sidecar committed with the round.  The length
+    # assert makes outgrowing the window a loud bench failure, never a
+    # silent evidence loss again.
+    extra_file = str(Path(__file__).resolve().parent / "BENCH_EXTRA.json")
+    headline = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "extra_file": "BENCH_EXTRA.json",
+    }
+    with open(extra_file, "w") as f:
+        json.dump({**headline, "extra": extra}, f, indent=1, sort_keys=True)
+        f.write("\n")
+    line = json.dumps(headline)
+    assert len(line) < 1800, (
+        f"stdout bench line is {len(line)} chars — the driver's tail "
+        "window is 2,000; move new keys into the BENCH_EXTRA.json sidecar"
     )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -51,7 +51,19 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 
-__all__ = ["top_tokens", "top_tokens_exact", "mg_candidates"]
+__all__ = [
+    "top_tokens",
+    "top_tokens_auto",
+    "top_tokens_exact",
+    "route_top_tokens",
+    "mg_candidates",
+]
+
+# Above this many pruned candidates, the exact recount switches from an
+# isin literal list to a broadcast left-semi join: Catalyst handles a
+# few thousand In-list literals fine, but a 100k+ literal expression
+# bloats plan construction, driver memory and optimizer time.
+_ISIN_LITERAL_CUTOFF = 4096
 
 
 def _ngrams_nolambda(toks, k: int):
@@ -181,6 +193,78 @@ def top_tokens_exact(
     )
 
 
+def route_top_tokens(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    capacity: int = 4096,
+    ngram: int = 1,
+    sample_docs: int = 2_000,
+    crossover: float = 8.0,
+) -> str:
+    """Pick "mg" or "exact" for :func:`top_tokens_auto` — the measured
+    crossover (r7 verdict #5): MG costs two full tokenize scans + a
+    certificate against the naive plan's one, and only wins when the
+    naive shuffle is VOCABULARY-bound, i.e. distinct units ≫ the
+    capacity·P-bounded MG summary shuffle.  At bench scale (sf0.1
+    trigrams, ~1.5M distinct over 32 partitions) MG loses 6.3 s vs
+    4.2 s; on web-scale text (billions of distinct n-grams spilling the
+    hash aggregate) it wins — so the route keys on distinct-unit count.
+
+    Estimate: approx_count_distinct over the exploded units of a
+    ``sample_docs``-row slice (one bounded scan — never the full
+    corpus), extrapolated by Heaps' law V(N) ≈ V(n)·(N/n)^0.7 (β=0.7,
+    the upper range for natural text — overshooting β only biases
+    TOWARD mg, whose failure mode is a priced certificate, never a
+    wrong answer).  Route "mg" iff the estimate exceeds
+    ``crossover × capacity`` (the multiplier absorbs MG's second scan).
+    Both routes return exact answers; this picks cost shape only."""
+    n_docs = docs.count()
+    if n_docs == 0:
+        return "exact"
+    sample = docs.limit(min(sample_docs, n_docs))
+    v_sample = (
+        _units_df(sample, text_col, ngram)
+        .select(F.explode("_toks").alias("token"))
+        .agg(F.approx_count_distinct("token").alias("v"))
+        .head()[0]
+    )
+    est_distinct = v_sample * (max(n_docs, 1) / max(min(sample_docs, n_docs), 1)) ** 0.7
+    return "mg" if est_distinct > crossover * capacity else "exact"
+
+
+def top_tokens_auto(
+    docs: DataFrame,
+    k: int = 50,
+    *,
+    text_col: str = "text",
+    capacity: int = 4096,
+    max_candidates: int = 200_000,
+    ngram: int = 1,
+) -> tuple[DataFrame, str]:
+    """(result, route): EXACT top-k via whichever of the two plans is
+    cheaper for this corpus per :func:`route_top_tokens` — small-vocab
+    corpora take the single-scan declarative plan instead of silently
+    paying MG's two-scan premium; vocabulary-bound corpora take MG with
+    ``auto_grow`` (its certificate retries are exactly the regime where
+    the naive shuffle would spill anyway)."""
+    route = route_top_tokens(docs, text_col=text_col, capacity=capacity, ngram=ngram)
+    if route == "exact":
+        return top_tokens_exact(docs, k, text_col=text_col, ngram=ngram), route
+    return (
+        top_tokens(
+            docs,
+            k,
+            text_col=text_col,
+            capacity=capacity,
+            max_candidates=max_candidates,
+            ngram=ngram,
+            auto_grow=True,
+        ),
+        route,
+    )
+
+
 def top_tokens(
     docs: DataFrame,
     k: int = 50,
@@ -196,6 +280,12 @@ def top_tokens(
     row-identical to :func:`top_tokens_exact` whenever the exactness
     certificate holds; raises LOUDLY otherwise (never silently
     approximate).
+
+    Crossover guidance (r7 verdict #5): this two-scan scheme only beats
+    :func:`top_tokens_exact` when the naive plan's shuffle is
+    vocabulary-bound (distinct units ≫ capacity·partitions) — on a
+    small-vocab corpus it pays ~1.5× for nothing.  Use
+    :func:`top_tokens_auto` to route on an estimated distinct count.
 
     ``auto_grow``: on a certificate failure, restart the whole two-pass
     scheme with capacity ×4, twice (each retry is a fresh pair of
@@ -277,11 +367,23 @@ def top_tokens(
             )
         return top_tokens_exact(docs.limit(0), k, text_col=text_col, ngram=ngram)
 
+    exploded = _units_df(docs, text_col, ngram).select(
+        F.explode("_toks").alias("token")
+    )
+    if len(keep) <= _ISIN_LITERAL_CUTOFF:
+        filtered = exploded.where(F.col("token").isin(keep))
+    else:
+        # a 200k-literal In expression bloats plan construction and
+        # Catalyst optimization long before the max_candidates valve
+        # raises — above the cutoff, semi-join against a broadcast
+        # candidate frame instead (same rows, bounded plan size).
+        spark = docs.sparkSession
+        keep_df = spark.createDataFrame(
+            [(t,) for t in keep], schema="token string"
+        )
+        filtered = exploded.join(F.broadcast(keep_df), "token", "left_semi")
     recount = (
-        _units_df(docs, text_col, ngram)
-        .select(F.explode("_toks").alias("token"))
-        .where(F.col("token").isin(keep))
-        .groupBy("token")
+        filtered.groupBy("token")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(k)

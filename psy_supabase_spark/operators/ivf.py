@@ -533,14 +533,14 @@ def ivf_search_batch(
     auto = gemm is None
     if auto:
         gemm = True
+    store = None
+    if sq8:
+        store = (
+            sq8_store
+            if sq8_store is not None
+            else quantized_store(index, id_col=id_col, vec_col=vec_col)
+        )
     if gemm:
-        store = None
-        if sq8:
-            store = (
-                sq8_store
-                if sq8_store is not None
-                else quantized_store(index, id_col=id_col, vec_col=vec_col)
-            )
         try:
             return ivf_search_batch_gemm(
                 index,
@@ -559,7 +559,20 @@ def ivf_search_batch(
             if not auto:
                 raise
             # auto mode: oversized batches take the unbounded (slower)
-            # declarative path rather than surprising the caller
+            # declarative path rather than surprising the caller — loudly,
+            # because the cost envelope changes (sq8 stays honored: the
+            # expression path below scores the same quantized store
+            # coarse-then-rescore).
+            import warnings
+
+            warnings.warn(
+                f"ivf_search_batch: query batch exceeds max_queries="
+                f"{max_queries}; auto-falling back from the GEMM route to "
+                "the declarative expression path (slower, never collects "
+                "queries). Pass gemm=True to make this a hard error.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     structs = []
     for cid, center in enumerate(index.centers):
@@ -578,11 +591,6 @@ def ivf_search_batch(
     )
 
     if sq8:
-        store = (
-            sq8_store
-            if sq8_store is not None
-            else quantized_store(index, id_col=id_col, vec_col=vec_col)
-        )
         first_k = k * rescore_factor
         probes_n = probes.withColumn("_qvn", V.l2_norm(query_vec))
         sim_q = F.when(

@@ -399,7 +399,12 @@ def _broadcast_verify_pairs(
     kernel.  Per-row arithmetic is bit-identical to the join kernel:
     float64 einsum row-dots over row copies, np.linalg.norm(axis=1)
     norms — row-wise reductions, independent of which rows are stacked
-    together."""
+    together.
+
+    Unique-id contract: the route raises on duplicate ids — searchsorted
+    maps each id to one matrix row, so the join route's
+    one-scored-row-per-duplicate behavior is not reproducible here;
+    callers with duplicated ids must use verify_route='join'."""
     spark = corpus.sparkSession
     max_rows = max(1, max_broadcast_bytes // (dim * 8))
     tbl = (
@@ -432,6 +437,15 @@ def _broadcast_verify_pairs(
         )
     order = np.argsort(ids_all, kind="stable")
     ids_sorted = ids_all[order]
+    if len(ids_sorted) > 1 and (ids_sorted[1:] == ids_sorted[:-1]).any():
+        # searchsorted resolves each id to ONE matrix row, while the join
+        # route scores one row per duplicate — the routes are only
+        # row-identical under unique ids, so refuse rather than silently
+        # collapse duplicates.
+        raise ValueError(
+            f"duplicate values in id column '{id_col}': the broadcast "
+            "verify route requires unique ids; use verify_route='join'"
+        )
     mat = np.ascontiguousarray(mat[order])
     norms = np.linalg.norm(mat, axis=1)
     bc = spark.sparkContext.broadcast((ids_sorted, mat, norms))

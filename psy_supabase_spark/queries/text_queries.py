@@ -450,7 +450,29 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
                       ORDER BY round((tfa.tf::DOUBLE / tfa.dl)
                                      * ln(s.n_docs::DOUBLE / d.df), 6) DESC,
                                token) AS rn
-           FROM tfa JOIN dfa d USING (token) CROSS JOIN stats s)
+           FROM tfa JOIN dfa d USING (token) CROSS JOIN stats s),
+    -- DSIR (r8): hashed unigram+bigram features, add-one-smoothed
+    -- bucket log-ratios target/raw, per-doc log-weight summed in
+    -- DECIMAL — target corpus = docs with doc_id % 7 = 0 (fixed
+    -- deterministic split), n_buckets = 512 (forces collisions)
+    dsgrams AS (SELECT doc_id,
+                       unnest(toks || [toks[i] || ' ' || toks[i+1]
+                                       for i in range(1, len(toks))]) AS gram
+                FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)),
+    dsfeats AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 512 AS bucket,
+                       count(*) AS cnt
+                FROM dsgrams GROUP BY doc_id, bucket),
+    dstc AS (SELECT bucket, sum(cnt) AS c FROM dsfeats WHERE doc_id % 7 = 0 GROUP BY bucket),
+    dsrc AS (SELECT bucket, sum(cnt) AS c FROM dsfeats GROUP BY bucket),
+    dstt AS (SELECT sum(c) AS t FROM dstc), dsrt AS (SELECT sum(c) AS t FROM dsrc),
+    dsratio AS (SELECT COALESCE(dstc.bucket, dsrc.bucket) AS bucket,
+                       round(ln((COALESCE(dstc.c, 0) + 1.0) / ((SELECT t FROM dstt) + 512))
+                             - ln((COALESCE(dsrc.c, 0) + 1.0) / ((SELECT t FROM dsrt) + 512)), 6) AS lr
+                FROM dstc FULL OUTER JOIN dsrc ON dstc.bucket = dsrc.bucket),
+    dslw AS (SELECT f.doc_id,
+                    CAST(sum(f.cnt * CAST(r.lr AS DECIMAL(20,6))) AS DOUBLE) AS w
+             FROM dsfeats f JOIN dsratio r USING (bucket) GROUP BY f.doc_id)
     SELECT a.doc_id,
            CAST(('0x' || substr(md5(cl.c), 1, 8)) AS BIGINT) AS fingerprint,
            CASE WHEN b.doc_id IS NULL OR len(a.t) = 0 THEN NULL
@@ -464,7 +486,8 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
                 ELSE CAST(len(list_intersect(w1.fps, w2.fps)) AS BIGINT) END AS winnow_shared_next,
            CAST(COALESCE(ntop.n_top20, 0) AS BIGINT) AS n_top20,
            COALESCE(bm.bm25, 0.0) AS bm25_fq,
-           kt1.token AS keyterm
+           kt1.token AS keyterm,
+           COALESCE(dslw.w, 0.0) AS dsir_logweight
     FROM toks a
     JOIN cleaned cl ON cl.doc_id = a.doc_id
     JOIN winnow w1 ON w1.doc_id = a.doc_id
@@ -479,6 +502,7 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
     LEFT JOIN ntop ON ntop.doc_id = a.doc_id
     LEFT JOIN bm ON bm.doc_id = a.doc_id
     LEFT JOIN (SELECT doc_id, token FROM kt WHERE rn = 1) kt1 ON kt1.doc_id = a.doc_id
+    LEFT JOIN dslw ON dslw.doc_id = a.doc_id
     """,
 )
 def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,7 +533,16 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership counts), the doc's Okapi BM25 score for the fixed query
     ('fast','query') (operators/retrieval.bm25_scores, 0.0 when no
     term matches), and the doc's rank-1 TF-IDF keyterm
-    (operators/retrieval.keyterms_tfidf, tie-break token ASC)."""
+    (operators/retrieval.keyterms_tfidf, tie-break token ASC).
+
+    ``dsir_logweight`` is the DSIR driver-evidence column (round 8,
+    r7 verdict #2): operators/dsir.dsir_logweights end-to-end — hashed
+    n-gram features, smoothed bucket log-ratios, DECIMAL-summed per-doc
+    importance log-weight — against the fixed deterministic target
+    split ``doc_id % 7 = 0`` at n_buckets=512 (small space forces
+    bucket collisions, the regime hashing exists for); the SQL mirror
+    is the DuckDB oracle from tests/test_dsir.py."""
+    from ..operators import dsir as DS
     from ..operators import heavyhitters as HH
     from ..operators import retrieval as RT
     from ..operators import winnow as WN
@@ -560,6 +593,9 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bm25").alias("bm25_fq")
     )
     kt = RT.keyterms_tfidf(docs, 1).select("doc_id", "keyterm")
+    dw = DS.dsir_logweights(
+        docs, docs.where(F.col("doc_id") % 7 == 0), n_buckets=512
+    )
     return (
         fp.join(ov, "doc_id")
         .join(adh, "doc_id")
@@ -567,6 +603,7 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ntop, "doc_id")
         .join(bm, "doc_id", "left")
         .join(kt, "doc_id", "left")
+        .join(dw, "doc_id")
         .withColumn("bm25_fq", F.coalesce("bm25_fq", F.lit(0.0)))
     )
 

@@ -144,6 +144,59 @@ _GEMM_N_CENTS = 64
 _GEMM_N_QUERIES = 10
 _GEMM_NPROBE = 8
 
+# SRP-ANN fixture (r8, r7 verdict #3): fixed seeded hyperplanes (the
+# operator's own seed-42 planes), fixed banding, the same 10-query
+# batch — lsh.srp_topk mirrored bit-for-bit in SQL: signature sign
+# bits from literal plane dot-products, band-key equi-join, exact
+# cosine over distinct candidates, salted-topk rank order.
+_SRP_DIM = 64
+_SRP_N_PLANES = 24
+_SRP_BANDS = 4  # 6 bits/band: a real prune, not an all-pairs fallback
+
+
+def _srp_sql_ctes() -> str:
+    """The srp_topk DuckDB mirror CTEs — planes embedded as literals
+    (lsh.hyperplanes is seeded + 6-dp rounded, so both engines see the
+    identical floats; a sign flip would need |<v,h>| at float-residual
+    scale, never observed on the testdata and asserted in pytest)."""
+    from ..operators.lsh import DEFAULT_SEED, hyperplanes
+
+    planes = hyperplanes(_SRP_DIM, _SRP_N_PLANES, DEFAULT_SEED)
+    bits = [
+        "CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ",".join(repr(x) for x in p)
+        + "]::DOUBLE[]) > 0 THEN '1' ELSE '0' END"
+        for p in planes
+    ]
+    rpb = _SRP_N_PLANES // _SRP_BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " || ".join(bits[b * rpb + r] for r in range(rpb))
+        + " AS key FROM embeddings"
+        for b in range(_SRP_BANDS)
+    )
+    return f"""
+    srp_bands AS ({band_selects}),
+    srp_cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+      FROM (SELECT * FROM srp_bands WHERE vec_id < {_GEMM_N_QUERIES}) qb
+      JOIN srp_bands cb ON qb.band = cb.band AND qb.key = cb.key
+    ),
+    srp_scored AS (
+      SELECT cd.query_id, e.vec_id, (ROUND({_COS_SQL}, 6) + 0.0) AS similarity
+      FROM srp_cand cd
+      JOIN embeddings e ON e.vec_id = cd.vec_id
+      JOIN (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {_GEMM_N_QUERIES}) q ON q.query_id = cd.query_id
+      WHERE sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
+        AND sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) > 0
+    ),
+    srp_ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY similarity DESC, vec_id ASC) AS rank
+      FROM srp_scored
+    )"""
+
 
 @register(
     "ann_pruned_topk_fixed_centroids",
@@ -196,9 +249,15 @@ _GEMM_NPROBE = 8
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY similarity DESC, vec_id ASC) AS rank
       FROM scored
-    )
-    SELECT query_id, vec_id, similarity, CAST(rank AS BIGINT) AS rank
+    ),
+    {_srp_sql_ctes()}
+    SELECT 'ivf_gemm' AS method, query_id, vec_id, similarity,
+           CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {TOPK}
+    UNION ALL
+    SELECT 'srp' AS method, query_id, vec_id, similarity,
+           CAST(rank AS BIGINT) AS rank
+    FROM srp_ranked WHERE rank <= {TOPK}
     """,
 )
 def ann_pruned_topk_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,8 +272,17 @@ def ann_pruned_topk_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFra
     assign/probe/mask/rank of the Arrow serving kernel value-for-value
     against a recursive SQL mirror; the KMeans twin (ann_ivf_topk) adds
     learned centroids, and the single-query expression path stays
-    pytest-parity-pinned (tests/test_gemm_search.py)."""
+    pytest-parity-pinned (tests/test_gemm_search.py).
+
+    Round 8 (r7 verdict #3): the slot also carries the train-free
+    SRP-bucketed ANN (`lsh.srp_topk`) under ``method = 'srp'`` — same
+    10 fixed queries, the operator's own seed-42 hyperplanes, fixed
+    24-plane/4-band banding, valve off — so BOTH batch-ANN routes
+    (trained IVF/GEMM and train-free LSH) are hash-gated end-to-end:
+    signatures, band-key candidate join, exact cosine verify, salted
+    two-phase rank, each mirrored value-for-value in SQL."""
     from ..operators import ivf as ivf_ops
+    from ..operators import lsh as lsh_ops
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = [
@@ -231,6 +299,9 @@ def ann_pruned_topk_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFra
     assert len(cents) * dim >= ivf_ops.GEMM_ROUTE_CELLS, (
         f"{len(cents)} lists x dim {dim} no longer auto-routes to GEMM"
     )
+    # the SRP mirror's plane literals are generated for _SRP_DIM — a
+    # testdata width change must fail loudly, not hash-mismatch
+    assert dim == _SRP_DIM, f"embeddings dim {dim} != SRP fixture {_SRP_DIM}"
     index = ivf_ops.IVFIndex(
         centers=cents, assigned=ivf_ops.assign_to_centroids(emb, cents)
     )
@@ -238,6 +309,24 @@ def ann_pruned_topk_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_embedding"),
     )
-    return ivf_ops.ivf_search_batch(
-        index, queries, k=TOPK, nprobe=_GEMM_NPROBE
-    ).select("query_id", "vec_id", "similarity", "rank")
+    ivf_part = (
+        ivf_ops.ivf_search_batch(index, queries, k=TOPK, nprobe=_GEMM_NPROBE)
+        .select("query_id", "vec_id", "similarity", "rank")
+        .withColumn("method", F.lit("ivf_gemm"))
+    )
+    srp_part = (
+        lsh_ops.srp_topk(
+            emb,
+            queries,
+            k=TOPK,
+            dim=_SRP_DIM,
+            n_planes=_SRP_N_PLANES,
+            bands=_SRP_BANDS,
+            bucket_cap=None,
+        )
+        .select("query_id", "vec_id", "similarity", "rank")
+        .withColumn("method", F.lit("srp"))
+    )
+    return ivf_part.unionByName(srp_part).select(
+        "method", "query_id", "vec_id", "similarity", "rank"
+    )

@@ -19,6 +19,15 @@ accumulating sketch index, composed inside ``foreachBatch``:
    (`sources/txlog.TxTable`) — a crashed batch leaves the index unchanged,
    and the replayed batch recomputes the identical decision (idempotent).
 
+Micro-batch sizing: per-batch wall ≈ FLOOR + rows/MARGINAL (both measured
+every bench round: `stream_*_floor_sec_per_batch`,
+`stream_*_marginal_*_per_sec` — ~2 s / ~290 vecs/s embedding, ~3.6 s /
+~180 docs/s text at fold_every=8 on the bench box).  The floor is Spark
+fixed cost (scheduling + the amortized txlog commits + the survivors
+checkpoint), so a trigger should deliver at least floor·marginal rows per
+batch (≳600 vectors / ≳650 docs here) or the floor dominates; see
+SCALE.md "Micro-batch sizing rule".
+
 Scale: the index join shuffles only (band, key, simhash) rows — 4 narrow
 rows per indexed doc, independent of document size.  On a real cluster the
 index table would be bucketed by (band, key) so the per-batch join
@@ -89,9 +98,17 @@ def counts_oversized(
     if cap is None:
         return None
     if counts_tx.latest_version() >= 0:
-        lag = index_version - _stamped_version(counts_tx, stamp_memo)
-        if 0 <= lag <= max_lag:
-            return counts_tx.read().where(F.col("cnt") > cap).select("band", "key")
+        stamped = _stamped_version(counts_tx, stamp_memo)
+        # stamped is None when the committed counts table is empty (e.g.
+        # the first processed micro-batch had no rows and the process then
+        # restarted, losing the memo) — treat as out-of-sync, never do
+        # arithmetic on it.
+        if stamped is not None:
+            lag = index_version - stamped
+            if 0 <= lag <= max_lag:
+                return (
+                    counts_tx.read().where(F.col("cnt") > cap).select("band", "key")
+                )
     return rebuild()
 
 
@@ -157,7 +174,10 @@ class _PendingFold:
         self.pending.append(banded_batch)
         n = len(self.pending)
         if n < self.fold_every and counts_tx.latest_version() >= 0:
-            if index_version - _stamped_version(counts_tx, stamp_memo) == n:
+            stamped = _stamped_version(counts_tx, stamp_memo)
+            # None stamp (committed-but-empty counts table) == out-of-sync:
+            # fold immediately rather than subtract from None.
+            if stamped is not None and index_version - stamped == n:
                 return  # in sync — defer
         batched = self.pending[0]
         for b in self.pending[1:]:

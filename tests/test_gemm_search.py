@@ -430,9 +430,36 @@ def test_auto_route_falls_back_on_oversized_batch(spark):
     queries = emb.where(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )
-    auto = _rows(ivf.ivf_search_batch(index, queries, k=3, nprobe=2, max_queries=4))
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        auto = _rows(
+            ivf.ivf_search_batch(index, queries, k=3, nprobe=2, max_queries=4)
+        )
     expr = _rows(ivf.ivf_search_batch(index, queries, k=3, nprobe=2, gemm=False))
     assert auto == expr
+    # ADVICE r7: the silent route change must be loud — the fallback warns
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("falling back" in m for m in msgs), msgs
+    # sq8 stays honored through the fallback (expression path scores the
+    # quantized store coarse-then-rescore, never silently full-precision)
+    with warnings.catch_warnings(record=True) as caught_sq8:
+        warnings.simplefilter("always")
+        auto_sq8 = _rows(
+            ivf.ivf_search_batch(
+                index, queries, k=3, nprobe=2, max_queries=4, sq8=True
+            )
+        )
+    expr_sq8 = _rows(
+        ivf.ivf_search_batch(index, queries, k=3, nprobe=2, gemm=False, sq8=True)
+    )
+    assert auto_sq8 == expr_sq8
+    assert any(
+        "falling back" in str(w.message)
+        for w in caught_sq8
+        if w.category is RuntimeWarning
+    )
 
 
 def test_coarse_verify_row_identical_and_sound(spark):
@@ -574,3 +601,24 @@ def test_broadcast_verify_valves(spark):
 
     with pytest.raises(ValueError, match="verify_route"):
         lsh.srp_neardup_pairs(emb.limit(10), 0.5, verify_route="bogus")
+
+
+def test_broadcast_verify_rejects_duplicate_ids(spark):
+    """Unique-id contract: the broadcast route maps each id to ONE matrix
+    row (searchsorted), while the join route scores one row per duplicate
+    — so duplicated ids must raise loudly instead of silently collapsing."""
+    import pytest
+
+    from psy_supabase_spark.operators import lsh
+    from psy_supabase_spark.sources.synth import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, 100, 512, n_modes=10)
+    dup = emb.unionByName(emb.limit(1))  # vec_id of row 0 appears twice
+    np_, b_ = lsh.suggest_banding(101, 0.9, dim=512)
+    kw = dict(dim=512, n_planes=np_, bands=b_)
+    with pytest.raises(ValueError, match="duplicate"):
+        lsh.srp_neardup_pairs(dup, 0.9, verify_route="broadcast", **kw).count()
+    # the join route still accepts duplicated ids
+    assert (
+        lsh.srp_neardup_pairs(dup, 0.9, verify_route="join", **kw).count() >= 0
+    )

@@ -43,6 +43,38 @@ def test_mg_matches_exact_across_capacities(spark):
         assert _rows(hh.top_tokens(docs, 20, capacity=cap)) == exact, cap
 
 
+def test_auto_route_picks_and_matches_exact(spark):
+    """r7 verdict #5: top_tokens_auto must not silently pay MG's two-scan
+    premium on a small-vocab corpus — and whichever route it picks, the
+    rows must equal the declarative baseline (both plans are exact)."""
+    docs = load_table(spark, SF, "documents")
+    # unigrams over the ~31-word synthetic vocab: tiny distinct count →
+    # the crossover must choose the single-scan plan
+    assert hh.route_top_tokens(docs, capacity=4096, ngram=1) == "exact"
+    got, route = hh.top_tokens_auto(docs, 20)
+    assert route == "exact"
+    assert _rows(got) == _rows(hh.top_tokens_exact(docs, 20))
+    # the ~16k-distinct trigram space is vocabulary-bound relative to a
+    # 1k summary → "mg", and auto_grow (1k→4k→16k) still certifies exact
+    assert hh.route_top_tokens(docs, capacity=1024, ngram=3) == "mg"
+    got_mg, route_mg = hh.top_tokens_auto(docs, 5, capacity=1024, ngram=3)
+    assert route_mg == "mg"
+    assert _rows(got_mg) == _rows(hh.top_tokens_exact(docs, 5, ngram=3))
+    # empty corpus: route degenerates cleanly
+    assert hh.route_top_tokens(docs.limit(0)) == "exact"
+
+
+def test_large_candidate_list_takes_broadcast_join(spark, monkeypatch):
+    """ADVICE r7: above _ISIN_LITERAL_CUTOFF pruned candidates, the exact
+    recount must semi-join a broadcast frame instead of building a 100k+
+    literal In expression — same rows either way (pinned here by forcing
+    the cutoff to 0 so every candidate list takes the join strategy)."""
+    docs = load_table(spark, SF, "documents")
+    exact = _rows(hh.top_tokens_exact(docs, 20))
+    monkeypatch.setattr(hh, "_ISIN_LITERAL_CUTOFF", 0)
+    assert _rows(hh.top_tokens(docs, 20, capacity=4096)) == exact
+
+
 def test_certificate_raises_not_approximates(spark):
     """A capacity too small for the stream must raise, never return a
     silently-wrong top-k (the sf0.01 corpus has ~50k tokens with a flat

@@ -117,6 +117,31 @@ def test_min_df_prunes(spark):
     assert pruned.count() <= full.count()
 
 
+def test_bm25_single_tokenize_per_call(spark):
+    """r7 verdict #4: the stats pass must not re-tokenize the corpus —
+    one BM25/keyterms call builds the tokenize expression exactly once
+    (the narrow checkpointed frame feeds both stats and tf).  The
+    Python call count is the proxy: each call site plants one tokenize
+    into some scan, and the old code had two."""
+    docs = load_table(spark, SF, "documents")
+    calls = {"n": 0}
+    real = rt.tokenize
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    rt.tokenize = counting
+    try:
+        rt.bm25_scores(docs, ["fast", "query"]).collect()
+        assert calls["n"] == 1
+        calls["n"] = 0
+        rt.keyterms_tfidf(docs, 2).collect()
+        assert calls["n"] == 1
+    finally:
+        rt.tokenize = real
+
+
 def test_plan_shapes(spark):
     """BM25's stats/df joins must be broadcast hash joins (no cartesian,
     no sort-merge on the 1-row side) and the whole plan Python-free."""

@@ -158,6 +158,27 @@ def test_stale_counts_stamp_falls_back_and_self_repairs(filt, spark):
     }
 
 
+def test_empty_first_batch_then_restart_survives_none_stamp(spark, tmp_path):
+    # ADVICE r7: a committed-but-EMPTY counts table (first processed
+    # micro-batch was empty) makes agg max('idx_version') return None; a
+    # restart then loses the memo, and the stamp-lag arithmetic must not
+    # TypeError on None — both counts_oversized and _PendingFold's defer
+    # check treat a None stamp as out-of-sync (rebuild / fold now).
+    path = str(tmp_path / "idx")
+    filt1 = StreamingNearDupFilter(spark, path)
+    filt1.process_batch(spark.createDataFrame([], SCHEMA))
+    assert filt1.counts.latest_version() >= 0  # committed, zero rows
+    assert filt1.counts.read().agg(F.max("idx_version")).head()[0] is None
+
+    # restart: fresh process, driver memo gone; fold_every=2 exercises the
+    # deferred-fold stamp check as well as the valve-read path
+    filt2 = StreamingNearDupFilter(spark, path, fold_every=2)
+    out = filt2.process_batch(spark.createDataFrame([(1, A), (2, B)], SCHEMA))
+    assert _ids(out) == [1, 2]
+    out2 = filt2.process_batch(spark.createDataFrame([(3, A_NEAR)], SCHEMA))
+    assert _ids(out2) == []
+
+
 def test_oversized_bucket_changing_between_batches_stays_aligned(spark, tmp_path):
     # VERDICT r4 #7: when the index's oversized (band, key) set CHANGES
     # between micro-batches, the two-sided subdivision must stay aligned —
