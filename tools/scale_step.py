@@ -1,6 +1,9 @@
 """Scale-step measurement (round-6 verdict #3): run the dedup / LSH /
 ANN families at 1×, 3×, and 10× the sf0.1 corpus and print the scaling
-curve as one JSON line.
+curve as one SHORT JSON line (per-× ratios + a pointer; full per-factor
+walls go to SCALE_STEP_EXTRA.json — the r7 bench artifact was lost to
+the driver's 2,000-char stdout tail window, and this tool's r7 line was
+8 bytes from the same cliff).
 
 The 10× corpora are synthesized from sf0.1 (sources/synth):
 
@@ -210,7 +213,29 @@ def main() -> None:
                 )
                 if out["x1"][m] > 0
             }
-    print(json.dumps({"sf_dir": SF_DIR, "factors": factors, **out}))
+    # OUTPUT CONTRACT (r8, the BENCH_r07 lesson): the driver parses the
+    # stdout JSON from a ~2,000-char tail window and round 7's line was
+    # already ~1,970 chars — one more metric would silently null the
+    # artifact.  Keep the stdout line to the per-× RATIOS (the scaling
+    # SHAPE, which is what the artifact is for) plus a pointer, assert
+    # the budget, and write the full per-factor walls to a sidecar.
+    full = {"sf_dir": SF_DIR, "factors": factors, **out}
+    extra_file = Path(__file__).resolve().parent.parent / "SCALE_STEP_EXTRA.json"
+    with open(extra_file, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    headline = {
+        "sf_dir": SF_DIR,
+        "factors": factors,
+        **{k: v for k, v in out.items() if k.startswith("ratio_")},
+        "extra_file": "SCALE_STEP_EXTRA.json",
+    }
+    line = json.dumps(headline)
+    assert len(line) < 1800, (
+        f"scale-step stdout line is {len(line)} chars — move keys into "
+        "the SCALE_STEP_EXTRA.json sidecar"
+    )
+    print(line)
 
 
 if __name__ == "__main__":
