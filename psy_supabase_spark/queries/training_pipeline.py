@@ -209,9 +209,22 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LM fluency score (CCNet stage): bigram Stupid-Backoff model trained
     # on the full corpus, scored onto the surviving sample — emitted as a
     # column (not a filter) so the driver gate checks the whole
-    # train+score arithmetic without a data-dependent threshold
+    # train+score arithmetic without a data-dependent threshold.
+    # Scoring input (r8): the sample/quality/lang gates are pure map-side
+    # predicates on the docs scan, so pushing them into the scoring pass
+    # skips the ~2/3 of the corpus whose score the final LEFT join would
+    # discard anyway — row-identical output, and the only shape that
+    # makes sense at 100 TB (never run the expensive stage on rows the
+    # cheap stages already condemned).  The join-derived survivor filters
+    # (dedup/decontam) deliberately stay out: duplicating those subtrees
+    # would cost more than the scoring they save.
     model = lm.train_bigram_lm(docs)
-    lm_scores = lm.score_documents(docs, model).select(
+    map_gate = (
+        (TX.quality_score(F.col("text")) >= 0.6)
+        & (F.col("lang") == "en")
+        & (md5_hash32(F.col("doc_id").cast("string")) % 100 < 50)
+    )
+    lm_scores = lm.score_documents(docs.where(map_gate), model).select(
         "doc_id", F.col("avg_logprob").alias("lm_logprob")
     )
 
