@@ -168,11 +168,24 @@ def main() -> None:
         # selection (feature shuffle linear in tokens, fits bounded)
         from psy_supabase_spark.operators import dsir, heavyhitters as hh
 
+        # BOUNDED retries (r8: the unbounded `while True` never
+        # terminated at x10 — the Caesar-rotated corpus multiplies the
+        # distinct-trigram count ~linearly with the factor, and on a
+        # near-uniform stream raising capacity only GROWS the merged
+        # candidate list, so the default max_candidates=200k raise
+        # recurred forever).  max_candidates is lifted to 2M for this
+        # measurement (a few tens of MB of driver rows — the tool prices
+        # the capacity·P-bounded SHUFFLE, which is unaffected), and a
+        # certify failure after 3 growths records -1 instead of hanging
+        # the artifact.
         cap = 16_384
-        while True:
+        fam["hh_trigram_mg_sec"] = -1.0
+        for _ in range(3):
             try:
                 t0 = time.time()
-                hh.top_tokens(docs, 50, capacity=cap, ngram=3).count()
+                hh.top_tokens(
+                    docs, 50, capacity=cap, ngram=3, max_candidates=2_000_000
+                ).count()
                 fam["hh_trigram_mg_sec"] = round(time.time() - t0, 2)
                 break
             except ValueError:
@@ -196,6 +209,8 @@ def main() -> None:
             if fx == 1:
                 continue
             key = f"x{fx}"
+            # guard: a family that failed to certify records -1 and is
+            # excluded from ratios rather than poisoning the curve
             out[f"ratio_{key}"] = {
                 m.replace("_sec", "_per_x"): round(out[key][m] / (out["x1"][m] * fx), 2)
                 for m in (
@@ -211,7 +226,7 @@ def main() -> None:
                     "hh_trigram_exact_sec",
                     "dsir_select_sec",
                 )
-                if out["x1"][m] > 0
+                if out["x1"].get(m, 0) > 0 and out[key].get(m, 0) > 0
             }
     # OUTPUT CONTRACT (r8, the BENCH_r07 lesson): the driver parses the
     # stdout JSON from a ~2,000-char tail window and round 7's line was
