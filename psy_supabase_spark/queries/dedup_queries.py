@@ -15,12 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import POLY_MOD  # minhash affine modulus
-from ..operators import dedup, ivf, lsh
-from ..registry import register
-from ..sources.catalog import load_table
-
 # ---- shared SQL fragments (mirror functions.text.tokenize / hashing) ----
+# Defined BEFORE the registry import: training_pipeline imports these
+# constants mid-cycle (dedup_queries → registry → training_pipeline →
+# back here, partially initialized), so they must exist by the time the
+# circular edge fires — this also keeps `import
+# psy_supabase_spark.queries.dedup_queries` working standalone.
 _TOKS = "list_filter(string_split_regex(lower({col}), '[^a-z0-9'']+'), x -> x != '')"
 _CLEAN = (
     "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
@@ -61,6 +61,11 @@ _EXACT_JACCARD_SQL = f"""
     )
     SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
 """
+
+from ..functions.hashing import POLY_MOD  # noqa: E402  (minhash affine modulus)
+from ..operators import dedup, ivf, lsh  # noqa: E402
+from ..registry import register  # noqa: E402
+from ..sources.catalog import load_table  # noqa: E402
 
 
 @register(

@@ -14,8 +14,6 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..operators import textanalysis
-from ..registry import register
-from ..sources.catalog import load_table
 
 
 def _sql_list(items: list[str]) -> str:
@@ -25,6 +23,24 @@ def _sql_list(items: list[str]) -> str:
 # tokens of lower(text): mirrors functions.text.tokenize
 _TOKENS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x != '')"
 _WS_COUNT_SQL = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))"
+
+
+def _stopword_ratio_sql() -> str:
+    sw = _sql_list(TX.STOPWORDS)
+    return (
+        f"CASE WHEN len({_TOKENS_SQL}) = 0 THEN 0.0 "
+        f"ELSE len(list_filter({_TOKENS_SQL}, x -> list_contains({sw}, x)))::DOUBLE / len({_TOKENS_SQL}) END"
+    )
+
+
+# The registry import sits BELOW the shared SQL helpers: training_pipeline
+# imports _stopword_ratio_sql/_WS_COUNT_SQL from here mid-cycle (this
+# module → registry → training_pipeline → back here, partially
+# initialized), so they must be bound before the circular edge fires —
+# this keeps `import psy_supabase_spark.queries.text_queries` working
+# standalone too.
+from ..registry import register  # noqa: E402
+from ..sources.catalog import load_table  # noqa: E402
 
 
 # Deterministic PII-bearing augmentation: the synthetic corpus carries no
@@ -243,14 +259,6 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy(TX.length_bucket("text").alias("length_bucket")).agg(
         F.count("*").alias("n_docs")
-    )
-
-
-def _stopword_ratio_sql() -> str:
-    sw = _sql_list(TX.STOPWORDS)
-    return (
-        f"CASE WHEN len({_TOKENS_SQL}) = 0 THEN 0.0 "
-        f"ELSE len(list_filter({_TOKENS_SQL}, x -> list_contains({sw}, x)))::DOUBLE / len({_TOKENS_SQL}) END"
     )
 
 
