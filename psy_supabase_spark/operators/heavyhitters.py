@@ -200,25 +200,28 @@ def route_top_tokens(
     capacity: int = 4096,
     ngram: int = 1,
     sample_docs: int = 2_000,
-    crossover: float = 8.0,
+    mg_min_distinct: float = 5_000_000,
 ) -> str:
     """Pick "mg" or "exact" for :func:`top_tokens_auto` — the measured
     crossover (r7 verdict #5): MG costs two full tokenize scans + a
     certificate against the naive plan's one, and only wins when the
-    naive shuffle is VOCABULARY-bound, i.e. distinct units ≫ the
-    capacity·P-bounded MG summary shuffle.  At bench scale (sf0.1
-    trigrams, ~1.5M distinct over 32 partitions) MG loses 6.3 s vs
-    4.2 s; on web-scale text (billions of distinct n-grams spilling the
-    hash aggregate) it wins — so the route keys on distinct-unit count.
+    naive plan's hash aggregate is VOCABULARY-bound — distinct units
+    large enough that the per-partition maps spill and the shuffle
+    carries distinct·P rows.  Measured (SCALE_STEP r8, 32 partitions,
+    128 GiB box): exact WINS at every in-memory size — 4.2 s vs 6.4 s
+    at ~160k distinct trigrams (sf0.1), 42 s vs 60 s at ~500k distinct
+    (10×) — because two scans cost more than a fitting aggregate, so
+    the threshold is ABSOLUTE distinct count (the spill regime), not a
+    multiple of ``capacity``.  The 5M default sits 10× beyond the
+    largest measured exact-win; both routes return exact answers, so a
+    miss here costs time, never correctness.
 
     Estimate: approx_count_distinct over the exploded units of a
     ``sample_docs``-row slice (one bounded scan — never the full
     corpus), extrapolated by Heaps' law V(N) ≈ V(n)·(N/n)^0.7 (β=0.7,
     the upper range for natural text — overshooting β only biases
     TOWARD mg, whose failure mode is a priced certificate, never a
-    wrong answer).  Route "mg" iff the estimate exceeds
-    ``crossover × capacity`` (the multiplier absorbs MG's second scan).
-    Both routes return exact answers; this picks cost shape only."""
+    wrong answer)."""
     n_docs = docs.count()
     if n_docs == 0:
         return "exact"
@@ -230,7 +233,7 @@ def route_top_tokens(
         .head()[0]
     )
     est_distinct = v_sample * (max(n_docs, 1) / max(min(sample_docs, n_docs), 1)) ** 0.7
-    return "mg" if est_distinct > crossover * capacity else "exact"
+    return "mg" if est_distinct > mg_min_distinct else "exact"
 
 
 def top_tokens_auto(
@@ -241,6 +244,7 @@ def top_tokens_auto(
     capacity: int = 4096,
     max_candidates: int = 200_000,
     ngram: int = 1,
+    mg_min_distinct: float = 5_000_000,
 ) -> tuple[DataFrame, str]:
     """(result, route): EXACT top-k via whichever of the two plans is
     cheaper for this corpus per :func:`route_top_tokens` — small-vocab
@@ -248,7 +252,13 @@ def top_tokens_auto(
     paying MG's two-scan premium; vocabulary-bound corpora take MG with
     ``auto_grow`` (its certificate retries are exactly the regime where
     the naive shuffle would spill anyway)."""
-    route = route_top_tokens(docs, text_col=text_col, capacity=capacity, ngram=ngram)
+    route = route_top_tokens(
+        docs,
+        text_col=text_col,
+        capacity=capacity,
+        ngram=ngram,
+        mg_min_distinct=mg_min_distinct,
+    )
     if route == "exact":
         return top_tokens_exact(docs, k, text_col=text_col, ngram=ngram), route
     return (

@@ -54,10 +54,12 @@ def test_auto_route_picks_and_matches_exact(spark):
     got, route = hh.top_tokens_auto(docs, 20)
     assert route == "exact"
     assert _rows(got) == _rows(hh.top_tokens_exact(docs, 20))
-    # the ~16k-distinct trigram space is vocabulary-bound relative to a
-    # 1k summary → "mg", and auto_grow (1k→4k→16k) still certifies exact
-    assert hh.route_top_tokens(docs, capacity=1024, ngram=3) == "mg"
-    got_mg, route_mg = hh.top_tokens_auto(docs, 5, capacity=1024, ngram=3)
+    # forcing the spill threshold under the ~16k-distinct trigram space
+    # exercises the mg branch, and auto_grow (1k→4k→16k) still certifies
+    assert hh.route_top_tokens(docs, capacity=1024, ngram=3, mg_min_distinct=1e3) == "mg"
+    got_mg, route_mg = hh.top_tokens_auto(
+        docs, 5, capacity=1024, ngram=3, mg_min_distinct=1e3
+    )
     assert route_mg == "mg"
     assert _rows(got_mg) == _rows(hh.top_tokens_exact(docs, 5, ngram=3))
     # empty corpus: route degenerates cleanly
