@@ -197,10 +197,13 @@ class PsyEngine:
         top-k), else the brute-force broadcast KNN join;
         ``method="lsh"`` forces the train-free SRP-bucketed ANN
         (`lsh.srp_topk` — no index build, self-tuned banding, pre-filter
-        recall semantics).  The reference has no batch path at all (one
-        RPC per request, `rag_processor.py:45-65`); this is the serving
-        shape its workload actually needs."""
-        if method == "lsh":
+        recall semantics); ``method="lsh_exact_k"`` adds the brute
+        completion for queries whose buckets return < k rows
+        (`srp_topk(brute_fallback=True)` — exact-k contract at LSH cost
+        for the common case).  The reference has no batch path at all
+        (one RPC per request, `rag_processor.py:45-65`); this is the
+        serving shape its workload actually needs."""
+        if method in ("lsh", "lsh_exact_k"):
             from .operators import lsh as lsh_ops
 
             kb = self.store.scan(KNOWLEDGE_BASE, user_id=user_id)
@@ -214,6 +217,7 @@ class PsyEngine:
                 id_col="content",
                 vec_col="embedding",
                 dim=int(head["d"]) if head is not None else 64,
+                brute_fallback=(method == "lsh_exact_k"),
             ).select("query_id", F.col("content"), "similarity", "rank")
         index = self._ivf_indexes.get(user_id)
         if index is not None:

@@ -297,6 +297,7 @@ def srp_topk(
     bucket_cap: int | None = dedup.DEFAULT_BUCKET_CAP,
     n_salts: int = 16,
     verify_arrow: bool | None = None,
+    brute_fallback: bool = False,
 ) -> DataFrame:
     """SRP-bucketed batch ANN top-k — the LSH alternative to IVF when no
     index layout has been built (the module docstring's "cheap ANN
@@ -322,10 +323,18 @@ def srp_topk(
     (query_id, id, similarity, rank).  Recall is the banding's candidate
     recall at the neighbors' cosine — measured in tests on a clustered
     corpus; a query whose bucket finds < k candidates returns fewer rows
-    (pre-filter semantics — compose with a brute fallback when exact-k
-    is required).  Scale: the corpus never shuffles for candidate
-    generation (broadcast band join), candidates ride ids-only, and
-    vectors re-attach once per surviving candidate."""
+    (pre-filter semantics).  ``brute_fallback=True`` completes those
+    queries declaratively: the ranked LSH result is checkpointed ONCE
+    (≤ |queries|·k rows), queries that came back with < k rows are
+    re-served whole by the exact brute KNN join (kernel picked by
+    width, like the near-dup verify), and the union replaces their
+    partial answers — full queries keep the cheap LSH rows, so the
+    brute pass touches the corpus only when at least one query fell
+    short, and only for those queries (broadcast side).  Scale: the
+    corpus never shuffles for candidate generation (broadcast band
+    join), candidates ride ids-only, and vectors re-attach once per
+    surviving candidate."""
+    from . import topk as topk_ops
     from .ivf import _salted_topk
 
     if n_planes is None or bands is None:
@@ -365,7 +374,35 @@ def srp_topk(
         attached.select(F.col("qid").alias(query_id), F.col("id").alias(id_col), sim.alias("similarity"))
         .where(F.col("similarity").isNotNull())
     )
-    return _salted_topk(scored, k, query_id, id_col, n_salts)
+    ranked = _salted_topk(scored, k, query_id, id_col, n_salts)
+    if not brute_fallback:
+        return ranked
+    # materialize the bounded LSH answer once so the per-query counts
+    # and the kept rows don't recompute the whole band-join subtree
+    ranked = ranked.localCheckpoint(eager=True)
+    full = (
+        ranked.groupBy(query_id)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= k)
+        .select(query_id)
+    )
+    # under-k = queries absent from `full` (covers zero-candidate
+    # queries, which never reach `ranked` at all)
+    under_q = queries.join(F.broadcast(full), query_id, "left_anti")
+    join_fn = topk_ops.knn_join_gemm if (verify_arrow or dim >= 256) else topk_ops.knn_join
+    brute = join_fn(
+        corpus,
+        under_q,
+        k,
+        corpus_id=id_col,
+        corpus_vec=vec_col,
+        query_id=query_id,
+        query_vec=query_vec,
+    ).select(query_id, id_col, "similarity", "rank")
+    kept = ranked.join(F.broadcast(full), query_id, "left_semi").select(
+        query_id, id_col, "similarity", "rank"
+    )
+    return kept.unionByName(brute)
 
 
 def _broadcast_verify_pairs(

@@ -93,6 +93,16 @@ def test_batch_serving_both_routes(engine, spark):
     lsh_hits = engine.find_similar_documents_batch("alice", queries, k=1, method="lsh")
     got_lsh = {r.query_id: r.content for r in lsh_hits.collect()}
     assert got_lsh == got
+    # exact-k LSH route: k exceeds what the buckets can return, so the
+    # brute completion must serve full lists identical to the brute route
+    exact_k = engine.find_similar_documents_batch(
+        "alice", queries, k=3, method="lsh_exact_k"
+    )
+    brute_k3 = engine.find_similar_documents_batch("alice", queries, k=3)
+    as_rows = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.content, r.similarity) for r in df.collect()
+    )
+    assert as_rows(exact_k) == as_rows(brute_k3)
 
 
 def test_build_context_rolls_three_turns(engine):

@@ -534,6 +534,53 @@ def test_srp_topk_recall_and_shape(spark):
     emb.unpersist()
 
 
+def test_srp_topk_brute_fallback_completes_exact_k(spark):
+    """brute_fallback=True turns srp_topk's pre-filter semantics into an
+    exact-k contract: queries whose buckets find < k candidates are
+    re-served whole by the brute KNN join, while full queries keep the
+    LSH rows.  With aggressive banding and k close to the corpus size,
+    every query falls short — the result must then be row-identical to
+    the exact brute join; and every query must always return exactly k
+    rows."""
+    from psy_supabase_spark.operators import lsh, topk
+    from psy_supabase_spark.sources.synth import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, 300, 64, n_modes=30).cache()
+    emb.count()
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    # 20-bit bands: buckets are near-singletons, so every query finds
+    # far fewer than k=50 candidates and the fallback must kick in
+    kw = dict(dim=64, n_planes=20, bands=1)
+    partial = lsh.srp_topk(emb, queries, k=50, **kw)
+    short = {
+        r.query_id: r.n
+        for r in partial.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n < 50 for n in short.values()) or len(short) < 8  # genuinely short
+    full = lsh.srp_topk(emb, queries, k=50, brute_fallback=True, **kw)
+    rows = sorted(
+        (r.query_id, r.rank, r.vec_id, r.similarity) for r in full.collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.vec_id, r.similarity)
+        for r in topk.knn_join(emb, queries, 50).collect()
+    )
+    assert rows == want
+    # mixed regime: k=1 — the self-hit fills every bucket, so NO query
+    # falls short and the fallback path must keep the pure-LSH rows
+    lsh_k1 = sorted(
+        (r.query_id, r.vec_id) for r in lsh.srp_topk(emb, queries, k=1, **kw).collect()
+    )
+    fb_k1 = sorted(
+        (r.query_id, r.vec_id)
+        for r in lsh.srp_topk(emb, queries, k=1, brute_fallback=True, **kw).collect()
+    )
+    assert fb_k1 == lsh_k1
+    emb.unpersist()
+
+
 def test_broadcast_verify_route_row_identical(spark):
     """The broadcast verify route must be a PURE optimization of the join
     route: row-identical output (ids and 6-dp similarities) on a wide
