@@ -15,6 +15,8 @@ echo "== 2/4 pytest =="
 python -m pytest tests/ -q
 
 echo "== 3/4 bench (sf0.1) =="
+# bench asserts its stdout line < 1,800 chars (driver tail window) and
+# writes full telemetry to BENCH_EXTRA.json — commit that with the round
 python bench.py 2>/dev/null | tail -1
 
 echo "== 4/4 entry smoke =="
