@@ -424,7 +424,7 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
 @register(
     "doc_adjacent_stats",
     oracle=f"""
-    WITH {_winnow_cte_sql()},
+    WITH RECURSIVE {_winnow_cte_sql()},
     cleaned AS (
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -480,7 +480,40 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
                 FROM dstc FULL OUTER JOIN dsrc ON dstc.bucket = dsrc.bucket),
     dslw AS (SELECT f.doc_id,
                     CAST(sum(f.cnt * CAST(r.lr AS DECIMAL(20,6))) AS DOUBLE) AS w
-             FROM dsfeats f JOIN dsratio r USING (bucket) GROUP BY f.doc_id)
+             FROM dsfeats f JOIN dsratio r USING (bucket) GROUP BY f.doc_id),
+    -- streaming admission decision (r8): StreamingNearDupFilter.admit
+    -- with the even doc_ids pre-indexed and the odds as the micro-batch.
+    -- Mirror = exact SimHash hamming<=3 rejection against the index
+    -- (the pigeonhole band join is provably complete) + min-id-per-
+    -- component first-occurrence among the survivors (recursive closure,
+    -- the connected_components contract).
+    sa_grams AS (SELECT doc_id,
+                        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                             ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                                 for i in range(1, greatest(len(t) - 2, 0) + 1)]) END AS g
+                 FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+    sa_hashed AS (SELECT doc_id AS id,
+                         list_transform(g, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hl
+                  FROM sa_grams),
+    sa_sh AS (SELECT id,
+                     list_sum([CASE WHEN list_sum(list_transform(hl, h -> ((h >> b) & 1) * 2 - 1)) > 0
+                                    THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                               for b in range(0, 32)])::BIGINT AS simhash
+              FROM sa_hashed),
+    sa_idx AS (SELECT * FROM sa_sh WHERE id % 2 = 0),
+    sa_bat AS (SELECT * FROM sa_sh WHERE id % 2 = 1),
+    sa_surv AS (SELECT b.* FROM sa_bat b
+                WHERE NOT EXISTS (SELECT 1 FROM sa_idx i
+                                  WHERE bit_count(xor(i.simhash, b.simhash)) <= 3)),
+    sa_edges AS (SELECT a.id AS src, b.id AS dst
+                 FROM sa_surv a JOIN sa_surv b
+                 ON a.id <> b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+    sa_reach AS (SELECT src AS id, src AS comp FROM sa_edges
+                 UNION
+                 SELECT e.dst, r.comp FROM sa_reach r JOIN sa_edges e ON e.src = r.id),
+    sa_comp AS (SELECT id, MIN(comp) AS component FROM sa_reach GROUP BY id),
+    sa_adm AS (SELECT s.id, COALESCE(c.component, s.id) = s.id AS adm
+               FROM sa_surv s LEFT JOIN sa_comp c ON c.id = s.id)
     SELECT a.doc_id,
            CAST(('0x' || substr(md5(cl.c), 1, 8)) AS BIGINT) AS fingerprint,
            CASE WHEN b.doc_id IS NULL OR len(a.t) = 0 THEN NULL
@@ -495,7 +528,9 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
            CAST(COALESCE(ntop.n_top20, 0) AS BIGINT) AS n_top20,
            COALESCE(bm.bm25, 0.0) AS bm25_fq,
            kt1.token AS keyterm,
-           COALESCE(dslw.w, 0.0) AS dsir_logweight
+           COALESCE(dslw.w, 0.0) AS dsir_logweight,
+           CASE WHEN a.doc_id % 2 = 0 THEN NULL
+                ELSE COALESCE(sa_adm.adm, FALSE) END AS stream_admit
     FROM toks a
     JOIN cleaned cl ON cl.doc_id = a.doc_id
     JOIN winnow w1 ON w1.doc_id = a.doc_id
@@ -511,6 +546,7 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
     LEFT JOIN bm ON bm.doc_id = a.doc_id
     LEFT JOIN (SELECT doc_id, token FROM kt WHERE rn = 1) kt1 ON kt1.doc_id = a.doc_id
     LEFT JOIN dslw ON dslw.doc_id = a.doc_id
+    LEFT JOIN sa_adm ON sa_adm.id = a.doc_id
     """,
 )
 def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,11 +585,28 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance log-weight — against the fixed deterministic target
     split ``doc_id % 7 = 0`` at n_buckets=512 (small space forces
     bucket collisions, the regime hashing exists for); the SQL mirror
-    is the DuckDB oracle from tests/test_dsir.py."""
+    is the DuckDB oracle from tests/test_dsir.py.
+
+    ``stream_admit`` (round 8) oracle-gates the streaming admission
+    DECISION FUNCTION — `streaming/neardup.StreamingNearDupFilter.admit`
+    is a pure DataFrame-in/DataFrame-out function, so the driver gate
+    can check it even though the foreachBatch/txlog machinery around it
+    cannot run under DuckDB: even doc_ids are appended to a fresh
+    TxTable index, the odd doc_ids form the micro-batch, and the column
+    is TRUE/FALSE per odd doc (NULL for the indexed evens).  The mirror
+    spells admission semantics exactly: rejection iff ANY indexed
+    simhash is within Hamming 3 (the pigeonhole band join is provably
+    complete, so exact hamming is equivalent), then min-id-per-near-dup-
+    component first-occurrence among survivors (recursive-CTE closure,
+    the connected_components contract)."""
+    import tempfile
+
+    from ..operators import dedup as DD
     from ..operators import dsir as DS
     from ..operators import heavyhitters as HH
     from ..operators import retrieval as RT
     from ..operators import winnow as WN
+    from ..streaming.neardup import StreamingNearDupFilter
 
     docs = load_table(spark, sf_dir, "documents")
     fp = textanalysis.fingerprint(docs)
@@ -604,6 +657,20 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = DS.dsir_logweights(
         docs, docs.where(F.col("doc_id") % 7 == 0), n_buckets=512
     )
+    filt = StreamingNearDupFilter(
+        spark, tempfile.mkdtemp(prefix="admit_gate_") + "/idx"
+    )
+    filt.index.append(
+        DD.simhash(docs.where(F.col("doc_id") % 2 == 0)).select(
+            F.col("id").alias("doc_id"), "simhash"
+        )
+    )
+    adm = filt.admit(docs.where(F.col("doc_id") % 2 == 1)).select(
+        "doc_id", F.lit(True).alias("_adm")
+    )
+    stream_admit = F.when(
+        F.col("doc_id") % 2 == 0, F.lit(None).cast("boolean")
+    ).otherwise(F.coalesce(F.col("_adm"), F.lit(False)))
     return (
         fp.join(ov, "doc_id")
         .join(adh, "doc_id")
@@ -612,7 +679,10 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bm, "doc_id", "left")
         .join(kt, "doc_id", "left")
         .join(dw, "doc_id")
+        .join(adm, "doc_id", "left")
         .withColumn("bm25_fq", F.coalesce("bm25_fq", F.lit(0.0)))
+        .withColumn("stream_admit", stream_admit)
+        .drop("_adm")
     )
 
 
