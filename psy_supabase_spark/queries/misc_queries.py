@@ -155,6 +155,19 @@ _COS_EB = """CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding:
                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
                    sqrt(list_dot_product(c.cv, c.cv))) END"""
 
+# streaming-admission threshold: 0.5 — the SAME threshold at which
+# embedding_neardup_lsh's exact-answer oracle proves SRP candidate
+# recall 1.0 on this corpus (the equivalence the admission mirror needs)
+_ADMIT_T = 0.5
+
+# exact pair cosine between table aliases a/b — the streaming-admission
+# mirror's predicate (norms>0 guarded like embedding_neardup_exact)
+_NRM = "sqrt(list_dot_product({x}.embedding::DOUBLE[], {x}.embedding::DOUBLE[]))"
+_COS_AB = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    f"({_NRM.format(x='a')} * {_NRM.format(x='b')})"
+)
+
 
 @register(
     "embedding_codec_roundtrip",
@@ -223,6 +236,45 @@ _COS_EB = """CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding:
         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1 ASC, cid ASC) AS rn
         FROM pq_d
       ) WHERE rn = 1
+    ),
+    -- streaming EMBEDDING admission (r8): StreamingEmbeddingNearDupFilter
+    -- .admit with the evens pre-indexed and the odds as the micro-batch.
+    -- Mirror = the EXACT answer (the embedding_neardup_lsh precedent:
+    -- SRP candidate recall is 1.0 at threshold 0.5 on this corpus, so
+    -- LSH-candidate rejection == exact-cosine rejection, and a recall
+    -- regression fails this gate loudly): reject odd iff any even within
+    -- round6 cosine >= 0.5, then min-id-per-component among survivors.
+    sa2_sim AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_NRM.format(x='a')} > 0 AND {_NRM.format(x='b')} > 0
+        AND ROUND({_COS_AB}, 6) >= {_ADMIT_T}
+    ),
+    sa2_rej AS (
+      SELECT ib AS id FROM sa2_sim WHERE ia % 2 = 0 AND ib % 2 = 1
+      UNION
+      SELECT ia FROM sa2_sim WHERE ib % 2 = 0 AND ia % 2 = 1
+    ),
+    sa2_surv AS (
+      SELECT vec_id AS id FROM embeddings
+      WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT id FROM sa2_rej)
+    ),
+    sa2_edges AS (
+      SELECT p.ia AS s, p.ib AS d FROM sa2_sim p
+      JOIN sa2_surv x ON x.id = p.ia JOIN sa2_surv y ON y.id = p.ib
+      UNION
+      SELECT p.ib, p.ia FROM sa2_sim p
+      JOIN sa2_surv x ON x.id = p.ia JOIN sa2_surv y ON y.id = p.ib
+    ),
+    sa2_reach AS (
+      SELECT s AS id, s AS comp FROM sa2_edges
+      UNION
+      SELECT e2.d, r.comp FROM sa2_reach r JOIN sa2_edges e2 ON e2.s = r.id
+    ),
+    sa2_comps AS (SELECT id, MIN(comp) AS comp FROM sa2_reach GROUP BY id),
+    sa2_adm AS (
+      SELECT s.id, COALESCE(c.comp, s.id) = s.id AS adm
+      FROM sa2_surv s LEFT JOIN sa2_comps c ON c.id = s.id
     )
     SELECT e.vec_id, TRUE AS roundtrip_ok,
            ROUND(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS l2_norm,
@@ -231,7 +283,9 @@ _COS_EB = """CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding:
            e.vec_id NOT IN (SELECT id FROM sd_dropped) AS semdup_kept,
            CAST(p0.code_a AS INTEGER) AS pq_code_a,
            CAST(p1.code_b AS INTEGER) AS pq_code_b,
-           ROUND(list_dot_product(q.q0, ca.c0) + list_dot_product(q.q1, cb.c1), 6) AS pq_adc_sim
+           ROUND(list_dot_product(q.q0, ca.c0) + list_dot_product(q.q1, cb.c1), 6) AS pq_adc_sim,
+           CASE WHEN e.vec_id % 2 = 0 THEN NULL
+                ELSE COALESCE(sa2.adm, FALSE) END AS stream_admit
     FROM embeddings e
     JOIN sd_asg a ON a.vec_id = e.vec_id
     JOIN pq_code0 p0 ON p0.vec_id = e.vec_id
@@ -239,6 +293,7 @@ _COS_EB = """CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding:
     JOIN pq_cb ca ON ca.cid = p0.code_a
     JOIN pq_cb cb ON cb.cid = p1.code_b
     CROSS JOIN pq_q q
+    LEFT JOIN sa2_adm sa2 ON sa2.id = e.vec_id
     """,
 )
 def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,10 +321,25 @@ def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is the real asymmetric lookup (per-subspace LUT, here a
     4-entry literal array) — so the driver value-hashes the encode
     arithmetic and the ADC table-sum against a pure-SQL mirror.  The
-    fitted-codebook path stays recall-tested (tests/test_pq)."""
+    fitted-codebook path stays recall-tested (tests/test_pq).
+
+    ``stream_admit`` (round 8) oracle-gates the EMBEDDING streaming
+    admission decision — `streaming/neardup.
+    StreamingEmbeddingNearDupFilter.admit` (the SRP twin of the SimHash
+    filter gated in doc_adjacent_stats): evens are appended to a fresh
+    TxTable signature index, the odds form the micro-batch, NULL for the
+    indexed evens.  The mirror is the EXACT answer (reject iff any even
+    within round-6dp cosine ≥ 0.5, then min-id-per-component among
+    survivors) — valid because SRP candidate recall is 1.0 at 0.5 on
+    this corpus, the same equivalence embedding_neardup_lsh's oracle
+    rests on; a banding/recall regression fails this gate loudly."""
+    import tempfile
+
     from ..functions import vector as V
+    from ..operators import lsh as lsh_ops
     from ..operators import pq as pq_ops
     from ..operators import semdedup
+    from ..streaming.neardup import StreamingEmbeddingNearDupFilter
 
     emb = load_table(spark, sf_dir, "embeddings")
     rows4 = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
@@ -309,6 +379,25 @@ def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
 
+    filt = StreamingEmbeddingNearDupFilter(
+        spark,
+        tempfile.mkdtemp(prefix="eadmit_gate_") + "/idx",
+        threshold=_ADMIT_T,
+        dim=len(centers[0]),
+        expected_n=emb.count(),
+    )
+    filt.index.append(
+        emb.where(F.col("vec_id") % 2 == 0)
+        .select("vec_id", "embedding")
+        .withColumn("sig", lsh_ops.srp_signature_np("embedding", filt.planes))
+    )
+    adm = filt.admit(emb.where(F.col("vec_id") % 2 == 1)).select(
+        "vec_id", F.lit(True).alias("_eadm")
+    )
+    stream_admit = F.when(
+        F.col("vec_id") % 2 == 0, F.lit(None).cast("boolean")
+    ).otherwise(F.coalesce(F.col("_eadm"), F.lit(False)))
+
     serialized = F.concat(F.lit("["), F.array_join(F.col("embedding").cast("array<string>"), ","), F.lit("]"))
     parsed = F.from_json(serialized, "array<float>")
     return (
@@ -322,6 +411,9 @@ def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(flagged, "vec_id")
         .join(codes, "vec_id")
         .withColumn("pq_adc_sim", adc)
+        .join(adm, "vec_id", "left")
+        .withColumn("stream_admit", stream_admit)
+        .drop("_eadm")
     )
 
 
