@@ -714,7 +714,7 @@ def _corpus_analytics_section(spark, sf_dir: str) -> dict[str, object]:
     # echo what it chose so the crossover heuristic stays auditable
     # (small trigram vocab here → expect "exact", matching the timings
     # above; MG is the web-scale vocabulary-bound regime)
-    extra["hh_auto_route"] = hh.route_top_tokens(docs, capacity=cap, ngram=3)
+    extra["hh_auto_route"] = hh.route_top_tokens(docs, ngram=3)
 
     best = None
     for _ in range(2):
@@ -748,6 +748,102 @@ def _corpus_analytics_section(spark, sf_dir: str) -> dict[str, object]:
     extra["dsir_select500_sec"] = round(best, 3)
     extra["dsir_select500_rows"] = int(n_sel)
     return extra
+
+
+def _tp_stage_section(spark, sf_dir: str) -> dict[str, object]:
+    """Per-stage wall attribution for training_pipeline (r8 verdict #1):
+    the flagship composed query is ~25% of the headline wall, priced as
+    one number until now.  Cumulative-prefix timing, min-of-2: time the
+    DAG truncated after each stage (queries.training_pipeline.STAGE_ORDER
+    — build_prefix shares the registered query's construction, so the
+    prefixes cannot drift from the headline), then difference adjacent
+    prefixes for each stage's marginal cost.  Marginals are clamped at 0:
+    a stage whose filter SHRINKS downstream work can legitimately time
+    below its predecessor (run-to-run noise then shows as 0.0, and the
+    cumulative vector — also emitted — stays the ground truth)."""
+    from psy_supabase_spark.queries import training_pipeline as TP
+
+    cum: dict[str, float] = {}
+    for stage in TP.STAGE_ORDER:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _run(TP.build_prefix(spark, sf_dir, stage))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        cum[stage] = round(best, 3)
+    marginal: dict[str, float] = {}
+    prev = 0.0
+    for stage in TP.STAGE_ORDER:
+        marginal[stage] = round(max(cum[stage] - prev, 0.0), 3)
+        prev = cum[stage]
+    top = max(marginal, key=marginal.get)  # type: ignore[arg-type]
+    return {
+        "tp_stage_cum_secs": cum,
+        "tp_stage_secs": marginal,
+        "tp_stage_top": f"{top}:{marginal[top]}",
+    }
+
+
+def _srp_exact_k_section(spark, sf_dir: str) -> dict[str, object]:
+    """Price the exact-k completion path (r8 verdict #4): srp_topk's
+    brute_fallback checkpoints the ranked LSH answer and re-serves only
+    the under-k queries through the exact KNN join.  Three timings over
+    the same 64-query batch — plain LSH (pre-filter semantics), exact-k
+    completion, and the full brute KNN join — plus the fraction of
+    queries the completion actually re-served, so the premium is
+    attributable: near-0 completed_frac means the checkpoint dominates
+    the delta; high frac means the brute re-serve does."""
+    from pyspark.sql import functions as F
+
+    from psy_supabase_spark.operators import lsh, topk
+    from psy_supabase_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = int(emb.select(F.size("embedding")).head()[0])
+    k = 10
+    queries = emb.where(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    n_queries = queries.count()
+
+    def _srp(fallback: bool):
+        return lsh.srp_topk(
+            emb, queries, k=k, dim=dim, brute_fallback=fallback
+        )
+
+    plain_sec = exact_sec = brute_sec = None
+    for _ in range(2):
+        t0 = time.time()
+        _run(_srp(False))
+        dt = time.time() - t0
+        plain_sec = dt if plain_sec is None else min(plain_sec, dt)
+        t0 = time.time()
+        _run(_srp(True))
+        dt = time.time() - t0
+        exact_sec = dt if exact_sec is None else min(exact_sec, dt)
+        t0 = time.time()
+        join_fn = topk.knn_join_gemm if dim >= 256 else topk.knn_join
+        _run(join_fn(emb, queries, k=k))
+        dt = time.time() - t0
+        brute_sec = dt if brute_sec is None else min(brute_sec, dt)
+    # how many queries did the completion actually re-serve?
+    full = (
+        _srp(False)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= k)
+        .count()
+    )
+    completed = n_queries - full
+    return {
+        "srp_exact_k_sec": round(exact_sec, 3),
+        "srp_exact_k_plain_lsh_sec": round(plain_sec, 3),
+        "srp_exact_k_brute_knn_sec": round(brute_sec, 3),
+        "srp_exact_k_completed_frac": round(completed / max(n_queries, 1), 3),
+        "srp_exact_k_n_queries": int(n_queries),
+    }
 
 
 def main() -> None:
@@ -809,6 +905,20 @@ def main() -> None:
     )
 
     analytics_extra = _corpus_analytics_section(spark, sf_dir)
+
+    # training_pipeline per-stage attribution (SPARK_GRAFT_TP_STAGES=0 to skip)
+    tp_extra = (
+        _tp_stage_section(spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_TP_STAGES", "1") != "0"
+        else {}
+    )
+
+    # exact-k completion pricing (SPARK_GRAFT_SRP_EXACTK=0 to skip)
+    srp_exactk_extra = (
+        _srp_exact_k_section(spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_SRP_EXACTK", "1") != "0"
+        else {}
+    )
 
     # measure (not just name) the cost of default-on hot-id salting on the
     # headline minhash query: same operator, valve off — the delta IS the
@@ -892,6 +1002,8 @@ def main() -> None:
         **dim1536_extra,
         **stream_extra,
         **analytics_extra,
+        **tp_extra,
+        **srp_exactk_extra,
         # r5: minhash/srp pay for default-on hot-id detection
         # (dedup.hot_id_estimate: one narrow job over the banded
         # subtree) after proving default AQE will NOT split the
@@ -926,10 +1038,13 @@ def main() -> None:
         json.dump({**headline, "extra": extra}, f, indent=1, sort_keys=True)
         f.write("\n")
     line = json.dumps(headline)
-    assert len(line) < 1800, (
-        f"stdout bench line is {len(line)} chars — the driver's tail "
-        "window is 2,000; move new keys into the BENCH_EXTRA.json sidecar"
-    )
+    if len(line) >= 1800:
+        # RuntimeError, not assert: this guard exists to make evidence loss
+        # loud and must survive `python -O`.
+        raise RuntimeError(
+            f"stdout bench line is {len(line)} chars — the driver's tail "
+            "window is 2,000; move new keys into the BENCH_EXTRA.json sidecar"
+        )
     print(line)
 
 

@@ -56,6 +56,7 @@ __all__ = [
     "top_tokens_auto",
     "top_tokens_exact",
     "route_top_tokens",
+    "estimate_distinct_units",
     "mg_candidates",
 ]
 
@@ -197,7 +198,6 @@ def route_top_tokens(
     docs: DataFrame,
     *,
     text_col: str = "text",
-    capacity: int = 4096,
     ngram: int = 1,
     sample_docs: int = 2_000,
     mg_min_distinct: float = 5_000_000,
@@ -222,9 +222,27 @@ def route_top_tokens(
     the upper range for natural text — overshooting β only biases
     TOWARD mg, whose failure mode is a priced certificate, never a
     wrong answer)."""
+    est_distinct = estimate_distinct_units(
+        docs, text_col=text_col, ngram=ngram, sample_docs=sample_docs
+    )
+    return "mg" if est_distinct > mg_min_distinct else "exact"
+
+
+def estimate_distinct_units(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    ngram: int = 1,
+    sample_docs: int = 2_000,
+) -> float:
+    """The routing estimate behind :func:`route_top_tokens`, exposed so
+    the crossover experiment (tools/hh_crossover.py) can record the
+    estimate alongside the measured true distinct count: approx distinct
+    units over a bounded ``sample_docs`` slice, Heaps-extrapolated
+    (β=0.7) to the full corpus.  Returns 0.0 for an empty corpus."""
     n_docs = docs.count()
     if n_docs == 0:
-        return "exact"
+        return 0.0
     sample = docs.limit(min(sample_docs, n_docs))
     v_sample = (
         _units_df(sample, text_col, ngram)
@@ -232,8 +250,7 @@ def route_top_tokens(
         .agg(F.approx_count_distinct("token").alias("v"))
         .head()[0]
     )
-    est_distinct = v_sample * (max(n_docs, 1) / max(min(sample_docs, n_docs), 1)) ** 0.7
-    return "mg" if est_distinct > mg_min_distinct else "exact"
+    return v_sample * (max(n_docs, 1) / max(min(sample_docs, n_docs), 1)) ** 0.7
 
 
 def top_tokens_auto(
@@ -255,7 +272,6 @@ def top_tokens_auto(
     route = route_top_tokens(
         docs,
         text_col=text_col,
-        capacity=capacity,
         ngram=ngram,
         mg_min_distinct=mg_min_distinct,
     )

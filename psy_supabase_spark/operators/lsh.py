@@ -389,7 +389,10 @@ def srp_topk(
     # under-k = queries absent from `full` (covers zero-candidate
     # queries, which never reach `ranked` at all)
     under_q = queries.join(F.broadcast(full), query_id, "left_anti")
-    join_fn = topk_ops.knn_join_gemm if (verify_arrow or dim >= 256) else topk_ops.knn_join
+    # verify_arrow was normalized above (None -> dim >= 256); honor the
+    # caller's choice uniformly so brute-completed rows use the same
+    # kernel as the LSH-scored rows in this result.
+    join_fn = topk_ops.knn_join_gemm if verify_arrow else topk_ops.knn_join
     brute = join_fn(
         corpus,
         under_q,

@@ -333,6 +333,7 @@ def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors) — valid because SRP candidate recall is 1.0 at 0.5 on
     this corpus, the same equivalence embedding_neardup_lsh's oracle
     rests on; a banding/recall regression fails this gate loudly."""
+    import shutil
     import tempfile
 
     from ..functions import vector as V
@@ -379,21 +380,27 @@ def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
 
-    filt = StreamingEmbeddingNearDupFilter(
-        spark,
-        tempfile.mkdtemp(prefix="eadmit_gate_") + "/idx",
-        threshold=_ADMIT_T,
-        dim=len(centers[0]),
-        expected_n=emb.count(),
-    )
-    filt.index.append(
-        emb.where(F.col("vec_id") % 2 == 0)
-        .select("vec_id", "embedding")
-        .withColumn("sig", lsh_ops.srp_signature_np("embedding", filt.planes))
-    )
-    adm = filt.admit(emb.where(F.col("vec_id") % 2 == 1)).select(
-        "vec_id", F.lit(True).alias("_eadm")
-    )
+    # admit() localCheckpoints eagerly — remove the temp index tree
+    # immediately so repeated oracle runs don't accumulate temp state.
+    gate_dir = tempfile.mkdtemp(prefix="eadmit_gate_")
+    try:
+        filt = StreamingEmbeddingNearDupFilter(
+            spark,
+            gate_dir + "/idx",
+            threshold=_ADMIT_T,
+            dim=len(centers[0]),
+            expected_n=emb.count(),
+        )
+        filt.index.append(
+            emb.where(F.col("vec_id") % 2 == 0)
+            .select("vec_id", "embedding")
+            .withColumn("sig", lsh_ops.srp_signature_np("embedding", filt.planes))
+        )
+        adm = filt.admit(emb.where(F.col("vec_id") % 2 == 1)).select(
+            "vec_id", F.lit(True).alias("_eadm")
+        )
+    finally:
+        shutil.rmtree(gate_dir, ignore_errors=True)
     stream_admit = F.when(
         F.col("vec_id") % 2 == 0, F.lit(None).cast("boolean")
     ).otherwise(F.coalesce(F.col("_eadm"), F.lit(False)))

@@ -550,11 +550,35 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
     """,
 )
 def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fingerprinting + A2 term-overlap, merged registry slot: md5-based
-    32-bit hash of cleaned text (bit-identical across engines,
-    functions/hashing.md5_hash32) plus |Q∩R|/|Q| over distinct tokens
-    against the NEXT document (reference prompt_selector.py:332-346),
-    NULL for the last doc — every doc keeps a row.
+    """Fingerprinting + A2 term-overlap, merged registry slot.
+
+    TRIAGE MAP (r8 verdict #7) — this slot gates eight operators via
+    column absorption (the 50-slot driver cap); a failing driver hash
+    localizes to exactly one of these columns → operator → pytest oracle:
+
+    ========================  ====================================  ==========================
+    column                    operator                              pytest localizer
+    ========================  ====================================  ==========================
+    fingerprint               functions/hashing.md5_hash32          tests/test_text.py
+    term_overlap              functions/text.term_overlap (A2)      tests/test_text.py
+    template_adherence        operators/textanalysis (T9)           tests/test_text.py
+    n_winnow_fps,
+    winnow_shared_next        operators/winnow                      tests/test_winnow.py
+    n_top20                   operators/heavyhitters.top_tokens     tests/test_heavyhitters.py
+    bm25_fq                   operators/retrieval.bm25_scores       tests/test_retrieval.py
+    keyterm                   operators/retrieval.keyterms_tfidf    tests/test_retrieval.py
+    dsir_logweight            operators/dsir.dsir_logweights        tests/test_dsir.py
+    stream_admit              streaming/neardup.admit               tests/test_streaming_neardup.py
+    ========================  ====================================  ==========================
+
+    Run the localizer first; only if every pytest oracle is green does a
+    hash failure implicate this query's own join/gating glue.
+
+    Base columns: md5-based 32-bit hash of cleaned text (bit-identical
+    across engines, functions/hashing.md5_hash32) plus |Q∩R|/|Q| over
+    distinct tokens against the NEXT document (reference
+    prompt_selector.py:332-346), NULL for the last doc — every doc keeps
+    a row.
 
     ``template_adherence`` is the T9 evidence column (reference
     prompt_selector.py:348-355): the synthetic corpus has no '?' or
@@ -599,6 +623,7 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete, so exact hamming is equivalent), then min-id-per-near-dup-
     component first-occurrence among survivors (recursive-CTE closure,
     the connected_components contract)."""
+    import shutil
     import tempfile
 
     from ..operators import dedup as DD
@@ -657,17 +682,22 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = DS.dsir_logweights(
         docs, docs.where(F.col("doc_id") % 7 == 0), n_buckets=512
     )
-    filt = StreamingNearDupFilter(
-        spark, tempfile.mkdtemp(prefix="admit_gate_") + "/idx"
-    )
-    filt.index.append(
-        DD.simhash(docs.where(F.col("doc_id") % 2 == 0)).select(
-            F.col("id").alias("doc_id"), "simhash"
+    # admit() localCheckpoints eagerly, so the index dir is dead weight
+    # once it returns — clean it up here rather than leaking one temp
+    # tree per driver-gate invocation (3 SFs × every verify run).
+    gate_dir = tempfile.mkdtemp(prefix="admit_gate_")
+    try:
+        filt = StreamingNearDupFilter(spark, gate_dir + "/idx")
+        filt.index.append(
+            DD.simhash(docs.where(F.col("doc_id") % 2 == 0)).select(
+                F.col("id").alias("doc_id"), "simhash"
+            )
         )
-    )
-    adm = filt.admit(docs.where(F.col("doc_id") % 2 == 1)).select(
-        "doc_id", F.lit(True).alias("_adm")
-    )
+        adm = filt.admit(docs.where(F.col("doc_id") % 2 == 1)).select(
+            "doc_id", F.lit(True).alias("_adm")
+        )
+    finally:
+        shutil.rmtree(gate_dir, ignore_errors=True)
     stream_admit = F.when(
         F.col("doc_id") % 2 == 0, F.lit(None).cast("boolean")
     ).otherwise(F.coalesce(F.col("_adm"), F.lit(False)))

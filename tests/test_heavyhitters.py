@@ -50,13 +50,13 @@ def test_auto_route_picks_and_matches_exact(spark):
     docs = load_table(spark, SF, "documents")
     # unigrams over the ~31-word synthetic vocab: tiny distinct count →
     # the crossover must choose the single-scan plan
-    assert hh.route_top_tokens(docs, capacity=4096, ngram=1) == "exact"
+    assert hh.route_top_tokens(docs, ngram=1) == "exact"
     got, route = hh.top_tokens_auto(docs, 20)
     assert route == "exact"
     assert _rows(got) == _rows(hh.top_tokens_exact(docs, 20))
     # forcing the spill threshold under the ~16k-distinct trigram space
     # exercises the mg branch, and auto_grow (1k→4k→16k) still certifies
-    assert hh.route_top_tokens(docs, capacity=1024, ngram=3, mg_min_distinct=1e3) == "mg"
+    assert hh.route_top_tokens(docs, ngram=3, mg_min_distinct=1e3) == "mg"
     got_mg, route_mg = hh.top_tokens_auto(
         docs, 5, capacity=1024, ngram=3, mg_min_distinct=1e3
     )

@@ -246,10 +246,12 @@ def main() -> None:
         "extra_file": "SCALE_STEP_EXTRA.json",
     }
     line = json.dumps(headline)
-    assert len(line) < 1800, (
-        f"scale-step stdout line is {len(line)} chars — move keys into "
-        "the SCALE_STEP_EXTRA.json sidecar"
-    )
+    if len(line) >= 1800:
+        # RuntimeError, not assert: must survive `python -O`.
+        raise RuntimeError(
+            f"scale-step stdout line is {len(line)} chars — move keys into "
+            "the SCALE_STEP_EXTRA.json sidecar"
+        )
     print(line)
 
 

@@ -8,6 +8,22 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== 0/4 driver-sidecar hygiene =="
+# Round-opening convention (r8 verdict, missing #4): the driver writes
+# BENCH_r{N}.json / CORRECTNESS_r{N}.json / VERDICT.md / ADVICE.md AFTER
+# the builder's last commit of round N, so round N+1 must land them as
+# its first commit.  This step makes the omission loud: it fails when any
+# driver evidence file is untracked or modified in the working tree.
+if git status --porcelain -- 'BENCH_r*.json' 'CORRECTNESS_r*.json' \
+     'VERDICT.md' 'ADVICE.md' | grep -q .; then
+  echo "ERROR: uncommitted driver evidence files:" >&2
+  git status --porcelain -- 'BENCH_r*.json' 'CORRECTNESS_r*.json' \
+    'VERDICT.md' 'ADVICE.md' >&2
+  echo "Commit the previous round's sidecars first (e.g. 'round N: verdict/advice/correctness/bench')." >&2
+  exit 1
+fi
+echo "sidecars clean"
+
 echo "== 1/4 oracle gate (sf0.01) =="
 python tools/oracle_check.py /root/testdata/sf0.01
 
@@ -29,3 +45,9 @@ assert n >= 0
 print(f"entry ok: {n} rows, schema [{', '.join(c for c, _ in df.dtypes)}]")
 PY
 echo "ALL GREEN"
+# bench/scale-step rewrite their telemetry sidecars each run — they are
+# part of the round's evidence contract, so flag them if left dirty.
+if git status --porcelain -- 'BENCH_EXTRA.json' 'SCALE_STEP_EXTRA.json' | grep -q .; then
+  echo "NOTE: refreshed telemetry sidecars pending commit:"
+  git status --porcelain -- 'BENCH_EXTRA.json' 'SCALE_STEP_EXTRA.json'
+fi
