@@ -932,6 +932,27 @@ def main() -> None:
         unsalted = dt if unsalted is None else min(unsalted, dt)
     salt_overhead = round(timings["dedup_minhash_lsh"] - unsalted, 3)
 
+    # r8 verdict watch (#6): embedding_neardup_lsh's calib-relative ratio
+    # crossed 10.0 in r8 with no code change on its path.  Attribute by
+    # pricing both exact-verify routes of the SAME operator explicitly:
+    # "broadcast" (ship the corpus matrix once, score bare id-pairs in
+    # place — what auto picks at bench scale) vs "join" (shuffle-attach
+    # payloads + int8 coarse pre-drop — the 100 TB shape).  Whichever
+    # moved carries the regression; neither moving names the calibration
+    # workload itself as the denominator drift.
+    from psy_supabase_spark.operators import lsh as _lsh
+
+    emb_nd = load_table(spark, sf_dir, "embeddings")
+    nd_route_secs = {}
+    for route in ("broadcast", "join"):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _run(_lsh.srp_neardup_pairs(emb_nd, 0.5, verify_route=route))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        nd_route_secs[route] = round(best, 3)
+
     # same treatment for text_profile's r5 growth: the headline query
     # absorbed the Gopher/C4 gates + Arrow repetition signals; measure
     # the profile without the gate columns so the absorbed-evidence cost
@@ -1015,6 +1036,8 @@ def main() -> None:
         "hot_id_detection": "default_on_estimated",
         "minhash_unsalted_sec": round(unsalted, 3),
         "minhash_salt_overhead_sec": salt_overhead,
+        "embedding_neardup_route_broadcast_sec": nd_route_secs["broadcast"],
+        "embedding_neardup_route_join_sec": nd_route_secs["join"],
         "text_profile_gates_overhead_sec": gates_overhead,
     }
 

@@ -213,8 +213,18 @@ def ngram_jaccard_pairs(
     sizes = gram_sizes(grams)
     inv = grams
     if df_cap is not None:
-        freq = grams.groupBy("gram").agg(F.count("*").alias("_df")).where(F.col("_df") <= df_cap)
-        inv = grams.join(freq.select("gram"), "gram")
+        # window count, not aggregate+semi-join (the cap_buckets lesson,
+        # r9: this stage is training_pipeline's top marginal cost): the
+        # window's (gram) exchange is the exact partitioning the candidate
+        # self-join needs, so both join sides read ONE ReusedExchange of
+        # this subtree instead of paying a separate aggregate shuffle
+        # branch plus the gram re-join.
+        w = Window.partitionBy("gram")
+        inv = (
+            grams.withColumn("_df", F.count("*").over(w))
+            .where(F.col("_df") <= df_cap)
+            .drop("_df")
+        )
     a = inv.select(F.col("id").alias("id_a"), "gram")
     b = inv.select(F.col("id").alias("id_b"), "gram")
     cand_grams = a.join(b, "gram").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "gram")
