@@ -155,6 +155,18 @@ def with_boosted_topic(
     )
 
 
+def entity_extractor():
+    """T4 dispatcher: callable ``col -> Column``.  PSY_REAL_MODELS=1 →
+    the spaCy NER pandas UDF (NotImplementedError if spaCy is missing —
+    an enabled flag must never silently degrade); else the deterministic
+    native stub `extract_entities`.  Both produce ``array<string>``."""
+    import os
+
+    if os.environ.get("PSY_REAL_MODELS") == "1":
+        return spacy_ner_udf()
+    return extract_entities
+
+
 def spacy_ner_udf():  # pragma: no cover - spaCy not in this container
     """The real-model contract twin (reference prompt_selector.py:91-97):
     an Arrow-batched pandas UDF ``text -> array<string>`` running spaCy NER

@@ -17,6 +17,7 @@ templating path offline.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -26,6 +27,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EMBED_DIM_DEFAULT = 64
+
+# Real-model opt-in (r8 verdict, stretch #8): PSY_REAL_MODELS=1 routes
+# the M1/M3 (and ner.entity_extractor T4) dispatchers to the
+# torch/spaCy-backed twins so a container WITH the deps runs full
+# fidelity with zero code changes; anything else (including unset) keeps
+# the deterministic tested stubs.  CI stays on stubs by construction.
+REAL_MODELS_FLAG = "PSY_REAL_MODELS"
+
+
+def real_models_enabled() -> bool:
+    return os.environ.get(REAL_MODELS_FLAG) == "1"
 
 
 def _seed_for(text: str) -> int:
@@ -85,6 +97,66 @@ def real_embedding_udf(model_name: str = "microsoft/phi-1_5", dim: int = 2048):
                 yield pd.Series([v.tolist() for v in pooled])
 
     return embed
+
+
+def embedding_udf(dim: int = EMBED_DIM_DEFAULT, model_name: str = "microsoft/phi-1_5"):
+    """M1 dispatcher: the torch mean-pooled path under PSY_REAL_MODELS=1
+    (raises ImportError loudly if the deps are missing — an enabled flag
+    must never silently degrade to the stub), else the deterministic
+    hash stub.  Both branches return a pandas UDF with the identical
+    ``text -> array<float>`` contract."""
+    if real_models_enabled():
+        return real_embedding_udf(model_name=model_name, dim=dim)
+    return hash_embedding_udf(dim)
+
+
+def real_toxicity_udf(
+    model_name: str = "facebook/roberta-hate-speech-dynabench-r4-target",
+):
+    """M3 real path (gated): the reference's RoBERTa hate-speech
+    classifier (text_generator.py:76-89 model load, :270-295 scoring —
+    softmax class-1 probability, same model id) as an iterator pandas
+    UDF with an executor-singleton model.  Requires torch+transformers,
+    absent from this container; `toxicity_score` is the tested
+    deterministic twin with the same ``text -> double`` contract."""
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+    except ImportError as e:  # pragma: no cover - torch absent by design
+        raise ImportError(
+            "real_toxicity_udf needs torch+transformers; use "
+            "toxicity_score (identical contract) in this environment"
+        ) from e
+
+    @F.pandas_udf("double")
+    def tox(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:  # pragma: no cover
+        from transformers import AutoModelForSequenceClassification, AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_name)  # executor singleton
+        model = AutoModelForSequenceClassification.from_pretrained(model_name).eval()
+        with torch.no_grad():
+            for series in batches:
+                enc = tok(
+                    list(series.fillna("")),
+                    truncation=True,
+                    max_length=512,
+                    padding=True,
+                    return_tensors="pt",
+                )
+                probs = torch.softmax(model(**enc).logits, dim=-1)[:, 1]
+                yield pd.Series(probs.tolist())
+
+    return tox
+
+
+def toxicity_scorer():
+    """M3 dispatcher: callable ``col -> Column``.  PSY_REAL_MODELS=1 →
+    the RoBERTa pandas UDF (ImportError if deps missing — never a silent
+    stub fallback); else the native md5-hash pseudo-probability, which
+    stays codegen'd and SQL-mirrorable."""
+    if real_models_enabled():
+        return real_toxicity_udf()
+    return toxicity_score
 
 
 def toxicity_score(col: Column | str) -> Column:

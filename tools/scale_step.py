@@ -49,6 +49,14 @@ MODES_PER_X = 1_000
 WIDE_PER_X = 10_000  # dim-1536 serving-tier corpus per factor
 WIDE_MODES_PER_X = 1_000
 
+# Family selection (r8 verdict, next-round #3: extend the shuffle-heavy
+# families to 30× without paying for the whole matrix again):
+# SPARK_GRAFT_FAMILIES=docs,srp,ivf,wide,analytics — default all.
+ALL_FAMILIES = ("docs", "srp", "ivf", "wide", "analytics")
+FAMILIES = frozenset(
+    os.environ.get("SPARK_GRAFT_FAMILIES", ",".join(ALL_FAMILIES)).split(",")
+)
+
 
 def _persist(df, name: str):
     path = os.path.join(tempfile.mkdtemp(prefix=f"scale_{name}_"), name)
@@ -62,143 +70,162 @@ def main() -> None:
     base_docs = load_table(spark, SF_DIR, "documents")
     out: dict[str, dict] = {}
 
+    need_docs = not FAMILIES.isdisjoint({"docs", "analytics"})
+    need_emb = not FAMILIES.isdisjoint({"srp", "ivf"})
     for fx in factors:
-        docs = spark.read.parquet(_persist(scaled_documents(base_docs, fx), f"docs{fx}"))
-        emb = spark.read.parquet(
-            _persist(
-                synthetic_embeddings(
-                    spark, EMB_PER_X * fx, 64, n_modes=MODES_PER_X * fx, seed=64
-                ),
-                f"emb{fx}",
+        docs = (
+            spark.read.parquet(_persist(scaled_documents(base_docs, fx), f"docs{fx}"))
+            if need_docs
+            else None
+        )
+        emb = (
+            spark.read.parquet(
+                _persist(
+                    synthetic_embeddings(
+                        spark, EMB_PER_X * fx, 64, n_modes=MODES_PER_X * fx, seed=64
+                    ),
+                    f"emb{fx}",
+                )
             )
+            if need_emb
+            else None
         )
-        n_docs, n_emb = docs.count(), emb.count()
 
-        fam: dict[str, float] = {"n_docs": n_docs, "n_emb": n_emb}
+        fam: dict[str, float] = {}
+        if docs is not None:
+            fam["n_docs"] = docs.count()
+        if emb is not None:
+            fam["n_emb"] = emb.count()
+        n_emb = fam.get("n_emb", 0)
 
-        t0 = time.time()
-        fam["exact_dedup_groups"] = dedup.exact_dedup(docs, hash_first=True).count()
-        fam["exact_dedup_sec"] = round(time.time() - t0, 2)
+        if "docs" in FAMILIES:
+            t0 = time.time()
+            fam["exact_dedup_groups"] = dedup.exact_dedup(docs, hash_first=True).count()
+            fam["exact_dedup_sec"] = round(time.time() - t0, 2)
 
-        t0 = time.time()
-        fam["minhash_pairs"] = dedup.minhash_lsh_pairs(docs, 0.5).count()
-        fam["minhash_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            fam["minhash_pairs"] = dedup.minhash_lsh_pairs(docs, 0.5).count()
+            fam["minhash_sec"] = round(time.time() - t0, 2)
 
-        t0 = time.time()
-        fam["simhash_pairs"] = dedup.simhash_neardup_pairs(docs, 3).count()
-        fam["simhash_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            fam["simhash_pairs"] = dedup.simhash_neardup_pairs(docs, 3).count()
+            fam["simhash_sec"] = round(time.time() - t0, 2)
 
-        # banding scaled with N (lsh.suggest_banding): the dim-64 default
-        # (3-bit bands) is quadratic in corpus size — 1.25G candidate
-        # pairs at 10×; scaled bits keep candidates ~linear
-        n_planes, bands = lsh.suggest_banding(n_emb, 0.9)
-        t0 = time.time()
-        fam["srp_pairs"] = lsh.srp_neardup_pairs(
-            emb, 0.9, n_planes=n_planes, bands=bands
-        ).count()
-        fam["srp_sec"] = round(time.time() - t0, 2)
-        fam["srp_banding"] = f"{n_planes}p/{bands}b"
+        if "srp" in FAMILIES:
+            # banding scaled with N (lsh.suggest_banding): the dim-64 default
+            # (3-bit bands) is quadratic in corpus size — 1.25G candidate
+            # pairs at 10×; scaled bits keep candidates ~linear
+            n_planes, bands = lsh.suggest_banding(n_emb, 0.9)
+            t0 = time.time()
+            fam["srp_pairs"] = lsh.srp_neardup_pairs(
+                emb, 0.9, n_planes=n_planes, bands=bands
+            ).count()
+            fam["srp_sec"] = round(time.time() - t0, 2)
+            fam["srp_banding"] = f"{n_planes}p/{bands}b"
 
-        t0 = time.time()
-        index = ivf.build_ivf(emb, n_lists=None)  # auto √N rule
-        index.assigned = index.assigned.cache()
-        index.assigned.count()
-        fam["ivf_lists"] = len(index.centers)
-        fam["ivf_build_sec"] = round(time.time() - t0, 2)
-        queries = emb.where(F.col("vec_id") < 100).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_embedding"),
-        )
-        t0 = time.time()
-        ivf.ivf_search_batch(index, queries, k=10, nprobe=4).write.mode(
-            "overwrite"
-        ).format("noop").save()
-        fam["ivf_batch100_sec"] = round(time.time() - t0, 2)
-        index.assigned.unpersist()
-
-        # WIDE-DIM serving tiers at the reference's real width (r6 verdict
-        # #5: the serving ladder's scaling curve was extrapolated from a
-        # single 1× point) — GEMM-routed IVF batch, PQ ADC, and IVF-PQ
-        # over a dim-1536 clustered corpus growing with the same factor.
-        wemb = spark.read.parquet(
-            _persist(
-                synthetic_embeddings(
-                    spark, WIDE_PER_X * fx, 1536, n_modes=WIDE_MODES_PER_X * fx, seed=96
-                ),
-                f"wemb{fx}",
+        if "ivf" in FAMILIES:
+            t0 = time.time()
+            index = ivf.build_ivf(emb, n_lists=None)  # auto √N rule
+            index.assigned = index.assigned.cache()
+            index.assigned.count()
+            fam["ivf_lists"] = len(index.centers)
+            fam["ivf_build_sec"] = round(time.time() - t0, 2)
+            queries = emb.where(F.col("vec_id") < 100).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_embedding"),
             )
-        )
-        fam["n_wide"] = wemb.count()
-        t0 = time.time()
-        widx = ivf.build_ivf(wemb, n_lists=None)  # auto √N rule
-        widx.assigned = widx.assigned.cache()
-        widx.assigned.count()
-        fam["wide_ivf_lists"] = len(widx.centers)
-        fam["wide_ivf_build_sec"] = round(time.time() - t0, 2)
-        wqueries = wemb.where(F.col("vec_id") < 100).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_embedding"),
-        )
-        t0 = time.time()
-        ivf.ivf_search_batch_gemm(widx, wqueries, k=10, nprobe=4).write.mode(
-            "overwrite"
-        ).format("noop").save()
-        fam["wide_gemm_batch100_sec"] = round(time.time() - t0, 2)
-        t0 = time.time()
-        books = pq.pq_fit(wemb, m=16, fit_sample_cap=5_000)
-        enc = pq.pq_encode(widx.assigned, books, passthrough=["centroid_id"]).cache()
-        enc.count()
-        fam["wide_pq_build_sec"] = round(time.time() - t0, 2)
-        t0 = time.time()
-        pq.pq_search_batch(enc, wqueries, books, wemb, k=10, rescore_factor=8).write.mode(
-            "overwrite"
-        ).format("noop").save()
-        fam["wide_pq_batch100_sec"] = round(time.time() - t0, 2)
-        t0 = time.time()
-        pq.ivf_pq_search_batch(
-            widx, enc, wqueries, books, k=10, nprobe=4, rescore_factor=8
-        ).write.mode("overwrite").format("noop").save()
-        fam["wide_ivfpq_batch100_sec"] = round(time.time() - t0, 2)
-        enc.unpersist()
-        widx.assigned.unpersist()
+            t0 = time.time()
+            ivf.ivf_search_batch(index, queries, k=10, nprobe=4).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            fam["ivf_batch100_sec"] = round(time.time() - t0, 2)
+            index.assigned.unpersist()
 
-        # corpus-analytics family (r7): trigram heavy hitters (MG pass
-        # shuffle stays capacity·P-bounded while the declarative twin's
-        # shuffle grows with the distinct-trigram count) and DSIR
-        # selection (feature shuffle linear in tokens, fits bounded)
-        from psy_supabase_spark.operators import dsir, heavyhitters as hh
+        if "wide" in FAMILIES:
+            # WIDE-DIM serving tiers at the reference's real width (r6 verdict
+            # #5: the serving ladder's scaling curve was extrapolated from a
+            # single 1× point) — GEMM-routed IVF batch, PQ ADC, and IVF-PQ
+            # over a dim-1536 clustered corpus growing with the same factor.
+            wemb = spark.read.parquet(
+                _persist(
+                    synthetic_embeddings(
+                        spark, WIDE_PER_X * fx, 1536, n_modes=WIDE_MODES_PER_X * fx, seed=96
+                    ),
+                    f"wemb{fx}",
+                )
+            )
+            fam["n_wide"] = wemb.count()
+            t0 = time.time()
+            widx = ivf.build_ivf(wemb, n_lists=None)  # auto √N rule
+            widx.assigned = widx.assigned.cache()
+            widx.assigned.count()
+            fam["wide_ivf_lists"] = len(widx.centers)
+            fam["wide_ivf_build_sec"] = round(time.time() - t0, 2)
+            wqueries = wemb.where(F.col("vec_id") < 100).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_embedding"),
+            )
+            t0 = time.time()
+            ivf.ivf_search_batch_gemm(widx, wqueries, k=10, nprobe=4).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            fam["wide_gemm_batch100_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            books = pq.pq_fit(wemb, m=16, fit_sample_cap=5_000)
+            enc = pq.pq_encode(widx.assigned, books, passthrough=["centroid_id"]).cache()
+            enc.count()
+            fam["wide_pq_build_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            pq.pq_search_batch(enc, wqueries, books, wemb, k=10, rescore_factor=8).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            fam["wide_pq_batch100_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            pq.ivf_pq_search_batch(
+                widx, enc, wqueries, books, k=10, nprobe=4, rescore_factor=8
+            ).write.mode("overwrite").format("noop").save()
+            fam["wide_ivfpq_batch100_sec"] = round(time.time() - t0, 2)
+            enc.unpersist()
+            widx.assigned.unpersist()
 
-        # BOUNDED retries (r8: the unbounded `while True` never
-        # terminated at x10 — the Caesar-rotated corpus multiplies the
-        # distinct-trigram count ~linearly with the factor, and on a
-        # near-uniform stream raising capacity only GROWS the merged
-        # candidate list, so the default max_candidates=200k raise
-        # recurred forever).  max_candidates is lifted to 2M for this
-        # measurement (a few tens of MB of driver rows — the tool prices
-        # the capacity·P-bounded SHUFFLE, which is unaffected), and a
-        # certify failure after 3 growths records -1 instead of hanging
-        # the artifact.
-        cap = 16_384
-        fam["hh_trigram_mg_sec"] = -1.0
-        for _ in range(3):
-            try:
-                t0 = time.time()
-                hh.top_tokens(
-                    docs, 50, capacity=cap, ngram=3, max_candidates=2_000_000
-                ).count()
-                fam["hh_trigram_mg_sec"] = round(time.time() - t0, 2)
-                break
-            except ValueError:
-                cap *= 4
-        fam["hh_trigram_capacity"] = cap
-        t0 = time.time()
-        hh.top_tokens_exact(docs, 50, ngram=3).count()
-        fam["hh_trigram_exact_sec"] = round(time.time() - t0, 2)
+        if "analytics" in FAMILIES:
+            # corpus-analytics family (r7): trigram heavy hitters (MG pass
+            # shuffle stays capacity·P-bounded while the declarative twin's
+            # shuffle grows with the distinct-trigram count) and DSIR
+            # selection (feature shuffle linear in tokens, fits bounded)
+            from psy_supabase_spark.operators import dsir, heavyhitters as hh
 
-        target = docs.where(F.col("doc_id") % 5 == 0)
-        t0 = time.time()
-        dsir.dsir_select(docs, target, 500).count()
-        fam["dsir_select_sec"] = round(time.time() - t0, 2)
+            # BOUNDED retries (r8: the unbounded `while True` never
+            # terminated at x10 — the Caesar-rotated corpus multiplies the
+            # distinct-trigram count ~linearly with the factor, and on a
+            # near-uniform stream raising capacity only GROWS the merged
+            # candidate list, so the default max_candidates=200k raise
+            # recurred forever).  max_candidates is lifted to 2M for this
+            # measurement (a few tens of MB of driver rows — the tool prices
+            # the capacity·P-bounded SHUFFLE, which is unaffected), and a
+            # certify failure after 3 growths records -1 instead of hanging
+            # the artifact.
+            cap = 16_384
+            fam["hh_trigram_mg_sec"] = -1.0
+            for _ in range(3):
+                try:
+                    t0 = time.time()
+                    hh.top_tokens(
+                        docs, 50, capacity=cap, ngram=3, max_candidates=2_000_000
+                    ).count()
+                    fam["hh_trigram_mg_sec"] = round(time.time() - t0, 2)
+                    break
+                except ValueError:
+                    cap *= 4
+            fam["hh_trigram_capacity"] = cap
+            t0 = time.time()
+            hh.top_tokens_exact(docs, 50, ngram=3).count()
+            fam["hh_trigram_exact_sec"] = round(time.time() - t0, 2)
+
+            target = docs.where(F.col("doc_id") % 5 == 0)
+            t0 = time.time()
+            dsir.dsir_select(docs, target, 500).count()
+            fam["dsir_select_sec"] = round(time.time() - t0, 2)
 
         out[f"x{fx}"] = fam
         print(f"-- x{fx}: {json.dumps(fam)}", file=sys.stderr)
@@ -236,8 +263,25 @@ def main() -> None:
     # the budget, and write the full per-factor walls to a sidecar.
     full = {"sf_dir": SF_DIR, "factors": factors, **out}
     extra_file = Path(__file__).resolve().parent.parent / "SCALE_STEP_EXTRA.json"
+    # DEEP-MERGE into the existing sidecar rather than overwrite: a
+    # families-restricted run (SPARK_GRAFT_FAMILIES=docs,srp at 30×) must
+    # extend the recorded matrix, not clobber the full-matrix factors or
+    # sibling experiments (hh_crossover) recorded by other tools.
+    existing: dict = {}
+    if extra_file.exists():
+        try:
+            existing = json.loads(extra_file.read_text())
+        except ValueError:
+            existing = {}
+    for k, v in full.items():
+        if k == "factors":
+            existing[k] = sorted(set(existing.get(k, [])) | set(v))
+        elif isinstance(v, dict) and isinstance(existing.get(k), dict):
+            existing[k].update(v)
+        else:
+            existing[k] = v
     with open(extra_file, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
+        json.dump(existing, f, indent=1, sort_keys=True)
         f.write("\n")
     headline = {
         "sf_dir": SF_DIR,
