@@ -38,6 +38,15 @@ per task and a k·P-bounded shuffle; pass 2 shuffles ≤ |candidates|
 keys.  Driver memory holds only the candidate list (≤ ~4k·slack ids).
 No reference analog (psy-supabase has no corpus analytics); this is the
 training-pipeline extension surface.
+
+STATUS (r9): the two-pass scheme is a MEMORY-BOUNDED FALLBACK, not the
+default route — measured from both sides of the old routing threshold
+(tools/hh_crossover.py, V = 1M/5M/10M distinct by construction), the
+declarative exact plan won every rung by ~1.5× with no spill knee, so
+``top_tokens_auto`` now always picks exact unless the caller opts into
+MG with a finite ``mg_min_distinct``.  MG's value is its O(capacity)
+state / capacity·P shuffle GUARANTEE where the exact aggregate's memory
+would be the binding constraint, not wall-clock.
 """
 
 from __future__ import annotations
@@ -200,28 +209,37 @@ def route_top_tokens(
     text_col: str = "text",
     ngram: int = 1,
     sample_docs: int = 2_000,
-    mg_min_distinct: float = 5_000_000,
+    mg_min_distinct: float = float("inf"),
 ) -> str:
-    """Pick "mg" or "exact" for :func:`top_tokens_auto` — the measured
-    crossover (r7 verdict #5): MG costs two full tokenize scans + a
-    certificate against the naive plan's one, and only wins when the
-    naive plan's hash aggregate is VOCABULARY-bound — distinct units
-    large enough that the per-partition maps spill and the shuffle
-    carries distinct·P rows.  Measured (SCALE_STEP r8, 32 partitions,
-    128 GiB box): exact WINS at every in-memory size — 4.2 s vs 6.4 s
-    at ~160k distinct trigrams (sf0.1), 42 s vs 60 s at ~500k distinct
-    (10×) — because two scans cost more than a fitting aggregate, so
-    the threshold is ABSOLUTE distinct count (the spill regime), not a
-    multiple of ``capacity``.  The 5M default sits 10× beyond the
-    largest measured exact-win; both routes return exact answers, so a
-    miss here costs time, never correctness.
+    """Pick "mg" or "exact" for :func:`top_tokens_auto`.
+
+    MG IS DEMOTED BY DEFAULT (r8 verdict, measured r9 from BOTH sides of
+    the old 5M threshold — tools/hh_crossover.py, recorded in
+    SCALE_STEP_EXTRA.json ``hh_crossover``): on corpora whose
+    distinct-unigram count was dialed by construction to 1M / 5M / 10M
+    (hot head + unique tail, MG certificate holding at capacity 4096
+    throughout), the declarative exact plan won every rung — 3.8 vs
+    8.2 s, 16.8 vs 25.7 s, 33.0 vs 49.4 s — including 2× PAST the old
+    threshold.  The exact plan's hash aggregate scaled linearly with V
+    with no spill knee on a 128 GiB / 32-thread box, so MG's two-scan
+    premium (~1.5×) is structural here, and the default
+    ``mg_min_distinct`` is +inf: the route always picks exact.
+
+    MG remains available as an explicitly-requested MEMORY-BOUNDED
+    fallback (pass a finite ``mg_min_distinct``, or call
+    :func:`top_tokens` directly) for deployments where the binding
+    constraint is executor memory, not time: its per-task state is
+    O(capacity) and its shuffle ≤ capacity·partitions regardless of V,
+    a guarantee the exact plan cannot make when billions of distinct
+    grams exceed what the aggregate can spill through.  Both routes
+    return exact answers, so routing is never a correctness decision.
 
     Estimate: approx_count_distinct over the exploded units of a
     ``sample_docs``-row slice (one bounded scan — never the full
-    corpus), extrapolated by Heaps' law V(N) ≈ V(n)·(N/n)^0.7 (β=0.7,
-    the upper range for natural text — overshooting β only biases
-    TOWARD mg, whose failure mode is a priced certificate, never a
-    wrong answer)."""
+    corpus), extrapolated by Heaps' law V(N) ≈ V(n)·(N/n)^0.7.  The r9
+    measurement also showed this UNDERSHOOTS on linear-vocab corpora
+    (est 2.5M at true 10M) — another reason a finite threshold must be
+    chosen deliberately, per-deployment, not defaulted."""
     est_distinct = estimate_distinct_units(
         docs, text_col=text_col, ngram=ngram, sample_docs=sample_docs
     )
@@ -261,14 +279,15 @@ def top_tokens_auto(
     capacity: int = 4096,
     max_candidates: int = 200_000,
     ngram: int = 1,
-    mg_min_distinct: float = 5_000_000,
+    mg_min_distinct: float = float("inf"),
 ) -> tuple[DataFrame, str]:
-    """(result, route): EXACT top-k via whichever of the two plans is
-    cheaper for this corpus per :func:`route_top_tokens` — small-vocab
-    corpora take the single-scan declarative plan instead of silently
-    paying MG's two-scan premium; vocabulary-bound corpora take MG with
-    ``auto_grow`` (its certificate retries are exactly the regime where
-    the naive shuffle would spill anyway)."""
+    """(result, route): EXACT top-k via the route picked by
+    :func:`route_top_tokens` — which, since the r9 both-sides crossover
+    measurement (see its docstring), defaults to the single-scan
+    declarative plan ALWAYS.  Pass a finite ``mg_min_distinct`` to
+    re-enable MG as a memory-bounded fallback for corpora whose
+    distinct-unit count would blow the exact plan's hash aggregate;
+    that path runs with ``auto_grow`` certificate retries."""
     route = route_top_tokens(
         docs,
         text_col=text_col,
