@@ -87,18 +87,27 @@ def scaled_documents(docs: DataFrame, factor: int, *, id_stride: int = 10_000_00
 
     lower = "abcdefghijklmnopqrstuvwxyz"
     upper = lower.upper()
-    if factor > 26:
-        # rotations cycle mod 25: copy k and copy k+25 would share a
-        # rotation and become verbatim cross-copy duplicates — exactly the
-        # pair explosion this construction exists to avoid
-        raise ValueError("scaled_documents: factor > 26 would repeat rotations")
+    # Per-copy bijection = affine cipher x -> (a·x + b) mod 26 with a
+    # coprime to 26: 12 multipliers × 26 shifts = 312 distinct letter
+    # bijections (Caesar rotations are the a=1 subset, which capped the
+    # old construction at 26 copies — r9 needed 30× for the shuffle-heavy
+    # dedup families).  Copy k gets (a, b) = (COPRIMES[k // 26], k % 26),
+    # injective in k, identity only at k=0 — so no two copies share a
+    # bijection and cross-copy text never collapses to verbatim dups.
+    coprimes = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+    if factor > len(coprimes) * 26:
+        raise ValueError(
+            f"scaled_documents: factor > {len(coprimes) * 26} would repeat bijections"
+        )
     copies = []
     for k in range(factor):
         c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * id_stride))
         if k > 0:
-            rot = k % 25 + 1  # never the identity rotation
-            rl = lower[rot:] + lower[:rot]
-            ru = upper[rot:] + upper[:rot]
-            c = c.withColumn("text", F.translate(F.col("text"), lower + upper, rl + ru))
+            a, b = coprimes[k // 26], k % 26
+            mapped = "".join(lower[(a * i + b) % 26] for i in range(26))
+            c = c.withColumn(
+                "text",
+                F.translate(F.col("text"), lower + upper, mapped + mapped.upper()),
+            )
         copies.append(c)
     return reduce(lambda a, b: a.unionByName(b), copies)

@@ -347,8 +347,13 @@ def test_scaled_documents_factor_guard(spark):
     import pytest as _pytest
 
     docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
-    with _pytest.raises(ValueError, match="rotations"):
-        scaled_documents(docs, 27)
+    # affine-cipher construction (r9): 12 coprime multipliers x 26 shifts
+    with _pytest.raises(ValueError, match="bijections"):
+        scaled_documents(docs, 313)
+    # 27 is now legal (the old Caesar-only cap was 26) - distinct text
+    a27 = scaled_documents(docs, 28)
+    texts = [r.text for r in a27.collect()]
+    assert len(set(texts)) == len(texts)
 
 
 def test_suggest_banding_invariants():
