@@ -88,3 +88,28 @@ def test_facade_corpus_pipeline(spark, tmp_path):
         .count()
     )
     assert over == 0
+
+
+def test_training_pipeline_prefix_contract(spark):
+    """build_prefix (the r9 per-stage attribution surface) must stay
+    glued to the registered query: the final cut IS training_pipeline,
+    every prefix is runnable, and the doc_id set shrinks monotonically
+    through the filtering stages (joins that only ADD columns keep it)."""
+    from psy_supabase_spark.queries import training_pipeline as TP
+
+    ids_by_stage = []
+    for stage in TP.STAGE_ORDER:
+        df = TP.build_prefix(spark, SF, stage)
+        ids_by_stage.append({r[0] for r in df.select("doc_id").collect()})
+    for prev, nxt in zip(ids_by_stage, ids_by_stage[1:]):
+        assert nxt <= prev
+    # column-adding stages preserve the id set exactly
+    names = TP.STAGE_ORDER
+    frozen = {"lm_score", "span_dedup", "reshape"}
+    for i, stage in enumerate(names[1:], 1):
+        if stage in frozen:
+            assert ids_by_stage[i] == ids_by_stage[i - 1], stage
+    # the registered query is literally the last prefix
+    full = TP.training_pipeline(spark, SF)
+    assert {r[0] for r in full.select("doc_id").collect()} == ids_by_stage[-1]
+    assert full.columns == TP.build_prefix(spark, SF, "reshape").columns
