@@ -944,11 +944,17 @@ def main() -> None:
 
     emb_nd = load_table(spark, sf_dir, "embeddings")
     nd_route_secs = {}
-    for route in ("broadcast", "join"):
+    # at the testdata's dim 64 "auto" always resolves to "join" (the
+    # broadcast route requires the Arrow kernel, gated to wide dims so
+    # the oracle-pinned expression fold stays the narrow-dim spelling) —
+    # so "join" here IS the headline's route, re-timed in isolation, and
+    # "broadcast" is priced with verify_arrow=True as the alternative
+    # (last-ulp rounding may differ; timing attribution only).
+    for route, kw in (("join", {}), ("broadcast", {"verify_arrow": True})):
         best = None
         for _ in range(2):
             t0 = time.time()
-            _run(_lsh.srp_neardup_pairs(emb_nd, 0.5, verify_route=route))
+            _run(_lsh.srp_neardup_pairs(emb_nd, 0.5, verify_route=route, **kw))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         nd_route_secs[route] = round(best, 3)
