@@ -356,6 +356,23 @@ def test_scaled_documents_factor_guard(spark):
     assert len(set(texts)) == len(texts)
 
 
+def test_scaled_documents_dup_structure_beyond_caesar_cap(spark):
+    """Above 26 copies the bijections switch to a != 1 affine maps; the
+    within-copy duplicate structure must still replicate exactly and no
+    cross-copy verbatim collapse may appear."""
+    from psy_supabase_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "delta eps zeta")],
+        "doc_id long, text string",
+    )
+    base_groups = dedup.exact_dedup(docs).count()  # 2
+    k = 28
+    scaled = scaled_documents(docs, k)
+    assert scaled.count() == 3 * k
+    assert dedup.exact_dedup(scaled).count() == k * base_groups
+
+
 def test_suggest_banding_invariants():
     """Property sweep: bounds hold and the recall target is met whenever
     the band count is not clamped."""
