@@ -29,6 +29,18 @@ Scoring is cosine: vectors are unit-normalized before fit/encode, so the
 subspace dot products sum to the approximate cosine directly.  The coarse
 pass is approximate (quantization distortion); the rescore pass is exact,
 so output precision is governed by rescore recall, measured in tests.
+
+RESIDUAL tier (r9): `pq_fit_residual` / `pq_encode_residual` /
+`ivf_pq_search_batch(residual=True)` implement the paper's §V IVF-ADC —
+quantize unit(x) − centroid and add the q·centroid term at ADC time.
+When to serve which (each point measured, tests/test_pq.py): residual
+coding wins when the code budget is SCARCE relative to the data's
+structure and the within-cell variation is itself structured (m=8/k=16
+over low-rank-noise clusters: coarse recall@10 0.485 vs 0.420); it TIES
+when the budget saturates (k=256: 0.78 vs 0.795) and buys nothing on
+isotropic within-cluster noise (residual = white noise, incompressible —
+the uniform-random testdata measures 0.63 vs 0.665).  Storage, encode
+cost, and the exact-rescore contract are identical either way.
 """
 
 from __future__ import annotations
@@ -125,6 +137,125 @@ def pq_fit(
     return PQCodebooks(m=m, dsub=dsub, centers=centers)
 
 
+def pq_fit_residual(
+    index,
+    *,
+    m: int = 8,
+    k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    max_iter: int = 8,
+    fit_sample_cap: int = FIT_SAMPLE_CAP,
+) -> PQCodebooks:
+    """Residual codebooks — the IVF-ADC variant (Jégou, Douze, Schmid
+    2011 §V: quantize the RESIDUAL from the assigned coarse centroid,
+    not the raw vector).  Residual magnitudes are a fraction of unit
+    vectors on clustered data, so the same m·k code budget spends its
+    resolution on the within-cell detail the coarse quantizer cannot
+    express — markedly better ADC ranking at identical storage.
+
+    Fit input is a hash-ordered bounded sample of ``index.assigned``
+    (same two-phase layout-independent pattern as
+    `ivf.fit_sample_vectors`, extended to carry ``centroid_id``);
+    residual r = unit(x) − centers[centroid_id] (spherical-k-means
+    centers are unit vectors), then per-subspace k-means on residuals.
+    Driver-side numpy like `pq_fit`; the model stays m·k·dsub floats."""
+    assigned = index.assigned
+    live = assigned.where(F.col(vec_col).isNotNull())
+    order = [F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()]
+    ids = live.select(id_col).orderBy(*order).limit(fit_sample_cap)
+    rows = (
+        live.join(F.broadcast(ids), id_col, "left_semi")
+        .orderBy(*order)
+        .select(vec_col, "centroid_id")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_fit_residual: empty corpus")
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cid = np.array([r[1] for r in rows], dtype=np.int64)
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq_fit_residual: dim {dim} not divisible by m={m}")
+    norms = np.linalg.norm(x, axis=1)
+    ok = norms > 0
+    x = x[ok] / norms[ok, None]
+    cid = cid[ok]
+    res = x - np.asarray(index.centers, dtype=np.float64)[cid]
+    dsub = dim // m
+    centers = [
+        _kmeans(res[:, s * dsub : (s + 1) * dsub], k, seed + s, max_iter).tolist()
+        for s in range(m)
+    ]
+    return PQCodebooks(m=m, dsub=dsub, centers=centers)
+
+
+def pq_encode_residual(
+    assigned: DataFrame,
+    index,
+    codebooks: PQCodebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """(id, centroid_id, codes[, passthrough...]): nearest residual
+    codebook entry per subspace — `pq_encode`'s IVF-ADC twin.  The input
+    must carry ``centroid_id`` (encode ``index.assigned``), and
+    ``centroid_id`` is ALWAYS kept in the output: the searcher needs it
+    to reconstruct the q·centroid term of the approximate score.  Same
+    one-pass mapInPandas shape (per-batch GEMM per subspace)."""
+    if "centroid_id" not in assigned.columns:
+        raise ValueError("pq_encode_residual: input must carry centroid_id")
+    cb = codebooks.as_array()
+    m, dsub = codebooks.m, codebooks.dsub
+    dim = m * dsub
+    centers = np.asarray(index.centers, dtype=np.float64)
+    cnorm2 = (cb**2).sum(axis=2)
+    extra = [c for c in (passthrough or []) if c != "centroid_id"]
+    fields = (
+        [assigned.schema[id_col], assigned.schema["centroid_id"]]
+        + [assigned.schema[c] for c in extra]
+    )
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in fields]
+        + ["codes array<smallint>"]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            vals = pdf[vec_col].tolist()
+            ok = np.fromiter(
+                (v is not None and len(v) == dim for v in vals),
+                dtype=bool,
+                count=len(vals),
+            )
+            if not ok.any():
+                continue
+            xs = np.stack(
+                [np.asarray(vals[i], dtype=np.float64) for i in np.flatnonzero(ok)]
+            )
+            norms = np.linalg.norm(xs, axis=1)
+            norms[norms == 0] = 1.0  # zero vectors encode; rescore drops them
+            xs = xs / norms[:, None]
+            cids = pdf["centroid_id"].to_numpy()[ok].astype(np.int64)
+            res = xs - centers[cids]
+            codes = np.empty((len(xs), m), dtype=np.int16)
+            for s in range(m):
+                rsub = res[:, s * dsub : (s + 1) * dsub]
+                codes[:, s] = (cnorm2[s][None, :] - 2.0 * (rsub @ cb[s].T)).argmin(axis=1)
+            out = {id_col: pdf[id_col][ok].to_numpy(), "centroid_id": cids}
+            for c in extra:
+                out[c] = pdf[c][ok].to_numpy()
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
+
+    return assigned.select(id_col, "centroid_id", *extra, vec_col).mapInPandas(
+        enc, schema=out_schema
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: PQCodebooks,
@@ -194,10 +325,20 @@ def pq_search_batch(
     vec_col: str = "embedding",
     max_queries: int = 10_000,
     rescore_arrow: bool | None = None,
+    residual_index=None,
     _qrows: list | None = None,
 ) -> DataFrame:
     """N-query ANN over a PQ-encoded store: map-side ADC + map-side
     partial top-(k·rescore_factor), exact rescore, final top-k.
+
+    ``residual_index`` (None = raw-vector codes): the store was encoded
+    with :func:`pq_encode_residual` against this IVF index, so the
+    approximate score becomes q·c[centroid_id] + Σ_s LUT[q,s,code] —
+    the q·centroid table ((nq × n_lists), driver-side GEMM) rides the
+    task closure next to the subspace LUTs, and ``encoded`` must carry
+    ``centroid_id``.  Everything downstream (partial top-k·f cap, exact
+    rescore) is identical; residual coding only sharpens the COARSE
+    ranking, which shows up as recall at a given rescore_factor.
 
     The query batch is collected driver-side (bounded by ``max_queries``
     — queries are the small side by definition, the same contract as
@@ -237,6 +378,15 @@ def pq_search_batch(
     m, dsub = codebooks.m, codebooks.dsub
     # LUT[q, s, code] = q_sub · c — ADC: approx cosine = Σ_s LUT[q, s, codes[s]]
     lut = np.einsum("qsd,skd->qsk", qunit.reshape(len(qids), m, dsub), cb)
+    # residual coding: + q·centroid term, gathered per row by centroid_id
+    qc = None
+    if residual_index is not None:
+        if "centroid_id" not in encoded.columns:
+            raise ValueError(
+                "pq_search_batch(residual_index=...): encoded store must "
+                "carry centroid_id (use pq_encode_residual)"
+            )
+        qc = qunit @ np.asarray(residual_index.centers, dtype=np.float64).T
     first_k = k * rescore_factor
     qid_field = queries.schema[query_id].dataType.simpleString()
     id_field = encoded.schema[id_col]
@@ -251,8 +401,12 @@ def pq_search_batch(
                 continue
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
             ids = pdf[id_field.name].to_numpy()
-            # scores[q, row] = Σ_s LUT[q, s, codes[row, s]]
-            scores = np.zeros((len(qids), len(codes)))
+            # scores[q, row] = [q·c[cid_row] +] Σ_s LUT[q, s, codes[row, s]]
+            if qc is not None:
+                cids = pdf["centroid_id"].to_numpy().astype(np.int64)
+                scores = qc[:, cids].copy()
+            else:
+                scores = np.zeros((len(qids), len(codes)))
             for s in range(m):
                 scores += lut[:, s, codes[:, s]]
             keep = min(first_k, len(codes))
@@ -342,6 +496,7 @@ def write_ivf_pq_layout(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Persist the IVF-PQ store: (id, codes, centroid_id) partitioned by
     centroid_id — encode is index-BUILD work (like `ivf.write_ivf_layout`
@@ -349,14 +504,22 @@ def write_ivf_pq_layout(
     :func:`ivf_pq_search_batch`'s probe-union filter into file-level
     partition pruning.  ~10 B/vector on disk vs 256 B float32.  The
     centroid assignment rides the encode pass (``passthrough``) — one
-    corpus scan, no re-assignment, no re-attach join."""
-    pq_encode(
-        index.assigned,
-        codebooks,
-        id_col=id_col,
-        vec_col=vec_col,
-        passthrough=["centroid_id"],
-    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    corpus scan, no re-assignment, no re-attach join.  ``residual=True``
+    writes :func:`pq_encode_residual` codes (serve with
+    ``ivf_pq_search_batch(..., residual=True)``)."""
+    if residual:
+        enc = pq_encode_residual(
+            index.assigned, index, codebooks, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        enc = pq_encode(
+            index.assigned,
+            codebooks,
+            id_col=id_col,
+            vec_col=vec_col,
+            passthrough=["centroid_id"],
+        )
+    enc.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
 def append_to_pq_layout(
@@ -367,21 +530,29 @@ def append_to_pq_layout(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Incremental IVF-PQ maintenance, the `ivf.append_to_layout` twin:
     encode new vectors with the EXISTING codebooks, assign them to the
     EXISTING centroids, append into their partitions.  No codebook refit,
     no layout rewrite; like IVF appends, quantization error drifts as
     appended mass diverges from the fit distribution — re-fit + rewrite
-    once appends exceed ~30-50% of the encoded volume."""
+    once appends exceed ~30-50% of the encoded volume.  ``residual``
+    must match how the layout was written."""
     from . import ivf as ivf_ops
 
     assigned = ivf_ops.assign_to_centroids(
         new_rows, index.centers, id_col=id_col, vec_col=vec_col
     )
-    pq_encode(
-        assigned, codebooks, id_col=id_col, vec_col=vec_col, passthrough=["centroid_id"]
-    ).write.mode("append").partitionBy("centroid_id").parquet(path)
+    if residual:
+        enc = pq_encode_residual(
+            assigned, index, codebooks, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        enc = pq_encode(
+            assigned, codebooks, id_col=id_col, vec_col=vec_col, passthrough=["centroid_id"]
+        )
+    enc.write.mode("append").partitionBy("centroid_id").parquet(path)
 
 
 def ivf_pq_search_batch(
@@ -393,10 +564,16 @@ def ivf_pq_search_batch(
     nprobe: int = 4,
     *,
     corpus: DataFrame | None = None,
+    residual: bool = False,
     **kw,
 ) -> DataFrame:
     """FAISS-style IVF-PQ: prune the encoded store to the UNION of every
     query's ``nprobe`` nearest centroids, then ADC-search the survivors.
+
+    ``residual=True``: the store holds :func:`pq_encode_residual` codes
+    (fit via :func:`pq_fit_residual`) and the ADC adds the q·centroid
+    term — the full IVF-ADC serving tier of Jégou et al. 2011.  Same
+    probe pruning, same exact rescore; only the coarse ranking sharpens.
 
     ``encoded`` must carry ``centroid_id`` (encode ``index.assigned``, or
     persist with ``partitionBy("centroid_id")`` so this filter is
@@ -450,4 +627,13 @@ def ivf_pq_search_batch(
     pruned = encoded.where(F.col("centroid_id").isin(probe_union))
     if corpus is None:
         corpus = index.assigned
-    return pq_search_batch(pruned, queries, codebooks, corpus, k, _qrows=qrows, **kw)
+    return pq_search_batch(
+        pruned,
+        queries,
+        codebooks,
+        corpus,
+        k,
+        residual_index=index if residual else None,
+        _qrows=qrows,
+        **kw,
+    )

@@ -269,3 +269,137 @@ def test_pq_search_duplicate_id_store_dedups(spark, emb, books):
     for r in got:
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+# ---- residual PQ (IVF-ADC, Jégou 2011 §V) -------------------------------
+
+
+@pytest.fixture(scope="module")
+def rindex(emb):
+    from psy_supabase_spark.operators import ivf
+
+    return ivf.build_ivf(emb, n_lists=8)
+
+
+@pytest.fixture(scope="module")
+def rbooks(rindex):
+    return pq.pq_fit_residual(rindex, m=8)
+
+
+def test_pq_fit_residual_shape_and_determinism(rindex, rbooks):
+    assert rbooks.m == 8 and rbooks.dsub == 8
+    again = pq.pq_fit_residual(rindex, m=8)
+    assert again.centers == rbooks.centers
+
+
+def test_pq_encode_residual_schema_and_determinism(rindex, rbooks, emb):
+    enc = pq.pq_encode_residual(rindex.assigned, rindex, rbooks)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    assert set(enc.columns) == {"vec_id", "centroid_id", "codes"}
+    assert all(len(r.codes) == 8 for r in rows)
+    again = {r.vec_id: (r.centroid_id, list(r.codes)) for r in
+             pq.pq_encode_residual(rindex.assigned, rindex, rbooks).collect()}
+    assert {r.vec_id: (r.centroid_id, list(r.codes)) for r in rows} == again
+
+
+def test_pq_encode_residual_requires_centroid(emb, rindex, rbooks):
+    with pytest.raises(ValueError, match="centroid_id"):
+        pq.pq_encode_residual(emb, rindex, rbooks)
+
+
+def test_residual_search_requires_centroid_column(spark, emb, rindex, rbooks, books):
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    plain_enc = pq.pq_encode(emb, books)  # no centroid_id
+    with pytest.raises(ValueError, match="centroid_id"):
+        pq.pq_search_batch(
+            plain_enc, queries, rbooks, emb, k=5, residual_index=rindex
+        ).collect()
+
+
+def test_residual_coarse_beats_plain_coarse_in_its_regime(spark):
+    """The IVF-ADC claim (Jégou 2011 §V), measured in the regime where it
+    holds: SCARCE code budget (m=8, k=16 → 4-bit codes) over data whose
+    within-cluster noise is LOW-RANK (structured, as in natural corpora)
+    — measured 0.485 vs 0.420 coarse recall@10.  The regime map, all
+    measured on this engine: isotropic-noise synthetic modes → residual
+    is white noise, incompressible, no win (0.4 vs 0.4; the testdata
+    embeddings are that family, 0.63 vs 0.665); saturated budget (k=256)
+    → both quantizers resolve the structure, tie (0.78 vs 0.795).  The
+    serving guidance in the docstrings follows this map."""
+    import numpy as np
+
+    from psy_supabase_spark.operators import ivf
+
+    rng = np.random.default_rng(11)
+    n, dim, modes, rank, sigma = 1000, 64, 20, 4, 0.25
+    M = rng.standard_normal((modes, dim))
+    M /= np.linalg.norm(M, axis=1)[:, None]
+    B = np.linalg.qr(rng.standard_normal((dim, rank)))[0]
+    z = rng.standard_normal((n, rank)) * sigma
+    X = M[np.arange(n) % modes] + z @ B.T
+    X /= np.linalg.norm(X, axis=1)[:, None]
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    index = ivf.build_ivf(corpus, n_lists=8)
+    queries = corpus.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    exact = {}
+    for r in topk.knn_join(corpus, queries, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(got):
+        hits = tot = 0
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r.query_id, set()).add(r.vec_id)
+        for q, want in exact.items():
+            hits += len(by_q.get(q, set()) & want)
+            tot += len(want)
+        return hits / tot
+
+    books_plain = pq.pq_fit(corpus, m=8, k=16)
+    r_plain = recall(
+        pq.pq_search_batch(
+            pq.pq_encode(corpus, books_plain), queries, books_plain, corpus,
+            k=10, rescore_factor=1,
+        )
+    )
+    books_res = pq.pq_fit_residual(index, m=8, k=16)
+    r_res = recall(
+        pq.pq_search_batch(
+            pq.pq_encode_residual(index.assigned, index, books_res),
+            queries, books_res, corpus,
+            k=10, rescore_factor=1, residual_index=index,
+        )
+    )
+    assert r_res > r_plain, (r_res, r_plain)
+    corpus.unpersist()
+
+
+def test_ivf_pq_residual_end_to_end(spark, emb, rindex, rbooks, tmp_path):
+    """Full-probe residual IVF-PQ with a generous rescore must return the
+    exact top-k (the rescore is exact; coverage is total)."""
+    path = str(tmp_path / "ivfpq_res")
+    pq.write_ivf_pq_layout(rindex, rbooks, path, residual=True)
+    enc = spark.read.parquet(path)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = pq.ivf_pq_search_batch(
+        rindex, enc, queries, rbooks, k=5, nprobe=8, rescore_factor=50, residual=True
+    )
+    exact = {}
+    for r in topk.knn_join(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.similarity))
+    mine = {}
+    for r in got.collect():
+        mine.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.similarity))
+    assert {q: sorted(v) for q, v in mine.items()} == {
+        q: sorted(v) for q, v in exact.items()
+    }
