@@ -433,6 +433,29 @@ def _dim1536_section(spark) -> dict[str, object]:
     extra["dim1536_ivfpq_batch100_sec"] = round(time.time() - t0, 3)
     extra["dim1536_ivfpq_recall_at_10"] = _avg_recall(gt, got, k)
 
+    # residual (IVF-ADC) rung of the same ladder at the same m/nprobe/f:
+    # the delta vs dim1536_ivfpq_* prices the q·centroid ADC term and the
+    # residual codebooks on THIS corpus (isotropic micro-mode noise — the
+    # regime map in operators/pq says expect parity here, and a recall
+    # REGRESSION would flag a broken centroid term)
+    t0 = time.time()
+    rbooks = pq.pq_fit_residual(index, m=16, fit_sample_cap=5_000)
+    rpq_path = os.path.join(tempfile.mkdtemp(prefix="dim1536_rpq_"), "rpq")
+    pq.pq_encode_residual(index.assigned, index, rbooks).write.mode(
+        "overwrite"
+    ).parquet(rpq_path)
+    renc = spark.read.parquet(rpq_path)
+    extra["dim1536_ivfpq_residual_build_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    got = _recall_map(
+        pq.ivf_pq_search_batch(
+            index, renc, queries, rbooks, k=k, nprobe=4, rescore_factor=8,
+            residual=True,
+        ).collect()
+    )
+    extra["dim1536_ivfpq_residual_batch100_sec"] = round(time.time() - t0, 3)
+    extra["dim1536_ivfpq_residual_recall_at_10"] = _avg_recall(gt, got, k)
+
     # banding from the SELF-TUNING rule (r6 verdict #3/#7: the 15 s
     # measurement used hand-picked 192p/16b — 12-bit bands whose 192-plane
     # signature GEMM and 16-way explode were the cost; suggest_banding
