@@ -520,6 +520,42 @@ def write_ivf_pq_layout(
             passthrough=["centroid_id"],
         )
     enc.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    _write_pq_meta(path, codebooks, residual)
+
+
+def _write_pq_meta(path: str, codebooks: PQCodebooks, residual: bool) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, _PQ_META_NAME), "w") as f:
+        json.dump(
+            {"residual": residual, "m": codebooks.m, "dsub": codebooks.dsub}, f
+        )
+
+
+_PQ_META_NAME = "_pq_meta.json"
+
+
+def read_pq_meta(path: str) -> dict | None:
+    """The layout's encoding contract ({residual, m, dsub}), written by
+    :func:`write_ivf_pq_layout` as a ``_pq_meta.json`` sidecar in the
+    layout directory (underscore-prefixed: parquet readers ignore it).
+    None for layouts written before the sidecar existed.
+
+    Why it exists: residual and raw codes are byte-indistinguishable —
+    serving a residual store with ``residual=False`` (or vice versa)
+    does not error, it silently degrades the COARSE ranking and recall
+    drops without a trace.  :func:`ivf_pq_search_batch` checks the
+    sidecar when given a layout path via ``layout_path`` and raises on a
+    mode mismatch instead."""
+    import json
+    import os
+
+    p = os.path.join(path, _PQ_META_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def append_to_pq_layout(
@@ -565,6 +601,7 @@ def ivf_pq_search_batch(
     *,
     corpus: DataFrame | None = None,
     residual: bool = False,
+    layout_path: str | None = None,
     **kw,
 ) -> DataFrame:
     """FAISS-style IVF-PQ: prune the encoded store to the UNION of every
@@ -574,6 +611,12 @@ def ivf_pq_search_batch(
     (fit via :func:`pq_fit_residual`) and the ADC adds the q·centroid
     term — the full IVF-ADC serving tier of Jégou et al. 2011.  Same
     probe pruning, same exact rescore; only the coarse ranking sharpens.
+
+    ``layout_path``: the directory the store was persisted to — when
+    given, the ``_pq_meta.json`` sidecar (see :func:`read_pq_meta`) is
+    checked and a residual-mode mismatch RAISES: the two encodings are
+    byte-indistinguishable, and the wrong mode degrades coarse recall
+    silently, never loudly.
 
     ``encoded`` must carry ``centroid_id`` (encode ``index.assigned``, or
     persist with ``partitionBy("centroid_id")`` so this filter is
@@ -585,6 +628,15 @@ def ivf_pq_search_batch(
     |union probes| / n_lists instead of 1."""
     from . import ivf as ivf_ops
 
+    if layout_path is not None:
+        meta = read_pq_meta(layout_path)
+        if meta is not None and bool(meta.get("residual")) != residual:
+            raise ValueError(
+                f"ivf_pq_search_batch: layout at {layout_path} was written "
+                f"with residual={meta.get('residual')} but the call asks "
+                f"residual={residual} — the encodings are byte-"
+                "indistinguishable, so this would silently degrade recall"
+            )
     max_queries = kw.get("max_queries", 10_000)
     qid = kw.get("query_id", "query_id")
     qvec = kw.get("query_vec", "query_embedding")

@@ -403,3 +403,27 @@ def test_ivf_pq_residual_end_to_end(spark, emb, rindex, rbooks, tmp_path):
     assert {q: sorted(v) for q, v in mine.items()} == {
         q: sorted(v) for q, v in exact.items()
     }
+
+
+def test_pq_layout_meta_guards_residual_mismatch(spark, emb, rindex, rbooks, tmp_path):
+    path = str(tmp_path / "ivfpq_meta")
+    pq.write_ivf_pq_layout(rindex, rbooks, path, residual=True)
+    meta = pq.read_pq_meta(path)
+    assert meta == {"residual": True, "m": 8, "dsub": 8}
+    enc = spark.read.parquet(path)
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    with pytest.raises(ValueError, match="residual"):
+        pq.ivf_pq_search_batch(
+            rindex, enc, queries, rbooks, k=3, nprobe=8,
+            residual=False, layout_path=path,
+        )
+    # matching mode passes the guard and serves
+    got = pq.ivf_pq_search_batch(
+        rindex, enc, queries, rbooks, k=3, nprobe=8,
+        residual=True, layout_path=path,
+    )
+    assert got.count() > 0
+    # sidecar-less layouts (pre-meta) stay servable
+    assert pq.read_pq_meta(str(tmp_path)) is None
