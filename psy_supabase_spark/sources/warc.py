@@ -124,6 +124,38 @@ def split_http_payload(payload: bytes) -> tuple[int | None, bytes]:
     return status, body
 
 
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_payload_bytes: int = 2 * 1024 * 1024,
+) -> DataFrame:
+    """WET shards → (target_uri, warc_date, text, n_bytes, truncated):
+    Common Crawl's extracted-text sibling of WARC — same ISO 28500
+    framing, ``conversion`` records whose payload is already plain
+    UTF-8 text (no HTTP envelope).  A thin view over :func:`read_warc`
+    that decodes the payload; pipelines that start from WET skip the
+    `html_to_text` stage and go straight to quality/lang gates."""
+    from pyspark.sql import functions as F
+
+    return (
+        read_warc(
+            spark,
+            path,
+            record_types=("conversion",),
+            max_payload_bytes=max_payload_bytes,
+            strip_http_headers=False,
+        )
+        .select(
+            "target_uri",
+            "warc_date",
+            F.col("payload").cast("string").alias("text"),
+            "n_bytes",
+            "truncated",
+        )
+    )
+
+
 def read_warc(
     spark: SparkSession,
     path: str,

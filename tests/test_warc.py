@@ -128,3 +128,19 @@ def test_warc_to_html_text_composition(spark, tmp_path):
     assert len(out) == 1
     assert "hello warc world" in out[0].text
     assert "<p>" not in out[0].text
+
+
+def test_read_wet_conversion_records(spark, tmp_path):
+    wet = _record(
+        "conversion",
+        "extracted text body\nsecond line".encode(),
+        uri="http://example.com/wet",
+        ctype="text/plain",
+    )
+    (tmp_path / "x.warc.wet.gz").write_bytes(gzip.compress(wet))
+    rows = warc.read_wet(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.target_uri == "http://example.com/wet"
+    assert r.text == "extracted text body\nsecond line"
+    assert not r.truncated
