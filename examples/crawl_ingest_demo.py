@@ -1,0 +1,96 @@
+"""Crawl-bytes → training-text walkthrough: the WARC boundary feeding
+the engine's extraction chain.
+
+    python examples/crawl_ingest_demo.py [sf_dir] [out_dir]
+
+Builds a synthetic Common-Crawl-style shard (one gzip member per WARC
+response record, HTML page per document) from the testdata documents
+table, then runs the real ingest path:
+
+    read_warc (binaryFile → record scan)     sources/warc
+    → html_to_text (WET-style chain)         functions/html
+    → quality gate                           functions/quality
+    → exact dedup (hash-first)               operators/dedup
+
+Everything after this point is `examples/pipeline_demo.py` — this demo
+exists to show the FRONT of the pipeline starting from raw crawl bytes
+rather than pre-extracted parquet.
+"""
+
+from __future__ import annotations
+
+import gzip
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _warc_record(doc_id: int, text: str) -> bytes:
+    html = (
+        f"<html><head><title>Doc {doc_id}</title>"
+        f"<script>var x={doc_id};</script></head>"
+        f"<body><h1>Doc {doc_id}</h1><p>{text}</p></body></html>"
+    ).encode()
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{doc_id}>\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"WARC-Target-URI: http://example.com/doc/{doc_id}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return gzip.compress(hdr + http + b"\r\n\r\n")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="crawl_demo_")
+
+    from psy_supabase_spark.functions.html import html_to_text
+    from psy_supabase_spark.functions.quality import quality_filter
+    from psy_supabase_spark.operators import dedup
+    from psy_supabase_spark.session import get_spark
+    from psy_supabase_spark.sources import warc
+    from psy_supabase_spark.sources.catalog import load_table
+
+    spark = get_spark("crawl-ingest-demo")
+    docs = load_table(spark, sf_dir, "documents")
+
+    # synthesize the shard driver-side (bounded demo input; a real crawl
+    # supplies the shards) — gzip member per record, the CC layout
+    shard_dir = Path(out_dir) / "shards"
+    shard_dir.mkdir(parents=True, exist_ok=True)
+    rows = docs.select("doc_id", "text").limit(200).collect()
+    blob = b"".join(_warc_record(r.doc_id, r.text) for r in rows)
+    (shard_dir / "demo-00000.warc.gz").write_bytes(blob)
+    print(f"shard: {len(rows)} records, {len(blob):,} bytes gzipped")
+
+    records = warc.read_warc(spark, str(shard_dir))
+    n_rec = records.count()
+    print(f"read_warc: {n_rec} response records")
+
+    texts = records.select(
+        "target_uri",
+        html_to_text(F.col("payload").cast("string")).alias("text"),
+    )
+    gated = quality_filter(texts, c4=False, min_words=10, min_stopword_hits=1)
+    n_gated = gated.count()
+    print(f"html_to_text + quality gate: {n_gated} / {n_rec} kept")
+
+    with_ids = gated.withColumn(
+        "doc_id", F.abs(F.xxhash64("target_uri"))
+    )
+    keepers = dedup.exact_dedup(with_ids, hash_first=True)
+    print(f"exact dedup: {keepers.count()} keeper groups")
+    print(f"hand off to examples/pipeline_demo.py stages 2+ (out: {out_dir})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
