@@ -16,18 +16,30 @@ Spark mapping (the part that matters at 100 TB):
   a file — exactly right for WARC, whose gzip framing is not
   block-splittable; parallelism comes from the shard count (Common
   Crawl publishes ~64k shards per crawl), which dwarfs any cluster.
-- **Record scan is a mapInPandas generator** emitting one bounded batch
-  per shard: executors hold one decompressed shard, the driver never
-  sees payloads, and the output columns are exactly what downstream
-  filters push on (``warc_type``, ``content_type``, ``http_status``).
+- **Record scan is an incremental pipeline** — gzip members decompress
+  in bounded chunks (`iter_gunzip_chunks`) feeding a streaming record
+  scanner (`scan_warc_stream`); the decompressed shard is NEVER
+  materialized.
+- **Peak-memory contract** (per task): the compressed shard bytes (one
+  `binaryFile` row — unavoidable under that source) + one in-flight
+  decompression chunk + one record head (header block capped at 64 KiB
+  + min(Content-Length, valve) stored payload) + one output frame
+  (≤ ``batch_records`` rows, each payload ≤ the valve).  Payload bytes
+  beyond the valve are drained in bounded windows and dropped, so a
+  pathological 4 GB record costs O(valve), not O(record).
+- **Output frames are per-file and bounded**: `binaryFile` packs many
+  small shards into one partition under ``maxPartitionBytes``, so the
+  parser yields at file boundaries AND every ``batch_records`` records
+  within a file — never one frame per Arrow batch of shards.
 - **Payload width is valved** (``max_payload_bytes``, default 2 MiB —
   the C4 cut): the stored payload truncates, ``n_bytes`` keeps the true
   length and ``truncated`` marks the cut, so oversized responses can't
   blow row width; filter them or re-fetch as policy dictates.
 - **Malformed records resync, never fail the shard**: a record whose
-  framing is broken is skipped by scanning forward to the next
-  ``WARC/`` magic — crawl data always contains a few, and one bad
-  record must not cost a 1 GB shard.
+  framing is broken (missing/negative Content-Length, header block over
+  the cap, payload overrunning the stream) is skipped by scanning
+  forward to the next ``WARC/`` magic still buffered — crawl data
+  always contains a few, and one bad record must not cost a 1 GB shard.
 """
 
 from __future__ import annotations
@@ -40,6 +52,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 GZIP_MAGIC = b"\x1f\x8b"
 
+# A WARC header block larger than this is malformed (real headers are a
+# few hundred bytes); bounds the scanner's header search.
+HEADER_CAP = 64 * 1024
+
+# Extra stored bytes granted to application/http payloads so the HTTP
+# header block can be split off before the valve applies to the BODY
+# (response headers are bounded in practice; 64 KiB is generous).
+HTTP_HEAD_ALLOWANCE = 64 * 1024
+
 WARC_SCHEMA = (
     "path string, record_id string, warc_type string, target_uri string, "
     "warc_date string, content_type string, http_status int, "
@@ -47,49 +68,107 @@ WARC_SCHEMA = (
 )
 
 
-def gunzip_members(data: bytes) -> bytes:
+def iter_gunzip_chunks(data: bytes, *, in_chunk: int = 1 << 16) -> Iterator[bytes]:
     """Decompress a stream of CONCATENATED gzip members (the Common
-    Crawl record-per-member layout) into one byte string.  A plain
-    ``gzip.decompress`` stops at the first member on some malformed
-    tails; this loop consumes members until the stream is exhausted or
-    undecodable (returning what decoded — resilience over raising,
-    matching the malformed-record policy)."""
-    chunks: list[bytes] = []
-    while data:
+    Crawl record-per-member layout) INCREMENTALLY, yielding bounded
+    chunks — the whole decompressed shard is never resident (a ~1 GB
+    crawl shard decompresses to ~4-5 GB; peak here is O(in_chunk ×
+    deflate ratio) — ~3-5× on crawl data, 1032× only for a deliberate
+    bomb; input is fed in ``in_chunk`` windows with no ``max_length``
+    because zlib's ``unused_data`` accounting is only reliable in that
+    mode).  A corrupt tail stops the stream after yielding what decoded
+    (resilience over raising, matching the malformed-record policy)."""
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    carry = b""  # unused_data handed from the previous member's tail feed
+    while pos < n or carry:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            chunks.append(d.decompress(data))
-            chunks.append(d.flush())
+            while not d.eof:
+                if carry:
+                    feed, carry = carry, b""
+                elif pos < n:
+                    feed = view[pos : pos + in_chunk]
+                    pos += len(feed)
+                else:
+                    break  # stream ends mid-member (truncated tail)
+                out = d.decompress(feed)
+                if out:
+                    yield out
+            out = d.flush()
+            if out:
+                yield out
         except zlib.error:
-            break
-        if d.unused_data == data:  # no progress — corrupt tail
-            break
-        data = d.unused_data
-    return b"".join(chunks)
-
-
-def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
-    """(header-fields, payload) per record, ISO 28500 framing: a
-    ``WARC/x.y`` version line, CRLF-separated ``Name: value`` headers,
-    blank line, ``Content-Length`` payload bytes.  Header names fold to
-    lowercase.  Broken framing resyncs to the next ``WARC/`` magic."""
-    pos, n = 0, len(data)
-    while pos < n:
-        while data.startswith(b"\r\n", pos) or data.startswith(b"\n", pos):
-            pos += 2 if data.startswith(b"\r\n", pos) else 1
-        if pos >= n:
+            return  # corrupt member: keep what decoded, drop the tail
+        if not d.eof:
             return
-        if not data.startswith(b"WARC/", pos):
-            nxt = data.find(b"WARC/", pos + 1)
-            if nxt == -1:
-                return
-            pos = nxt
+        carry = bytes(d.unused_data)  # next member starts here
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Whole-bytes convenience over :func:`iter_gunzip_chunks` (tests /
+    small inputs; the ingest path streams instead)."""
+    return b"".join(iter_gunzip_chunks(data))
+
+
+def scan_warc_stream(
+    chunks: Iterator[bytes],
+    *,
+    max_payload_bytes: int | None = None,
+) -> Iterator[tuple[dict, bytes, int]]:
+    """Streaming ISO 28500 record scan: yields ``(header_fields,
+    stored_payload, content_length)`` per record off a chunk iterator.
+
+    The buffer holds at most one record head — header block (capped at
+    ``HEADER_CAP``) + min(Content-Length, ``max_payload_bytes``) stored
+    payload — plus one in-flight chunk; payload bytes beyond the valve
+    are drained in bounded windows and verified present (a
+    Content-Length that overruns the stream is malformed: the record is
+    NOT emitted).  ``max_payload_bytes=None`` stores full payloads (the
+    whole-bytes `iter_warc_records` path, where this reproduces the
+    classic parser's semantics exactly).
+
+    Malformed framing resyncs to the next ``WARC/`` magic still in the
+    buffer; bytes already drained past the valve are not re-scanned
+    (best-effort, the same class of recovery as a whole-bytes resync).
+    Header names fold to lowercase.
+    """
+    buf = bytearray()
+    eof = False
+
+    def pull() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        try:
+            chunk = next(chunks)
+        except StopIteration:
+            eof = True
+            return False
+        buf.extend(chunk)
+        return True
+
+    while True:
+        # --- position on the next record magic (skips separators/junk)
+        i = buf.find(b"WARC/")
+        if i < 0:
+            if len(buf) > 4:
+                del buf[:-4]  # keep a tail in case the magic straddles
+            if pull():
+                continue
+            return
+        del buf[:i]
+        # --- header block: CRLF CRLF terminated, size-capped
+        hdr_end = buf.find(b"\r\n\r\n")
+        while hdr_end < 0 and len(buf) <= HEADER_CAP and pull():
+            hdr_end = buf.find(b"\r\n\r\n")
+        if hdr_end < 0:
+            if len(buf) <= HEADER_CAP:
+                return  # EOF inside an unterminated header
+            del buf[:5]  # header over cap: malformed, resync past magic
             continue
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        if hdr_end == -1:
-            return
         fields: dict[str, str] = {}
-        header = data[pos:hdr_end].decode("utf-8", "replace")
+        header = bytes(buf[:hdr_end]).decode("utf-8", "replace")
         for line in header.split("\r\n")[1:]:
             name, sep, value = line.partition(":")
             if sep:
@@ -99,15 +178,39 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
         except (KeyError, ValueError):
             clen = -1
         body_start = hdr_end + 4
-        if clen < 0 or body_start + clen > n:
-            # malformed framing: resync to the next record magic
-            nxt = data.find(b"WARC/", body_start)
-            if nxt == -1:
-                return
-            pos = nxt
+        if clen < 0:
+            del buf[:body_start]
             continue
-        yield fields, data[body_start : body_start + clen]
-        pos = body_start + clen
+        # --- payload: store up to the valve, then drain-and-verify
+        store = clen if max_payload_bytes is None else min(clen, max_payload_bytes)
+        while len(buf) < body_start + store and pull():
+            pass
+        if len(buf) < body_start + store:
+            # Content-Length overruns the stream → malformed framing;
+            # resync to any record magic inside what we still hold.
+            del buf[:body_start]
+            continue
+        payload = bytes(buf[body_start : body_start + store])
+        del buf[: body_start + store]
+        remaining = clen - store
+        overran = False
+        while remaining > 0:
+            if not buf and not pull():
+                overran = True
+                break
+            drop = min(len(buf), remaining)
+            del buf[:drop]
+            remaining -= drop
+        if not overran:
+            yield fields, payload, clen
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """(header-fields, payload) per record over whole shard bytes — a
+    thin wrapper around :func:`scan_warc_stream` with no payload valve
+    (tests / small inputs; `read_warc` streams with a valve instead)."""
+    for fields, payload, _clen in scan_warc_stream(iter((data,))):
+        yield fields, payload
 
 
 def split_http_payload(payload: bytes) -> tuple[int | None, bytes]:
@@ -135,24 +238,31 @@ def read_wet(
     framing, ``conversion`` records whose payload is already plain
     UTF-8 text (no HTTP envelope).  A thin view over :func:`read_warc`
     that decodes the payload; pipelines that start from WET skip the
-    `html_to_text` stage and go straight to quality/lang gates."""
+    `html_to_text` stage and go straight to quality/lang gates.
+
+    Truncation cuts at a byte boundary, which can split a multi-byte
+    UTF-8 codepoint; the decode strips the resulting replacement-char
+    run off the tail of TRUNCATED rows only, so truncated text always
+    ends on a clean codepoint."""
     from pyspark.sql import functions as F
 
-    return (
-        read_warc(
-            spark,
-            path,
-            record_types=("conversion",),
-            max_payload_bytes=max_payload_bytes,
-            strip_http_headers=False,
-        )
-        .select(
-            "target_uri",
-            "warc_date",
-            F.col("payload").cast("string").alias("text"),
-            "n_bytes",
-            "truncated",
-        )
+    raw = read_warc(
+        spark,
+        path,
+        record_types=("conversion",),
+        max_payload_bytes=max_payload_bytes,
+        strip_http_headers=False,
+    )
+    decoded = F.col("payload").cast("string")
+    text = F.when(
+        F.col("truncated"), F.regexp_replace(decoded, "�+$", "")
+    ).otherwise(decoded)
+    return raw.select(
+        "target_uri",
+        "warc_date",
+        text.alias("text"),
+        "n_bytes",
+        "truncated",
     )
 
 
@@ -163,6 +273,7 @@ def read_warc(
     record_types: tuple[str, ...] = ("response",),
     max_payload_bytes: int = 2 * 1024 * 1024,
     strip_http_headers: bool = True,
+    batch_records: int = 2048,
 ) -> DataFrame:
     """WARC shards → rows: (path, record_id, warc_type, target_uri,
     warc_date, content_type, http_status, payload, n_bytes, truncated).
@@ -171,33 +282,89 @@ def read_warc(
     harvest; add "warcinfo"/"request"/"metadata"/"conversion" — the last
     is WET's extracted-text type — as needed; empty tuple = keep all).
     ``strip_http_headers`` splits ``application/http`` payloads and
-    stores only the body (status lands in ``http_status``).  ``n_bytes``
-    is the pre-truncation payload length; compose with
-    `functions.html.html_to_text` for the WET-style extraction chain."""
+    stores only the body (status lands in ``http_status``); the valve
+    then applies to the BODY (an ``HTTP_HEAD_ALLOWANCE`` of extra bytes
+    is scanned so the header block can be split off first).  ``n_bytes``
+    is the pre-truncation BODY length; compose with
+    `functions.html.html_to_text` for the WET-style extraction chain.
+
+    Peak memory per task is O(compressed shard + record head + output
+    frame), NOT O(decompressed shard): decompression streams through
+    :func:`iter_gunzip_chunks` into :func:`scan_warc_stream`, and the
+    parser yields one frame per input FILE (releasing that shard before
+    touching the next — `binaryFile` packs many small shards per
+    partition) and every ``batch_records`` records within a file.
+    """
     keep = {t.lower() for t in record_types}
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    parse = make_warc_parser(
+        keep,
+        max_payload_bytes=max_payload_bytes,
+        strip_http_headers=strip_http_headers,
+        batch_records=batch_records,
+    )
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def make_warc_parser(
+    keep: set[str],
+    *,
+    max_payload_bytes: int,
+    strip_http_headers: bool,
+    batch_records: int,
+):
+    """The mapInPandas generator behind :func:`read_warc`, exposed so
+    tests can drive it directly and assert the per-file / per-batch
+    yield boundaries (the peak-memory contract)."""
+
+    def _cols() -> dict[str, list]:
+        return {
+            "path": [], "record_id": [], "warc_type": [],
+            "target_uri": [], "warc_date": [], "content_type": [],
+            "http_status": [], "payload": [], "n_bytes": [],
+            "truncated": [],
+        }
+
+    def _frame(out: dict[str, list]) -> pd.DataFrame:
+        pdf = pd.DataFrame(out)
+        pdf["http_status"] = pdf["http_status"].astype("Int32")
+        return pdf
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {
-                "path": [], "record_id": [], "warc_type": [],
-                "target_uri": [], "warc_date": [], "content_type": [],
-                "http_status": [], "payload": [], "n_bytes": [],
-                "truncated": [],
-            }
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
-                if data[:2] == GZIP_MAGIC:
-                    data = gunzip_members(data)
-                for fields, payload in iter_warc_records(data):
+                chunks = (
+                    iter_gunzip_chunks(data)
+                    if data[:2] == GZIP_MAGIC
+                    else iter((data,))
+                )
+                # store enough raw payload to split an HTTP header block
+                # off before the valve applies to the body
+                scan_valve = (
+                    max_payload_bytes + HTTP_HEAD_ALLOWANCE
+                    if strip_http_headers
+                    else max_payload_bytes
+                )
+                out = _cols()
+                for fields, payload, clen in scan_warc_stream(
+                    chunks, max_payload_bytes=scan_valve
+                ):
                     wtype = fields.get("warc-type", "").lower()
                     if keep and wtype not in keep:
                         continue
                     status = None
                     ctype = fields.get("content-type", "")
+                    stored_raw = len(payload)
                     if strip_http_headers and ctype.startswith("application/http"):
                         status, payload = split_http_payload(payload)
-                    n_bytes = len(payload)
+                        # true body length = framed length minus the
+                        # stripped head (exact even when the tail was
+                        # drained past the valve)
+                        head_len = stored_raw - len(payload)
+                        n_bytes = clen - head_len
+                    else:
+                        n_bytes = clen
                     truncated = n_bytes > max_payload_bytes
                     if truncated:
                         payload = payload[:max_payload_bytes]
@@ -211,9 +378,10 @@ def read_warc(
                     out["payload"].append(payload)
                     out["n_bytes"].append(n_bytes)
                     out["truncated"].append(truncated)
-            if out["path"]:
-                pdf_out = pd.DataFrame(out)
-                pdf_out["http_status"] = pdf_out["http_status"].astype("Int32")
-                yield pdf_out
+                    if len(out["path"]) >= batch_records:
+                        yield _frame(out)
+                        out = _cols()
+                if out["path"]:
+                    yield _frame(out)  # per-FILE boundary: shard released
 
-    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+    return parse

@@ -130,6 +130,114 @@ def test_warc_to_html_text_composition(spark, tmp_path):
     assert "<p>" not in out[0].text
 
 
+def test_iter_gunzip_chunks_incremental():
+    """The decompression path is incremental: small out_chunk yields many
+    bounded chunks whose concatenation equals the whole-bytes result —
+    the decompressed shard is never required to be resident."""
+    import hashlib
+
+    # incompressible payloads so each in_chunk feed decodes ~in_chunk bytes
+    payloads = [
+        b"".join(hashlib.sha256(bytes([i, j])).digest() for j in range(200))
+        for i in range(4)
+    ]
+    blob = b"".join(gzip.compress(p) for p in payloads)
+    chunks = list(warc.iter_gunzip_chunks(blob, in_chunk=512))
+    assert len(chunks) >= 4 * 4  # genuinely incremental, not one blob per member
+    assert max(len(c) for c in chunks) < 4 * 512  # output stays O(in_chunk)
+    assert b"".join(chunks) == b"".join(payloads)
+    # every in_chunk window must reproduce the same bytes (boundary safety)
+    for ic in (17, 64, 1 << 20):
+        assert b"".join(warc.iter_gunzip_chunks(blob, in_chunk=ic)) == b"".join(
+            payloads
+        )
+    # corrupt tail: members before the corruption still decode in full
+    assert warc.gunzip_members(gzip.compress(payloads[0]) + b"\x1f\x8bgarbage") == payloads[0]
+    assert warc.gunzip_members(gzip.compress(payloads[0]) + b"plain junk") == payloads[0]
+
+
+def test_scan_stream_valve_drains_oversized_payload():
+    """A record far over the valve stores only valve bytes; the drained
+    remainder is verified present and the NEXT record still parses —
+    peak memory stays O(valve), not O(record)."""
+    big = _record("response", b"A" * 100_000)
+    good = _record("response", b"tail-record")
+    # feed in small chunks so the scanner must pull across boundaries
+    blob = big + good
+    chunk_iter = (blob[i : i + 777] for i in range(0, len(blob), 777))
+    recs = list(warc.scan_warc_stream(chunk_iter, max_payload_bytes=64))
+    assert len(recs) == 2
+    fields, payload, clen = recs[0]
+    assert len(payload) == 64 and clen == 100_000 and payload == b"A" * 64
+    assert recs[1][1].endswith(b"tail-record")
+    # a Content-Length overrunning the STREAM (not just the buffer) is
+    # malformed: the record is not emitted even though valve bytes were
+    recs = list(
+        warc.scan_warc_stream(
+            iter((_record("response", b"B" * 500)[:-300],)), max_payload_bytes=64
+        )
+    )
+    assert recs == []
+
+
+def test_parser_yields_per_file_and_per_batch():
+    """binaryFile packs many shards per partition; the parser must yield
+    at file boundaries (releasing each shard) and every batch_records
+    within a file — never one frame per Arrow batch of shards."""
+    import pandas as pd
+
+    shard = lambda n, tag: b"".join(
+        _record("response", _http(tag + str(i).encode()), uri=f"http://x/{tag.decode()}{i}")
+        for i in range(n)
+    )
+    pdf = pd.DataFrame(
+        {
+            "path": ["f1", "f2", "f3"],
+            "content": [shard(5, b"a"), gzip.compress(shard(3, b"b")), shard(2, b"c")],
+        }
+    )
+    parse = warc.make_warc_parser(
+        {"response"}, max_payload_bytes=1024, strip_http_headers=True, batch_records=2
+    )
+    frames = list(parse(iter([pdf])))
+    # every frame is single-file (per-file boundary) and ≤ batch_records
+    assert all(f["path"].nunique() == 1 for f in frames)
+    assert all(len(f) <= 2 for f in frames)
+    # f1 (5 recs, batch 2) → 3 frames; f2 (3) → 2; f3 (2) → 1
+    assert [f["path"].iloc[0] for f in frames] == ["f1"] * 3 + ["f2"] * 2 + ["f3"]
+    assert sum(len(f) for f in frames) == 10
+
+
+def test_wet_truncation_ends_on_clean_codepoint(spark, tmp_path):
+    """Byte-boundary truncation can split a multi-byte UTF-8 codepoint;
+    truncated WET text must not end in a replacement character."""
+    text = "héllo wörld " * 10  # multi-byte codepoints throughout
+    raw = text.encode()
+    valve = 0
+    # pick a valve that cuts mid-codepoint (inside the 2-byte 'é')
+    valve = raw.find("é".encode()) + 1
+    wet = _record("conversion", raw, uri="http://example.com/cut", ctype="text/plain")
+    (tmp_path / "cut.warc.wet.gz").write_bytes(gzip.compress(wet))
+    rows = warc.read_wet(spark, str(tmp_path), max_payload_bytes=valve).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.truncated and r.n_bytes == len(raw)
+    assert not r.text.endswith("�")
+    assert r.text == "h"  # everything before the split codepoint
+
+
+def test_http_valve_applies_to_body_not_envelope(spark, tmp_path):
+    """The truncation valve measures the HTTP BODY (post-strip), so a
+    tiny valve still splits the header block and reports http_status."""
+    body = b"z" * 200
+    (tmp_path / "v.warc").write_bytes(_record("response", _http(body)))
+    df = warc.read_warc(spark, str(tmp_path), max_payload_bytes=50)
+    r = df.collect()[0]
+    assert r.http_status == 200
+    assert r.truncated and r.n_bytes == 200 and len(r.payload) == 50
+    assert bytes(r.payload) == b"z" * 50
+
+
 def test_read_wet_conversion_records(spark, tmp_path):
     wet = _record(
         "conversion",
