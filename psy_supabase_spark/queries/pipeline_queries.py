@@ -1,20 +1,173 @@
-"""Pipeline queries: multimodal plumbing + model-stub gates.
+"""Pipeline queries: multimodal plumbing + model-stub gates + the
+WARC-boundary oracle gate.
 
 ``multimodal_features`` runs a REAL Arrow-batched ``mapInPandas`` over
 binary payloads; the fake decode is a pure function of payload size, so
 DuckDB reproduces it from octet_length — the UDF plumbing is what's under
-test.  ``toxicity_gate`` mirrors the reference's safety→toxicity routing
-with the portable-hash stub score.
+test.  It ALSO absorbs the WARC/WET ingest boundary (sources/warc): each
+document is rendered into a deterministic mini-shard (gzip member per
+record, the Common Crawl layout — junk prefix + a malformed record with
+no Content-Length + an HTTP response record + a WET conversion record)
+and parsed back through the REAL production parser
+(`warc.make_warc_parser` → `iter_gunzip_chunks` → `scan_warc_stream` →
+`split_http_payload`); the oracle recomputes every evidence column from
+the same grammar in pure SQL.  ``toxicity_gate`` mirrors the reference's
+safety→toxicity routing with the portable-hash stub score.
 """
 
 from __future__ import annotations
 
+import gzip
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import ml_udfs, multimodal
 from ..registry import register
+from ..sources import warc
 from ..sources.catalog import load_table
+
+# WARC round-trip evidence grammar (mirrored EXACTLY in the oracle SQL):
+# the HTML template rendered per doc, the WET payload length formula, and
+# the WET-parse truncation valve.  The WET payload is pure ASCII so the
+# SQL side can reproduce the truncated-byte md5 with repeat()/least().
+_WARC_HTML_PREFIX = "<html><head><title>D"
+_WARC_HTML_MID = "</title></head><body><p>"
+_WARC_HTML_SUFFIX = "</p></body></html>"
+_WET_VALVE = 96  # truncates WET payloads, whose length is 60 + doc_id % 80
+
+_WARC_EVIDENCE_SCHEMA = (
+    "doc_id bigint, warc_n_records bigint, warc_status int, "
+    "warc_resp_md5 string, warc_resp_n_bytes bigint, warc_wet_trunc boolean, "
+    "warc_wet_md5 string, warc_wet_n_bytes bigint"
+)
+
+
+def _warc_record(wtype: str, ctype: str, uri: str, payload: bytes) -> bytes:
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return hdr + payload + b"\r\n\r\n"
+
+
+def _doc_mini_shard(doc_id: int, text: str) -> bytes:
+    """Deterministic per-doc shard, one gzip member per record (the
+    Common Crawl layout): junk prefix + malformed record (no
+    Content-Length — must resync, at any payload size) + HTTP response
+    record carrying the templated HTML + WET conversion record whose
+    ASCII payload length (60 + doc_id % 80) straddles the WET valve."""
+    html = f"{_WARC_HTML_PREFIX}{doc_id}{_WARC_HTML_MID}{text}{_WARC_HTML_SUFFIX}"
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html.encode()
+    malformed = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad.example/\r\n\r\n"
+    )
+    rec_resp = _warc_record(
+        "response",
+        "application/http; msgtype=response",
+        f"http://example.com/doc/{doc_id}",
+        http,
+    )
+    rec_wet = _warc_record(
+        "conversion", "text/plain", f"http://example.com/doc/{doc_id}",
+        b"x" * (60 + doc_id % 80),
+    )
+    return (
+        gzip.compress(b"\x00junk" + malformed)
+        + gzip.compress(rec_resp)
+        + gzip.compress(rec_wet)
+    )
+
+
+def warc_roundtrip_evidence(docs: DataFrame) -> DataFrame:
+    """Render each document into a mini WARC shard and parse it back
+    through the PRODUCTION parser twice — the response pass
+    (strip_http_headers, 2 MiB valve) and the WET pass (conversion
+    records, tiny valve exercising truncation) — emitting evidence
+    columns a SQL oracle recomputes from the grammar: record counts
+    (proves malformed-record resync), http_status (proves the HTTP
+    split), payload md5s (prove gzip-member decompression + framing +
+    strip byte-exactness), n_bytes (proves the post-strip length math)
+    and the WET truncation flag + truncated-bytes md5 (prove the
+    valve)."""
+    parse_resp = warc.make_warc_parser(
+        {"response"},
+        max_payload_bytes=2 * 1024 * 1024,
+        strip_http_headers=True,
+        batch_records=4096,
+    )
+    parse_wet = warc.make_warc_parser(
+        {"conversion"},
+        max_payload_bytes=_WET_VALVE,
+        strip_http_headers=False,
+        batch_records=4096,
+    )
+
+    def _evidence(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            files = pd.DataFrame(
+                {
+                    "path": [str(d) for d in ids],
+                    "content": [
+                        _doc_mini_shard(d, t)
+                        for d, t in zip(ids, pdf["text"])
+                    ],
+                }
+            )
+            resp = pd.concat(list(parse_resp(iter([files]))), ignore_index=True)
+            wet = pd.concat(list(parse_wet(iter([files]))), ignore_index=True)
+            r_by = {p: g for p, g in resp.groupby("path")}
+            w_by = {p: g for p, g in wet.groupby("path")}
+            out = {k: [] for k in (
+                "doc_id", "warc_n_records", "warc_status", "warc_resp_md5",
+                "warc_resp_n_bytes", "warc_wet_trunc", "warc_wet_md5",
+                "warc_wet_n_bytes",
+            )}
+            for did in ids:
+                key = str(did)
+                r = r_by.get(key)
+                w = w_by.get(key)
+                out["doc_id"].append(did)
+                out["warc_n_records"].append(
+                    (0 if r is None else len(r)) + (0 if w is None else len(w))
+                )
+                out["warc_status"].append(
+                    None if r is None or len(r) != 1 else r["http_status"].iloc[0]
+                )
+                out["warc_resp_md5"].append(
+                    None
+                    if r is None or len(r) != 1
+                    else hashlib.md5(r["payload"].iloc[0]).hexdigest()
+                )
+                out["warc_resp_n_bytes"].append(
+                    None if r is None or len(r) != 1 else int(r["n_bytes"].iloc[0])
+                )
+                out["warc_wet_trunc"].append(
+                    None if w is None or len(w) != 1 else bool(w["truncated"].iloc[0])
+                )
+                out["warc_wet_md5"].append(
+                    None
+                    if w is None or len(w) != 1
+                    else hashlib.md5(w["payload"].iloc[0]).hexdigest()
+                )
+                out["warc_wet_n_bytes"].append(
+                    None if w is None or len(w) != 1 else int(w["n_bytes"].iloc[0])
+                )
+            res = pd.DataFrame(out)
+            res["warc_status"] = res["warc_status"].astype("Int32")
+            yield res
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _evidence, _WARC_EVIDENCE_SCHEMA
+    )
 
 
 @register(
@@ -25,8 +178,15 @@ from ..sources.catalog import load_table
       SELECT doc_id, n,
              CAST(ceil(n::DOUBLE / {multimodal.FRAME_SIZE}) AS BIGINT) AS n_frames
       FROM b
+    ),
+    w AS (
+      SELECT doc_id,
+             '{_WARC_HTML_PREFIX}' || CAST(doc_id AS VARCHAR) || '{_WARC_HTML_MID}'
+               || text || '{_WARC_HTML_SUFFIX}' AS html,
+             60 + doc_id % 80 AS wet_len
+      FROM documents
     )
-    SELECT doc_id,
+    SELECT f.doc_id,
            n AS n_bytes,
            (n % 640) + 1 AS fake_width,
            ((n * 7) % 480) + 1 AS fake_height,
@@ -36,18 +196,39 @@ from ..sources.catalog import load_table
              i -> CASE WHEN i % {multimodal.FRAME_STRIDE} = 0
                        THEN least({multimodal.FRAME_SIZE}, n - {multimodal.FRAME_SIZE} * i)
                        ELSE 0 END)), 0)::BIGINT AS sampled_len_sum,
-           least(n, {multimodal.RESIZE_W * multimodal.RESIZE_H}) AS resized_n_bytes
-    FROM f
+           least(n, {multimodal.RESIZE_W * multimodal.RESIZE_H}) AS resized_n_bytes,
+           CAST(2 AS BIGINT) AS warc_n_records,
+           CAST(200 AS INTEGER) AS warc_status,
+           md5(w.html) AS warc_resp_md5,
+           CAST(octet_length(encode(w.html)) AS BIGINT) AS warc_resp_n_bytes,
+           w.wet_len > {_WET_VALVE} AS warc_wet_trunc,
+           md5(repeat('x', least(w.wet_len, {_WET_VALVE}))) AS warc_wet_md5,
+           CAST(w.wet_len AS BIGINT) AS warc_wet_n_bytes
+    FROM f JOIN w ON f.doc_id = w.doc_id
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction via mapInPandas: payload stats,
-    decode-stub dims, REAL frame slicing (FRAME_SIZE chunks, every
-    FRAME_STRIDE-th kept) and the resize cap — the SQL oracle reproduces
-    the structural math from octet_length, so the Arrow plumbing and the
-    chunking code are what's under test (operators/multimodal)."""
+    """Binary-column feature extraction via mapInPandas PLUS the WARC
+    ingest boundary's oracle evidence (see `warc_roundtrip_evidence`).
+
+    Column → operator → localizing pytest TRIAGE MAP (a hash mismatch
+    names its operator here):
+
+    | column              | operator under test                   | pytest localizer                         |
+    |---------------------|---------------------------------------|------------------------------------------|
+    | n_bytes..resized_*  | multimodal.extract_blob_features      | tests/test_multimodal.py                 |
+    | warc_n_records      | scan_warc_stream malformed resync     | test_warc.py::test_malformed_record_resyncs |
+    | warc_status         | warc.split_http_payload               | test_warc.py::test_iter_records_and_http_split |
+    | warc_resp_md5       | iter_gunzip_chunks + framing + strip  | test_warc.py::test_iter_gunzip_chunks_incremental |
+    | warc_resp_n_bytes   | post-strip body length math           | test_warc.py::test_http_valve_applies_to_body_not_envelope |
+    | warc_wet_trunc      | payload valve (truncated flag)        | test_warc.py::test_read_warc_end_to_end  |
+    | warc_wet_md5        | valve byte-exact truncation           | test_warc.py::test_scan_stream_valve_drains_oversized_payload |
+    | warc_wet_n_bytes    | pre-truncation length (clen)          | test_warc.py::test_read_warc_end_to_end  |
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.extract_blob_features(multimodal.attach_blobs(docs))
+    features = multimodal.extract_blob_features(multimodal.attach_blobs(docs))
+    evidence = warc_roundtrip_evidence(docs)
+    return features.join(evidence, "doc_id")
 
 
 @register(

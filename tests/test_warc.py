@@ -238,6 +238,39 @@ def test_http_valve_applies_to_body_not_envelope(spark, tmp_path):
     assert bytes(r.payload) == b"z" * 50
 
 
+def test_warc_roundtrip_evidence_matches_grammar(spark):
+    """The oracle-evidence harness (queries/pipeline_queries): per-doc
+    mini-shards through the PRODUCTION parser reproduce the grammar's
+    md5s/lengths/flags, including malformed-record resync and Unicode."""
+    import hashlib
+
+    from psy_supabase_spark.queries.pipeline_queries import (
+        _WARC_HTML_MID,
+        _WARC_HTML_PREFIX,
+        _WARC_HTML_SUFFIX,
+        _WET_VALVE,
+        warc_roundtrip_evidence,
+    )
+
+    docs = spark.createDataFrame(
+        [(10, "plain ascii body"), (77, "ünïcode héllo — σ")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in warc_roundtrip_evidence(docs).collect()}
+    assert set(rows) == {10, 77}
+    for did, text in ((10, "plain ascii body"), (77, "ünïcode héllo — σ")):
+        r = rows[did]
+        html = f"{_WARC_HTML_PREFIX}{did}{_WARC_HTML_MID}{text}{_WARC_HTML_SUFFIX}"
+        wet_len = 60 + did % 80
+        assert r.warc_n_records == 2  # malformed record resynced, not counted
+        assert r.warc_status == 200
+        assert r.warc_resp_md5 == hashlib.md5(html.encode()).hexdigest()
+        assert r.warc_resp_n_bytes == len(html.encode())
+        assert r.warc_wet_trunc == (wet_len > _WET_VALVE)
+        assert r.warc_wet_md5 == hashlib.md5(b"x" * min(wet_len, _WET_VALVE)).hexdigest()
+        assert r.warc_wet_n_bytes == wet_len
+
+
 def test_read_wet_conversion_records(spark, tmp_path):
     wet = _record(
         "conversion",
