@@ -350,20 +350,36 @@ def stupid_backoff_sql(
     *,
     toks_cte: str = "toks_all",
     alpha: float = ALPHA,
+    train_where: str | None = None,
 ) -> str:
     """DuckDB CTE block mirroring train+score, for composition into a
     larger oracle.  Expects an in-scope CTE ``toks_cte`` of
-    (doc_id, t: VARCHAR[]) over the SAME corpus the model trains on;
-    emits CTE ``lm_scored`` of (doc_id, n_bigrams, avg_logprob)."""
+    (doc_id, t: VARCHAR[]); emits CTE ``lm_scored`` of
+    (doc_id, n_bigrams, avg_logprob) over ALL of ``toks_cte``.
+
+    ``train_where`` (a SQL predicate over ``toks_cte`` columns)
+    restricts the TRAINING corpus — the 100 TB shape, where the model
+    counts on a deterministic hash sample and the full corpus is only
+    scored (mirror of ``train_bigram_lm(docs.where(gate))``); None
+    trains on everything (the classic single-corpus spelling)."""
+    train_src = (
+        toks_cte
+        if train_where is None
+        else f"(SELECT * FROM {toks_cte} WHERE {train_where})"
+    )
     return f"""
     lm_big_rows AS (
       SELECT doc_id, t[i] AS w1, t[i+1] AS w2
       FROM {toks_cte}, unnest(range(1, greatest(len(t), 1))) AS u(i)
     ),
+    lm_train_rows AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM {train_src} AS lmt, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ),
     lm_uni AS (SELECT w, COUNT(*) AS c
-               FROM (SELECT unnest(t) AS w FROM {toks_cte}) GROUP BY w),
+               FROM (SELECT unnest(t) AS w FROM {train_src} AS lmu) GROUP BY w),
     lm_tot AS (SELECT SUM(c) AS n FROM lm_uni),
-    lm_big AS (SELECT w1, w2, COUNT(*) AS c FROM lm_big_rows GROUP BY w1, w2),
+    lm_big AS (SELECT w1, w2, COUNT(*) AS c FROM lm_train_rows GROUP BY w1, w2),
     lm_terms AS (
       SELECT r.doc_id,
              CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL

@@ -45,6 +45,18 @@ _URL_BLOCKED_SQL = """len(list_filter(
     aug=_URL_AUG_SQL.format(q="d.")
 )
 
+# LM training-sample rate (percent): the bigram model counts over a
+# deterministic 'lm'-salted hash sample instead of the full corpus —
+# the train-once-capped-broadcast 100 TB shape.  20% keeps the synthetic
+# corpus' vocabulary well covered (fidelity vs the full-corpus model is
+# measured in SCALE.md) while cutting the two training aggregations to
+# a fifth of their input.
+_LM_TRAIN_PCT = 20
+_LM_TRAIN_WHERE = (
+    "CAST(('0x' || substr(md5('lm' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+    f"% 100 < {_LM_TRAIN_PCT}"
+)
+
 # ExactSubstr stage gate: the synthetic corpus' only long duplicated
 # spans are whole-doc exact dups, so (the PII/URL/HTML augmentation
 # pattern) every doc_id % 11 == 0 doc gains a FIXED 14-token boilerplate
@@ -138,7 +150,7 @@ _QUALITY_SQL = f"""ROUND((
       FROM survivors
       WHERE {_QUALITY_SQL} >= 0.6 AND lang = 'en'
     ),
-    {lm.stupid_backoff_sql()},
+    {lm.stupid_backoff_sql(train_where=_LM_TRAIN_WHERE)},
     {_DUPSPAN_CTES}
     SELECT g.doc_id,
            'Summarize the following ' || g.source || ' document' AS instruction,
@@ -248,9 +260,17 @@ def build_prefix(spark: SparkSession, sf_dir: str, upto: str = "reshape") -> Dat
 
     if k >= 7:
         # LM fluency score (CCNet stage): bigram Stupid-Backoff model
-        # trained on the full corpus, scored onto the surviving sample —
-        # emitted as a column (not a filter) so the driver gate checks the
-        # whole train+score arithmetic without a data-dependent threshold.
+        # trained on a DETERMINISTIC HASH SAMPLE of the corpus (r9 verdict
+        # #3 — the stage's own documented 100 TB shape, train-once-capped-
+        # broadcast, brought into the query: counting n-grams over all
+        # 100 TB to score 100 TB is quadratic waste; CCNet itself trains
+        # its scoring LM on a fixed corpus, not the corpus under filter),
+        # scored onto the surviving sample — emitted as a column (not a
+        # filter) so the driver gate checks the whole train+score
+        # arithmetic without a data-dependent threshold.  The train gate
+        # salts the hash ('lm' prefix) so the training sample is
+        # independent of the output sample's doc_id hash.  Sample-size/
+        # score-fidelity tradeoff measured in SCALE.md (lm_train_sample).
         # Scoring input (r8): the sample/quality/lang gates are pure
         # map-side predicates on the docs scan, so pushing them into the
         # scoring pass skips the ~2/3 of the corpus whose score the final
@@ -260,7 +280,11 @@ def build_prefix(spark: SparkSession, sf_dir: str, upto: str = "reshape") -> Dat
         # join-derived survivor filters (dedup/decontam) deliberately stay
         # out: duplicating those subtrees would cost more than the scoring
         # they save.
-        model = lm.train_bigram_lm(docs)
+        train_gate = (
+            md5_hash32(F.concat(F.lit("lm"), F.col("doc_id").cast("string"))) % 100
+            < _LM_TRAIN_PCT
+        )
+        model = lm.train_bigram_lm(docs.where(train_gate))
         map_gate = (
             (TX.quality_score(F.col("text")) >= 0.6)
             & (F.col("lang") == "en")
