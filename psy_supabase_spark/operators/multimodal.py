@@ -7,21 +7,94 @@ decode / feature-extraction runs as Arrow-batched ``mapInPandas`` — one
 Python worker pass, no row-at-a-time serde, schema declared up front so
 Catalyst can prune.
 
-The image/audio codec libraries are NOT in this container, so the decode
-step is STUBBED (``decode_image`` raises NotImplementedError; the pipeline
-uses ``fake_decode_dims``, a deterministic stand-in keyed on payload
-bytes).  Everything Spark-side — schema, batching, UDF signature,
-partition behavior — is real and tested.
+The image/audio codec libraries are NOT in this container, so PIXEL
+decode is stubbed (``decode_image(pixels=True)`` raises
+NotImplementedError).  Container-header METADATA, however, is pure
+public-knowledge byte parsing — :func:`sniff_image_dims` reads real
+(format, width, height) off PNG IHDR / GIF logical-screen / JPEG SOFn /
+BMP info headers with no codec, and ``extract_blob_features`` uses it
+whenever the payload's magic matches (the synthetic text corpus never
+matches, so the oracle's ``fake_decode_dims`` math is untouched).
+Everything Spark-side — schema, batching, UDF signature, partition
+behavior — is real and tested.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# SOFn markers carrying frame dimensions (ITU T.81 §B.2.2): C0-CF minus
+# C4 (DHT), C8 (JPG extension), CC (DAC).
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dims(data: bytes) -> tuple[str, int, int] | None:
+    """Walk JPEG segments to the first SOFn and read (height, width)
+    off its frame header — length-prefixed hops, no entropy decode."""
+    pos, n = 2, len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1  # filler bytes between segments: resync
+            continue
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers (SOI/TEM/RSTn) have no length
+            continue
+        if marker in (0xD9, 0xDA):
+            return None  # EOI / start-of-scan: dims must precede SOS
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if seglen < 2:
+            return None  # corrupt length field
+        if marker in _JPEG_SOF_MARKERS:
+            if pos + 9 > n:
+                return None  # SOF frame header truncated
+            h = int.from_bytes(data[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(data[pos + 7 : pos + 9], "big")
+            return ("jpeg", w, h)
+        pos += 2 + seglen
+    return None
+
+
+def sniff_image_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) from container header bytes alone — PNG
+    IHDR (big-endian u32 pair after the 8-byte magic + chunk header),
+    GIF87a/89a logical screen descriptor (little-endian u16 pair), BMP
+    BITMAPINFOHEADER (signed LE i32 pair; negative height = top-down
+    row order) or BITMAPCOREHEADER (LE u16 pair), and JPEG SOFn frame
+    headers (segment walk).  None when no container magic matches —
+    callers fall back to their stand-in.  No codec library involved:
+    this is real metadata on real corpora."""
+    if payload[:8] == PNG_MAGIC and len(payload) >= 24 and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("png", w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if payload[:2] == b"BM" and len(payload) >= 22:
+        hdr_size = struct.unpack("<I", payload[14:18])[0]
+        if hdr_size >= 40 and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return ("bmp", w, abs(h))
+        if hdr_size == 12:  # OS/2 BITMAPCOREHEADER
+            w, h = struct.unpack("<HH", payload[18:22])
+            return ("bmp", w, h)
+        return None
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_dims(payload)
+    return None
 
 BLOB_FEATURES_SCHEMA = T.StructType(
     [
@@ -53,13 +126,23 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder entry point — requires an image codec (PIL/libvips),
-    not present in this environment."""
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this container; "
-        "swap fake_decode_dims for a real decoder in production"
-    )
+def decode_image(payload: bytes, *, pixels: bool = False) -> dict:
+    """Image decode entry point.  The METADATA tier (default) is fully
+    implemented — real (format, width, height) via
+    :func:`sniff_image_dims`, no codec library.  Only the PIXEL tier
+    (``pixels=True``) requires a codec (PIL/libvips) absent from this
+    container and raises NotImplementedError."""
+    info = sniff_image_dims(payload)
+    if info is None:
+        raise ValueError("unrecognized image container (no PNG/GIF/BMP/JPEG magic)")
+    if pixels:
+        raise NotImplementedError(
+            "pixel decode requires a codec library not present in this "
+            "container; header metadata is available without one "
+            "(sniff_image_dims / decode_image(pixels=False))"
+        )
+    fmt, w, h = info
+    return {"format": fmt, "width": w, "height": h}
 
 
 def fake_decode_dims(n_bytes: int) -> tuple[int, int]:
@@ -86,7 +169,18 @@ def extract_blob_features(blobs: DataFrame, *, id_col: str = "doc_id") -> DataFr
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes = pdf["payload"].map(len)
-            dims = n_bytes.map(fake_decode_dims)
+            # real container metadata when the payload IS an image
+            # (sniff_image_dims); the deterministic size-keyed stand-in
+            # otherwise (the synthetic text corpus always falls back, so
+            # the SQL oracle's octet_length math holds)
+            sniffed = pdf["payload"].map(sniff_image_dims)
+            dims = pd.Series(
+                [
+                    (s[1], s[2]) if s is not None else fake_decode_dims(n)
+                    for s, n in zip(sniffed, n_bytes)
+                ],
+                index=pdf.index,
+            )
             # REAL byte slicing per payload (the work a frame-sampler /
             # resizer does), summarized so a SQL oracle checks the math
             frames = pdf["payload"].map(

@@ -19,9 +19,88 @@ def test_attach_and_extract(spark):
     assert (feats[1].fake_width, feats[1].fake_height) == (w, h)
 
 
-def test_decode_is_explicitly_stubbed():
+import struct
+
+
+def _png(w: int, h: int) -> bytes:
+    ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+    return (
+        multimodal.PNG_MAGIC
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
+def _bmp(w: int, h: int) -> bytes:
+    # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40, dims as signed LE i32)
+    return (
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 24
+    )
+
+
+def _jpeg(w: int, h: int, *, sof: int = 0xC0) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof_seg = (
+        bytes([0xFF, sof])
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof_seg + b"\xff\xda\x00\x02" + b"entropy..."
+
+
+def test_sniff_image_dims_real_headers():
+    """Real container-header bytes of all four formats parse to real
+    dimensions — no codec library involved (public byte layouts: PNG
+    IHDR, GIF logical screen, BMP info header, JPEG SOFn)."""
+    assert multimodal.sniff_image_dims(_png(640, 480)) == ("png", 640, 480)
+    assert multimodal.sniff_image_dims(_gif(320, 200)) == ("gif", 320, 200)
+    assert multimodal.sniff_image_dims(_bmp(800, 600)) == ("bmp", 800, 600)
+    # top-down BMP stores negative height; dims are reported positive
+    assert multimodal.sniff_image_dims(_bmp(800, -600)) == ("bmp", 800, 600)
+    assert multimodal.sniff_image_dims(_jpeg(1024, 768)) == ("jpeg", 1024, 768)
+    # progressive JPEG (SOF2) and baseline-extended (SOF1) also carry dims
+    assert multimodal.sniff_image_dims(_jpeg(99, 77, sof=0xC2)) == ("jpeg", 99, 77)
+    assert multimodal.sniff_image_dims(_jpeg(99, 77, sof=0xC1)) == ("jpeg", 99, 77)
+    # non-images and truncated magics fall through to None
+    assert multimodal.sniff_image_dims(b"just text") is None
+    assert multimodal.sniff_image_dims(b"\x89PNG") is None
+    assert multimodal.sniff_image_dims(b"\xff\xd8\xff\xd9") is None  # SOI+EOI only
+
+
+def test_decode_image_tiers():
+    """Metadata tier works codec-free; only the pixel tier is stubbed."""
+    assert multimodal.decode_image(_png(12, 34)) == {
+        "format": "png", "width": 12, "height": 34,
+    }
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(_png(12, 34), pixels=True)
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"not an image")
+
+
+def test_extract_uses_sniffer_when_magic_matches(spark):
+    """extract_blob_features reports REAL dims for real image payloads
+    and the deterministic size-keyed stand-in otherwise."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [_gif(320, 200), b"plain text", _jpeg(64, 32)]}
+    )
+    blobs = spark.createDataFrame(pdf)
+    feats = {r.doc_id: r for r in multimodal.extract_blob_features(blobs).collect()}
+    assert (feats[1].fake_width, feats[1].fake_height) == (320, 200)
+    assert (feats[3].fake_width, feats[3].fake_height) == (64, 32)
+    fw, fh = multimodal.fake_decode_dims(len(b"plain text"))
+    assert (feats[2].fake_width, feats[2].fake_height) == (fw, fh)
 
 
 def test_extract_schema_stable(spark):
