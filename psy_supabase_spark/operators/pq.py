@@ -523,17 +523,44 @@ def write_ivf_pq_layout(
     _write_pq_meta(path, codebooks, residual)
 
 
+_PQ_META_NAME = "_pq_meta.json"
+
+
+def _hadoop_fs(path: str):
+    """(FileSystem, Path) resolved through Spark's Hadoop configuration
+    — the same path resolution the parquet write itself uses, so the
+    sidecar lands next to the data on hdfs://, s3a://, file:/ and plain
+    local paths alike.  None when no Spark session is active (pure
+    driver-side tests): callers fall back to local file IO."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def _write_pq_meta(path: str, codebooks: PQCodebooks, residual: bool) -> None:
     import json
     import os
 
-    with open(os.path.join(path, _PQ_META_NAME), "w") as f:
-        json.dump(
-            {"residual": residual, "m": codebooks.m, "dsub": codebooks.dsub}, f
-        )
-
-
-_PQ_META_NAME = "_pq_meta.json"
+    payload = json.dumps(
+        {"residual": residual, "m": codebooks.m, "dsub": codebooks.dsub}
+    )
+    resolved = _hadoop_fs(f"{path.rstrip('/')}/{_PQ_META_NAME}")
+    if resolved is None:
+        with open(os.path.join(path, _PQ_META_NAME), "w") as f:
+            f.write(payload)
+        return
+    fs, hpath = resolved
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def read_pq_meta(path: str) -> dict | None:
@@ -546,16 +573,40 @@ def read_pq_meta(path: str) -> dict | None:
     serving a residual store with ``residual=False`` (or vice versa)
     does not error, it silently degrades the COARSE ranking and recall
     drops without a trace.  :func:`ivf_pq_search_batch` checks the
-    sidecar when given a layout path via ``layout_path`` and raises on a
-    mode mismatch instead."""
+    sidecar when given a layout path via ``layout_path`` and
+    :func:`append_to_pq_layout` checks it on every append; both raise on
+    a mode mismatch instead.
+
+    IO goes through the Hadoop FileSystem API (same resolution as the
+    parquet data), so non-local layouts (hdfs://, s3a://, file:/) read
+    their sidecar instead of silently returning None and disabling the
+    guard; local open() is only the no-active-session fallback."""
     import json
     import os
 
-    p = os.path.join(path, _PQ_META_NAME)
-    if not os.path.exists(p):
+    resolved = _hadoop_fs(f"{path.rstrip('/')}/{_PQ_META_NAME}")
+    if resolved is None:
+        p = os.path.join(path, _PQ_META_NAME)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+    fs, hpath = resolved
+    if not fs.exists(hpath):
         return None
-    with open(p) as f:
-        return json.load(f)
+    stream = fs.open(hpath)
+    try:
+        # byte[] returns cross the py4j bridge by value, so read via a
+        # JVM-side helper that hands back the whole array (commons-io is
+        # on Spark's classpath); a py4j-side readFully(buf) would mutate
+        # a copy and come back empty
+        from pyspark.sql import SparkSession
+
+        jvm = SparkSession.getActiveSession()._jvm
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        return json.loads(data.decode("utf-8"))
+    finally:
+        stream.close()
 
 
 def append_to_pq_layout(
@@ -574,8 +625,20 @@ def append_to_pq_layout(
     no layout rewrite; like IVF appends, quantization error drifts as
     appended mass diverges from the fit distribution — re-fit + rewrite
     once appends exceed ~30-50% of the encoded volume.  ``residual``
-    must match how the layout was written."""
+    must match how the layout was written: the ``_pq_meta.json`` sidecar
+    is consulted and a mismatch RAISES (appending raw codes into a
+    residual store — or vice versa — would poison the layout with
+    byte-indistinguishable wrong-mode rows)."""
     from . import ivf as ivf_ops
+
+    meta = read_pq_meta(path)
+    if meta is not None and bool(meta.get("residual")) != residual:
+        raise ValueError(
+            f"append_to_pq_layout: layout at {path} was written with "
+            f"residual={meta.get('residual')} but the append asks "
+            f"residual={residual} — mixed encodings are byte-"
+            "indistinguishable and would silently corrupt recall"
+        )
 
     assigned = ivf_ops.assign_to_centroids(
         new_rows, index.centers, id_col=id_col, vec_col=vec_col

@@ -427,3 +427,20 @@ def test_pq_layout_meta_guards_residual_mismatch(spark, emb, rindex, rbooks, tmp
     assert got.count() > 0
     # sidecar-less layouts (pre-meta) stay servable
     assert pq.read_pq_meta(str(tmp_path)) is None
+    # appends consult the sidecar too: wrong-mode rows would poison the
+    # layout byte-indistinguishably, so the mismatch raises up front
+    new = emb.where(F.col("vec_id") >= 55)
+    with pytest.raises(ValueError, match="residual"):
+        pq.append_to_pq_layout(new, path, rindex, rbooks, residual=False)
+
+
+def test_pq_meta_hadoop_uri_paths(spark, rindex, rbooks, tmp_path):
+    """The sidecar rides Spark's Hadoop path resolution: a file:/ URI
+    layout (the shape any hdfs://, s3a:// layout takes) writes AND reads
+    its _pq_meta.json — previously write crashed post-data and read
+    silently returned None, disabling the mode guard exactly where it
+    matters."""
+    uri = "file:" + str(tmp_path / "ivfpq_uri")
+    pq.write_ivf_pq_layout(rindex, rbooks, uri, residual=True)
+    assert pq.read_pq_meta(uri) == {"residual": True, "m": 8, "dsub": 8}
+    assert pq.read_pq_meta("file:" + str(tmp_path / "nowhere")) is None
