@@ -239,7 +239,15 @@ def route_top_tokens(
     corpus), extrapolated by Heaps' law V(N) ≈ V(n)·(N/n)^0.7.  The r9
     measurement also showed this UNDERSHOOTS on linear-vocab corpora
     (est 2.5M at true 10M) — another reason a finite threshold must be
-    chosen deliberately, per-deployment, not defaulted."""
+    chosen deliberately, per-deployment, not defaulted.
+
+    With the default ``mg_min_distinct=inf`` the estimate cannot change
+    the answer, so the route short-circuits to "exact" without paying
+    the count + sample-explode + approx-distinct jobs."""
+    import math
+
+    if not math.isfinite(mg_min_distinct):
+        return "exact"
     est_distinct = estimate_distinct_units(
         docs, text_col=text_col, ngram=ngram, sample_docs=sample_docs
     )

@@ -94,6 +94,14 @@ def scaled_documents(docs: DataFrame, factor: int, *, id_stride: int = 10_000_00
     # dedup families).  Copy k gets (a, b) = (COPRIMES[k // 26], k % 26),
     # injective in k, identity only at k=0 — so no two copies share a
     # bijection and cross-copy text never collapses to verbatim dups.
+    # Caveat (r9 advice): unlike distinct Caesar shifts (which agree on
+    # NO letter), two distinct affine maps can agree on up to one fixed
+    # point pair — a text drawn ONLY from a map pair's agreement set
+    # could still collide verbatim across copies.  Real/synthetic corpora
+    # use enough of the alphabet that this never occurs (any second
+    # distinct letter breaks the agreement), so the linear-pair-count
+    # property holds in practice; a corpus of single-letter texts would
+    # need per-pair inequality asserted on the letters actually present.
     coprimes = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
     if factor > len(coprimes) * 26:
         raise ValueError(
