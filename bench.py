@@ -82,19 +82,29 @@ BENCH_QUERIES = [
 ]
 
 
-def _calibration_sec(spark) -> float:
-    """FROZEN reference workload — never change this function: its time
-    prices the box+JVM each round (hash + shuffle + agg over a generated
-    range, no I/O, no engine code under test), so round-over-round query
-    diffs can be separated from environment drift.  Motivated by round 7's
-    re-baseline: rerunning round 6's identical headline code measured
-    33.60 s vs the 30.44 s recorded at round-6 time and 27.92 s at round
-    5 — ~10%/round inflation on untouched code, i.e. host drift that
-    per-query attribution cannot explain.  min of 3."""
+def _calibration_runs(spark, n_runs: int = 5) -> list[float]:
+    """FROZEN reference workload — never change the WORKLOAD inside this
+    function: its time prices the box+JVM each round (hash + shuffle +
+    agg over a generated range, no I/O, no engine code under test), so
+    round-over-round query diffs can be separated from environment
+    drift.  Motivated by round 7's re-baseline: rerunning round 6's
+    identical headline code measured 33.60 s vs the 30.44 s recorded at
+    round-6 time and 27.92 s at round 5 — ~10%/round inflation on
+    untouched code, i.e. host drift that per-query attribution cannot
+    explain.
+
+    r10 (r9 verdict #5): the denominator was a single min-of-3 sample
+    that swung ±30% between same-code runs and dominated the per-calib
+    ratios it was meant to stabilize.  Now returns ALL run times after
+    ONE untimed warmup execution (the first-ever run pays JIT — measured
+    1.52 s vs 0.48-0.53 s steady state — which would poison the spread
+    metric); the caller takes the MEDIAN of 5 as the denominator and
+    echoes the raw runs + spread so the ratio's own noise is
+    measurable."""
     from pyspark.sql import functions as F
 
-    best = None
-    for _ in range(3):
+    runs: list[float] = []
+    for i in range(n_runs + 1):
         t0 = time.time()
         (
             spark.range(0, 20_000_000, 1, 32)
@@ -109,9 +119,9 @@ def _calibration_sec(spark) -> float:
             .format("noop")
             .save()
         )
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
+        if i > 0:  # run 0 is the untimed JIT warmup
+            runs.append(round(time.time() - t0, 3))
+    return runs
 
 
 def _winnow_neardup(spark, sf_dir):
@@ -869,6 +879,71 @@ def _srp_exact_k_section(spark, sf_dir: str) -> dict[str, object]:
     }
 
 
+def _warc_section(spark, sf_dir: str) -> dict[str, object]:
+    """Price the WARC ingest boundary (r9 verdict #7 — the only operator
+    family without a regression-visible number): synthesize a
+    multi-shard Common-Crawl-layout corpus from the documents table
+    (gzip member per response record, HTML page per doc — the
+    crawl_ingest_demo grammar), then time the full read_warc path
+    (binaryFile → incremental gunzip → streaming record scan → HTTP
+    split) through the noop sink.  Shard synthesis is corpus-prep, not
+    ingest, and stays outside the timed window."""
+    import gzip
+
+    from psy_supabase_spark.sources import warc
+    from psy_supabase_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+
+    def _rec(doc_id: int, text: str) -> bytes:
+        html = (
+            f"<html><head><title>Doc {doc_id}</title></head>"
+            f"<body><h1>Doc {doc_id}</h1><p>{text}</p></body></html>"
+        ).encode()
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{doc_id}>\r\n"
+            f"WARC-Target-URI: http://example.com/doc/{doc_id}\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return gzip.compress(hdr + http + b"\r\n\r\n")
+
+    n_shards = 8
+    shard_dir = Path(tempfile.mkdtemp(prefix="warc_bench_")) / "shards"
+    shard_dir.mkdir(parents=True)
+    total_bytes = 0
+    for s in range(n_shards):
+        blob = b"".join(_rec(r.doc_id, r.text) for r in rows[s::n_shards])
+        (shard_dir / f"shard-{s:05d}.warc.gz").write_bytes(blob)
+        total_bytes += len(blob)
+
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        _run(warc.read_warc(spark, str(shard_dir)))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "warc_shards": n_shards,
+        "warc_records": len(rows),
+        "warc_gz_bytes": total_bytes,
+        "warc_shard_wall_sec": round(best, 3),
+        "warc_parse_docs_per_sec": round(len(rows) / best, 1),
+    }
+
+
+# The three small fixed-overhead joins whose per-calib ratios crept
+# +10-18% in both independent r9 runs with no code change on their paths
+# (r9 verdict #6).  They are re-timed FRESH — immediately after warmup,
+# before any other engine query has touched the JVM — so the in-position
+# headline minus the fresh number mechanically prices the bench-order /
+# JVM-state effect instead of leaving the drift unattributed.
+SMALLJOIN_PACK = ["pricing_summary", "knn_join_multi", "asof_join_purchase_click"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -881,8 +956,34 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     # box calibration FIRST (after warmup, before any query): a frozen
-    # workload whose time moves only with the environment
-    calib_sec = _calibration_sec(spark)
+    # workload whose time moves only with the environment.  r10 (r9
+    # verdict #5): the old single min-of-3 point sample swung ±30%
+    # between same-code runs and dominated every per-calib ratio.  Now
+    # the session is BRACKETED — 5 timed runs (after one untimed JIT
+    # warmup) here and 5 more after the last query — and the denominator
+    # is the median of all 10, so it averages the session window instead
+    # of sampling its first instant; the raw runs, spread, and the
+    # end/start drift are echoed so the denominator's remaining noise is
+    # a number, not a surprise.  Back-to-back r10 measurement: the BOX
+    # itself drifts 12-16% between whole bench sessions (calib medians
+    # 0.415 vs 0.364, raw totals 41.1 vs 35.4 s on identical code), so
+    # per-calib ratios carry ±10-20% noise floor from the numerator's
+    # min-of-2/3 sampling alone — compare trends, not single deltas.
+    # calib_min3_sec keeps the r5-r9 trend line comparable.
+    calib_runs = _calibration_runs(spark)
+    calib_min3 = min(calib_runs[:3])
+
+    # fresh-JVM small-join pack (r9 verdict #6): min-of-3 at session-
+    # fresh position, before any other engine query
+    smalljoin_fresh: dict[str, float] = {}
+    for name in SMALLJOIN_PACK:
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            _run(QUERIES[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        smalljoin_fresh[name] = round(best, 3)
 
     # min of 2 runs per query: single-run numbers on this box swing ±20%
     # (JIT, page cache, GC); the min is the stable capability estimate and
@@ -943,6 +1044,13 @@ def main() -> None:
         else {}
     )
 
+    # WARC ingest pricing (SPARK_GRAFT_WARC=0 to skip)
+    warc_extra = (
+        _warc_section(spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_WARC", "1") != "0"
+        else {}
+    )
+
     # measure (not just name) the cost of default-on hot-id salting on the
     # headline minhash query: same operator, valve off — the delta IS the
     # protection premium the bench notes below explain
@@ -981,6 +1089,20 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         nd_route_secs[route] = round(best, 3)
+
+    # multimodal_features absorbed the WARC-boundary oracle evidence in
+    # r10 (mini-shard synthesis + two production-parser passes joined
+    # onto the blob features); price the bare extract so the absorbed
+    # cost stays attributed (the text_profile gates pattern)
+    from psy_supabase_spark.operators import multimodal as _mm
+
+    mm_base = None
+    for _ in range(2):
+        t0 = time.time()
+        _run(_mm.extract_blob_features(_mm.attach_blobs(docs)))
+        dt = time.time() - t0
+        mm_base = dt if mm_base is None else min(mm_base, dt)
+    mm_warc_overhead = round(timings["multimodal_features"] - mm_base, 3)
 
     # same treatment for text_profile's r5 growth: the headline query
     # absorbed the Gopher/C4 gates + Arrow repetition signals; measure
@@ -1027,6 +1149,14 @@ def main() -> None:
         dt = time.time() - t0
         semdedup_fixed8 = dt if semdedup_fixed8 is None else min(semdedup_fixed8, dt)
 
+    # end-bracket calibration: same frozen workload, after the last query
+    calib_end_runs = _calibration_runs(spark)
+    all_calib = sorted(calib_runs + calib_end_runs)
+    calib_sec = all_calib[len(all_calib) // 2]
+    calib_spread = round((all_calib[-1] - all_calib[0]) / calib_sec, 3)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    calib_drift = round(med(calib_end_runs) / med(calib_runs), 3)
+
     total = round(sum(timings.values()), 3)
     extra = {
         "schema_version": 4,
@@ -1035,9 +1165,26 @@ def main() -> None:
         # round 7 measured IDENTICAL r6 headline code at
         # 33.60 s vs the 30.44 s recorded at round-6 time and
         # r5's 27.92 s (drift_identical_code_* below), so raw
-        # round-over-round diffs conflate host drift with code
+        # round-over-round diffs conflate host drift with code.
+        # calib_sec is the MEDIAN of the session-bracketing runs
+        # (5 at start + 5 after the last query) since r10;
+        # calib_min3_sec is the legacy min-of-3 for the r5-r9
+        # trend line
         "calib_sec": calib_sec,
+        "calib_def": "median_of_10_bracketed (r10; r5-r9 was min_of_3 = calib_min3_sec)",
+        "calib_runs": calib_runs,
+        "calib_end_runs": calib_end_runs,
+        "calib_min3_sec": calib_min3,
+        "calib_spread": calib_spread,
+        "calib_drift_within_run": calib_drift,
         "drift_identical_code_r6_rerun_total_sec": 33.603,
+        # r9 verdict #6: the small-join pack timed FRESH (before any
+        # other engine query) vs its in-position headline number —
+        # the delta prices the bench-order / JVM-state effect
+        "smalljoin_fresh_secs": smalljoin_fresh,
+        "smalljoin_inposition_minus_fresh_secs": {
+            k: round(timings[k] - v, 3) for k, v in smalljoin_fresh.items()
+        },
         # calib-relative per-query ratios (r7 verdict #4): the
         # drift-normalized trend line — compare THESE across rounds,
         # not raw seconds
@@ -1054,6 +1201,7 @@ def main() -> None:
         **analytics_extra,
         **tp_extra,
         **srp_exactk_extra,
+        **warc_extra,
         # r5: minhash/srp pay for default-on hot-id detection
         # (dedup.hot_id_estimate: one narrow job over the banded
         # subtree) after proving default AQE will NOT split the
@@ -1068,6 +1216,8 @@ def main() -> None:
         "embedding_neardup_route_broadcast_sec": nd_route_secs["broadcast"],
         "embedding_neardup_route_join_sec": nd_route_secs["join"],
         "text_profile_gates_overhead_sec": gates_overhead,
+        "multimodal_base_extract_sec": round(mm_base, 3),
+        "multimodal_warc_overhead_sec": mm_warc_overhead,
     }
 
     # OUTPUT CONTRACT (r7 verdict #1): the driver parses the stdout JSON

@@ -58,11 +58,15 @@ def _warc_record(wtype: str, ctype: str, uri: str, payload: bytes) -> bytes:
 
 
 def _doc_mini_shard(doc_id: int, text: str) -> bytes:
-    """Deterministic per-doc shard, one gzip member per record (the
-    Common Crawl layout): junk prefix + malformed record (no
+    """Deterministic per-doc shard segment, one gzip member per record
+    (the Common Crawl layout): junk prefix + malformed record (no
     Content-Length — must resync, at any payload size) + HTTP response
     record carrying the templated HTML + WET conversion record whose
-    ASCII payload length (60 + doc_id % 80) straddles the WET valve."""
+    ASCII payload length (60 + doc_id % 80) straddles the WET valve.
+    Segments concatenate into one parseable shard (gzip members are
+    self-delimiting), so a batch of docs parses in ONE pass.
+    compresslevel=1: the gzip ROUND-TRIP is what's under test, not the
+    compressor's effort setting (level 9 tripled the harness cost)."""
     html = f"{_WARC_HTML_PREFIX}{doc_id}{_WARC_HTML_MID}{text}{_WARC_HTML_SUFFIX}"
     http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html.encode()
     malformed = (
@@ -80,9 +84,9 @@ def _doc_mini_shard(doc_id: int, text: str) -> bytes:
         b"x" * (60 + doc_id % 80),
     )
     return (
-        gzip.compress(b"\x00junk" + malformed)
-        + gzip.compress(rec_resp)
-        + gzip.compress(rec_wet)
+        gzip.compress(b"\x00junk" + malformed, compresslevel=1)
+        + gzip.compress(rec_resp, compresslevel=1)
+        + gzip.compress(rec_wet, compresslevel=1)
     )
 
 
@@ -113,54 +117,57 @@ def warc_roundtrip_evidence(docs: DataFrame) -> DataFrame:
     def _evidence(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            files = pd.DataFrame(
-                {
-                    "path": [str(d) for d in ids],
-                    "content": [
-                        _doc_mini_shard(d, t)
-                        for d, t in zip(ids, pdf["text"])
-                    ],
-                }
+            # ONE concatenated shard per Arrow batch (gzip members are
+            # self-delimiting): a file per doc would make the parser's
+            # per-file yield contract emit thousands of one-row frames —
+            # measured 9 s of pandas concat overhead at sf0.1 — while one
+            # shard parses in one pass and evidence maps back by
+            # target_uri, which carries the doc_id
+            shard = b"".join(
+                _doc_mini_shard(d, t) for d, t in zip(ids, pdf["text"])
             )
+            files = pd.DataFrame({"path": ["shard"], "content": [shard]})
             resp = pd.concat(list(parse_resp(iter([files]))), ignore_index=True)
             wet = pd.concat(list(parse_wet(iter([files]))), ignore_index=True)
-            r_by = {p: g for p, g in resp.groupby("path")}
-            w_by = {p: g for p, g in wet.groupby("path")}
+            r_by: dict[str, list] = {}
+            for uri, status, payload, n_b in zip(
+                resp["target_uri"], resp["http_status"],
+                resp["payload"], resp["n_bytes"],
+            ):
+                r_by.setdefault(uri, []).append((status, payload, n_b))
+            w_by: dict[str, list] = {}
+            for uri, trunc, payload, n_b in zip(
+                wet["target_uri"], wet["truncated"],
+                wet["payload"], wet["n_bytes"],
+            ):
+                w_by.setdefault(uri, []).append((trunc, payload, n_b))
             out = {k: [] for k in (
                 "doc_id", "warc_n_records", "warc_status", "warc_resp_md5",
                 "warc_resp_n_bytes", "warc_wet_trunc", "warc_wet_md5",
                 "warc_wet_n_bytes",
             )}
             for did in ids:
-                key = str(did)
-                r = r_by.get(key)
-                w = w_by.get(key)
+                uri = f"http://example.com/doc/{did}"
+                r = r_by.get(uri)
+                w = w_by.get(uri)
                 out["doc_id"].append(did)
                 out["warc_n_records"].append(
                     (0 if r is None else len(r)) + (0 if w is None else len(w))
                 )
-                out["warc_status"].append(
-                    None if r is None or len(r) != 1 else r["http_status"].iloc[0]
-                )
+                r1 = r[0] if r is not None and len(r) == 1 else None
+                w1 = w[0] if w is not None and len(w) == 1 else None
+                out["warc_status"].append(None if r1 is None else r1[0])
                 out["warc_resp_md5"].append(
-                    None
-                    if r is None or len(r) != 1
-                    else hashlib.md5(r["payload"].iloc[0]).hexdigest()
+                    None if r1 is None else hashlib.md5(r1[1]).hexdigest()
                 )
                 out["warc_resp_n_bytes"].append(
-                    None if r is None or len(r) != 1 else int(r["n_bytes"].iloc[0])
+                    None if r1 is None else int(r1[2])
                 )
-                out["warc_wet_trunc"].append(
-                    None if w is None or len(w) != 1 else bool(w["truncated"].iloc[0])
-                )
+                out["warc_wet_trunc"].append(None if w1 is None else bool(w1[0]))
                 out["warc_wet_md5"].append(
-                    None
-                    if w is None or len(w) != 1
-                    else hashlib.md5(w["payload"].iloc[0]).hexdigest()
+                    None if w1 is None else hashlib.md5(w1[1]).hexdigest()
                 )
-                out["warc_wet_n_bytes"].append(
-                    None if w is None or len(w) != 1 else int(w["n_bytes"].iloc[0])
-                )
+                out["warc_wet_n_bytes"].append(None if w1 is None else int(w1[2]))
             res = pd.DataFrame(out)
             res["warc_status"] = res["warc_status"].astype("Int32")
             yield res
