@@ -94,6 +94,31 @@ def sniff_image_dims(payload: bytes) -> tuple[str, int, int] | None:
         return None
     if payload[:2] == b"\xff\xd8":
         return _jpeg_dims(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _webp_dims(payload)
+    return None
+
+
+def _webp_dims(data: bytes) -> tuple[str, int, int] | None:
+    """WebP dimensions off the first chunk after the RIFF/WEBP header:
+    VP8 (lossy: 14-bit w/h at frame-header offset 6 after the 3-byte
+    frame tag + 3-byte sync code), VP8L (lossless: 14-bit fields packed
+    LSB-first after the 0x2F signature), VP8X (extended: 24-bit LE
+    canvas minus one)."""
+    tag = data[12:16]
+    if tag == b"VP8 " and len(data) >= 30 and data[23:26] == b"\x9d\x01\x2a":
+        w = int.from_bytes(data[26:28], "little") & 0x3FFF
+        h = int.from_bytes(data[28:30], "little") & 0x3FFF
+        return ("webp", w, h)
+    if tag == b"VP8L" and len(data) >= 25 and data[20] == 0x2F:
+        bits = int.from_bytes(data[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return ("webp", w, h)
+    if tag == b"VP8X" and len(data) >= 30:
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return ("webp", w, h)
     return None
 
 BLOB_FEATURES_SCHEMA = T.StructType(

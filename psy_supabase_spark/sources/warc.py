@@ -306,6 +306,76 @@ def read_warc(
     return files.mapInPandas(parse, schema=WARC_SCHEMA)
 
 
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length bigint, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    record_types: tuple[str, ...] = ("response",),
+    max_payload_bytes: int = 2 * 1024 * 1024,
+    strip_http_headers: bool = True,
+    batch_records: int = 2048,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The STREAMING twin of :func:`read_warc` (the repo's batch/stream-
+    twin rule): a ``readStream`` over the shard directory, same record
+    schema, same parser — new ``.warc.gz`` files landing in the path
+    (the shape of a live crawl dropping shards into object storage)
+    flow through the identical incremental scan into the streaming
+    admission stack (quality gates, near-dup filters, `streaming/`).
+
+    ``max_files_per_trigger`` bounds per-micro-batch work (one ~1 GB
+    shard is already a full task; N files = N parallel tasks per batch);
+    exactly-once delivery comes from the caller's checkpoint location,
+    as with any file source.  The parser is byte-identical to the batch
+    path — `make_warc_parser` — so batch backfill and streaming ingest
+    can never disagree on a record."""
+    reader = spark.readStream.format("binaryFile").schema(_BINARYFILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    parse = make_warc_parser(
+        {t.lower() for t in record_types},
+        max_payload_bytes=max_payload_bytes,
+        strip_http_headers=strip_http_headers,
+        batch_records=batch_records,
+    )
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def read_wet_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_payload_bytes: int = 2 * 1024 * 1024,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_wet`: conversion records decoded to
+    text rows off a live WET shard directory, same truncated-codepoint
+    hygiene."""
+    from pyspark.sql import functions as F
+
+    raw = read_warc_stream(
+        spark,
+        path,
+        record_types=("conversion",),
+        max_payload_bytes=max_payload_bytes,
+        strip_http_headers=False,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    decoded = F.col("payload").cast("string")
+    text = F.when(
+        F.col("truncated"), F.regexp_replace(decoded, "�+$", "")
+    ).otherwise(decoded)
+    return raw.select(
+        "target_uri", "warc_date", text.alias("text"), "n_bytes", "truncated"
+    )
+
+
 def make_warc_parser(
     keep: set[str],
     *,

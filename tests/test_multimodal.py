@@ -76,6 +76,36 @@ def test_sniff_image_dims_real_headers():
     assert multimodal.sniff_image_dims(b"\xff\xd8\xff\xd9") is None  # SOI+EOI only
 
 
+def _webp_vp8l(w: int, h: int) -> bytes:
+    bits = (w - 1) | ((h - 1) << 14)
+    payload = b"\x2f" + struct.pack("<I", bits) + b"\x00"
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_vp8(w: int, h: int) -> bytes:
+    frame = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 4
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_vp8x(w: int, h: int) -> bytes:
+    payload = b"\x00" + b"\x00" * 3 + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_sniff_webp_variants():
+    """All three WebP container flavors parse: lossy VP8 (sync-coded
+    frame header), lossless VP8L (LSB-packed 14-bit fields), extended
+    VP8X (24-bit canvas minus one)."""
+    assert multimodal.sniff_image_dims(_webp_vp8(480, 360)) == ("webp", 480, 360)
+    assert multimodal.sniff_image_dims(_webp_vp8l(1280, 720)) == ("webp", 1280, 720)
+    assert multimodal.sniff_image_dims(_webp_vp8x(4096, 2160)) == ("webp", 4096, 2160)
+    # RIFF but not WebP (e.g. WAV) falls through
+    assert multimodal.sniff_image_dims(b"RIFF\x00\x00\x00\x00WAVEfmt ") is None
+
+
 def test_decode_image_tiers():
     """Metadata tier works codec-free; only the pixel tier is stubbed."""
     assert multimodal.decode_image(_png(12, 34)) == {

@@ -238,6 +238,70 @@ def test_http_valve_applies_to_body_not_envelope(spark, tmp_path):
     assert bytes(r.payload) == b"z" * 50
 
 
+def test_read_warc_stream_twin_matches_batch(spark, tmp_path):
+    """The streaming twin parses the same shards to the same rows as the
+    batch path (byte-identical parser), and new files landing between
+    micro-batches flow through."""
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    (shard_dir / "a.warc.gz").write_bytes(
+        gzip.compress(_record("response", _http(b"batch one"), uri="http://x/1"))
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _drain():
+        q = (
+            warc.read_warc_stream(spark, str(shard_dir), max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    assert warc.read_warc_stream(spark, str(shard_dir)).isStreaming
+    _drain()
+    # a second shard lands; the restarted drain (same checkpoint) picks
+    # up ONLY the new file — exactly-once across restarts
+    (shard_dir / "b.warc.gz").write_bytes(
+        gzip.compress(_record("response", _http(b"stream two"), uri="http://x/2"))
+    )
+    _drain()
+    got = {
+        r.target_uri: bytes(r.payload) for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r.target_uri: bytes(r.payload)
+        for r in warc.read_warc(spark, str(shard_dir)).collect()
+    }
+    assert got == batch
+    assert got == {"http://x/1": b"batch one", "http://x/2": b"stream two"}
+
+
+def test_read_wet_stream_twin(spark, tmp_path):
+    shard_dir = tmp_path / "wet"
+    shard_dir.mkdir()
+    (shard_dir / "x.warc.wet.gz").write_bytes(
+        gzip.compress(
+            _record("conversion", b"wet text", uri="http://x/w", ctype="text/plain")
+        )
+    )
+    q = (
+        warc.read_wet_stream(spark, str(shard_dir))
+        .writeStream.format("memory")
+        .queryName("wet_stream_t")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM wet_stream_t").collect()
+    assert len(rows) == 1 and rows[0].text == "wet text"
+
+
 def test_warc_roundtrip_evidence_matches_grammar(spark):
     """The oracle-evidence harness (queries/pipeline_queries): per-doc
     mini-shards through the PRODUCTION parser reproduce the grammar's
