@@ -213,10 +213,20 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
         yield fields, payload
 
 
-def split_http_payload(payload: bytes) -> tuple[int | None, bytes]:
+def split_http_payload(
+    payload: bytes, *, decode_body: bool = False
+) -> tuple[int | None, bytes]:
     """(status, body) of an ``application/http`` record payload: parse
     the status code off the first line, drop the HTTP header block.
-    Records without an HTTP header block come back (None, payload)."""
+    Records without an HTTP header block come back (None, payload).
+
+    ``decode_body=True`` additionally undoes the wire encodings real
+    crawl captures carry — ``Transfer-Encoding: chunked`` framing and
+    ``Content-Encoding: gzip/deflate`` compression (in that order, per
+    RFC 9112 §6.1) — so downstream sees the entity bytes the server
+    meant.  Decoding is best-effort: malformed framing or compression
+    returns the body as captured (the malformed-record policy: keep
+    evidence, never fail the shard)."""
     head, sep, body = payload.partition(b"\r\n\r\n")
     if not sep or not head.startswith(b"HTTP/"):
         return None, payload
@@ -224,7 +234,112 @@ def split_http_payload(payload: bytes) -> tuple[int | None, bytes]:
         status = int(head.split(b"\r\n", 1)[0].split()[1])
     except (IndexError, ValueError):
         status = None
+    if decode_body:
+        headers = head.lower()
+        if b"transfer-encoding: chunked" in headers:
+            body = dechunk_http_body(body)
+        if b"content-encoding: gzip" in headers:
+            decoded = gunzip_members(body)
+            body = decoded if decoded else body
+        elif b"content-encoding: deflate" in headers:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                try:  # raw-deflate servers (the historical quirk)
+                    body = zlib.decompress(body, -zlib.MAX_WBITS)
+                except zlib.error:
+                    pass
     return status, body
+
+
+def _iter_zlib_chunks(
+    data: bytes, wbits: int, *, in_chunk: int = 1 << 16
+) -> Iterator[bytes]:
+    """Single zlib/deflate stream decompressed incrementally (the
+    Content-Encoding sibling of :func:`iter_gunzip_chunks`); stops at
+    stream end or the first error, yielding what decoded."""
+    d = zlib.decompressobj(wbits)
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    try:
+        while pos < n and not d.eof:
+            feed = view[pos : pos + in_chunk]
+            pos += len(feed)
+            out = d.decompress(feed)
+            if out:
+                yield out
+        out = d.flush()
+        if out:
+            yield out
+    except zlib.error:
+        return
+
+
+def decode_http_body_bounded(
+    head_lower: bytes, body: bytes, cap: int
+) -> tuple[bytes, int]:
+    """(stored_decoded_prefix, true_decoded_length) for a captured HTTP
+    body, undoing chunked framing then gzip/deflate content coding with
+    RETENTION capped at ``cap`` bytes — decompression streams, the
+    over-cap remainder is counted but never held, so a pathological
+    compression bomb costs O(cap), not O(decoded).  A body that fails
+    to decode comes back as captured (best-effort, the malformed-record
+    policy)."""
+    if b"transfer-encoding: chunked" in head_lower:
+        body = dechunk_http_body(body)
+    streams = None
+    if b"content-encoding: gzip" in head_lower:
+        streams = (iter_gunzip_chunks(body),)
+    elif b"content-encoding: deflate" in head_lower:
+        # zlib-wrapped first; raw-deflate retry (the historical server quirk)
+        streams = (
+            _iter_zlib_chunks(body, zlib.MAX_WBITS),
+            _iter_zlib_chunks(body, -zlib.MAX_WBITS),
+        )
+    if streams is None:
+        return body, len(body)
+    for stream in streams:
+        kept: list[bytes] = []
+        total = 0
+        for c in stream:
+            if total < cap:
+                kept.append(c[: cap - total] if total + len(c) > cap else c)
+            total += len(c)
+        if total:
+            return b"".join(kept), total
+    return body, len(body)  # nothing decoded: keep the captured bytes
+
+
+def dechunk_http_body(body: bytes) -> bytes:
+    """Undo ``Transfer-Encoding: chunked`` framing (RFC 9112 §7.1):
+    hex-length CRLF chunk CRLF ... 0 CRLF [trailers].  Chunk extensions
+    (``;ext=val`` after the size) are ignored.  Malformed framing
+    returns what decoded so far plus nothing else if nothing decoded —
+    i.e. the original bytes when the first length line is not hex."""
+    out: list[bytes] = []
+    framed = False  # did at least one length line parse?
+    pos, n = 0, len(body)
+    while pos < n:
+        nl = body.find(b"\r\n", pos)
+        if nl == -1:
+            break
+        size_field = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            break
+        framed = True
+        if size == 0:
+            break  # terminal chunk; trailers ignored
+        start = nl + 2
+        if start + size > n:
+            out.append(body[start:n])  # truncated capture: keep the tail
+            break
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip the chunk's trailing CRLF
+    if not framed:
+        return body  # not actually chunk-framed: keep as captured
+    return b"".join(out)
 
 
 def read_wet(
@@ -273,6 +388,7 @@ def read_warc(
     record_types: tuple[str, ...] = ("response",),
     max_payload_bytes: int = 2 * 1024 * 1024,
     strip_http_headers: bool = True,
+    decode_http_body: bool = False,
     batch_records: int = 2048,
 ) -> DataFrame:
     """WARC shards → rows: (path, record_id, warc_type, target_uri,
@@ -288,6 +404,14 @@ def read_warc(
     is the pre-truncation BODY length; compose with
     `functions.html.html_to_text` for the WET-style extraction chain.
 
+    ``decode_http_body=True`` additionally undoes the wire encodings a
+    raw crawl capture carries — ``Transfer-Encoding: chunked`` framing
+    and ``Content-Encoding: gzip/deflate`` — via
+    :func:`decode_http_body_bounded`: decompression STREAMS with
+    retention capped at the valve (a compression bomb costs O(valve)),
+    ``n_bytes`` becomes the true decoded entity length, and a body that
+    fails to decode is kept as captured.
+
     Peak memory per task is O(compressed shard + record head + output
     frame), NOT O(decompressed shard): decompression streams through
     :func:`iter_gunzip_chunks` into :func:`scan_warc_stream`, and the
@@ -302,6 +426,7 @@ def read_warc(
         max_payload_bytes=max_payload_bytes,
         strip_http_headers=strip_http_headers,
         batch_records=batch_records,
+        decode_http_body=decode_http_body,
     )
     return files.mapInPandas(parse, schema=WARC_SCHEMA)
 
@@ -318,6 +443,7 @@ def read_warc_stream(
     record_types: tuple[str, ...] = ("response",),
     max_payload_bytes: int = 2 * 1024 * 1024,
     strip_http_headers: bool = True,
+    decode_http_body: bool = False,
     batch_records: int = 2048,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
@@ -343,6 +469,7 @@ def read_warc_stream(
         max_payload_bytes=max_payload_bytes,
         strip_http_headers=strip_http_headers,
         batch_records=batch_records,
+        decode_http_body=decode_http_body,
     )
     return files.mapInPandas(parse, schema=WARC_SCHEMA)
 
@@ -382,6 +509,7 @@ def make_warc_parser(
     max_payload_bytes: int,
     strip_http_headers: bool,
     batch_records: int,
+    decode_http_body: bool = False,
 ):
     """The mapInPandas generator behind :func:`read_warc`, exposed so
     tests can drive it directly and assert the per-file / per-batch
@@ -427,12 +555,26 @@ def make_warc_parser(
                     ctype = fields.get("content-type", "")
                     stored_raw = len(payload)
                     if strip_http_headers and ctype.startswith("application/http"):
-                        status, payload = split_http_payload(payload)
+                        raw = payload
+                        status, payload = split_http_payload(raw)
                         # true body length = framed length minus the
                         # stripped head (exact even when the tail was
                         # drained past the valve)
                         head_len = stored_raw - len(payload)
                         n_bytes = clen - head_len
+                        if decode_http_body and head_len:
+                            head_lower = raw[: head_len].lower()
+                            if (
+                                b"transfer-encoding: chunked" in head_lower
+                                or b"content-encoding: gzip" in head_lower
+                                or b"content-encoding: deflate" in head_lower
+                            ):
+                                # undo wire codings: n_bytes becomes the
+                                # decoded entity length, retention stays
+                                # capped at the valve (bomb-safe)
+                                payload, n_bytes = decode_http_body_bounded(
+                                    head_lower, payload, max_payload_bytes
+                                )
                     else:
                         n_bytes = clen
                     truncated = n_bytes > max_payload_bytes

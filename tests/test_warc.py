@@ -238,6 +238,95 @@ def test_http_valve_applies_to_body_not_envelope(spark, tmp_path):
     assert bytes(r.payload) == b"z" * 50
 
 
+def _http_coded(body: bytes, *headers: str) -> bytes:
+    head = "".join(f"{h}\r\n" for h in ("HTTP/1.1 200 OK",) + headers)
+    return head.encode() + b"\r\n" + body
+
+
+def _chunked(*parts: bytes) -> bytes:
+    return (
+        b"".join(b"%x\r\n" % len(p) + p + b"\r\n" for p in parts) + b"0\r\n\r\n"
+    )
+
+
+def test_dechunk_http_body():
+    assert warc.dechunk_http_body(_chunked(b"hello ", b"world")) == b"hello world"
+    # chunk extensions are ignored; trailers after the 0-chunk too
+    ext = b"6;name=v\r\nhello \r\n5\r\nworld\r\n0\r\nX-Trailer: t\r\n\r\n"
+    assert warc.dechunk_http_body(ext) == b"hello world"
+    # truncated capture keeps the decoded prefix
+    cut = _chunked(b"hello ", b"world")[:-12]
+    assert warc.dechunk_http_body(cut).startswith(b"hello ")
+    # a body that is not chunk-framed comes back as captured
+    assert warc.dechunk_http_body(b"plain <html>") == b"plain <html>"
+
+
+def test_split_http_payload_decodes_wire_encodings():
+    body = b"<html>wire-coded body</html>"
+    # chunked
+    p = _http_coded(_chunked(body), "Transfer-Encoding: chunked")
+    assert warc.split_http_payload(p, decode_body=True) == (200, body)
+    # gzip
+    p = _http_coded(gzip.compress(body), "Content-Encoding: gzip")
+    assert warc.split_http_payload(p, decode_body=True) == (200, body)
+    # chunked THEN gzip (RFC order: transfer coding outermost)
+    p = _http_coded(
+        _chunked(gzip.compress(body)),
+        "Transfer-Encoding: chunked",
+        "Content-Encoding: gzip",
+    )
+    assert warc.split_http_payload(p, decode_body=True) == (200, body)
+    # deflate, both zlib-wrapped and raw (the historical server quirk)
+    import zlib as _z
+
+    p = _http_coded(_z.compress(body), "Content-Encoding: deflate")
+    assert warc.split_http_payload(p, decode_body=True) == (200, body)
+    raw = _z.compressobj(wbits=-_z.MAX_WBITS)
+    p = _http_coded(
+        raw.compress(body) + raw.flush(), "Content-Encoding: deflate"
+    )
+    assert warc.split_http_payload(p, decode_body=True) == (200, body)
+    # corrupt coded body stays as captured (best-effort policy)
+    p = _http_coded(b"\x1f\x8bnot really gzip", "Content-Encoding: gzip")
+    assert warc.split_http_payload(p, decode_body=True) == (
+        200, b"\x1f\x8bnot really gzip",
+    )
+    # decode_body=False leaves wire bytes untouched
+    p = _http_coded(gzip.compress(body), "Content-Encoding: gzip")
+    assert warc.split_http_payload(p)[1] == gzip.compress(body)
+
+
+def test_decode_http_body_bounded_bomb_safe():
+    """A compression bomb costs O(valve): retention caps at the valve,
+    the remainder is counted for n_bytes but never held."""
+    bomb_plain = b"\x00" * 10_000_000  # 10 MB of zeros -> ~10 KB gzip
+    head = b"content-encoding: gzip"
+    stored, total = warc.decode_http_body_bounded(
+        head, gzip.compress(bomb_plain), 1024
+    )
+    assert len(stored) == 1024 and total == 10_000_000
+    # plain body passes through
+    stored, total = warc.decode_http_body_bounded(b"", b"abc", 1024)
+    assert (stored, total) == (b"abc", 3)
+
+
+def test_read_warc_decode_http_body_end_to_end(spark, tmp_path):
+    body = b"<p>served compressed</p>" * 20
+    rec = _record(
+        "response",
+        _http_coded(gzip.compress(body), "Content-Encoding: gzip"),
+    )
+    (tmp_path / "z.warc.gz").write_bytes(gzip.compress(rec))
+    r = warc.read_warc(spark, str(tmp_path), decode_http_body=True).collect()[0]
+    assert bytes(r.payload) == body
+    assert r.n_bytes == len(body) and not r.truncated and r.http_status == 200
+    # valve applies to the DECODED entity
+    r = warc.read_warc(
+        spark, str(tmp_path), decode_http_body=True, max_payload_bytes=40
+    ).collect()[0]
+    assert r.truncated and len(r.payload) == 40 and r.n_bytes == len(body)
+
+
 def test_read_warc_stream_twin_matches_batch(spark, tmp_path):
     """The streaming twin parses the same shards to the same rows as the
     batch path (byte-identical parser), and new files landing between
