@@ -35,7 +35,15 @@ def _warc_record(doc_id: int, text: str) -> bytes:
         f"<script>var x={doc_id};</script></head>"
         f"<body><h1>Doc {doc_id}</h1><p>{text}</p></body></html>"
     ).encode()
-    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    # every third page is served Content-Encoding: gzip (as real servers
+    # do) — the ingest decodes it when decode_http_body=True
+    if doc_id % 3 == 0:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(html)
+        )
+    else:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
     hdr = (
         f"WARC/1.0\r\n"
         f"WARC-Type: response\r\n"
@@ -71,9 +79,27 @@ def main() -> int:
     (shard_dir / "demo-00000.warc.gz").write_bytes(blob)
     print(f"shard: {len(rows)} records, {len(blob):,} bytes gzipped")
 
-    records = warc.read_warc(spark, str(shard_dir))
+    records = warc.read_warc(spark, str(shard_dir), decode_http_body=True)
     n_rec = records.count()
-    print(f"read_warc: {n_rec} response records")
+    print(f"read_warc (wire-decoded): {n_rec} response records")
+
+    # streaming leg: the same shards drained as a live stream (the shape
+    # of a crawler dropping shards into object storage), byte-identical
+    # parser, exactly-once via the checkpoint
+    ckpt = Path(out_dir) / "ckpt"
+    q = (
+        warc.read_warc_stream(
+            spark, str(shard_dir), decode_http_body=True, max_files_per_trigger=1
+        )
+        .writeStream.format("parquet")
+        .option("path", str(Path(out_dir) / "stream_records"))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_stream = spark.read.parquet(str(Path(out_dir) / "stream_records")).count()
+    print(f"read_warc_stream: {n_stream} records via micro-batches (== batch: {n_stream == n_rec})")
 
     texts = records.select(
         "target_uri",
