@@ -518,3 +518,21 @@ class PsyEngine:
         from .functions.url import blocklist_filter
 
         return blocklist_filter(docs, blocklist, **kw)
+
+    def ingest_warc(self, path: str, *, streaming: bool = False, **kw) -> DataFrame:
+        """Common Crawl WARC shards → record rows (sources/warc: one task
+        per shard, O(record head) memory, HTTP split + optional wire
+        decoding via decode_http_body=).  ``streaming=True`` returns the
+        readStream twin for live crawl directories."""
+        from .sources.warc import read_warc, read_warc_stream
+
+        fn = read_warc_stream if streaming else read_warc
+        return fn(self.spark, path, **kw)
+
+    def ingest_wet(self, path: str, *, streaming: bool = False, **kw) -> DataFrame:
+        """Common Crawl WET shards → extracted-text rows (skips the
+        html_to_text stage; truncation ends on a clean codepoint)."""
+        from .sources.warc import read_wet, read_wet_stream
+
+        fn = read_wet_stream if streaming else read_wet
+        return fn(self.spark, path, **kw)

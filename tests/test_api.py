@@ -343,3 +343,34 @@ def test_single_query_wide_dim_routes_gemm(engine, spark):
         ).collect()
     ]
     assert [(r.content, r.similarity) for r in sim] == want
+
+
+def test_ingest_warc_wet_facades(engine, tmp_path):
+    import gzip
+
+    def _rec(wtype, ctype, payload):
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+            f"WARC-Target-URI: http://x/1\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return hdr + payload + b"\r\n\r\n"
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    http = b"HTTP/1.1 200 OK\r\n\r\n<p>hi</p>"
+    (d / "a.warc.gz").write_bytes(
+        gzip.compress(_rec("response", "application/http; msgtype=response", http))
+    )
+    rows = engine.ingest_warc(str(d)).collect()
+    assert len(rows) == 1 and bytes(rows[0].payload) == b"<p>hi</p>"
+    assert engine.ingest_warc(str(d), streaming=True).isStreaming
+
+    w = tmp_path / "wet"
+    w.mkdir()
+    (w / "b.warc.wet.gz").write_bytes(
+        gzip.compress(_rec("conversion", "text/plain", b"wet text"))
+    )
+    rows = engine.ingest_wet(str(w)).collect()
+    assert len(rows) == 1 and rows[0].text == "wet text"
+    assert engine.ingest_wet(str(w), streaming=True).isStreaming
