@@ -390,6 +390,7 @@ def read_warc(
     strip_http_headers: bool = True,
     decode_http_body: bool = False,
     batch_records: int = 2048,
+    glob: str | None = None,
 ) -> DataFrame:
     """WARC shards → rows: (path, record_id, warc_type, target_uri,
     warc_date, content_type, http_status, payload, n_bytes, truncated).
@@ -420,7 +421,12 @@ def read_warc(
     partition) and every ``batch_records`` records within a file.
     """
     keep = {t.lower() for t in record_types}
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        # crawl directories mix *.warc.gz / *.wet.gz / *.wat.gz; the
+        # filter prunes at FILE LISTING time, before any bytes move
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
     parse = make_warc_parser(
         keep,
         max_payload_bytes=max_payload_bytes,
@@ -446,6 +452,7 @@ def read_warc_stream(
     decode_http_body: bool = False,
     batch_records: int = 2048,
     max_files_per_trigger: int | None = None,
+    glob: str | None = None,
 ) -> DataFrame:
     """The STREAMING twin of :func:`read_warc` (the repo's batch/stream-
     twin rule): a ``readStream`` over the shard directory, same record
@@ -463,6 +470,8 @@ def read_warc_stream(
     reader = spark.readStream.format("binaryFile").schema(_BINARYFILE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
     files = reader.load(path).select("path", "content")
     parse = make_warc_parser(
         {t.lower() for t in record_types},

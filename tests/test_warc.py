@@ -424,6 +424,25 @@ def test_warc_roundtrip_evidence_matches_grammar(spark):
         assert r.warc_wet_n_bytes == wet_len
 
 
+def test_glob_filters_mixed_crawl_dir(spark, tmp_path):
+    """Crawl directories mix *.warc.gz / *.wet.gz; the glob prunes at
+    file-listing time so only the asked-for shards are ever read."""
+    (tmp_path / "a.warc.gz").write_bytes(
+        gzip.compress(_record("response", _http(b"warc body"), uri="http://x/warc"))
+    )
+    (tmp_path / "b.wet.gz").write_bytes(
+        gzip.compress(
+            _record("conversion", b"wet body", uri="http://x/wet", ctype="text/plain")
+        )
+    )
+    rows = warc.read_warc(spark, str(tmp_path), glob="*.warc.gz").collect()
+    assert [r.target_uri for r in rows] == ["http://x/warc"]
+    rows = warc.read_warc(
+        spark, str(tmp_path), record_types=("conversion",), glob="*.wet.gz"
+    ).collect()
+    assert [r.target_uri for r in rows] == ["http://x/wet"]
+
+
 def test_read_wet_conversion_records(spark, tmp_path):
     wet = _record(
         "conversion",
