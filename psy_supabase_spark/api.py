@@ -536,3 +536,10 @@ class PsyEngine:
 
         fn = read_wet_stream if streaming else read_wet
         return fn(self.spark, path, **kw)
+
+    def ingest_wat(self, path: str, **kw) -> DataFrame:
+        """Common Crawl WAT shards → JSON-envelope metadata rows; compose
+        with sources.warc.wat_links for the outlink edge list."""
+        from .sources.warc import read_wat
+
+        return read_wat(self.spark, path, **kw)

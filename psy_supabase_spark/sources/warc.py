@@ -381,6 +381,62 @@ def read_wet(
     )
 
 
+def read_wat(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_payload_bytes: int = 2 * 1024 * 1024,
+    glob: str | None = None,
+) -> DataFrame:
+    """WAT shards → (target_uri, warc_date, json, n_bytes, truncated):
+    Common Crawl's metadata sibling — ``metadata`` records whose payload
+    is a JSON envelope (Envelope → Payload-Metadata →
+    HTTP-Response-Metadata → HTML-Metadata: links, title, scripts; the
+    published WAT structure).  Rows keep the raw JSON string; pull
+    fields with ``get_json_object`` / ``from_json`` (JVM-side), or
+    :func:`wat_links` for the outlink table the link-graph /
+    URL-frontier pipelines start from.  Truncated envelopes are broken
+    JSON by construction — filter ``truncated`` before parsing."""
+    from pyspark.sql import functions as F
+
+    raw = read_warc(
+        spark,
+        path,
+        record_types=("metadata",),
+        max_payload_bytes=max_payload_bytes,
+        strip_http_headers=False,
+        glob=glob,
+    )
+    return raw.select(
+        "target_uri",
+        "warc_date",
+        F.col("payload").cast("string").alias("json"),
+        "n_bytes",
+        "truncated",
+    )
+
+
+def wat_links(wat: DataFrame) -> DataFrame:
+    """(target_uri, link_url) per outlink from WAT rows — the edge list
+    a crawl frontier / link-graph dedup consumes.  Pure JVM JSON path
+    extraction (get_json_object + from_json), no Python; truncated rows
+    (broken JSON) and link-less pages drop out via the explode."""
+    from pyspark.sql import functions as F
+
+    links_json = F.get_json_object(
+        F.col("json"),
+        "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']"
+        "['HTML-Metadata'].Links",
+    )
+    arr = F.from_json(links_json, "array<struct<path:string,url:string>>")
+    return (
+        wat.where(~F.col("truncated"))
+        .select("target_uri", F.explode(arr).alias("l"))
+        .select("target_uri", F.col("l.url").alias("link_url"))
+        .where(F.col("link_url").isNotNull())
+    )
+
+
 def read_warc(
     spark: SparkSession,
     path: str,

@@ -424,6 +424,40 @@ def test_warc_roundtrip_evidence_matches_grammar(spark):
         assert r.warc_wet_n_bytes == wet_len
 
 
+def test_read_wat_and_links(spark, tmp_path):
+    """WAT metadata records parse to JSON rows and wat_links extracts
+    the outlink edge list JVM-side (truncated rows drop out)."""
+    import json as _json
+
+    envelope = _json.dumps(
+        {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Links": [
+                                {"path": "A@/href", "url": "http://out/1"},
+                                {"path": "A@/href", "url": "http://out/2"},
+                            ]
+                        }
+                    }
+                }
+            }
+        }
+    ).encode()
+    blob = _record("metadata", envelope, uri="http://x/page", ctype="application/json")
+    (tmp_path / "m.warc.wat.gz").write_bytes(gzip.compress(blob))
+    wat = warc.read_wat(spark, str(tmp_path))
+    rows = wat.collect()
+    assert len(rows) == 1 and not rows[0].truncated
+    links = sorted(r.link_url for r in warc.wat_links(wat).collect())
+    assert links == ["http://out/1", "http://out/2"]
+    # truncated envelopes (broken JSON) drop out of the edge list
+    cut = warc.read_wat(spark, str(tmp_path), max_payload_bytes=20)
+    assert cut.collect()[0].truncated
+    assert warc.wat_links(cut).count() == 0
+
+
 def test_glob_filters_mixed_crawl_dir(spark, tmp_path):
     """Crawl directories mix *.warc.gz / *.wet.gz; the glob prunes at
     file-listing time so only the asked-for shards are ever read."""
