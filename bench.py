@@ -3,7 +3,7 @@
 Runs the headline queries (BASELINE.md: brute-force cosine top-k J2,
 JSON recency top-k P3+O2, rolling context W1, taxonomy argmax A1, the
 T6 cleaning pipeline, the heavy relational/dedup/sessionization paths,
-and the composed 17-stage training pipeline) at $SPARK_GRAFT_SF_DIR
+and the composed 10-stage training pipeline) at $SPARK_GRAFT_SF_DIR
 (default sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Round-over-round discipline (r7):
@@ -78,7 +78,7 @@ BENCH_QUERIES = [
     "semdedup_pairs",           # SemDeDup cluster + within-cluster GEMM
     "lm_score",                 # bigram Stupid-Backoff train + score
     "exact_substr",             # ExactSubstr span excision (Lee 2021)
-    "training_pipeline",        # the composed 17-stage end-to-end DAG
+    "training_pipeline",        # the composed 10-stage end-to-end DAG
 ]
 
 
