@@ -424,6 +424,22 @@ def test_warc_roundtrip_evidence_matches_grammar(spark):
         assert r.warc_wet_n_bytes == wet_len
 
 
+def test_corrupt_member_isolated_per_file(spark, tmp_path):
+    """A corrupt gzip member mid-shard costs only THAT shard's tail:
+    records before the corruption survive, and the next file is
+    untouched (per-file parse isolation)."""
+    r1 = gzip.compress(_record("response", _http(b"before"), uri="http://x/ok1"))
+    r2 = gzip.compress(_record("response", _http(b"after"), uri="http://x/lost"))
+    corrupt = b"\x1f\x8b\x08corrupt-member-garbage"
+    (tmp_path / "bad.warc.gz").write_bytes(r1 + corrupt + r2)
+    (tmp_path / "good.warc.gz").write_bytes(
+        gzip.compress(_record("response", _http(b"next file"), uri="http://x/ok2"))
+    )
+    rows = {r.target_uri for r in warc.read_warc(spark, str(tmp_path)).collect()}
+    assert "http://x/ok1" in rows and "http://x/ok2" in rows
+    assert "http://x/lost" not in rows  # the corrupt shard's tail, by policy
+
+
 def test_read_wat_and_links(spark, tmp_path):
     """WAT metadata records parse to JSON rows and wat_links extracts
     the outlink edge list JVM-side (truncated rows drop out)."""
