@@ -381,6 +381,47 @@ def read_wet(
     )
 
 
+def read_warcinfo(
+    spark: SparkSession, path: str, *, glob: str | None = None
+) -> DataFrame:
+    """Shard provenance: each shard's leading ``warcinfo`` record parsed
+    to (path, record_id, warc_date, info) where ``info`` is a
+    key→value map of the record's ``application/warc-fields`` payload
+    (software, hostname, format, isPartOf … — what Common Crawl stamps
+    on every shard).  One row per shard; join on ``path`` against
+    :func:`read_warc` rows to carry crawl lineage through the pipeline
+    (training-data provenance audits start here)."""
+    from pyspark.sql import functions as F
+
+    raw = read_warc(
+        spark,
+        path,
+        record_types=("warcinfo",),
+        strip_http_headers=False,
+        glob=glob,
+    )
+    # warc-fields payloads are "Name: value" CRLF lines — split JVM-side
+    lines = F.filter(
+        F.split(F.col("payload").cast("string"), "\r\n"),
+        lambda s: s.contains(": "),
+    )
+    entries = F.transform(
+        lines,
+        lambda s: F.struct(
+            F.trim(F.substring_index(s, ":", 1)).alias("k"),
+            # value = everything after the FIRST colon (values may
+            # themselves contain colons, e.g. URLs)
+            F.trim(F.regexp_replace(s, "^[^:]*:", "")).alias("v"),
+        ),
+    )
+    return raw.select(
+        "path",
+        "record_id",
+        "warc_date",
+        F.map_from_entries(entries).alias("info"),
+    )
+
+
 def read_wat(
     spark: SparkSession,
     path: str,

@@ -424,6 +424,34 @@ def test_warc_roundtrip_evidence_matches_grammar(spark):
         assert r.warc_wet_n_bytes == wet_len
 
 
+def test_read_warcinfo_provenance(spark, tmp_path):
+    """Shard lineage: the warcinfo record parses to a key->value map,
+    including values that contain colons (URLs)."""
+    fields = (
+        b"software: Test-Crawler/1.0\r\n"
+        b"isPartOf: CC-MAIN-2024-01\r\n"
+        b"description: crawl of https://example.com:8080/x\r\n"
+    )
+    shard = _record("warcinfo", fields, ctype="application/warc-fields")
+    shard += _record("response", _http(b"page"), uri="http://x/p")
+    (tmp_path / "s.warc.gz").write_bytes(gzip.compress(shard))
+    rows = warc.read_warcinfo(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    info = rows[0].info
+    assert info["software"] == "Test-Crawler/1.0"
+    assert info["isPartOf"] == "CC-MAIN-2024-01"
+    assert info["description"] == "crawl of https://example.com:8080/x"
+    # joins back to record rows on path for lineage
+    recs = warc.read_warc(spark, str(tmp_path))
+    joined = recs.join(
+        warc.read_warcinfo(spark, str(tmp_path)).select(
+            "path", F.col("info")["isPartOf"].alias("crawl_id")
+        ),
+        "path",
+    ).collect()
+    assert joined[0].crawl_id == "CC-MAIN-2024-01"
+
+
 def test_corrupt_member_isolated_per_file(spark, tmp_path):
     """A corrupt gzip member mid-shard costs only THAT shard's tail:
     records before the corruption survive, and the next file is
