@@ -374,3 +374,11 @@ def test_ingest_warc_wet_facades(engine, tmp_path):
     rows = engine.ingest_wet(str(w)).collect()
     assert len(rows) == 1 and rows[0].text == "wet text"
     assert engine.ingest_wet(str(w), streaming=True).isStreaming
+
+    m = tmp_path / "wat"
+    m.mkdir()
+    (m / "c.warc.wat.gz").write_bytes(
+        gzip.compress(_rec("metadata", "application/json", b'{"Envelope":{}}'))
+    )
+    rows = engine.ingest_wat(str(m)).collect()
+    assert len(rows) == 1 and rows[0].json == '{"Envelope":{}}' 
