@@ -214,7 +214,10 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
 
 
 def split_http_payload(
-    payload: bytes, *, decode_body: bool = False
+    payload: bytes,
+    *,
+    decode_body: bool = False,
+    decode_cap: int = 2 * 1024 * 1024,
 ) -> tuple[int | None, bytes]:
     """(status, body) of an ``application/http`` record payload: parse
     the status code off the first line, drop the HTTP header block.
@@ -223,10 +226,12 @@ def split_http_payload(
     ``decode_body=True`` additionally undoes the wire encodings real
     crawl captures carry — ``Transfer-Encoding: chunked`` framing and
     ``Content-Encoding: gzip/deflate`` compression (in that order, per
-    RFC 9112 §6.1) — so downstream sees the entity bytes the server
-    meant.  Decoding is best-effort: malformed framing or compression
-    returns the body as captured (the malformed-record policy: keep
-    evidence, never fail the shard)."""
+    RFC 9112 §6.1) — by delegating to :func:`decode_http_body_bounded`
+    with retention capped at ``decode_cap`` (default: the 2 MiB payload
+    valve), so even this convenience API can never materialize
+    O(decoded) bytes from a compression bomb.  Decoding is best-effort:
+    malformed framing or compression returns the body as captured (the
+    malformed-record policy: keep evidence, never fail the shard)."""
     head, sep, body = payload.partition(b"\r\n\r\n")
     if not sep or not head.startswith(b"HTTP/"):
         return None, payload
@@ -235,29 +240,23 @@ def split_http_payload(
     except (IndexError, ValueError):
         status = None
     if decode_body:
-        headers = head.lower()
-        if b"transfer-encoding: chunked" in headers:
-            body = dechunk_http_body(body)
-        if b"content-encoding: gzip" in headers:
-            decoded = gunzip_members(body)
-            body = decoded if decoded else body
-        elif b"content-encoding: deflate" in headers:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                try:  # raw-deflate servers (the historical quirk)
-                    body = zlib.decompress(body, -zlib.MAX_WBITS)
-                except zlib.error:
-                    pass
+        body, _total = decode_http_body_bounded(head.lower(), body, decode_cap)
     return status, body
 
 
 def _iter_zlib_chunks(
-    data: bytes, wbits: int, *, in_chunk: int = 1 << 16
+    data: bytes,
+    wbits: int,
+    *,
+    in_chunk: int = 1 << 16,
+    status: dict | None = None,
 ) -> Iterator[bytes]:
     """Single zlib/deflate stream decompressed incrementally (the
     Content-Encoding sibling of :func:`iter_gunzip_chunks`); stops at
-    stream end or the first error, yielding what decoded."""
+    stream end or the first error, yielding what decoded.  When a
+    ``status`` dict is passed, a mid-stream zlib error is recorded as
+    ``status["error"] = True`` so callers can distinguish a cleanly
+    ended (or merely truncated) stream from a corrupt one."""
     d = zlib.decompressobj(wbits)
     view = memoryview(data)
     pos, n = 0, len(data)
@@ -272,7 +271,21 @@ def _iter_zlib_chunks(
         if out:
             yield out
     except zlib.error:
+        if status is not None:
+            status["error"] = True
         return
+
+
+def _drain_bounded(stream: Iterator[bytes], cap: int) -> tuple[bytes, int]:
+    """(kept_prefix, true_total) off a chunk iterator with retention
+    capped at ``cap`` — over-cap chunks are counted, never held."""
+    kept: list[bytes] = []
+    total = 0
+    for c in stream:
+        if total < cap:
+            kept.append(c[: cap - total] if total + len(c) > cap else c)
+        total += len(c)
+    return b"".join(kept), total
 
 
 def decode_http_body_bounded(
@@ -287,27 +300,32 @@ def decode_http_body_bounded(
     policy)."""
     if b"transfer-encoding: chunked" in head_lower:
         body = dechunk_http_body(body)
-    streams = None
     if b"content-encoding: gzip" in head_lower:
-        streams = (iter_gunzip_chunks(body),)
-    elif b"content-encoding: deflate" in head_lower:
-        # zlib-wrapped first; raw-deflate retry (the historical server quirk)
-        streams = (
-            _iter_zlib_chunks(body, zlib.MAX_WBITS),
-            _iter_zlib_chunks(body, -zlib.MAX_WBITS),
-        )
-    if streams is None:
+        kept, total = _drain_bounded(iter_gunzip_chunks(body), cap)
+        return (kept, total) if total else (body, len(body))
+    if b"content-encoding: deflate" in head_lower:
+        # zlib-wrapped first, raw-deflate retry (the historical server
+        # quirk).  An attempt is ACCEPTED only when it decoded without a
+        # mid-stream zlib error — a raw-deflate body whose first two
+        # bytes happen to mimic a valid zlib header would otherwise
+        # decode a garbage prefix under MAX_WBITS and shadow the raw
+        # retry (matching split_http_payload's historical retry-on-error
+        # semantics).  If both attempts error, the larger partial wins
+        # (best-effort); if nothing decoded, the captured bytes stay.
+        partial: tuple[bytes, int] = (b"", 0)
+        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+            st: dict = {}
+            kept, total = _drain_bounded(
+                _iter_zlib_chunks(body, wbits, status=st), cap
+            )
+            if total and not st.get("error"):
+                return kept, total
+            if total > partial[1]:
+                partial = (kept, total)
+        if partial[1]:
+            return partial
         return body, len(body)
-    for stream in streams:
-        kept: list[bytes] = []
-        total = 0
-        for c in stream:
-            if total < cap:
-                kept.append(c[: cap - total] if total + len(c) > cap else c)
-            total += len(c)
-        if total:
-            return b"".join(kept), total
-    return body, len(body)  # nothing decoded: keep the captured bytes
+    return body, len(body)
 
 
 def dechunk_http_body(body: bytes) -> bytes:
@@ -390,7 +408,12 @@ def read_warcinfo(
     (software, hostname, format, isPartOf … — what Common Crawl stamps
     on every shard).  One row per shard; join on ``path`` against
     :func:`read_warc` rows to carry crawl lineage through the pipeline
-    (training-data provenance audits start here)."""
+    (training-data provenance audits start here).
+
+    Repeated field names — legal in the warc-fields named-field format —
+    dedup LAST-WINS before the map is built (``map_from_entries`` under
+    Spark's default ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` would
+    otherwise fail the whole query on one shard's repeated header)."""
     from pyspark.sql import functions as F
 
     raw = read_warc(
@@ -414,12 +437,20 @@ def read_warcinfo(
             F.trim(F.regexp_replace(s, "^[^:]*:", "")).alias("v"),
         ),
     )
-    return raw.select(
-        "path",
-        "record_id",
-        "warc_date",
-        F.map_from_entries(entries).alias("info"),
+    # last-wins key dedup: distinct keys, each paired with the LAST
+    # entry carrying it (records are a handful of fields — the O(k²)
+    # nested filter is constant work per shard)
+    keys = F.array_distinct(F.transform(entries, lambda e: e["k"]))
+    info = F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda k: F.element_at(
+                F.filter(entries, lambda e: e["k"] == k), -1
+            )["v"],
+        ),
     )
+    return raw.select("path", "record_id", "warc_date", info.alias("info"))
 
 
 def read_wat(
@@ -660,6 +691,10 @@ def make_warc_parser(
                     status = None
                     ctype = fields.get("content-type", "")
                     stored_raw = len(payload)
+                    # did the scanner's valve drop tail bytes of this
+                    # record?  (stored_raw == min(clen, scan_valve))
+                    capture_cut = stored_raw < clen
+                    decoded = False
                     if strip_http_headers and ctype.startswith("application/http"):
                         raw = payload
                         status, payload = split_http_payload(raw)
@@ -681,11 +716,22 @@ def make_warc_parser(
                                 payload, n_bytes = decode_http_body_bounded(
                                     head_lower, payload, max_payload_bytes
                                 )
+                                decoded = True
                     else:
                         n_bytes = clen
                     truncated = n_bytes > max_payload_bytes
                     if truncated:
                         payload = payload[:max_payload_bytes]
+                    # Stored-vs-true guard: the flag must reflect what was
+                    # actually STORED, not only the valve comparison — an
+                    # HTTP header block over HTTP_HEAD_ALLOWANCE can leave
+                    # the stored body short of min(n_bytes, valve), and a
+                    # wire-decode of a capture the scan valve cut yields a
+                    # prefix of the true entity even when lengths agree.
+                    if len(payload) < min(n_bytes, max_payload_bytes) or (
+                        decoded and capture_cut
+                    ):
+                        truncated = True
                     out["path"].append(fpath)
                     out["record_id"].append(fields.get("warc-record-id", ""))
                     out["warc_type"].append(wtype)

@@ -535,3 +535,130 @@ def test_read_wet_conversion_records(spark, tmp_path):
     assert r.target_uri == "http://example.com/wet"
     assert r.text == "extracted text body\nsecond line"
     assert not r.truncated
+
+
+def _zlib_header_mimic_raw_deflate() -> tuple[bytes, bytes]:
+    """(wire_bytes, true_entity): a RAW-deflate stream (two stored
+    blocks + final empty block) whose first two bytes 0x08 0x1D form a
+    VALID zlib header — the ~1/1000 adversarial shape from the r10
+    advice.  Under MAX_WBITS zlib decodes ~64 KB of garbage fixed-
+    huffman literals across the first 64 KiB chunk, then raises
+    mid-stream in the second chunk; under -MAX_WBITS it decodes cleanly.
+    Constants found by offline search; the asserts re-verify both
+    properties so the construction can't rot silently."""
+    import zlib as _z
+
+    LEN1, LEN2 = 61981, 4096
+    data1 = b"A" * LEN1
+    err_at = (1 << 16) + 512 - (5 + LEN1 + 5)
+    data2 = b"A" * err_at + b"\x63" + b"A" * (LEN2 - err_at - 1)
+    wire = (
+        bytes([0x08, 0x1D, 0xF2, (0xFFFF - LEN1) & 0xFF, (0xFFFF - LEN1) >> 8])
+        + data1
+        + bytes([0x78, LEN2 & 0xFF, LEN2 >> 8, (0xFFFF - LEN2) & 0xFF,
+                 (0xFFFF - LEN2) >> 8])
+        + data2
+        + bytes([0x01, 0x00, 0x00, 0xFF, 0xFF])
+    )
+    entity = data1 + data2
+    # property 1: raw-deflate decodes cleanly to the entity
+    assert _z.decompress(wire, -_z.MAX_WBITS) == entity
+    # property 2: zlib-wrapped yields output in chunk 1, errors in chunk 2
+    d = _z.decompressobj(_z.MAX_WBITS)
+    garbage = d.decompress(wire[: 1 << 16])
+    assert garbage and garbage != entity[: len(garbage)]
+    try:
+        d.decompress(wire[1 << 16 :])
+        raise AssertionError("expected mid-stream zlib error")
+    except _z.error:
+        pass
+    return wire, entity
+
+
+def test_deflate_zlib_header_mimic_retries_raw():
+    """A raw-deflate body whose first two bytes mimic a zlib header must
+    NOT be accepted as the zlib-wrapped attempt's garbage partial — the
+    mid-stream error routes to the raw-deflate retry (r10 advice)."""
+    wire, entity = _zlib_header_mimic_raw_deflate()
+    head = b"content-encoding: deflate"
+    stored, total = warc.decode_http_body_bounded(head, wire, 1 << 21)
+    assert total == len(entity) and stored == entity
+    # same through the public convenience API
+    p = _http_coded(wire, "Content-Encoding: deflate")
+    status, body = warc.split_http_payload(p, decode_body=True)
+    assert status == 200 and body == entity
+
+
+def test_split_http_payload_decode_is_bounded():
+    """The public decode flag can no longer materialize O(decoded)
+    bytes: retention caps at decode_cap (r10 verdict, wrong #1)."""
+    bomb_plain = b"\x00" * 10_000_000
+    p = _http_coded(gzip.compress(bomb_plain), "Content-Encoding: gzip")
+    status, body = warc.split_http_payload(p, decode_body=True, decode_cap=2048)
+    assert status == 200 and len(body) == 2048 and body == bomb_plain[:2048]
+    # default cap is the 2 MiB valve
+    status, body = warc.split_http_payload(p, decode_body=True)
+    assert len(body) == 2 * 1024 * 1024
+
+
+def test_truncated_flag_reflects_stored_loss(spark, tmp_path):
+    """truncated derives from what was actually STORED, not just the
+    n_bytes>valve comparison (r10 advice): an HTTP header block over
+    HTTP_HEAD_ALLOWANCE, and a chunked capture cut at the scan valve,
+    both flag even when n_bytes <= the valve."""
+    # case 1: header block over the allowance eats into the stored body
+    pad = "x" * (warc.HTTP_HEAD_ALLOWANCE + 400)
+    big_head = _http_coded(b"B" * 900, f"X-Pad: {pad}")
+    rec = _record("response", big_head)
+    (tmp_path / "head.warc.gz").write_bytes(gzip.compress(rec))
+    r = warc.read_warc(
+        spark, str(tmp_path / "head.warc.gz"), max_payload_bytes=1000
+    ).collect()[0]
+    assert r.n_bytes == 900  # true body length is known exactly
+    assert len(r.payload) < 900  # ...but the stored body is short
+    assert r.truncated  # and the flag says so (was silently False)
+
+    # case 2: wire-decode of a capture the scan valve cut — the decoded
+    # prefix is complete-looking (n_bytes == len(payload) <= valve) but
+    # the true entity continues past the cut
+    ext = "y" * (warc.HTTP_HEAD_ALLOWANCE + 2000)
+    wire = (
+        b"5\r\nhello\r\n"
+        + f"1;{ext}".encode() + b"\r\nZ\r\n"
+        + b"0\r\n\r\n"
+    )
+    rec = _record(
+        "response", _http_coded(wire, "Transfer-Encoding: chunked")
+    )
+    (tmp_path / "cut.warc.gz").write_bytes(gzip.compress(rec))
+    r = warc.read_warc(
+        spark,
+        str(tmp_path / "cut.warc.gz"),
+        max_payload_bytes=200,
+        decode_http_body=True,
+    ).collect()[0]
+    assert bytes(r.payload) == b"hello" and r.n_bytes == 5
+    assert r.truncated  # the capture was cut: 'Z' was lost
+
+
+def test_warcinfo_repeated_field_last_wins(spark, tmp_path):
+    """warc-fields payloads may legally repeat a field name; the info
+    map dedups LAST-WINS instead of failing under Spark's default
+    mapKeyDedupPolicy=EXCEPTION (r10 advice)."""
+    payload = (
+        b"software: crawler/1.0\r\n"
+        b"robots: classic\r\n"
+        b"robots: obeyed\r\n"
+        b"isPartOf: CRAWL-2026\r\n"
+    )
+    rec = _record(
+        "warcinfo", payload, ctype="application/warc-fields",
+        uri="", rid="<urn:uuid:info>",
+    )
+    (tmp_path / "i.warc.gz").write_bytes(gzip.compress(rec))
+    rows = warc.read_warcinfo(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    info = rows[0].info
+    assert info["software"] == "crawler/1.0"
+    assert info["robots"] == "obeyed"  # last occurrence wins
+    assert info["isPartOf"] == "CRAWL-2026"

@@ -264,9 +264,10 @@ def main() -> None:
             for copy in range(fx):
                 for s, blob in enumerate(warc_blobs):
                     (shard_dir / f"c{copy:03d}-s{s:02d}.warc.gz").write_bytes(blob)
-            # one untimed pass first: the first mapInPandas of a session
-            # pays Python-worker startup (~2 s), which at x1 would dwarf
-            # the 8-shard parse and invert the curve; min-of-2 after
+            # min-of-3: the first timed pass pays Python-worker startup
+            # (~2 s), which at x1 would dwarf the 8-shard parse and
+            # invert the curve — the min over the two warm passes
+            # absorbs it (no separate untimed warmup)
             best = None
             for _ in range(3):
                 t0 = time.time()
