@@ -121,6 +121,162 @@ def _webp_dims(data: bytes) -> tuple[str, int, int] | None:
         return ("webp", w, h)
     return None
 
+
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3): bitrate in
+# kbps by [version-group][layer][index], sample rate in Hz by [version].
+_MP3_BITRATE_V1 = {
+    1: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}
+_MP3_BITRATE_V2 = {
+    1: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_SAMPLE_RATES = {
+    3: (44100, 48000, 32000),  # MPEG1
+    2: (22050, 24000, 16000),  # MPEG2
+    0: (11025, 12000, 8000),   # MPEG2.5
+}
+
+
+def _wav_meta(data: bytes) -> dict | None:
+    """RIFF/WAVE fmt-chunk walk: (channels, sample_rate, bits) plus a
+    duration estimate off the data chunk's byte length."""
+    meta: dict = {"kind": "audio", "format": "wav"}
+    pos, n = 12, len(data)
+    byte_rate = data_size = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        csize = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            meta["channels"] = int.from_bytes(body[2:4], "little")
+            meta["sample_rate"] = int.from_bytes(body[4:8], "little")
+            byte_rate = int.from_bytes(body[8:12], "little")
+            meta["bits"] = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if "sample_rate" not in meta:
+        return None
+    if byte_rate and data_size is not None:
+        meta["duration_sec"] = round(data_size / byte_rate, 3)
+    return meta
+
+
+def _mp3_meta(data: bytes) -> dict | None:
+    """MPEG audio frame header (4 bytes after the 11-bit sync): version,
+    layer, bitrate, sample rate, channel mode.  An ID3v2 tag prefix is
+    skipped via its syncsafe length."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = 0
+        for b in data[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    if pos + 4 > len(data):
+        return None
+    b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+    if data[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 3   # 0=MPEG2.5, 2=MPEG2, 3=MPEG1 (1 reserved)
+    layer_code = (b1 >> 1) & 3  # 3=Layer I, 2=Layer II, 1=Layer III
+    if version == 1 or layer_code == 0:
+        return None
+    layer = 4 - layer_code
+    br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    table = _MP3_BITRATE_V1 if version == 3 else _MP3_BITRATE_V2
+    return {
+        "kind": "audio",
+        "format": "mp3",
+        "mpeg_version": {3: 1, 2: 2, 0: 25}[version],
+        "layer": layer,
+        "bitrate_kbps": table[layer][br_idx],
+        "sample_rate": _MP3_SAMPLE_RATES[version][sr_idx],
+        "channels": 1 if (b3 >> 6) == 3 else 2,
+    }
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO BMFF boxes in
+    data[start:end]; handles 64-bit largesize, stops on malformed."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos  # box extends to end of file
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_meta(data: bytes) -> dict | None:
+    """MP4/MOV metadata off the box structure alone: ftyp major brand +
+    the first video trak's tkhd width/height (16.16 fixed point; v0 and
+    v1 layouts) — no codec, mirroring the image sniffers."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    meta: dict = {
+        "kind": "video",
+        "format": "mp4",
+        "brand": data[8:12].decode("ascii", "replace").strip(),
+    }
+    for btype, b0, b1 in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for t, t0, t1 in _mp4_boxes(data, b0, b1):
+            if t != b"trak":
+                continue
+            for h, h0, h1 in _mp4_boxes(data, t0, t1):
+                if h != b"tkhd":
+                    continue
+                ver = data[h0]
+                off = h0 + (88 if ver == 1 else 76)
+                if off + 8 > h1:
+                    continue
+                w = int.from_bytes(data[off : off + 4], "big") >> 16
+                hh = int.from_bytes(data[off + 4 : off + 8], "big") >> 16
+                if w and hh:  # audio traks carry 0x0 — skip them
+                    meta["width"], meta["height"] = w, hh
+                    return meta
+    return meta  # ftyp matched: still mp4, dims unknown/audio-only
+
+
+def sniff_media_meta(payload: bytes) -> dict | None:
+    """Typed container metadata for ANY supported modality — images
+    (PNG/GIF/BMP/JPEG/WebP via :func:`sniff_image_dims`), WAV (RIFF fmt
+    chunk: channels/sample-rate/bits), MP3 (frame header, ID3v2-aware:
+    bitrate/sample-rate/channels), MP4/MOV (ftyp brand + moov/tkhd
+    dimensions).  Pure header byte parsing, no codec; None when no
+    container magic matches (callers fall back to their stand-in)."""
+    img = sniff_image_dims(payload)
+    if img is not None:
+        fmt, w, h = img
+        return {"kind": "image", "format": fmt, "width": w, "height": h}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _wav_meta(payload)
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        return _mp4_meta(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        return _mp3_meta(payload)
+    return None
+
 BLOB_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),
@@ -194,14 +350,18 @@ def extract_blob_features(blobs: DataFrame, *, id_col: str = "doc_id") -> DataFr
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes = pdf["payload"].map(len)
-            # real container metadata when the payload IS an image
-            # (sniff_image_dims); the deterministic size-keyed stand-in
-            # otherwise (the synthetic text corpus always falls back, so
-            # the SQL oracle's octet_length math holds)
-            sniffed = pdf["payload"].map(sniff_image_dims)
+            # real container metadata when the payload IS media — image
+            # dims via sniff_image_dims, MP4 video dims via the tkhd box
+            # (sniff_media_meta routes on magic); the deterministic
+            # size-keyed stand-in otherwise (the synthetic text corpus
+            # always falls back, so the SQL oracle's octet_length math
+            # holds; audio containers carry no dims and fall back too)
+            sniffed = pdf["payload"].map(sniff_media_meta)
             dims = pd.Series(
                 [
-                    (s[1], s[2]) if s is not None else fake_decode_dims(n)
+                    (s["width"], s["height"])
+                    if s is not None and "width" in s
+                    else fake_decode_dims(n)
                     for s, n in zip(sniffed, n_bytes)
                 ],
                 index=pdf.index,
@@ -230,6 +390,54 @@ def extract_blob_features(blobs: DataFrame, *, id_col: str = "doc_id") -> DataFr
             )
 
     return blobs.select(id_col, "payload").mapInPandas(_extract, BLOB_FEATURES_SCHEMA)
+
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("bits", T.LongType(), True),
+        T.StructField("bitrate_kbps", T.LongType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("brand", T.StringType(), True),
+    ]
+)
+
+_MEDIA_META_COLS = (
+    "kind", "format", "width", "height", "sample_rate", "channels",
+    "bits", "bitrate_kbps", "duration_sec", "brand",
+)
+
+
+def extract_media_meta(blobs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Typed container metadata for a mixed-modality binary column —
+    one Arrow-batched pass mapping each payload through
+    :func:`sniff_media_meta` into a flat typed schema (kind/format +
+    image/video dims + audio sample-rate/channels/bits/bitrate).
+    Unrecognized payloads keep NULL kind: at 100 TB the follow-on
+    groupBy(kind, format) is the corpus inventory every multimodal
+    pipeline runs first, and the declared schema lets Catalyst prune
+    to exactly the columns that query needs."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in _MEDIA_META_COLS}
+            for payload in pdf["payload"]:
+                m = sniff_media_meta(bytes(payload)) or {}
+                for c in _MEDIA_META_COLS:
+                    rows[c].append(m.get(c))
+            out = pd.DataFrame({"doc_id": pdf[id_col], **rows})
+            for c in ("width", "height", "sample_rate", "channels",
+                      "bits", "bitrate_kbps"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return blobs.select(id_col, "payload").mapInPandas(_meta, MEDIA_META_SCHEMA)
 
 
 def resize_stub_bytes(payload: bytes) -> bytes:

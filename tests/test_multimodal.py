@@ -169,3 +169,138 @@ def test_audio_window_means_deterministic(spark):
 def test_resize_stub_cap(spark):
     assert len(multimodal.resize_stub_bytes(b"x" * 10_000)) == 64 * 48
     assert multimodal.resize_stub_bytes(b"xy") == b"xy"
+
+
+def _wav(sr: int = 44100, ch: int = 2, bits: int = 16, n_data: int = 4000) -> bytes:
+    byte_rate = sr * ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, byte_rate, ch * bits // 8, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", n_data) + b"\x00" * n_data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mp3(*, id3: bool = False) -> bytes:
+    # 0xFF 0xFB 0x90 0x00: MPEG1 Layer III, 128 kbps, 44100 Hz, stereo
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 32
+    if id3:
+        return b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10 + frame
+    return frame
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4_tkhd(w: int, h: int, *, version: int = 0) -> bytes:
+    if version == 0:
+        body = bytes([0, 0, 0, 7]) + b"\x00" * 20 + b"\x00" * 8
+    else:
+        body = bytes([1, 0, 0, 7]) + b"\x00" * 32 + b"\x00" * 8
+    body += b"\x00" * 8 + b"\x00" * 36  # layer/alt/volume/reserved + matrix
+    body += struct.pack(">II", w << 16, h << 16)
+    return _mp4_box(b"tkhd", body)
+
+
+def _mp4(w: int, h: int, *, version: int = 0, audio_trak_first: bool = False) -> bytes:
+    ftyp = _mp4_box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2")
+    traks = b""
+    if audio_trak_first:
+        traks += _mp4_box(b"trak", _mp4_tkhd(0, 0, version=version))
+    traks += _mp4_box(b"trak", _mp4_tkhd(w, h, version=version))
+    return ftyp + _mp4_box(b"moov", traks)
+
+
+def test_sniff_wav_fmt_chunk():
+    m = multimodal.sniff_media_meta(_wav(sr=22050, ch=1, bits=8, n_data=22050))
+    assert m == {
+        "kind": "audio", "format": "wav", "channels": 1,
+        "sample_rate": 22050, "bits": 8, "duration_sec": 1.0,
+    }
+    # fmt chunk after an odd-sized leading chunk (word-alignment walk)
+    wav = _wav()
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    wav = wav[:12] + extra + wav[12:]
+    m = multimodal.sniff_media_meta(wav)
+    assert m is not None and m["sample_rate"] == 44100 and m["channels"] == 2
+    # RIFF that is not WAVE is not audio
+    assert multimodal.sniff_media_meta(b"RIFF\x00\x00\x00\x00AVI LIST") is None
+
+
+def test_sniff_mp3_frame_header():
+    m = multimodal.sniff_media_meta(_mp3())
+    assert (m["kind"], m["format"]) == ("audio", "mp3")
+    assert m["bitrate_kbps"] == 128 and m["sample_rate"] == 44100
+    assert m["channels"] == 2 and m["mpeg_version"] == 1 and m["layer"] == 3
+    # ID3v2-prefixed file: tag skipped via syncsafe size
+    m = multimodal.sniff_media_meta(_mp3(id3=True))
+    assert m is not None and m["bitrate_kbps"] == 128
+    # MPEG2 Layer III mono: 0xFF 0xF3 0x80 0xC0 -> 64 kbps, 22050 Hz
+    m = multimodal.sniff_media_meta(bytes([0xFF, 0xF3, 0x80, 0xC0]))
+    assert m["bitrate_kbps"] == 64 and m["sample_rate"] == 22050
+    assert m["channels"] == 1 and m["mpeg_version"] == 2
+    # reserved version / bad bitrate index / bad sample rate -> None
+    assert multimodal.sniff_media_meta(bytes([0xFF, 0xEB, 0x90, 0x00])) is None
+    assert multimodal.sniff_media_meta(bytes([0xFF, 0xFB, 0xF0, 0x00])) is None
+    assert multimodal.sniff_media_meta(bytes([0xFF, 0xFB, 0x9C, 0x00])) is None
+
+
+def test_sniff_mp4_tkhd_dims():
+    m = multimodal.sniff_media_meta(_mp4(1920, 1080))
+    assert (m["kind"], m["format"], m["brand"]) == ("video", "mp4", "isom")
+    assert (m["width"], m["height"]) == (1920, 1080)
+    # v1 tkhd (64-bit times shift the dims offset)
+    m = multimodal.sniff_media_meta(_mp4(640, 360, version=1))
+    assert (m["width"], m["height"]) == (640, 360)
+    # the 0x0 audio trak is skipped; the video trak's dims win
+    m = multimodal.sniff_media_meta(_mp4(1280, 720, audio_trak_first=True))
+    assert (m["width"], m["height"]) == (1280, 720)
+    # ftyp without a parseable video trak still identifies the container
+    ftyp_only = _mp4_box(b"ftyp", b"mp42" + b"\x00" * 8)
+    m = multimodal.sniff_media_meta(ftyp_only)
+    assert m["format"] == "mp4" and "width" not in m
+
+
+def test_extract_blob_features_routes_mp4_dims(spark):
+    """extract_blob_features routes on magic across modalities: MP4
+    video dims come off the tkhd box, not the size stand-in."""
+    import pandas as pd
+
+    payloads = pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [_mp4(1920, 1080), b"plain text"]}
+    )
+    blobs = spark.createDataFrame(payloads)
+    feats = {r.doc_id: r for r in multimodal.extract_blob_features(blobs).collect()}
+    assert (feats[1].fake_width, feats[1].fake_height) == (1920, 1080)
+    w, h = multimodal.fake_decode_dims(len(b"plain text"))
+    assert (feats[2].fake_width, feats[2].fake_height) == (w, h)
+
+
+def test_extract_media_meta_mixed_modalities(spark):
+    import pandas as pd
+
+    payloads = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "payload": [
+                _png(10, 20), _wav(), _mp3(), _mp4(320, 240), b"not media",
+            ],
+        }
+    )
+    blobs = spark.createDataFrame(payloads)
+    out = multimodal.extract_media_meta(blobs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert (rows[1].kind, rows[1].format, rows[1].width, rows[1].height) == (
+        "image", "png", 10, 20,
+    )
+    assert (rows[2].kind, rows[2].sample_rate, rows[2].channels, rows[2].bits) == (
+        "audio", 44100, 2, 16,
+    )
+    assert (rows[3].format, rows[3].bitrate_kbps) == ("mp3", 128)
+    assert (rows[4].kind, rows[4].width, rows[4].brand) == ("video", 320, "isom")
+    assert rows[5].kind is None and rows[5].format is None
+    # corpus inventory: the groupBy every multimodal pipeline runs first
+    inv = {r.kind: r["count"] for r in out.groupBy("kind").count().collect()}
+    assert inv == {"image": 1, "audio": 2, "video": 1, None: 1}
