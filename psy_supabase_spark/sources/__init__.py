@@ -1,2 +1,2 @@
 from .catalog import load_table, register_views  # noqa: F401
-from . import jsonl, tenancy, txlog, warc  # noqa: F401
+from . import cdx, jsonl, tenancy, txlog, warc  # noqa: F401

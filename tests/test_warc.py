@@ -662,3 +662,170 @@ def test_warcinfo_repeated_field_last_wins(spark, tmp_path):
     assert info["software"] == "crawler/1.0"
     assert info["robots"] == "obeyed"  # last occurrence wins
     assert info["isPartOf"] == "CRAWL-2026"
+
+
+# ---------------------------------------------------------------- CDX
+
+from psy_supabase_spark.sources import cdx
+
+
+def _three_record_shard() -> tuple[bytes, list[bytes]]:
+    """A Common-Crawl-layout shard: one gzip member per record."""
+    recs = [
+        _record("response", _http(b"<p>alpha</p>"), uri="http://a.example/x",
+                rid="<urn:uuid:a>"),
+        _record("response", _http(b"<p>beta</p>", 404), uri="http://b.example/y",
+                rid="<urn:uuid:b>"),
+        _record("response", _http(b"<p>gamma</p>"), uri="http://c.example/z",
+                rid="<urn:uuid:c>"),
+    ]
+    members = [gzip.compress(r, compresslevel=1) for r in recs]
+    return b"".join(members), members
+
+
+def test_surt_key():
+    assert cdx.surt_key("http://www.Example.COM/Path?Q=1") == (
+        "com,example,www)/path?q=1"
+    )
+    assert cdx.surt_key("https://a.b.c:8080/x") == "c,b,a:8080)/x"
+    assert cdx.surt_key("http://user@host.org") == "org,host)/"
+    assert cdx.surt_key("not-a-url") == "not-a-url"
+
+
+def test_index_warc_members_exact_offsets(spark, tmp_path):
+    shard, members = _three_record_shard()
+    (tmp_path / "s.warc.gz").write_bytes(shard)
+    idx = cdx.index_warc_members(spark, str(tmp_path)).orderBy("offset").collect()
+    assert len(idx) == 3
+    # offsets/lengths are byte-exact: each indexed range IS one member
+    off = 0
+    for row, member in zip(idx, members):
+        assert row.offset == off and row.length == len(member)
+        assert shard[row.offset : row.offset + row.length] == member
+        off += len(member)
+    assert [r.url for r in idx] == [
+        "http://a.example/x", "http://b.example/y", "http://c.example/z",
+    ]
+    assert [r.status for r in idx] == [200, 404, 200]
+    assert idx[0].urlkey == "example,a)/x"
+    assert idx[0].timestamp == "20240101000000"
+    assert all(r.warc_type == "response" for r in idx)
+
+
+def test_index_warc_members_skips_corrupt_member(spark, tmp_path):
+    shard, members = _three_record_shard()
+    # corrupt the middle member's deflate body (past its 10-byte header)
+    bad = bytearray(shard)
+    mid = len(members[0]) + 14
+    bad[mid] ^= 0xFF
+    (tmp_path / "s.warc.gz").write_bytes(bytes(bad))
+    idx = cdx.index_warc_members(spark, str(tmp_path)).orderBy("offset").collect()
+    urls = [r.url for r in idx]
+    assert "http://a.example/x" in urls and "http://c.example/z" in urls
+
+
+def test_cdxj_roundtrip(spark, tmp_path):
+    shard, _members = _three_record_shard()
+    (tmp_path / "s.warc.gz").write_bytes(shard)
+    idx = cdx.index_warc_members(spark, str(tmp_path))
+    lines_dir = tmp_path / "cdx"
+    cdx.format_cdxj(idx).write.mode("overwrite").text(str(lines_dir))
+    back = cdx.read_cdx(spark, str(lines_dir)).orderBy("offset").collect()
+    orig = idx.orderBy("offset").collect()
+    assert len(back) == 3
+    for b, o in zip(back, orig):
+        assert (b.urlkey, b.timestamp, b.url) == (o.urlkey, o.timestamp, o.url)
+        assert (b.filename, b.offset, b.length) == (o.filename, o.offset, o.length)
+        assert (b.status, b.mime) == (o.status, o.mime)
+
+
+def test_fetch_records_by_offset(spark, tmp_path):
+    """The random-access core: a filtered index pulls exactly its
+    records, byte-identical to the full-scan path."""
+    shard, _members = _three_record_shard()
+    (tmp_path / "s.warc.gz").write_bytes(shard)
+    idx = cdx.index_warc_members(spark, str(tmp_path))
+    hits = idx.where(F.col("status") == 200)  # 2 of 3 records
+    rows = {
+        r.target_uri: r
+        for r in cdx.fetch_records(hits).collect()
+    }
+    assert set(rows) == {"http://a.example/x", "http://c.example/z"}
+    full = {
+        r.target_uri: r
+        for r in warc.read_warc(spark, str(tmp_path)).collect()
+    }
+    for uri, r in rows.items():
+        assert bytes(r.payload) == bytes(full[uri].payload)
+        assert r.http_status == full[uri].http_status
+        assert r.n_bytes == full[uri].n_bytes
+
+
+def test_fetch_records_relative_filename_and_root(spark, tmp_path):
+    shard, members = _three_record_shard()
+    sub = tmp_path / "crawl-data"
+    sub.mkdir()
+    (sub / "s.warc.gz").write_bytes(shard)
+    idx = spark.createDataFrame(
+        [("crawl-data/s.warc.gz", 0, len(members[0]))],
+        "filename string, offset long, length long",
+    )
+    rows = cdx.fetch_records(idx, warc_root=str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0].target_uri == "http://a.example/x"
+
+
+def test_fetch_records_stale_offset_resyncs(spark, tmp_path):
+    """Index drift: an offset pointing BEFORE the true member start
+    (inside the previous member's tail) resyncs to the next gzip magic
+    in the window; an indexed length that under-covers the member is
+    completed by extension reads; an unrecoverable row is skipped."""
+    shard, members = _three_record_shard()
+    (tmp_path / "s.warc.gz").write_bytes(shard)
+    fname = str(tmp_path / "s.warc.gz")
+    m1_off = len(members[0])
+    idx = spark.createDataFrame(
+        [
+            # stale: 10 bytes early, generous length -> resync forward
+            (fname, m1_off - 10, len(members[1]) + 10),
+            # stale: length 12 bytes short -> extension read completes it
+            (fname, m1_off + len(members[1]), len(members[2]) - 12),
+            # unrecoverable: no gzip magic anywhere in the window
+            (fname, len(shard) - 4, 4),
+        ],
+        "filename string, offset long, length long",
+    )
+    rows = cdx.fetch_records(idx).orderBy("target_uri").collect()
+    assert [r.target_uri for r in rows] == [
+        "http://b.example/y", "http://c.example/z",
+    ]
+    assert rows[0].http_status == 404
+
+
+def test_fetch_records_missing_shard_skipped(spark, tmp_path):
+    shard, members = _three_record_shard()
+    (tmp_path / "s.warc.gz").write_bytes(shard)
+    idx = spark.createDataFrame(
+        [
+            (str(tmp_path / "s.warc.gz"), 0, len(members[0])),
+            (str(tmp_path / "gone.warc.gz"), 0, 100),
+        ],
+        "filename string, offset long, length long",
+    )
+    rows = cdx.fetch_records(idx).collect()
+    assert len(rows) == 1 and rows[0].target_uri == "http://a.example/x"
+
+
+def test_fetch_records_member_cap_guards_bombs(spark, tmp_path):
+    bomb_rec = _record("response", _http(b"\x00" * 5_000_000))
+    member = gzip.compress(bomb_rec, compresslevel=1)
+    (tmp_path / "b.warc.gz").write_bytes(member)
+    idx = spark.createDataFrame(
+        [(str(tmp_path / "b.warc.gz"), 0, len(member))],
+        "filename string, offset long, length long",
+    )
+    # cap below the decompressed size: the row is skipped, not OOM'd
+    assert cdx.fetch_records(idx, member_cap=1 << 20).count() == 0
+    # default cap admits it; the parser's payload valve still applies
+    rows = cdx.fetch_records(idx, max_payload_bytes=1024).collect()
+    assert len(rows) == 1
+    assert rows[0].truncated and len(rows[0].payload) == 1024
