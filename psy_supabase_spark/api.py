@@ -543,3 +543,54 @@ class PsyEngine:
         from .sources.warc import read_wat
 
         return read_wat(self.spark, path, **kw)
+
+    def outlinks(self, path: str, **kw) -> DataFrame:
+        """WAT shards → the (target_uri, link_url) outlink edge list
+        (sources.warc.wat_links over ingest_wat — JVM JSON path, no
+        Python)."""
+        from .sources.warc import read_wat, wat_links
+
+        return wat_links(read_wat(self.spark, path, **kw))
+
+    def link_graph_stats(self, links: DataFrame) -> DataFrame:
+        """Per-page outlink rollup over an edge list (out-degree,
+        intra/inter-host split, intra ratio) — operators/linkgraph; the
+        first crawl-quality pass on `outlinks` output.  Degree skew on
+        host keys is zipfian at crawl scale; see the module docstring
+        for the salting argument."""
+        from .operators.linkgraph import page_link_stats
+
+        return page_link_stats(links)
+
+    def top_linked_hosts(self, links: DataFrame, k: int = 20) -> DataFrame:
+        """The k most-linked-to hosts off an edge list (exact groupBy +
+        TakeOrdered; swap in operators.heavyhitters for sketched top-k
+        when distinct hosts outgrow the exact shuffle)."""
+        from .operators.linkgraph import top_linked_hosts
+
+        return top_linked_hosts(links, k)
+
+    def index_crawl(self, path: str, **kw) -> DataFrame:
+        """WARC shards → record-level (filename, offset, length) index
+        with header metadata (sources/cdx.index_warc_members) — build
+        once, then filter + fetch_crawl_records instead of re-scanning
+        shards."""
+        from .sources.cdx import index_warc_members
+
+        return index_warc_members(self.spark, path, **kw)
+
+    def read_crawl_index(self, path: str, **kw) -> DataFrame:
+        """Published CDXJ index lines → typed index rows
+        (sources/cdx.read_cdx)."""
+        from .sources.cdx import read_cdx
+
+        return read_cdx(self.spark, path, **kw)
+
+    def fetch_crawl_records(self, index: DataFrame, **kw) -> DataFrame:
+        """Range-read exactly the records a filtered index selects —
+        one gzip member per hit through the production WARC parser
+        (sources/cdx.fetch_records); a 1% filter pulls N records, not
+        N shards."""
+        from .sources.cdx import fetch_records
+
+        return fetch_records(index, **kw)

@@ -423,25 +423,32 @@ def read_warcinfo(
         strip_http_headers=False,
         glob=glob,
     )
-    # warc-fields payloads are "Name: value" CRLF lines — split JVM-side
+    info = warcinfo_info_expr(F.col("payload").cast("string"))
+    return raw.select("path", "record_id", "warc_date", info.alias("info"))
+
+
+def warcinfo_info_expr(payload_str):
+    """The JVM-side warc-fields → key→value map expression behind
+    :func:`read_warcinfo`, exposed so the oracle gate can apply the
+    SAME logic to evidence columns.  "Name: value" CRLF lines; the
+    value is everything after the FIRST colon (values may themselves
+    contain colons, e.g. URLs); repeated names — legal in the
+    named-fields format — dedup LAST-WINS via distinct keys + nested
+    filter (records are a handful of fields, the O(k²) is constant)."""
+    from pyspark.sql import functions as F
+
     lines = F.filter(
-        F.split(F.col("payload").cast("string"), "\r\n"),
-        lambda s: s.contains(": "),
+        F.split(payload_str, "\r\n"), lambda s: s.contains(": ")
     )
     entries = F.transform(
         lines,
         lambda s: F.struct(
             F.trim(F.substring_index(s, ":", 1)).alias("k"),
-            # value = everything after the FIRST colon (values may
-            # themselves contain colons, e.g. URLs)
             F.trim(F.regexp_replace(s, "^[^:]*:", "")).alias("v"),
         ),
     )
-    # last-wins key dedup: distinct keys, each paired with the LAST
-    # entry carrying it (records are a handful of fields — the O(k²)
-    # nested filter is constant work per shard)
     keys = F.array_distinct(F.transform(entries, lambda e: e["k"]))
-    info = F.map_from_arrays(
+    return F.map_from_arrays(
         keys,
         F.transform(
             keys,
@@ -450,7 +457,6 @@ def read_warcinfo(
             )["v"],
         ),
     )
-    return raw.select("path", "record_id", "warc_date", info.alias("info"))
 
 
 def read_wat(

@@ -382,3 +382,59 @@ def test_ingest_warc_wet_facades(engine, tmp_path):
     )
     rows = engine.ingest_wat(str(m)).collect()
     assert len(rows) == 1 and rows[0].json == '{"Envelope":{}}' 
+
+
+def test_crawl_index_and_linkgraph_facades(engine, tmp_path):
+    import gzip
+
+    def _rec(wtype, ctype, payload, uri="http://x/1"):
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+            f"WARC-Target-URI: {uri}\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return hdr + payload + b"\r\n\r\n"
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    http_ok = b"HTTP/1.1 200 OK\r\n\r\n<p>keep</p>"
+    http_err = b"HTTP/1.1 500 Oops\r\n\r\n<p>drop</p>"
+    (d / "a.warc.gz").write_bytes(
+        gzip.compress(_rec("response", "application/http; msgtype=response",
+                           http_ok, "http://x/keep"))
+        + gzip.compress(_rec("response", "application/http; msgtype=response",
+                             http_err, "http://x/drop"))
+    )
+    # index → filter → fetch: only the 200 record's bytes come back
+    idx = engine.index_crawl(str(d))
+    assert idx.count() == 2
+    from pyspark.sql import functions as F
+
+    rows = engine.fetch_crawl_records(idx.where(F.col("status") == 200)).collect()
+    assert len(rows) == 1 and bytes(rows[0].payload) == b"<p>keep</p>"
+    # published-index round trip through the facade
+    from psy_supabase_spark.sources.cdx import format_cdxj
+
+    cdx_dir = tmp_path / "cdx"
+    format_cdxj(idx).write.text(str(cdx_dir))
+    assert engine.read_crawl_index(str(cdx_dir)).count() == 2
+
+    m = tmp_path / "wat"
+    m.mkdir()
+    env = (
+        '{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+        '{"HTML-Metadata":{"Links":[{"url":"http://x/other"},'
+        '{"url":"http://y.example/z"}]}}}}}'
+    )
+    (m / "c.warc.wat.gz").write_bytes(
+        gzip.compress(_rec("metadata", "application/json", env.encode()))
+    )
+    links = engine.outlinks(str(m))
+    assert sorted(r.link_url for r in links.collect()) == [
+        "http://x/other", "http://y.example/z",
+    ]
+    stats = engine.link_graph_stats(links).collect()
+    assert len(stats) == 1
+    assert (stats[0].out_degree, stats[0].n_intra, stats[0].n_inter) == (2, 1, 1)
+    top = engine.top_linked_hosts(links, k=1).collect()
+    assert [(r.host, r.in_degree) for r in top] == [("x", 1)]

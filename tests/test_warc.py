@@ -829,3 +829,40 @@ def test_fetch_records_member_cap_guards_bombs(spark, tmp_path):
     rows = cdx.fetch_records(idx, max_payload_bytes=1024).collect()
     assert len(rows) == 1
     assert rows[0].truncated and len(rows[0].payload) == 1024
+
+
+def test_wat_roundtrip_evidence_matches_grammar(spark):
+    """The r11 WAT evidence leg: per-doc metadata records through the
+    production parser reproduce the link grammar, including the every-
+    7th-doc over-valve truncation."""
+    from psy_supabase_spark.queries.pipeline_queries import (
+        _doc_wat_links,
+        wat_roundtrip_evidence,
+    )
+
+    # doc 14: trunc (14%7=0), 2 links; doc 3: 3 links; doc 8: 0 links
+    docs = spark.createDataFrame(
+        [(14, "a"), (3, "b"), (8, "c")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in wat_roundtrip_evidence(docs).collect()}
+    assert rows[14].truncated and not rows[3].truncated
+    import json as _json
+
+    env = _json.loads(rows[3].json)
+    links = env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"
+    ]["Links"]
+    assert [l["url"] for l in links] == _doc_wat_links(3)
+    assert _json.loads(rows[8].json)["Envelope"]["Payload-Metadata"][
+        "HTTP-Response-Metadata"
+    ]["HTML-Metadata"]["Links"] == []
+    # the production edge-list extraction sees exactly the grammar
+    links_df = warc.wat_links(
+        spark.createDataFrame(
+            [(f"http://example.com/doc/{r.doc_id}", r.json, r.truncated)
+             for r in rows.values()],
+            "target_uri string, json string, truncated boolean",
+        )
+    )
+    got = sorted(r.link_url for r in links_df.collect())
+    assert got == sorted(_doc_wat_links(3))  # doc 14 truncated, doc 8 empty
