@@ -52,7 +52,7 @@ WIDE_MODES_PER_X = 1_000
 # Family selection (r8 verdict, next-round #3: extend the shuffle-heavy
 # families to 30× without paying for the whole matrix again):
 # SPARK_GRAFT_FAMILIES=docs,srp,ivf,wide,analytics — default all.
-ALL_FAMILIES = ("docs", "srp", "ivf", "wide", "analytics", "warc")
+ALL_FAMILIES = ("docs", "srp", "ivf", "wide", "analytics", "warc", "cdx")
 FAMILIES = frozenset(
     os.environ.get("SPARK_GRAFT_FAMILIES", ",".join(ALL_FAMILIES)).split(",")
 )
@@ -280,6 +280,40 @@ def main() -> None:
             fam["warc_shards"] = 8 * fx
             fam["warc_records_per_sec"] = round(fam["warc_records"] / best, 1)
 
+            if "cdx" in FAMILIES:
+                # CDX fetch of a FIXED hit set as the corpus grows ×fx:
+                # the claim under test is that random-access cost is
+                # O(hits), independent of corpus size.  The INDEX covers
+                # the whole ×fx corpus (its build cost is the one-time
+                # full-scan-class operation and grows like warc_sec),
+                # but the hit set is pinned to one replica's shards
+                # (c000-*), so fetch wall should stay FLAT while the
+                # corpus — and the full-scan alternative — grows ×fx.
+                from pyspark.sql import functions as SF
+
+                from psy_supabase_spark.sources import cdx as cdx_src
+
+                t0 = time.time()
+                index = cdx_src.index_warc_members(spark, str(shard_dir))
+                hits = index.where(
+                    (
+                        SF.regexp_extract("url", r"/doc/(\d+)$", 1)
+                        .cast("long") % 100 == 0
+                    )
+                    & SF.col("filename").contains("c000-")
+                )
+                hits = hits.cache()
+                fam["cdx_hits"] = hits.count()
+                fam["cdx_index_sec"] = round(time.time() - t0, 2)
+                best = None
+                for _ in range(3):
+                    t0 = time.time()
+                    fam["cdx_fetched"] = cdx_src.fetch_records(hits).count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                fam["cdx_fetch_sec"] = round(best, 2)
+                hits.unpersist()
+
         out[f"x{fx}"] = fam
         print(f"-- x{fx}: {json.dumps(fam)}", file=sys.stderr)
 
@@ -306,6 +340,7 @@ def main() -> None:
                     "hh_trigram_exact_sec",
                     "dsir_select_sec",
                     "warc_sec",
+                    "cdx_fetch_sec",
                 )
                 if out["x1"].get(m, 0) > 0 and out[key].get(m, 0) > 0
             }
