@@ -101,6 +101,19 @@ def main() -> int:
     n_stream = spark.read.parquet(str(Path(out_dir) / "stream_records")).count()
     print(f"read_warc_stream: {n_stream} records via micro-batches (== batch: {n_stream == n_rec})")
 
+    # random-access leg: index the members once, then pull a filtered
+    # record set by (filename, offset, length) — at crawl scale this is
+    # the path that avoids re-scanning 64k shards after every filter
+    from psy_supabase_spark.sources import cdx
+
+    index = cdx.index_warc_members(spark, str(shard_dir))
+    hits = index.where(F.col("url").endswith("0"))
+    n_fetched = cdx.fetch_records(hits).count()
+    print(
+        f"cdx fetch: {n_fetched} of {n_rec} records by range-read "
+        f"({index.count()} members indexed)"
+    )
+
     texts = records.select(
         "target_uri",
         html_to_text(F.col("payload").cast("string")).alias("text"),
