@@ -544,6 +544,16 @@ class PsyEngine:
 
         return read_wat(self.spark, path, **kw)
 
+    def media_metadata(self, blobs: DataFrame, **kw) -> DataFrame:
+        """Typed container metadata over a mixed-modality binary column
+        (operators/multimodal.extract_media_meta): image/video dims,
+        audio sample-rate/channels/bits/bitrate — header parsing only,
+        no codec.  groupBy(kind, format) on the result is the corpus
+        inventory."""
+        from .operators.multimodal import extract_media_meta
+
+        return extract_media_meta(blobs, **kw)
+
     def outlinks(self, path: str, **kw) -> DataFrame:
         """WAT shards → the (target_uri, link_url) outlink edge list
         (sources.warc.wat_links over ingest_wat — JVM JSON path, no
