@@ -151,8 +151,12 @@ def warc_roundtrip_evidence(docs: DataFrame) -> DataFrame:
     strip byte-exactness), n_bytes (proves the post-strip length math)
     and the WET truncation flag + truncated-bytes md5 (prove the
     valve)."""
-    parse_resp = warc.make_warc_parser(
-        {"response"},
+    # response + warcinfo share valve/strip settings (strip only touches
+    # application/http payloads), so they ride ONE scan of the shard and
+    # split by warc_type after — the WET pass stays separate because its
+    # tiny valve IS the truncation gate
+    parse_main = warc.make_warc_parser(
+        {"response", "warcinfo"},
         max_payload_bytes=2 * 1024 * 1024,
         strip_http_headers=True,
         batch_records=4096,
@@ -160,12 +164,6 @@ def warc_roundtrip_evidence(docs: DataFrame) -> DataFrame:
     parse_wet = warc.make_warc_parser(
         {"conversion"},
         max_payload_bytes=_WET_VALVE,
-        strip_http_headers=False,
-        batch_records=4096,
-    )
-    parse_info = warc.make_warc_parser(
-        {"warcinfo"},
-        max_payload_bytes=2 * 1024 * 1024,
         strip_http_headers=False,
         batch_records=4096,
     )
@@ -183,9 +181,10 @@ def warc_roundtrip_evidence(docs: DataFrame) -> DataFrame:
                 _doc_mini_shard(d, t) for d, t in zip(ids, pdf["text"])
             )
             files = pd.DataFrame({"path": ["shard"], "content": [shard]})
-            resp = pd.concat(list(parse_resp(iter([files]))), ignore_index=True)
+            main = pd.concat(list(parse_main(iter([files]))), ignore_index=True)
+            resp = main[main["warc_type"] == "response"]
+            info = main[main["warc_type"] == "warcinfo"]
             wet = pd.concat(list(parse_wet(iter([files]))), ignore_index=True)
-            info = pd.concat(list(parse_info(iter([files]))), ignore_index=True)
             i_by: dict[str, str] = {
                 uri: payload.decode("utf-8", "replace")
                 for uri, payload in zip(info["target_uri"], info["payload"])
@@ -261,15 +260,17 @@ def wat_roundtrip_evidence(docs: DataFrame) -> DataFrame:
     def _evidence(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
+            # UNCOMPRESSED records (the parser's raw path): the gzip
+            # round-trip is already proven by the response/WET legs in
+            # `warc_roundtrip_evidence`, and this subtree is computed
+            # once per downstream plan branch — skipping compress +
+            # decompress halves what the recompute costs
             shard = b"".join(
-                gzip.compress(
-                    _warc_record(
-                        "metadata",
-                        "application/json",
-                        f"http://example.com/doc/{d}",
-                        _doc_wat_payload(d),
-                    ),
-                    compresslevel=1,
+                _warc_record(
+                    "metadata",
+                    "application/json",
+                    f"http://example.com/doc/{d}",
+                    _doc_wat_payload(d),
                 )
                 for d in ids
             )
