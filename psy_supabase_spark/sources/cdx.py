@@ -53,7 +53,7 @@ GZIP_MEMBER_MAGIC = b"\x1f\x8b\x08"
 CDX_INDEX_SCHEMA = (
     "filename string, offset bigint, length bigint, urlkey string, "
     "timestamp string, url string, warc_type string, warc_date string, "
-    "status int, mime string"
+    "status int, mime string, digest string"
 )
 
 # The JSON block of a CDXJ line (numeric fields are strings, per the
@@ -113,19 +113,45 @@ def format_cdxj(index: DataFrame) -> DataFrame:
     :func:`read_cdx`): ``urlkey timestamp {json}`` with offset/length
     rendered as strings per the published format.  Write with
     ``df.write.text`` to publish an index next to the shards."""
-    j = F.to_json(
-        F.struct(
-            F.col("url"),
-            F.col("filename"),
-            F.col("offset").cast("string").alias("offset"),
-            F.col("length").cast("string").alias("length"),
-            F.col("status").cast("string").alias("status"),
-            F.col("mime"),
-        )
-    )
+    fields = [
+        F.col("url"),
+        F.col("filename"),
+        F.col("offset").cast("string").alias("offset"),
+        F.col("length").cast("string").alias("length"),
+        F.col("status").cast("string").alias("status"),
+        F.col("mime"),
+    ]
+    if "digest" in index.columns:
+        fields.append(F.col("digest"))
+    j = F.to_json(F.struct(*fields))  # to_json drops null fields
     return index.select(
         F.concat_ws(" ", "urlkey", "timestamp", j).alias("value")
     )
+
+
+def dedupe_captures(index: DataFrame) -> DataFrame:
+    """The classic CDX capture dedup: one index row per distinct payload
+    ``digest`` (the earliest capture by timestamp wins, URL-agnostic —
+    the same page served at many URLs or re-crawled unchanged collapses
+    to one fetch).  Feed the result to :func:`fetch_records` to pull
+    each distinct payload exactly once.  Requires an index with digests
+    (``index_warc_members(digest=True)`` or the published CDX).  Rows
+    without a digest pass through untouched (no evidence = no dedup).
+    One shuffle on the digest key; at crawl scale the min-by reduces
+    map-side like any agg."""
+    from pyspark.sql.window import Window
+
+    no_digest = index.where(F.col("digest").isNull())
+    w = Window.partitionBy("digest").orderBy(
+        F.asc_nulls_last("timestamp"), F.asc("filename"), F.asc("offset")
+    )
+    first = (
+        index.where(F.col("digest").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return first.unionByName(no_digest)
 
 
 def _parse_member_head(decompressed_head: bytes) -> dict:
@@ -167,6 +193,7 @@ def index_warc_members(
     glob: str | None = None,
     head_bytes: int = warc.HEADER_CAP,
     in_chunk: int = 1 << 16,
+    digest: bool = False,
 ) -> DataFrame:
     """Build a record-level index over WARC shards: one row per gzip
     member with its EXACT (filename, offset, length) plus the record's
@@ -175,7 +202,14 @@ def index_warc_members(
     the shards.  Memory is O(head_bytes): each member decompresses
     incrementally and only the first ``head_bytes`` are retained for
     header parsing; offsets come from zlib's ``unused_data`` accounting.
-    One binaryFile task per shard, same macro shape as `read_warc`."""
+    One binaryFile task per shard, same macro shape as `read_warc`.
+
+    ``digest=True`` additionally computes the published index's payload
+    digest (``sha1:<base32>``, the Content-Length-framed payload bytes
+    hashed INCREMENTALLY — still O(chunk) memory) — the key the classic
+    CDX capture-dedup (`dedupe_captures`) groups on."""
+    import base64
+    import hashlib
 
     def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -184,6 +218,7 @@ def index_warc_members(
                 for k in (
                     "filename", "offset", "length", "urlkey", "timestamp",
                     "url", "warc_type", "warc_date", "status", "mime",
+                    "digest",
                 )
             }
             for fpath, blob in zip(pdf["path"], pdf["content"]):
@@ -195,13 +230,55 @@ def index_warc_members(
                     head = b""
                     fed_end = pos
                     broken = False
+                    # incremental payload digest state: the window
+                    # [pay_start, pay_end) of the decompressed stream is
+                    # hashed chunk-by-chunk once the header block (and so
+                    # Content-Length) is known — nothing is buffered
+                    sha = hashlib.sha1() if digest else None
+                    dec_pos = 0  # decompressed offset of the current chunk
+                    pay_start = pay_end = None
+                    hashed_to = 0
                     try:
                         while not d.eof and fed_end < n:
                             feed = data[fed_end : fed_end + in_chunk]
                             fed_end += len(feed)
                             chunk = d.decompress(feed)
-                            if len(head) < head_bytes:
-                                head += chunk[: head_bytes - len(head)]
+                            prev_head = len(head)
+                            if prev_head < head_bytes:
+                                head += chunk[: head_bytes - prev_head]
+                            if sha is not None and pay_start is None:
+                                he = head.find(b"\r\n\r\n")
+                                if he >= 0:
+                                    m = re.search(
+                                        rb"(?im)^content-length:[ \t]*(\d+)[ \t]*$",
+                                        head[:he],
+                                    )
+                                    if m:
+                                        # Discovery happens in the chunk
+                                        # that completed the header, so
+                                        # dec_pos <= len(head): head +
+                                        # this chunk cover the stream
+                                        # from 0 with no hole — hash the
+                                        # head's share of the payload,
+                                        # the chunk loop below takes the
+                                        # rest from len(head) onward.
+                                        pay_start = he + 4
+                                        pay_end = pay_start + int(m.group(1))
+                                        sha.update(
+                                            head[pay_start : min(pay_end, len(head))]
+                                        )
+                                        hashed_to = max(pay_start, min(pay_end, len(head)))
+                                    else:
+                                        sha = None  # no framing: no digest
+                                elif len(head) >= head_bytes:
+                                    sha = None  # header over the cap
+                            if sha is not None and pay_start is not None:
+                                lo = max(hashed_to, dec_pos)
+                                hi = min(pay_end, dec_pos + len(chunk))
+                                if hi > lo:
+                                    sha.update(chunk[lo - dec_pos : hi - dec_pos])
+                                    hashed_to = hi
+                            dec_pos += len(chunk)
                     except zlib.error:
                         broken = True
                     if broken or not d.eof:
@@ -225,6 +302,14 @@ def index_warc_members(
                     out["warc_date"].append(meta["warc_date"])
                     out["status"].append(meta["status"])
                     out["mime"].append(meta["mime"])
+                    out["digest"].append(
+                        "sha1:"
+                        + base64.b32encode(sha.digest()).decode("ascii")
+                        if sha is not None
+                        and pay_end is not None
+                        and hashed_to >= pay_end
+                        else None
+                    )
                     nxt = pos + length
                     if nxt >= n:
                         break

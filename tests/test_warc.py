@@ -866,3 +866,53 @@ def test_wat_roundtrip_evidence_matches_grammar(spark):
     )
     got = sorted(r.link_url for r in links_df.collect())
     assert got == sorted(_doc_wat_links(3))  # doc 14 truncated, doc 8 empty
+
+
+def test_index_digest_and_dedupe_captures(spark, tmp_path):
+    """digest=True computes the published index's sha1:<base32> payload
+    digest incrementally; dedupe_captures keeps one capture per digest
+    (earliest timestamp), URL-agnostic."""
+    import base64
+    import hashlib
+
+    same = _http(b"<p>same payload</p>")
+    recs = [
+        _record("response", same, uri="http://a.example/x", rid="<urn:uuid:a>"),
+        _record("response", same, uri="http://MIRROR.example/x", rid="<urn:uuid:b>"),
+        _record("response", _http(b"<p>other</p>"), uri="http://c.example/z",
+                rid="<urn:uuid:c>"),
+    ]
+    shard = b"".join(gzip.compress(r, compresslevel=1) for r in recs)
+    (tmp_path / "s.warc.gz").write_bytes(shard)
+    idx = cdx.index_warc_members(spark, str(tmp_path), digest=True)
+    rows = idx.orderBy("offset").collect()
+    want = "sha1:" + base64.b32encode(hashlib.sha1(same).digest()).decode()
+    assert rows[0].digest == want and rows[1].digest == want
+    assert rows[2].digest is not None and rows[2].digest != want
+    # identical payloads collapse to the first capture
+    kept = cdx.dedupe_captures(idx).orderBy("offset").collect()
+    assert [r.url for r in kept] == ["http://a.example/x", "http://c.example/z"]
+    # digest=False leaves the column null (no silent full decompress)
+    assert cdx.index_warc_members(spark, str(tmp_path)).collect()[0].digest is None
+    # digest survives the CDXJ round trip
+    out = tmp_path / "cdx"
+    cdx.format_cdxj(idx).write.text(str(out))
+    back = cdx.read_cdx(spark, str(out)).orderBy("offset").collect()
+    assert [b.digest for b in back] == [r.digest for r in rows]
+
+
+def test_index_digest_spans_chunks(spark, tmp_path):
+    """The incremental digest is byte-exact when the payload spans many
+    decompression chunks (bigger than the 64 KiB header retention)."""
+    import base64
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    body = bytes(rng.getrandbits(8) for _ in range(300_000))
+    payload = _http(body)
+    rec = _record("response", payload, uri="http://big.example/")
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(rec, compresslevel=1))
+    r = cdx.index_warc_members(spark, str(tmp_path), digest=True).collect()[0]
+    want = "sha1:" + base64.b32encode(hashlib.sha1(payload).digest()).decode()
+    assert r.digest == want
