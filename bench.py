@@ -1148,6 +1148,17 @@ def main() -> None:
         dt = time.time() - t0
         mm_base = dt if mm_base is None else min(mm_base, dt)
     mm_warc_overhead = round(timings["multimodal_features"] - mm_base, 3)
+    # the r11 media-sniff gate leg (PNG/WAV/MP3/MP4 render + sniff-back),
+    # timed alone so the Common Crawl harness and the media gate are
+    # separately attributable inside the headline's overhead term
+    from psy_supabase_spark.queries.pipeline_queries import media_sniff_evidence
+
+    mm_media_gate = None
+    for _ in range(2):
+        t0 = time.time()
+        _run(media_sniff_evidence(docs))
+        dt = time.time() - t0
+        mm_media_gate = dt if mm_media_gate is None else min(mm_media_gate, dt)
 
     # same treatment for text_profile's r5 growth: the headline query
     # absorbed the Gopher/C4 gates + Arrow repetition signals; measure
@@ -1267,6 +1278,7 @@ def main() -> None:
         # when the larger WARC-harness term moves
         "multimodal_features_sans_warc_sec": round(mm_base, 3),
         "multimodal_warc_overhead_sec": mm_warc_overhead,
+        "multimodal_media_gate_sec": round(mm_media_gate, 3),
     }
 
     # OUTPUT CONTRACT (r7 verdict #1): the driver parses the stdout JSON

@@ -238,6 +238,85 @@ def warc_roundtrip_evidence(docs: DataFrame) -> DataFrame:
     )
 
 
+def _doc_media_payload(doc_id: int) -> bytes:
+    """Deterministic media container bytes cycling the modality by
+    doc_id % 4 — PNG / WAV / MP3 / MP4, every field a pure function of
+    doc_id so the SQL oracle recomputes what the REAL sniffers read
+    back off the headers."""
+    import struct
+
+    m = doc_id % 4
+    if m == 0:  # PNG IHDR
+        w, h = 1 + doc_id % 4096, 1 + (doc_id * 3) % 4096
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+        )
+    if m == 1:  # WAV fmt chunk
+        sr = 8000 + (doc_id % 100) * 441
+        ch = 1 + doc_id % 2
+        bits = 8 * (1 + doc_id % 2)
+        fmt = struct.pack(
+            "<HHIIHH", 1, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits
+        )
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+    if m == 2:  # MPEG1 Layer III frame header
+        br_idx = 1 + doc_id % 14
+        sr_idx = doc_id % 3
+        b2 = (br_idx << 4) | (sr_idx << 2)
+        b3 = 0xC0 if doc_id % 2 == 0 else 0x00  # mono / stereo
+        return bytes([0xFF, 0xFB, b2, b3]) + b"\x00" * 16
+    # m == 3: MP4 ftyp + moov/trak/tkhd (v0, 16.16 fixed dims)
+    w, h = 160 + doc_id % 1280, 120 + doc_id % 720
+
+    def box(t: bytes, body: bytes) -> bytes:
+        import struct as _s
+
+        return _s.pack(">I", 8 + len(body)) + t + body
+
+    tkhd = box(
+        b"tkhd",
+        bytes([0, 0, 0, 7]) + b"\x00" * 28 + b"\x00" * 8 + b"\x00" * 36
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    return box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", box(b"trak", tkhd))
+
+
+_MEDIA_EVIDENCE_COLS = (
+    "kind", "format", "width", "height", "sample_rate", "channels",
+    "bits", "bitrate_kbps",
+)
+
+
+def media_sniff_evidence(docs: DataFrame) -> DataFrame:
+    """Render one deterministic media container per doc (PNG/WAV/MP3/
+    MP4 cycling by doc_id % 4) and read it back through the REAL
+    `multimodal.extract_media_meta` operator — the audio/video/image
+    header sniffers become driver-gated, not just pytest-gated: the
+    oracle recomputes every field (dims, sample rate, channel count,
+    bit depth, bitrate) from the doc_id formulas."""
+    render_schema = "doc_id bigint, payload binary"
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _doc_media_payload(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    blobs = docs.select("doc_id").mapInPandas(_render, render_schema)
+    meta = multimodal.extract_media_meta(blobs)
+    return meta.select(
+        "doc_id",
+        *[F.col(c).alias(f"media_{c}") for c in _MEDIA_EVIDENCE_COLS],
+    )
+
+
 def wat_roundtrip_evidence(docs: DataFrame) -> DataFrame:
     """Render each document's WAT metadata record into a gzip-member
     shard and parse it back through the PRODUCTION parser with the WAT
@@ -358,7 +437,33 @@ def wat_roundtrip_evidence(docs: DataFrame) -> DataFrame:
            CASE WHEN wat.trunc THEN NULL
                 ELSE least(wat.n_links, 1) END AS warc_link_n_intra,
            CASE WHEN wat.trunc THEN NULL
-                ELSE greatest(wat.n_links - 1, 0) END AS warc_link_n_inter
+                ELSE greatest(wat.n_links - 1, 0) END AS warc_link_n_inter,
+           CASE f.doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                WHEN 2 THEN 'audio' ELSE 'video' END AS media_kind,
+           CASE f.doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                WHEN 2 THEN 'mp3' ELSE 'mp4' END AS media_format,
+           CASE f.doc_id % 4
+                WHEN 0 THEN 1 + f.doc_id % 4096
+                WHEN 3 THEN 160 + f.doc_id % 1280 END AS media_width,
+           CASE f.doc_id % 4
+                WHEN 0 THEN 1 + (f.doc_id * 3) % 4096
+                WHEN 3 THEN 120 + f.doc_id % 720 END AS media_height,
+           CASE f.doc_id % 4
+                WHEN 1 THEN 8000 + (f.doc_id % 100) * 441
+                WHEN 2 THEN CASE f.doc_id % 3 WHEN 0 THEN 44100
+                                 WHEN 1 THEN 48000 ELSE 32000 END
+           END AS media_sample_rate,
+           CASE WHEN f.doc_id % 4 IN (1, 2)
+                THEN 1 + f.doc_id % 2 END AS media_channels,
+           CASE f.doc_id % 4
+                WHEN 1 THEN 8 * (1 + f.doc_id % 2) END AS media_bits,
+           CAST(CASE f.doc_id % 4 WHEN 2 THEN
+                CASE f.doc_id % 14 WHEN 0 THEN 32 WHEN 1 THEN 40
+                     WHEN 2 THEN 48 WHEN 3 THEN 56 WHEN 4 THEN 64
+                     WHEN 5 THEN 80 WHEN 6 THEN 96 WHEN 7 THEN 112
+                     WHEN 8 THEN 128 WHEN 9 THEN 160 WHEN 10 THEN 192
+                     WHEN 11 THEN 224 WHEN 12 THEN 256 ELSE 320 END
+           END AS BIGINT) AS media_bitrate_kbps
     FROM f JOIN w ON f.doc_id = w.doc_id JOIN wat ON f.doc_id = wat.doc_id
     """,
 )
@@ -393,11 +498,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     | warc_wat_n_links    | warc.wat_links JSON-path + explode    | test_warc.py::test_read_wat_and_links    |
     | warc_wat_link_md5   | wat_links url extraction byte-exact   | test_warc.py::test_read_wat_and_links    |
     | warc_link_n_intra/..| linkgraph.with_hosts parse_url intra  | tests/test_linkgraph.py                  |
+    | media_kind/format   | sniff_media_meta magic routing        | test_multimodal.py::test_extract_media_meta_mixed_modalities |
+    | media_width/height  | PNG IHDR / MP4 tkhd parsing           | test_multimodal.py::test_sniff_mp4_tkhd_dims |
+    | media_sample_rate.. | WAV fmt / MP3 frame-header parsing    | test_multimodal.py::test_sniff_wav_fmt_chunk, test_sniff_mp3_frame_header |
     """
     docs = load_table(spark, sf_dir, "documents")
     features = multimodal.extract_blob_features(multimodal.attach_blobs(docs))
     evidence = warc_roundtrip_evidence(docs)
     wat = wat_roundtrip_evidence(docs)
+    media = media_sniff_evidence(docs)
 
     # REAL production legs, JVM-side, on the parsed WAT rows:
     links = linkgraph.with_hosts(warc.wat_links(wat))
@@ -451,7 +560,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(info_map, "isPartOf").alias("warc_info_ispartof"),
         F.element_at(info_map, "robots").alias("warc_info_robots"),
     )
-    return features.join(ev, "doc_id").join(wat_cols, "doc_id")
+    return (
+        features.join(ev, "doc_id").join(wat_cols, "doc_id").join(media, "doc_id")
+    )
 
 
 @register(
