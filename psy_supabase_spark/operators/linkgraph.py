@@ -96,3 +96,167 @@ def top_linked_hosts(links: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("in_degree"), F.asc("host"))
         .limit(k)
     )
+
+
+def host_pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    iterations: int = 4,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Host-level PageRank over the (src_host, dst_host) edge list —
+    the crawl-quality / frontier-priority signal every large crawl
+    pipeline derives from its link graph (Common Crawl publishes
+    exactly this as its host-level ranks).
+
+    Fixed-iteration power method (Page 1999), DataFrame-native:
+
+    - one shuffle per iteration, keyed on ``dst`` (the rank frame is one
+      row per HOST — ~1e8 rows for a full crawl, orders of magnitude
+      below the 1e10-row edge list, which is joined map-side each pass
+      and never re-shuffled: it is partitioned once on ``src``);
+    - dangling mass (hosts with no outlinks) is folded back uniformly,
+      fetched per-iteration as a driver scalar (the bm25 corpus-stats
+      pattern — a 1-row joined frame would constant-fold to a banned
+      BNLJ);
+    - multi-edges count once per occurrence (link multiplicity is
+      weight), matching the published host-graph convention.
+
+    Cross-engine determinism (the lm.py pattern): per-edge contribution
+    ``ROUND(rank/out_degree, 6)`` summed as DECIMAL(20,6) — exact and
+    order-independent under any partitioning — then one 6-dp round of
+    the damped update per iteration.  :func:`pagerank_sql` emits the
+    byte-identical DuckDB spelling, so the whole iteration tower is
+    oracle-gateable.
+
+    Each iteration's rank frame is persisted and materialized before the
+    previous one is released: the loop's lineage stays one hop deep
+    instead of growing a K-deep recompute tree.
+
+    Returns (host, pagerank) for every node of the graph (union of both
+    endpoint sets); ranks sum to ~1 up to rounding.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outd = e.groupBy(F.col("src").alias("host")).agg(
+        F.count("*").alias("outd")
+    )
+    base = nodes.join(outd, "host", "left").persist()
+    n = base.count()
+    if n == 0:
+        base.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "host string, pagerank double"
+        )
+    ew = e.join(outd.select(F.col("host").alias("src"), "outd"), "src").persist()
+    ranks = base.select(
+        "host", "outd", F.round(F.lit(1.0) / F.lit(n), 6).alias("r")
+    ).persist()
+    ranks.count()
+    base_term = F.lit(1.0 - damping) / F.lit(n)
+    for _ in range(iterations):
+        dang_row = ranks.where(F.col("outd").isNull()).agg(
+            F.sum(F.col("r").cast("decimal(20,6)")).alias("d")
+        ).first()
+        dang = 0.0 if dang_row["d"] is None else float(dang_row["d"])
+        contrib = (
+            ew.join(ranks.select(F.col("host").alias("src"), "r"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(
+                F.sum(
+                    F.round(F.col("r") / F.col("outd"), 6).cast(
+                        "decimal(20,6)"
+                    )
+                ).alias("c")
+            )
+        )
+        new = base.join(contrib, "host", "left").select(
+            "host",
+            "outd",
+            F.round(
+                base_term
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("c").cast("double"), F.lit(0.0))
+                    + F.lit(dang) / F.lit(n)
+                ),
+                6,
+            ).alias("r"),
+        ).persist()
+        new.count()
+        ranks.unpersist()
+        ranks = new
+    out = ranks.select("host", F.col("r").alias("pagerank"))
+    ew.unpersist()
+    base.unpersist()
+    return out
+
+
+def pagerank_sql(
+    *,
+    edges_cte: str = "pr_edges",
+    iterations: int = 4,
+    damping: float = 0.85,
+    final_cte: str = "pr_final",
+) -> str:
+    """DuckDB CTE block mirroring :func:`host_pagerank` term-for-term,
+    for composition into a larger oracle (the ``lm.stupid_backoff_sql``
+    pattern).  Expects an in-scope CTE ``edges_cte`` of
+    (src: VARCHAR, dst: VARCHAR), non-null; emits CTE ``final_cte`` of
+    (host, pagerank).
+
+    Every float literal is passed through ``repr()`` and parsed with
+    ``CAST(... AS DOUBLE)`` so DuckDB sees the exact IEEE double Spark's
+    ``F.lit`` carries (a bare ``0.85`` literal would be DECIMAL in
+    DuckDB and diverge under arithmetic); all divisions are forced to
+    double before they happen."""
+    d = repr(float(damping))
+    b = repr(1.0 - damping)
+    np_ = "(SELECT n FROM pr_n)"
+    parts = [
+        f"""pr_nodes AS (
+      SELECT src AS host FROM {edges_cte}
+      UNION SELECT dst FROM {edges_cte}
+    ),
+    pr_outd AS (SELECT src AS host, COUNT(*) AS outd
+                FROM {edges_cte} GROUP BY src),
+    pr_n AS (SELECT COUNT(*) AS n FROM pr_nodes),
+    pr_r0 AS (SELECT host, ROUND(CAST('1' AS DOUBLE) / {np_}, 6) AS r
+              FROM pr_nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f"""pr_d{i} AS (
+      SELECT COALESCE(SUM(CAST(r.r AS DECIMAL(20,6))), 0) AS d
+      FROM pr_r{p} r LEFT JOIN pr_outd o ON o.host = r.host
+      WHERE o.host IS NULL
+    ),
+    pr_c{i} AS (
+      SELECT e.dst AS host,
+             SUM(CAST(ROUND(r.r / o.outd, 6) AS DECIMAL(20,6))) AS c
+      FROM {edges_cte} e
+      JOIN pr_r{p} r ON r.host = e.src
+      JOIN pr_outd o ON o.host = e.src
+      GROUP BY e.dst
+    ),
+    pr_r{i} AS (
+      SELECT n.host,
+             ROUND(CAST('{b}' AS DOUBLE) / {np_}
+                   + CAST('{d}' AS DOUBLE)
+                     * (COALESCE(CAST(c.c AS DOUBLE), CAST('0' AS DOUBLE))
+                        + CAST((SELECT d FROM pr_d{i}) AS DOUBLE) / {np_}),
+                   6) AS r
+      FROM pr_nodes n LEFT JOIN pr_c{i} c ON c.host = n.host
+    )""")
+    parts.append(
+        f"{final_cte} AS (SELECT host, r AS pagerank FROM pr_r{iterations})"
+    )
+    return ",\n    ".join(parts)

@@ -58,3 +58,96 @@ def test_plan_stays_jvm_side(spark):
     / ArrowEvalPython nodes."""
     plan = linkgraph.page_link_stats(_links(spark))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------- pagerank
+
+def _pr_edges(n=200):
+    """Deterministic pseudo-random host graph: multi-edges (the same
+    (src,dst) pair repeats), a hub (h0 receives extra in-links), and
+    dangling nodes (d40/d41 appear only as destinations)."""
+    edges = []
+    for i in range(n):
+        edges.append((f"h{i % 17}", f"h{(i * 7 + 3) % 17}"))
+        if i % 3 == 0:
+            edges.append((f"h{i % 17}", "h0"))          # hub
+        if i % 11 == 0:
+            edges.append((f"h{i % 17}", f"d{40 + i % 2}"))  # dangling dst
+    return edges
+
+
+def _local_pagerank(edges, iterations=4, damping=0.85):
+    """Reference power iteration with the operator's exact rounding
+    contract: 6-dp per-edge terms, exact Decimal sums, 6-dp update."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    n = len(nodes)
+    r = {h: r6(1.0 / n) for h in nodes}
+    for _ in range(iterations):
+        dang = float(sum(Decimal(repr(r[h])) for h in nodes if h not in outd))
+        c = {h: Decimal(0) for h in nodes}
+        for s, d in edges:
+            c[d] += Decimal(repr(r6(r[s] / outd[s])))
+        r = {
+            h: r6((1.0 - damping) / n
+                  + damping * (float(c[h]) + dang / n))
+            for h in nodes
+        }
+    return r
+
+
+def test_host_pagerank_matches_reference_rounding(spark):
+    edges = _pr_edges()
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r.host: r.pagerank for r in linkgraph.host_pagerank(df).collect()}
+    want = _local_pagerank(edges)
+    assert got == want
+    # probability mass ~1 up to rounding, hub outranks a leaf
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    assert got["h0"] > got["d40"]
+
+
+def test_host_pagerank_duckdb_parity(spark):
+    """pagerank_sql is the byte-exact DuckDB twin of host_pagerank —
+    the same graph must produce IDENTICAL 6-dp ranks in both engines
+    (this is the oracle-gate contract)."""
+    import duckdb
+
+    edges = _pr_edges()
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r.host: r.pagerank for r in linkgraph.host_pagerank(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    sql = (
+        "WITH pr_edges AS (SELECT src, dst FROM e),\n    "
+        + linkgraph.pagerank_sql()
+        + "\nSELECT host, pagerank FROM pr_final"
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_host_pagerank_dangling_mass_conserved(spark):
+    """All-dangling destinations: the dangling fold keeps total mass at
+    ~1 instead of leaking it (the classic power-iteration bug)."""
+    edges = [("a", "x"), ("a", "y"), ("b", "x")]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r.host: r.pagerank for r in linkgraph.host_pagerank(df, iterations=6).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    assert got["x"] > got["y"]  # x has 2 in-links
+
+
+def test_host_pagerank_empty_and_null_edges(spark):
+    df = spark.createDataFrame(
+        [(None, "a"), ("b", None)], "src_host string, dst_host string"
+    )
+    assert linkgraph.host_pagerank(df).collect() == []
