@@ -1,0 +1,221 @@
+"""Portable Bloom filter — the cross-crawl "seen before?" membership
+sketch.
+
+The 100 TB use case: an incremental crawl (or a decontamination pass)
+must test billions of keys against a set built from a PREVIOUS corpus
+without paying a join between two corpora.  A Bloom filter compresses
+the build side to m bits (1.2 GB at 1e9 keys / 1% fp with k=7) that
+broadcast to every executor, so the probe side never shuffles at all —
+membership is a map-side expression.
+
+Spark's own BloomFilter (`DataFrameStatFunctions`, Scala-only) hashes
+with Murmur3 internally; this module instead derives bit positions from
+**md5 via Kirsch-Mitzenmacher double hashing** (pos_i = (h1 + i*h2) mod
+m, one md5 per key), because md5 is the engine-portable hash of this
+repo (`functions/hashing.md5_hash32`): a DuckDB oracle reproduces every
+position — and therefore every membership verdict, INCLUDING the false
+positives — bit-for-bit.
+
+Two serving tiers, row-identical by construction and by test:
+
+- **literal tier** (`bloom_contains_expr`): the m/32-word bitmap is
+  inlined as an array literal and membership is pure Catalyst
+  (element_at + shift + bitwise AND inside whole-stage codegen).  Right
+  for small-to-medium filters (m ≲ 2^22: a 128 KB plan constant) —
+  e.g. a benchmark-decontam set or a blocklist — and it is the
+  oracle-gateable spelling.
+- **numpy tier** (`bloom_contains_udf`): the bitmap rides a Spark
+  broadcast variable into an Arrow-batched pandas UDF that recomputes
+  the same md5 positions with hashlib.  Right at frontier scale (m up
+  to tens of billions of bits), where a plan literal would bloat every
+  task binary; the broadcast ships once per executor.
+
+The distributed build (`bloom_build_words`) never materializes
+positions on the driver: explode k positions per key, map to
+(word_index, or-mask), and `bit_or` groupBy — partial aggregation
+collapses each partition to ≤ m/32 rows before the shuffle, so the
+shuffle is bounded by the BITMAP size, not the key count.  The word
+frame (≤ m/32 rows) is what `bloom_build` collects.
+
+False positives are a priced contract, not a bug: `bloom_params` sizes
+(m, k) from (n, target fp) with the standard bound
+m = -n ln p / (ln 2)^2, k = (m/n) ln 2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+_WORD_BITS = 32  # 32-bit words: masks stay positive in both engines
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _bit_mask(pos: Column) -> Column:
+    """1 << (pos % 32) as a bigint Column.  Spelled as an element_at
+    over a 32-literal mask array because PySpark's `shiftleft` only
+    takes a literal shift amount; the array lookup is constant-folded
+    into codegen the same way."""
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(_WORD_BITS)])
+    return F.element_at(masks, (pos % _WORD_BITS).cast("int") + 1)
+
+
+def bloom_params(n_items: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) for a target false-positive rate at n_items keys.
+    m is rounded up to a multiple of the word size; k >= 1."""
+    if n_items <= 0:
+        return _WORD_BITS, 1
+    m = math.ceil(-n_items * math.log(fp_rate) / (math.log(2) ** 2))
+    m = ((m + _WORD_BITS - 1) // _WORD_BITS) * _WORD_BITS
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def bloom_positions(col: ColumnOrName, m_bits: int, k: int) -> Column:
+    """array<bigint> of the k bit positions for a key — ONE md5, double
+    hashed: h1 = hex[1:16), h2 = hex[17:32) of md5(key), pos_i =
+    (h1 % m + i * (h2 % m)) % m.  15-hex-digit slices stay < 2^60 so
+    every intermediate fits signed 64-bit in any engine.  The DuckDB
+    spelling is :func:`bloom_positions_sql`."""
+    md = F.md5(_c(col))
+    h1 = F.conv(F.substring(md, 1, 15), 16, 10).cast("bigint") % m_bits
+    h2 = F.conv(F.substring(md, 17, 15), 16, 10).cast("bigint") % m_bits
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: (h1 + i * h2) % m_bits,
+    )
+
+
+def bloom_positions_sql(expr: str, m_bits: int, k: int) -> str:
+    """DuckDB expression producing the identical position list (a
+    BIGINT[]) for SQL oracles."""
+    h1 = f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {m_bits}"
+    h2 = f"CAST(('0x' || substr(md5({expr}), 17, 15)) AS BIGINT) % {m_bits}"
+    return (
+        f"list_transform(range(0, {k}), "
+        f"i -> (({h1}) + i * ({h2})) % {m_bits})"
+    )
+
+
+def bloom_build_words(
+    df: DataFrame, col: ColumnOrName, m_bits: int, k: int
+) -> DataFrame:
+    """Distributed build → word frame (word_idx int, word bigint), only
+    words with at least one set bit.  Map side: k positions per key →
+    (word, mask); `bit_or` partial-aggregates each partition to ≤ m/32
+    rows, so the shuffle is bitmap-bounded regardless of key count."""
+    pos = F.explode(bloom_positions(col, m_bits, k)).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 5).cast("int").alias("word_idx"),
+            _bit_mask(F.col("pos")).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_build(
+    df: DataFrame, col: ColumnOrName, m_bits: int, k: int
+) -> list[int]:
+    """Collect the word frame into a dense m/32-long word list (the
+    driver holds m/32 ints — the BITMAP, never the keys)."""
+    words = [0] * (m_bits // _WORD_BITS)
+    for r in bloom_build_words(df, col, m_bits, k).collect():
+        words[r["word_idx"]] = r["word"]
+    return words
+
+
+def bloom_contains_expr(
+    col: ColumnOrName, words: list[int], m_bits: int, k: int
+) -> Column:
+    """Literal-tier membership: true iff ALL k bits are set.  Pure
+    Catalyst (array literal + forall), whole-stage-codegen'd; the exact
+    false-positive set is reproduced by any engine sharing the md5
+    position formula."""
+    wlit = F.array(*[F.lit(w).cast("bigint") for w in words])
+    return F.forall(
+        bloom_positions(col, m_bits, k),
+        lambda p: (
+            F.element_at(wlit, (F.shiftright(p, 5) + 1).cast("int")).bitwiseAND(
+                _bit_mask(p)
+            )
+            != 0
+        ),
+    )
+
+
+def bloom_contains_udf(df: DataFrame, col: str, words: list[int],
+                       m_bits: int, k: int, *, out_col: str = "bloom_hit"
+                       ) -> DataFrame:
+    """Numpy-tier membership: the packed bitmap ships as ONE Spark
+    broadcast (bytes, not a plan literal) and an Arrow-batched pandas
+    UDF recomputes the identical md5 double-hash positions.  Use when
+    the bitmap outgrows a sane plan constant (frontier-scale filters);
+    row-identical to :func:`bloom_contains_expr` by test."""
+    bitmap = np.zeros(m_bits // _WORD_BITS, dtype=np.uint32)
+    for i, w in enumerate(words):
+        bitmap[i] = w & 0xFFFFFFFF
+    bc = df.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    @F.pandas_udf("boolean")
+    def _member(s: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint32)
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            md = hashlib.md5(str(v).encode("utf-8")).hexdigest()
+            h1 = int(md[0:15], 16) % m_bits
+            h2 = int(md[16:31], 16) % m_bits
+            hit = True
+            for i in range(k):
+                p = (h1 + i * h2) % m_bits
+                if not (int(bm[p >> 5]) >> (p & 31)) & 1:
+                    hit = False
+                    break
+            out.append(hit)
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, _member(F.col(col)))
+
+
+def bloom_local(keys: Iterable[str], m_bits: int, k: int) -> list[int]:
+    """Driver-local reference build (tests / tiny sets): same positions,
+    same word packing, no cluster."""
+    words = [0] * (m_bits // _WORD_BITS)
+    for key in keys:
+        md = hashlib.md5(key.encode("utf-8")).hexdigest()
+        h1 = int(md[0:15], 16) % m_bits
+        h2 = int(md[16:31], 16) % m_bits
+        for i in range(k):
+            p = (h1 + i * h2) % m_bits
+            words[p >> 5] |= 1 << (p & 31)
+    return words
+
+
+def filter_unseen(
+    df: DataFrame,
+    col: ColumnOrName,
+    words: list[int],
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """The incremental-crawl primitive: keep only rows whose key the
+    filter has NOT seen (definitely-new — Bloom misses are exact; a
+    false positive drops a genuinely-new row at the priced fp rate,
+    the standard recall/cost trade of frontier dedup)."""
+    return df.where(~bloom_contains_expr(col, words, m_bits, k))
