@@ -222,9 +222,15 @@ def pagerank_sql(
     b = repr(1.0 - damping)
     np_ = "(SELECT n FROM pr_n)"
     parts = [
+        # DISTINCT-over-UNION-ALL, not a bare UNION: inside a
+        # WITH RECURSIVE block (which composed oracles use) DuckDB
+        # parses a CTE whose body is a top-level UNION as an iterative
+        # CTE and drops the dedup — observed 43 hosts fanning to 800.
         f"""pr_nodes AS (
-      SELECT src AS host FROM {edges_cte}
-      UNION SELECT dst FROM {edges_cte}
+      SELECT DISTINCT host FROM (
+        SELECT src AS host FROM {edges_cte}
+        UNION ALL SELECT dst FROM {edges_cte}
+      )
     ),
     pr_outd AS (SELECT src AS host, COUNT(*) AS outd
                 FROM {edges_cte} GROUP BY src),

@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..operators import bloom as BLOOM
+from ..operators import linkgraph as LINKGRAPH
 from ..operators import textanalysis
 
 
@@ -421,6 +423,21 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
     )"""
 
 
+# Bloom evidence constants shared by the Spark side and the oracle SQL
+# of doc_adjacent_stats (one definition — the sides cannot drift).
+_BLOOM_M, _BLOOM_K = 16384, 3
+
+
+def _bloom_url_sql(qual: str = "") -> str:
+    """The deterministic per-doc URL, DuckDB spelling (mirror of the
+    Spark concat in doc_adjacent_stats)."""
+    d = f"{qual}doc_id"
+    return (
+        f"('http://h' || CAST({d} % 41 AS VARCHAR) || '.example/p/' "
+        f"|| CAST({d} AS VARCHAR))"
+    )
+
+
 @register(
     "doc_adjacent_stats",
     oracle=f"""
@@ -513,7 +530,22 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
                  SELECT e.dst, r.comp FROM sa_reach r JOIN sa_edges e ON e.src = r.id),
     sa_comp AS (SELECT id, MIN(comp) AS component FROM sa_reach GROUP BY id),
     sa_adm AS (SELECT s.id, COALESCE(c.component, s.id) = s.id AS adm
-               FROM sa_surv s LEFT JOIN sa_comp c ON c.id = s.id)
+               FROM sa_surv s LEFT JOIN sa_comp c ON c.id = s.id),
+    -- host-level PageRank (r11): deterministic host graph off doc ids;
+    -- h41/h42 only ever appear as destinations -> dangling-mass path
+    pr_edges AS (
+      SELECT 'h' || CAST(doc_id % 41 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7 + 3) % 43 AS VARCHAR) AS dst
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    {LINKGRAPH.pagerank_sql(iterations=3)},
+    -- Bloom filter (r11): set bits of the even-doc "previous crawl"
+    bl_bits AS (
+      SELECT list(DISTINCT pos) AS bl FROM (
+        SELECT unnest({BLOOM.bloom_positions_sql(_bloom_url_sql(), _BLOOM_M, _BLOOM_K)}) AS pos
+        FROM documents WHERE doc_id % 2 = 0
+      )
+    )
     SELECT a.doc_id,
            CAST(('0x' || substr(md5(cl.c), 1, 8)) AS BIGINT) AS fingerprint,
            CASE WHEN b.doc_id IS NULL OR len(a.t) = 0 THEN NULL
@@ -530,7 +562,9 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
            kt1.token AS keyterm,
            COALESCE(dslw.w, 0.0) AS dsir_logweight,
            CASE WHEN a.doc_id % 2 = 0 THEN NULL
-                ELSE COALESCE(sa_adm.adm, FALSE) END AS stream_admit
+                ELSE COALESCE(sa_adm.adm, FALSE) END AS stream_admit,
+           prf.pagerank AS pr_host_rank,
+           list_has_all(bb.bl, {BLOOM.bloom_positions_sql(_bloom_url_sql('a.'), _BLOOM_M, _BLOOM_K)}) AS bloom_hit
     FROM toks a
     JOIN cleaned cl ON cl.doc_id = a.doc_id
     JOIN winnow w1 ON w1.doc_id = a.doc_id
@@ -547,6 +581,8 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
     LEFT JOIN (SELECT doc_id, token FROM kt WHERE rn = 1) kt1 ON kt1.doc_id = a.doc_id
     LEFT JOIN dslw ON dslw.doc_id = a.doc_id
     LEFT JOIN sa_adm ON sa_adm.id = a.doc_id
+    LEFT JOIN pr_final prf ON prf.host = 'h' || CAST(a.doc_id % 43 AS VARCHAR)
+    CROSS JOIN bl_bits bb
     """,
 )
 def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,6 +605,8 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyterm                   operators/retrieval.keyterms_tfidf    tests/test_retrieval.py
     dsir_logweight            operators/dsir.dsir_logweights        tests/test_dsir.py
     stream_admit              streaming/neardup.admit               tests/test_streaming_neardup.py
+    pr_host_rank              operators/linkgraph.host_pagerank     tests/test_linkgraph.py
+    bloom_hit                 operators/bloom (build+literal tier)  tests/test_bloom.py
     ========================  ====================================  ==========================
 
     Run the localizer first; only if every pytest oracle is green does a
@@ -626,9 +664,11 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from ..operators import bloom as BL
     from ..operators import dedup as DD
     from ..operators import dsir as DS
     from ..operators import heavyhitters as HH
+    from ..operators import linkgraph as LG
     from ..operators import retrieval as RT
     from ..operators import winnow as WN
     from ..streaming.neardup import StreamingNearDupFilter
@@ -682,6 +722,55 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = DS.dsir_logweights(
         docs, docs.where(F.col("doc_id") % 7 == 0), n_buckets=512
     )
+    # pr_host_rank: host-level PageRank (operators/linkgraph) over a
+    # deterministic host graph derived from doc ids — src h(doc_id % 41),
+    # dst h((doc_id*7+3) % 43), edges only for doc_id % 5 != 0, so hosts
+    # h41/h42 (and, at small sf, stragglers) are DANGLING and the
+    # dangling-mass fold is part of the gated path.  Each doc reads back
+    # the rank of its own host h(doc_id % 43); NULL if that host never
+    # appears in the graph.
+    pr_edges = docs.where(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 41).cast("string")).alias(
+            "src_host"
+        ),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 43).cast("string")
+        ).alias("dst_host"),
+    )
+    pr = LG.host_pagerank(pr_edges, iterations=3).withColumnRenamed(
+        "host", "_prh"
+    )
+    prj = (
+        docs.select(
+            "doc_id",
+            F.concat(F.lit("h"), (F.col("doc_id") % 43).cast("string")).alias(
+                "_prh"
+            ),
+        )
+        .join(pr, "_prh", "left")
+        .select("doc_id", F.col("pagerank").alias("pr_host_rank"))
+    )
+    # bloom_hit: portable Bloom membership (operators/bloom) — the
+    # filter is built DISTRIBUTED over the "previous crawl" (even
+    # doc_ids' URLs) and served through the literal Catalyst tier; evens
+    # must all hit (no false negatives), odds hit only on the md5-exact
+    # false positives the oracle reproduces bit-for-bit.
+    _bloom_url = F.concat(
+        F.lit("http://h"),
+        (F.col("doc_id") % 41).cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    bloom_words = BL.bloom_build(
+        docs.where(F.col("doc_id") % 2 == 0).select(_bloom_url.alias("url")),
+        "url", _BLOOM_M, _BLOOM_K,
+    )
+    blm = docs.select(
+        "doc_id",
+        BL.bloom_contains_expr(
+            _bloom_url, bloom_words, _BLOOM_M, _BLOOM_K
+        ).alias("bloom_hit"),
+    )
     # admit() localCheckpoints eagerly, so the index dir is dead weight
     # once it returns — clean it up here rather than leaking one temp
     # tree per driver-gate invocation (3 SFs × every verify run).
@@ -710,6 +799,8 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kt, "doc_id", "left")
         .join(dw, "doc_id")
         .join(adm, "doc_id", "left")
+        .join(prj, "doc_id")
+        .join(blm, "doc_id")
         .withColumn("bm25_fq", F.coalesce("bm25_fq", F.lit(0.0)))
         .withColumn("stream_admit", stream_admit)
         .drop("_adm")
