@@ -879,6 +879,88 @@ def _srp_exact_k_section(spark, sf_dir: str) -> dict[str, object]:
     }
 
 
+def _linkgraph_bloom_section(spark, sf_dir: str) -> dict[str, object]:
+    """Price the r11 link-graph + membership operators: host-level
+    PageRank (3 power iterations over an sf-scaled synthetic edge list
+    with a deliberate hot destination — 1/3 of all edges point at h0,
+    the zipf-head shape of real host graphs) and the portable Bloom
+    filter (distributed build over the even-doc URL set at 1% target
+    fp, then both serving tiers over the full set plus the measured fp
+    rate on the unseen half, so the priced contract is checked, not
+    assumed)."""
+    from pyspark.sql import functions as F
+
+    from psy_supabase_spark.operators import bloom as BL
+    from psy_supabase_spark.operators import linkgraph as LG
+    from psy_supabase_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    extra: dict[str, object] = {}
+
+    edges = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j")
+    ).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 997).cast("string")).alias(
+            "src_host"
+        ),
+        F.when((F.col("doc_id") + F.col("j")) % 3 == 0, F.lit("h0"))
+        .otherwise(
+            F.concat(
+                F.lit("h"),
+                ((F.col("doc_id") * 31 + F.col("j") * 7 + 1) % 997).cast(
+                    "string"
+                ),
+            )
+        )
+        .alias("dst_host"),
+    )
+    extra["pagerank_edges"] = int(edges.count())
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        _run(LG.host_pagerank(edges, iterations=3))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    extra["pagerank_iter3_sec"] = round(best, 3)
+
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("doc_id") % 997).cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    prev = docs.where(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    n_prev = max(prev.count(), 1)
+    m, k = BL.bloom_params(n_prev, 0.01)
+    t0 = time.time()
+    words = BL.bloom_build(prev, "url", m, k)
+    extra["bloom_build_sec"] = round(time.time() - t0, 3)
+    extra["bloom_m_bits"], extra["bloom_k"] = m, k
+    probe = docs.select(url.alias("url"))
+    for tier in ("literal", "udf"):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            if tier == "literal":
+                _run(
+                    probe.select(
+                        BL.bloom_contains_expr("url", words, m, k).alias("h")
+                    )
+                )
+            else:
+                _run(BL.bloom_contains_udf(probe, "url", words, m, k))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        extra[f"bloom_probe_{tier}_sec"] = round(best, 3)
+    odds = docs.where(F.col("doc_id") % 2 == 1).select(url.alias("url"))
+    n_odds = odds.count()
+    n_fp = odds.where(BL.bloom_contains_expr("url", words, m, k)).count()
+    extra["bloom_fp_measured"] = (
+        round(n_fp / n_odds, 5) if n_odds else 0.0
+    )
+    return extra
+
+
 def _warc_section(spark, sf_dir: str) -> dict[str, object]:
     """Price the WARC ingest boundary (r9 verdict #7 — the only operator
     family without a regression-visible number): synthesize a
@@ -1096,6 +1178,13 @@ def main() -> None:
         else {}
     )
 
+    # link-graph + bloom pricing (SPARK_GRAFT_LINKGRAPH=0 to skip)
+    linkgraph_extra = (
+        _linkgraph_bloom_section(spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_LINKGRAPH", "1") != "0"
+        else {}
+    )
+
     # measure (not just name) the cost of default-on hot-id salting on the
     # headline minhash query: same operator, valve off — the delta IS the
     # protection premium the bench notes below explain
@@ -1258,6 +1347,7 @@ def main() -> None:
         **tp_extra,
         **srp_exactk_extra,
         **warc_extra,
+        **linkgraph_extra,
         # r5: minhash/srp pay for default-on hot-id detection
         # (dedup.hot_id_estimate: one narrow job over the banded
         # subtree) after proving default AQE will NOT split the
