@@ -52,7 +52,9 @@ WIDE_MODES_PER_X = 1_000
 # Family selection (r8 verdict, next-round #3: extend the shuffle-heavy
 # families to 30× without paying for the whole matrix again):
 # SPARK_GRAFT_FAMILIES=docs,srp,ivf,wide,analytics — default all.
-ALL_FAMILIES = ("docs", "srp", "ivf", "wide", "analytics", "warc", "cdx")
+ALL_FAMILIES = (
+    "docs", "srp", "ivf", "wide", "analytics", "warc", "cdx", "linkgraph"
+)
 FAMILIES = frozenset(
     os.environ.get("SPARK_GRAFT_FAMILIES", ",".join(ALL_FAMILIES)).split(",")
 )
@@ -314,6 +316,46 @@ def main() -> None:
                 fam["cdx_fetch_sec"] = round(best, 2)
                 hits.unpersist()
 
+        if "linkgraph" in FAMILIES:
+            # host PageRank: the edge list grows with the factor (8·fx
+            # outlinks per base doc) while the HOST universe stays fixed
+            # at 997 + a deliberate hot destination (1/3 of edges →
+            # h0) — the real crawl shape, where edges outgrow hosts.
+            # Expected curve: per-× ≲ 1 (the per-iteration shuffle is
+            # RANK-frame-sized and constant; only the map-side edge
+            # join scales).  min-of-2: the iteration tower runs inside
+            # host_pagerank itself, so the call IS the timed quantity.
+            from psy_supabase_spark.operators import linkgraph as lg
+
+            e = base_docs.select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(0), F.lit(8 * fx - 1))).alias("j"),
+            ).select(
+                F.concat(
+                    F.lit("h"), (F.col("doc_id") % 997).cast("string")
+                ).alias("src_host"),
+                F.when((F.col("doc_id") + F.col("j")) % 3 == 0, F.lit("h0"))
+                .otherwise(
+                    F.concat(
+                        F.lit("h"),
+                        (
+                            (F.col("doc_id") * 31 + F.col("j") * 7 + 1) % 997
+                        ).cast("string"),
+                    )
+                )
+                .alias("dst_host"),
+            )
+            fam["pagerank_edges"] = e.count()
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                lg.host_pagerank(e, iterations=3).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            fam["pagerank_sec"] = round(best, 2)
+
         out[f"x{fx}"] = fam
         print(f"-- x{fx}: {json.dumps(fam)}", file=sys.stderr)
 
@@ -341,6 +383,7 @@ def main() -> None:
                     "dsir_select_sec",
                     "warc_sec",
                     "cdx_fetch_sec",
+                    "pagerank_sec",
                 )
                 if out["x1"].get(m, 0) > 0 and out[key].get(m, 0) > 0
             }
