@@ -604,3 +604,41 @@ class PsyEngine:
         from .sources.cdx import fetch_records
 
         return fetch_records(index, **kw)
+
+    def rank_hosts(self, links: DataFrame, **kw) -> DataFrame:
+        """Host-level PageRank over an outlink edge list — the
+        crawl-quality / frontier-priority signal (Common Crawl publishes
+        exactly this per host).  Compose: `outlinks` → `with_hosts`
+        host extraction → fixed-iteration power method
+        (operators/linkgraph.host_pagerank; per-iteration shuffle is
+        rank-frame-sized, dangling mass folded, DECIMAL-deterministic).
+        kwargs: iterations=4, damping=0.85."""
+        from .operators.linkgraph import host_pagerank, with_hosts
+
+        return host_pagerank(with_hosts(links), **kw)
+
+    def build_seen_filter(
+        self, df: DataFrame, col: str, *, expected: int | None = None,
+        fp_rate: float = 0.01,
+    ) -> tuple[list[int], int, int]:
+        """Build a portable Bloom filter over a key column (the
+        'previous crawl' side of incremental ingest) — returns
+        (words, m_bits, k) sized for the target fp rate
+        (operators/bloom; the build shuffle is bitmap-bounded).
+        `expected` defaults to a count of the frame."""
+        from .operators import bloom as BL
+
+        n = df.count() if expected is None else expected
+        m_bits, k = BL.bloom_params(max(n, 1), fp_rate)
+        return BL.bloom_build(df, col, m_bits, k), m_bits, k
+
+    def filter_unseen(
+        self, df: DataFrame, col: str, seen: tuple[list[int], int, int]
+    ) -> DataFrame:
+        """Keep only rows whose key a `build_seen_filter` filter has NOT
+        seen — definitely-new rows, no join, map-side only (a false
+        positive drops a new row at the filter's priced fp rate)."""
+        from .operators import bloom as BL
+
+        words, m_bits, k = seen
+        return BL.filter_unseen(df, col, words, m_bits, k)

@@ -438,3 +438,26 @@ def test_crawl_index_and_linkgraph_facades(engine, tmp_path):
     assert (stats[0].out_degree, stats[0].n_intra, stats[0].n_inter) == (2, 1, 1)
     top = engine.top_linked_hosts(links, k=1).collect()
     assert [(r.host, r.in_degree) for r in top] == [("x", 1)]
+
+
+def test_rank_hosts_and_seen_filter_facades(engine, spark):
+    links = spark.createDataFrame(
+        [
+            ("http://a.example/p", "http://b.example/x"),
+            ("http://a.example/p", "http://c.example/y"),
+            ("http://b.example/q", "http://c.example/z"),
+        ],
+        "target_uri string, link_url string",
+    )
+    ranks = {r.host: r.pagerank for r in engine.rank_hosts(links, iterations=5).collect()}
+    assert set(ranks) == {"a.example", "b.example", "c.example"}
+    # c receives 2 in-links, a receives none: rank order follows
+    assert ranks["c.example"] > ranks["b.example"] > ranks["a.example"]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-3
+
+    prev = spark.createDataFrame([(f"u{i}",) for i in range(0, 100, 2)], "url string")
+    today = spark.createDataFrame([(f"u{i}",) for i in range(100)], "url string")
+    seen = engine.build_seen_filter(prev, "url", fp_rate=0.01)
+    new = {r.url for r in engine.filter_unseen(today, "url", seen).collect()}
+    assert new.isdisjoint({f"u{i}" for i in range(0, 100, 2)})
+    assert len(new) >= 45  # odds minus at most a few false positives
