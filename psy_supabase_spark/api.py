@@ -642,3 +642,25 @@ class PsyEngine:
 
         words, m_bits, k = seen
         return BL.filter_unseen(df, col, words, m_bits, k)
+
+    def decode_crawl_text(self, records: DataFrame, **kw) -> DataFrame:
+        """WARC response records → UTF-8 text: sniff the charset
+        (BOM > HTTP Content-Type header > HTML meta, all JVM-side) and
+        decode split-path — the UTF-8 majority stays in codegen, only
+        the non-UTF-8 minority rides the Arrow codec leg
+        (functions/charset; `ingest_warc` output plugs in directly)."""
+        from pyspark.sql import functions as F
+
+        from .functions import charset as CS
+
+        sniffed = records.withColumn(
+            "charset",
+            CS.sniff_charset(
+                F.concat(
+                    F.lit("content-type: "),
+                    F.coalesce(F.col("http_content_type"), F.lit("")),
+                ),
+                CS.latin1_view("payload"),
+            ),
+        )
+        return CS.decode_text(sniffed, **kw)

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import charset
 from ..operators import linkgraph, ml_udfs, multimodal
 from ..registry import register
 from ..sources import warc
@@ -79,6 +80,7 @@ def _doc_info_payload(doc_id: int) -> bytes:
 
 _WARC_EVIDENCE_SCHEMA = (
     "doc_id bigint, warc_n_records bigint, warc_status int, "
+    "warc_http_ctype string, "
     "warc_resp_md5 string, warc_resp_n_bytes bigint, warc_wet_trunc boolean, "
     "warc_wet_md5 string, warc_wet_n_bytes bigint, warc_info_payload string"
 )
@@ -113,7 +115,15 @@ def _doc_mini_shard(doc_id: int, text: str) -> bytes:
     ROUND-TRIP is what's under test, not the compressor's effort
     setting (level 9 tripled the harness cost)."""
     html = f"{_WARC_HTML_PREFIX}{doc_id}{_WARC_HTML_MID}{text}{_WARC_HTML_SUFFIX}"
-    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html.encode()
+    # HTTP-level charset parameter cycling by doc_id % 3 (absent /
+    # canonical / aliased) — feeds the warc_charset sniffing gate; the
+    # header block never reaches payload md5/n_bytes, so the other
+    # evidence columns are untouched by construction
+    cs = {0: "", 1: "; charset=ISO-8859-1", 2: "; charset=CP1252"}[doc_id % 3]
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html{cs}\r\n\r\n".encode()
+        + html.encode()
+    )
     malformed = (
         b"WARC/1.0\r\nWARC-Type: response\r\n"
         b"WARC-Target-URI: http://bad.example/\r\n\r\n"
@@ -190,11 +200,11 @@ def warc_roundtrip_evidence(docs: DataFrame) -> DataFrame:
                 for uri, payload in zip(info["target_uri"], info["payload"])
             }
             r_by: dict[str, list] = {}
-            for uri, status, payload, n_b in zip(
+            for uri, status, hct, payload, n_b in zip(
                 resp["target_uri"], resp["http_status"],
-                resp["payload"], resp["n_bytes"],
+                resp["http_content_type"], resp["payload"], resp["n_bytes"],
             ):
-                r_by.setdefault(uri, []).append((status, payload, n_b))
+                r_by.setdefault(uri, []).append((status, payload, n_b, hct))
             w_by: dict[str, list] = {}
             for uri, trunc, payload, n_b in zip(
                 wet["target_uri"], wet["truncated"],
@@ -202,7 +212,8 @@ def warc_roundtrip_evidence(docs: DataFrame) -> DataFrame:
             ):
                 w_by.setdefault(uri, []).append((trunc, payload, n_b))
             out = {k: [] for k in (
-                "doc_id", "warc_n_records", "warc_status", "warc_resp_md5",
+                "doc_id", "warc_n_records", "warc_status",
+                "warc_http_ctype", "warc_resp_md5",
                 "warc_resp_n_bytes", "warc_wet_trunc", "warc_wet_md5",
                 "warc_wet_n_bytes", "warc_info_payload",
             )}
@@ -218,6 +229,7 @@ def warc_roundtrip_evidence(docs: DataFrame) -> DataFrame:
                 r1 = r[0] if r is not None and len(r) == 1 else None
                 w1 = w[0] if w is not None and len(w) == 1 else None
                 out["warc_status"].append(None if r1 is None else r1[0])
+                out["warc_http_ctype"].append(None if r1 is None else r1[3])
                 out["warc_resp_md5"].append(
                     None if r1 is None else hashlib.md5(r1[1]).hexdigest()
                 )
@@ -427,6 +439,12 @@ def wat_roundtrip_evidence(docs: DataFrame) -> DataFrame:
            w.wet_len > {_WET_VALVE} AS warc_wet_trunc,
            md5(repeat('x', least(w.wet_len, {_WET_VALVE}))) AS warc_wet_md5,
            CAST(w.wet_len AS BIGINT) AS warc_wet_n_bytes,
+           {charset.sniff_charset_sql(
+               "('content-type: text/html' || CASE f.doc_id % 3"
+               " WHEN 1 THEN '; charset=ISO-8859-1'"
+               " WHEN 2 THEN '; charset=CP1252' ELSE '' END)",
+               "''",
+           )} AS warc_charset,
            CAST(4 AS INTEGER) AS warc_info_n_keys,
            'CRAWL-' || CAST(f.doc_id % 10 AS VARCHAR) AS warc_info_ispartof,
            'obeyed' AS warc_info_robots,
@@ -491,6 +509,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     | warc_wet_trunc      | payload valve (truncated flag)        | test_warc.py::test_read_warc_end_to_end  |
     | warc_wet_md5        | valve byte-exact truncation           | test_warc.py::test_scan_stream_valve_drains_oversized_payload |
     | warc_wet_n_bytes    | pre-truncation length (clen)          | test_warc.py::test_read_warc_end_to_end  |
+    | warc_charset        | http_content_type surfacing + charset.sniff_charset (header leg; BOM/meta legs pytest-gated) | test_warc.py::test_http_content_type_column_and_charset_composition, tests/test_charset.py |
     | warc_info_n_keys    | warcinfo_info_expr last-wins dedup    | test_warc.py::test_warcinfo_repeated_field_last_wins |
     | warc_info_ispartof  | warcinfo_info_expr first-colon split  | test_warc.py::test_read_warcinfo_provenance |
     | warc_info_robots    | warcinfo_info_expr last-wins value    | test_warc.py::test_warcinfo_repeated_field_last_wins |
@@ -552,10 +571,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     info_map = warc.warcinfo_info_expr(F.col("warc_info_payload"))
+    # r11: the charset sniffing gate — the REAL functions/charset
+    # priority chain over the HTTP Content-Type the parser surfaced
+    # (header leg + default; the BOM/meta legs are pytest-gated with
+    # their own DuckDB parity in tests/test_charset.py)
+    sniffed = charset.sniff_charset(
+        F.concat(
+            F.lit("content-type: "),
+            F.coalesce(F.col("warc_http_ctype"), F.lit("")),
+        ),
+        F.lit(""),
+    )
     ev = evidence.select(
         "doc_id", "warc_n_records", "warc_status", "warc_resp_md5",
         "warc_resp_n_bytes", "warc_wet_trunc", "warc_wet_md5",
         "warc_wet_n_bytes",
+        sniffed.alias("warc_charset"),
         F.size(info_map).alias("warc_info_n_keys"),
         F.element_at(info_map, "isPartOf").alias("warc_info_ispartof"),
         F.element_at(info_map, "robots").alias("warc_info_robots"),

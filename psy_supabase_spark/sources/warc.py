@@ -64,7 +64,8 @@ HTTP_HEAD_ALLOWANCE = 64 * 1024
 WARC_SCHEMA = (
     "path string, record_id string, warc_type string, target_uri string, "
     "warc_date string, content_type string, http_status int, "
-    "payload binary, n_bytes bigint, truncated boolean"
+    "http_content_type string, payload binary, n_bytes bigint, "
+    "truncated boolean"
 )
 
 
@@ -242,6 +243,18 @@ def split_http_payload(
     if decode_body:
         body, _total = decode_http_body_bounded(head.lower(), body, decode_cap)
     return status, body
+
+
+def http_header_value(head: bytes, name: bytes) -> str | None:
+    """First value of an HTTP header in a raw header block (case-
+    insensitive name match at line starts), decoded latin-1 (header
+    values are byte-opaque per RFC 9110; latin-1 is the lossless view).
+    None when absent — the caller's sniffing default applies."""
+    needle = name.lower() + b":"
+    for line in head.split(b"\r\n")[1:]:
+        if line[: len(needle)].lower() == needle:
+            return line[len(needle):].strip().decode("latin-1")
+    return None
 
 
 def _iter_zlib_chunks(
@@ -662,8 +675,8 @@ def make_warc_parser(
         return {
             "path": [], "record_id": [], "warc_type": [],
             "target_uri": [], "warc_date": [], "content_type": [],
-            "http_status": [], "payload": [], "n_bytes": [],
-            "truncated": [],
+            "http_status": [], "http_content_type": [], "payload": [],
+            "n_bytes": [], "truncated": [],
         }
 
     def _frame(out: dict[str, list]) -> pd.DataFrame:
@@ -695,6 +708,7 @@ def make_warc_parser(
                     if keep and wtype not in keep:
                         continue
                     status = None
+                    http_ctype = None
                     ctype = fields.get("content-type", "")
                     stored_raw = len(payload)
                     # did the scanner's valve drop tail bytes of this
@@ -709,6 +723,13 @@ def make_warc_parser(
                         # drained past the valve)
                         head_len = stored_raw - len(payload)
                         n_bytes = clen - head_len
+                        if head_len:
+                            # the HTTP-level media type (e.g. "text/html;
+                            # charset=ISO-8859-1") — what functions/charset
+                            # sniffs and every mime-routing filter keys on
+                            http_ctype = http_header_value(
+                                raw[:head_len], b"content-type"
+                            )
                         if decode_http_body and head_len:
                             head_lower = raw[: head_len].lower()
                             if (
@@ -745,6 +766,7 @@ def make_warc_parser(
                     out["warc_date"].append(fields.get("warc-date", ""))
                     out["content_type"].append(ctype)
                     out["http_status"].append(status)
+                    out["http_content_type"].append(http_ctype)
                     out["payload"].append(payload)
                     out["n_bytes"].append(n_bytes)
                     out["truncated"].append(truncated)

@@ -916,3 +916,49 @@ def test_index_digest_spans_chunks(spark, tmp_path):
     r = cdx.index_warc_members(spark, str(tmp_path), digest=True).collect()[0]
     want = "sha1:" + base64.b32encode(hashlib.sha1(payload).digest()).decode()
     assert r.digest == want
+
+
+def test_http_content_type_column_and_charset_composition(spark, tmp_path):
+    """The parser surfaces the HTTP-level Content-Type (the mime +
+    charset the capture was served with), and functions/charset turns
+    (http_content_type, payload) into correctly transcoded UTF-8 —
+    the full WARC → text ingest chain for a non-UTF-8 web."""
+    from psy_supabase_spark.functions import charset as CS
+
+    latin_body = "caf\xe9 r\xe9sum\xe9".encode("iso-8859-1")
+    http_latin = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n" + latin_body
+    )
+    plain = b"HTTP/1.1 200 OK\r\n\r\nno content-type header"
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "s.warc.gz").write_bytes(
+        gzip.compress(_record("response", http_latin, uri="http://x/latin"))
+        + gzip.compress(_record("response", plain, uri="http://x/plain"))
+        + gzip.compress(_record("conversion", b"wet", uri="http://x/wet",
+                                ctype="text/plain"))
+    )
+    rows = {
+        r.target_uri: r
+        for r in warc.read_warc(
+            spark, str(d), record_types={"response", "conversion"}
+        ).collect()
+    }
+    assert rows["http://x/latin"].http_content_type == "text/html; charset=ISO-8859-1"
+    assert rows["http://x/plain"].http_content_type is None
+    assert rows["http://x/wet"].http_content_type is None  # non-http record
+
+    parsed = warc.read_warc(spark, str(d), record_types={"response"})
+    sniffed = parsed.withColumn(
+        "charset",
+        CS.sniff_charset(
+            F.concat(F.lit("content-type: "),
+                     F.coalesce("http_content_type", F.lit(""))),
+            CS.latin1_view("payload"),
+        ),
+    )
+    out = {r.target_uri: r for r in CS.decode_text(sniffed).collect()}
+    assert out["http://x/latin"].charset == "iso-8859-1"
+    assert out["http://x/latin"].text == "café résumé"
+    assert out["http://x/plain"].charset == "utf-8"
