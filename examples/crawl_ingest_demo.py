@@ -30,20 +30,29 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def _warc_record(doc_id: int, text: str) -> bytes:
+    # every fifth page is served in latin-1 with accented content (as a
+    # real crawl is — ~25-35% of the web isn't UTF-8); the charset rides
+    # the HTTP Content-Type header and the ingest transcodes it
+    latin = doc_id % 5 == 1
+    body_text = f"r\xe9sum\xe9 caf\xe9 {text}" if latin else text
+    ctype = "text/html; charset=ISO-8859-1" if latin else "text/html"
     html = (
         f"<html><head><title>Doc {doc_id}</title>"
         f"<script>var x={doc_id};</script></head>"
-        f"<body><h1>Doc {doc_id}</h1><p>{text}</p></body></html>"
-    ).encode()
+        f"<body><h1>Doc {doc_id}</h1><p>{body_text}</p></body></html>"
+    ).encode("iso-8859-1" if latin else "utf-8")
     # every third page is served Content-Encoding: gzip (as real servers
     # do) — the ingest decodes it when decode_http_body=True
     if doc_id % 3 == 0:
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(html)
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            "Content-Encoding: gzip\r\n\r\n".encode() + gzip.compress(html)
         )
     else:
-        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n".encode()
+            + html
+        )
     hdr = (
         f"WARC/1.0\r\n"
         f"WARC-Type: response\r\n"
@@ -114,9 +123,29 @@ def main() -> int:
         f"({index.count()} members indexed)"
     )
 
-    texts = records.select(
+    # charset leg: sniff off the parser-surfaced HTTP Content-Type (BOM
+    # and <meta> fallbacks inside), transcode split-path — the UTF-8
+    # majority never leaves the JVM, only the latin-1 minority rides
+    # the Arrow codec leg
+    from psy_supabase_spark.functions import charset as CS
+
+    sniffed = records.withColumn(
+        "charset",
+        CS.sniff_charset(
+            F.concat(
+                F.lit("content-type: "),
+                F.coalesce("http_content_type", F.lit("")),
+            ),
+            CS.latin1_view("payload"),
+        ),
+    )
+    decoded = CS.decode_text(sniffed, out_col="page")
+    by_cs = {r.charset: r["count"] for r in decoded.groupBy("charset").count().collect()}
+    print(f"charset sniff + transcode: {by_cs}")
+
+    texts = decoded.select(
         "target_uri",
-        html_to_text(F.col("payload").cast("string")).alias("text"),
+        html_to_text(F.col("page")).alias("text"),
     )
     gated = quality_filter(texts, c4=False, min_words=10, min_stopword_hits=1)
     n_gated = gated.count()
