@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import charset as CHARSET
 from ..functions import text as TX
 from ..operators import bloom as BLOOM
 from ..operators import linkgraph as LINKGRAPH
@@ -427,6 +428,39 @@ def _winnow_cte_sql(k: int = 8, w: int = 4) -> str:
 # of doc_adjacent_stats (one definition — the sides cannot drift).
 _BLOOM_M, _BLOOM_K = 16384, 3
 
+# Charset-sniffing scenarios (doc_id % 5 → (http header block, body)),
+# ONE table building both the Spark expressions and the oracle SQL:
+# 0 BOM beats header, 1 header beats meta, 2 aliased meta only,
+# 3 nothing → default, 4 aliased+quoted header.
+_CS_SCENARIOS: dict[int, tuple[str, str]] = {
+    0: ("Content-Type: text/html; charset=ISO-8859-1", "ï»¿<html>x"),
+    1: ("Content-Type: text/html; charset=UTF8", '<meta charset="latin1"><p>y</p>'),
+    2: ("Content-Type: text/html", "<meta charset=CP1252>z"),
+    3: ("Content-Type: text/html", "<p>plain</p>"),
+    4: ("Content-Type: text/plain; charset='x-sjis'", "<p>plain</p>"),
+}
+
+
+def _cs_scenario_cols() -> tuple[F.Column, F.Column]:
+    scen = F.col("doc_id") % 5
+    h = F.lit(_CS_SCENARIOS[3][0])
+    b = F.lit(_CS_SCENARIOS[3][1])
+    for k, (hdr, body) in _CS_SCENARIOS.items():
+        h = F.when(scen == k, F.lit(hdr)).otherwise(h)
+        b = F.when(scen == k, F.lit(body)).otherwise(b)
+    return h, b
+
+
+def _cs_scenario_sql(qual: str = "a.") -> tuple[str, str]:
+    def case(i: int) -> str:
+        whens = " ".join(
+            f"WHEN {k} THEN '{v[i].replace(chr(39), chr(39) * 2)}'"
+            for k, v in _CS_SCENARIOS.items()
+        )
+        return f"(CASE {qual}doc_id % 5 {whens} END)"
+
+    return case(0), case(1)
+
 
 def _bloom_url_sql(qual: str = "") -> str:
     """The deterministic per-doc URL, DuckDB spelling (mirror of the
@@ -564,7 +598,8 @@ def _bloom_url_sql(qual: str = "") -> str:
            CASE WHEN a.doc_id % 2 = 0 THEN NULL
                 ELSE COALESCE(sa_adm.adm, FALSE) END AS stream_admit,
            prf.pagerank AS pr_host_rank,
-           list_has_all(bb.bl, {BLOOM.bloom_positions_sql(_bloom_url_sql('a.'), _BLOOM_M, _BLOOM_K)}) AS bloom_hit
+           list_has_all(bb.bl, {BLOOM.bloom_positions_sql(_bloom_url_sql('a.'), _BLOOM_M, _BLOOM_K)}) AS bloom_hit,
+           {CHARSET.sniff_charset_sql(*_cs_scenario_sql('a.'))} AS charset_verdict
     FROM toks a
     JOIN cleaned cl ON cl.doc_id = a.doc_id
     JOIN winnow w1 ON w1.doc_id = a.doc_id
@@ -607,6 +642,8 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_admit              streaming/neardup.admit               tests/test_streaming_neardup.py
     pr_host_rank              operators/linkgraph.host_pagerank     tests/test_linkgraph.py
     bloom_hit                 operators/bloom (build+literal tier)  tests/test_bloom.py
+    charset_verdict           functions/charset.sniff_charset       tests/test_charset.py
+                              (full priority chain + alias fold)
     ========================  ====================================  ==========================
 
     Run the localizer first; only if every pytest oracle is green does a
@@ -750,6 +787,19 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pr, "_prh", "left")
         .select("doc_id", F.col("pagerank").alias("pr_host_rank"))
     )
+    # charset_verdict: the FULL sniffing priority chain of
+    # functions/charset (BOM > HTTP header param > HTML meta > default,
+    # plus alias folding), driven by five doc_id-derived scenarios the
+    # oracle synthesizes identically: 0 BOM-beats-header, 1
+    # header-beats-meta, 2 meta only (aliased), 3 nothing → default,
+    # 4 aliased header.  Pure string evidence — the real JVM sniff
+    # expression is what's under test (the binary/latin-1 view leg is
+    # gated through multimodal_features' warc_charset).
+    cs_headers, cs_body = _cs_scenario_cols()
+    csd = docs.select(
+        "doc_id",
+        CHARSET.sniff_charset(cs_headers, cs_body).alias("charset_verdict"),
+    )
     # bloom_hit: portable Bloom membership (operators/bloom) — the
     # filter is built DISTRIBUTED over the "previous crawl" (even
     # doc_ids' URLs) and served through the literal Catalyst tier; evens
@@ -801,6 +851,7 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(adm, "doc_id", "left")
         .join(prj, "doc_id")
         .join(blm, "doc_id")
+        .join(csd, "doc_id")
         .withColumn("bm25_fq", F.coalesce("bm25_fq", F.lit(0.0)))
         .withColumn("stream_admit", stream_admit)
         .drop("_adm")
