@@ -207,6 +207,25 @@ def bloom_local(keys: Iterable[str], m_bits: int, k: int) -> list[int]:
     return words
 
 
+def bloom_merge(*filters: list[int]) -> list[int]:
+    """Union of same-(m, k) Bloom filters by word-wise OR — the
+    multi-crawl composition: build per-snapshot filters independently
+    (each build sees only its own corpus), merge driver-side into one
+    "seen across all previous crawls" filter.  Bloom union is exact:
+    the merged filter answers exactly as a filter built over the
+    concatenated corpora would."""
+    if not filters:
+        return []
+    sizes = {len(w) for w in filters}
+    if len(sizes) != 1:
+        raise ValueError(f"mismatched bloom sizes: {sorted(sizes)}")
+    out = list(filters[0])
+    for w in filters[1:]:
+        for i, word in enumerate(w):
+            out[i] |= word
+    return out
+
+
 def filter_unseen(
     df: DataFrame,
     col: ColumnOrName,

@@ -105,6 +105,7 @@ def host_pagerank(
     dst_col: str = "dst_host",
     iterations: int = 4,
     damping: float = 0.85,
+    tol: float | None = None,
 ) -> DataFrame:
     """Host-level PageRank over the (src_host, dst_host) edge list —
     the crawl-quality / frontier-priority signal every large crawl
@@ -131,12 +132,24 @@ def host_pagerank(
     byte-identical DuckDB spelling, so the whole iteration tower is
     oracle-gateable.
 
-    Each iteration's rank frame is persisted and materialized before the
-    previous one is released: the loop's lineage stays one hop deep
-    instead of growing a K-deep recompute tree.
+    Each iteration's rank frame is ``localCheckpoint``ed (eager) — the
+    connected_components lesson: persist alone caches DATA but the
+    logical plan keeps nesting, and a deep iteration tower blows up
+    Catalyst analysis (measured: heap OOM at ~40 rounds on a 3-node
+    graph); the checkpoint truncates lineage to the materialized
+    partitions each round.
 
     Returns (host, pagerank) for every node of the graph (union of both
     endpoint sets); ranks sum to ~1 up to rounding.
+
+    ``tol`` (optional) stops early once ``max |Δrank|`` over all hosts
+    falls below it — at the 6-dp rounding contract the iteration is a
+    literal fixpoint once deltas vanish, so ``tol=0.0`` means "run to
+    the exact fixpoint, at most ``iterations`` rounds".  The delta check
+    rides the materialization pass each round already pays (one extra
+    tiny agg on the joined old/new frames), and the ORACLE-GATED shape
+    stays the fixed-iteration default (tol=None) so the SQL tower's
+    depth is static.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -159,8 +172,7 @@ def host_pagerank(
     ew = e.join(outd.select(F.col("host").alias("src"), "outd"), "src").persist()
     ranks = base.select(
         "host", "outd", F.round(F.lit(1.0) / F.lit(n), 6).alias("r")
-    ).persist()
-    ranks.count()
+    ).localCheckpoint(eager=True)
     base_term = F.lit(1.0 - damping) / F.lit(n)
     for _ in range(iterations):
         dang_row = ranks.where(F.col("outd").isNull()).agg(
@@ -190,9 +202,17 @@ def host_pagerank(
                 ),
                 6,
             ).alias("r"),
-        ).persist()
-        new.count()
-        ranks.unpersist()
+        ).localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                new.select("host", F.col("r").alias("r_new"))
+                .join(ranks.select("host", "r"), "host")
+                .agg(F.max(F.abs(F.col("r_new") - F.col("r"))).alias("d"))
+                .first()["d"]
+            )
+            if delta is not None and delta <= tol:
+                ranks = new
+                break
         ranks = new
     out = ranks.select("host", F.col("r").alias("pagerank"))
     ew.unpersist()

@@ -139,3 +139,15 @@ def test_literal_tier_stays_codegen(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_bloom_merge_equals_joint_build(spark):
+    """Union by word-OR answers exactly like a filter built over the
+    concatenated corpora (bloom union is exact)."""
+    a = [f"a{i}" for i in range(100)]
+    b = [f"b{i}" for i in range(100)]
+    merged = bloom.bloom_merge(bloom.bloom_local(a, M, K), bloom.bloom_local(b, M, K))
+    assert merged == bloom.bloom_local(a + b, M, K)
+    with pytest.raises(ValueError):
+        bloom.bloom_merge(bloom.bloom_local(a, M, K), bloom.bloom_local(a, 2 * M, K))
+    assert bloom.bloom_merge() == []

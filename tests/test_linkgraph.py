@@ -151,3 +151,15 @@ def test_host_pagerank_empty_and_null_edges(spark):
         [(None, "a"), ("b", None)], "src_host string, dst_host string"
     )
     assert linkgraph.host_pagerank(df).collect() == []
+
+
+def test_host_pagerank_tol_early_stop_matches_fixpoint(spark):
+    """tol=0.0 runs to the exact 6-dp fixpoint and then stops — the
+    result equals a long fixed-iteration run, in fewer rounds."""
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    fixed = {r.host: r.pagerank
+             for r in linkgraph.host_pagerank(df, iterations=40).collect()}
+    early = {r.host: r.pagerank
+             for r in linkgraph.host_pagerank(df, iterations=40, tol=0.0).collect()}
+    assert early == fixed
