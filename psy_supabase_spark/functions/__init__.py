@@ -1,1 +1,1 @@
-from . import bpe, hashing, json_ops, ner, pii, quality, response_clean, text, url, vector  # noqa: F401
+from . import bpe, charset, hashing, json_ops, ner, pii, quality, response_clean, text, url, vector  # noqa: F401
