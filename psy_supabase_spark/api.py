@@ -664,3 +664,22 @@ class PsyEngine:
             ),
         )
         return CS.decode_text(sniffed, **kw)
+
+    def new_captures(
+        self, index: DataFrame, seen: tuple[list[int], int, int],
+        *, key_col: str = "digest",
+    ) -> DataFrame:
+        """Cross-SNAPSHOT incremental ingest: keep only index rows whose
+        payload digest no previous crawl's filter has seen — build the
+        filter once per snapshot over its digest column
+        (`build_seen_filter`, merge snapshots with
+        `operators.bloom.bloom_merge`), then each new crawl's index
+        anti-filters map-side BEFORE any payload byte is fetched.
+        Composes with `dedupe_captures` (within-snapshot revisit
+        collapse) and `fetch_crawl_records` (fetch only what survived):
+        the full story is filter → dedupe → fetch, touching new-content
+        bytes only."""
+        from .operators import bloom as BL
+
+        words, m_bits, k = seen
+        return BL.filter_unseen(index, key_col, words, m_bits, k)

@@ -461,3 +461,19 @@ def test_rank_hosts_and_seen_filter_facades(engine, spark):
     new = {r.url for r in engine.filter_unseen(today, "url", seen).collect()}
     assert new.isdisjoint({f"u{i}" for i in range(0, 100, 2)})
     assert len(new) >= 45  # odds minus at most a few false positives
+
+
+def test_new_captures_cross_snapshot(engine, spark):
+    """Yesterday's digests are filtered out map-side; only genuinely new
+    content survives to be fetched (minus nothing: misses are exact)."""
+    prev = spark.createDataFrame(
+        [(f"sha1:{i:032d}",) for i in range(50)], "digest string"
+    )
+    today = spark.createDataFrame(
+        [(f"u{i}", f"sha1:{i:032d}") for i in range(80)],
+        "url string, digest string",
+    )
+    seen = engine.build_seen_filter(prev, "digest", fp_rate=0.001)
+    new = {r.url for r in engine.new_captures(today, seen).collect()}
+    assert new.isdisjoint({f"u{i}" for i in range(50)})
+    assert len(new) >= 25  # the 30 new digests minus at most a few fps
