@@ -1,0 +1,271 @@
+"""robots.txt directive parsing + fetch-policy decisions — the
+crawl-politeness leg of the Common Crawl family.
+
+Every crawl snapshot ships the robots.txt captures it honored
+(Common Crawl publishes them as a separate WARC subset); the two
+analytics a pipeline runs on them are (a) corpus-level directive
+statistics (who blocks whom, how much of a host is fenced off) and
+(b) frontier filtering — "may agent A fetch URL U under host H's
+policy?" for billions of (A, U) pairs.
+
+Both are DECLARATIVE here — line explode + window-sum group
+assignment + LIKE-translated wildcard match + longest-match window —
+zero Python, so the decision runs map-side-ish at frontier scale and
+the whole grammar is DuckDB-mirrorable (:func:`robots_rules_sql`) and
+therefore driver-oracle-gateable.
+
+Implemented semantics (the documented, deliberately-pinned subset of
+REP / RFC 9309 + the Google spec):
+
+- groups = maximal runs of consecutive ``User-agent`` lines followed
+  by their rules; comments (``#…``) and blank lines stripped; rules
+  before any User-agent line are ignored (per the RFC);
+- agent matching is exact, case-insensitive token equality, with
+  ``*`` as the fallback group; a host with ANY group naming the agent
+  uses ONLY those groups (the RFC's "most specific group" rule at
+  token granularity — no prefix matching of product tokens);
+- rule paths match as prefixes with ``*`` wildcards and a trailing
+  ``$`` end-anchor (translated to SQL LIKE with escaping);
+- decision = longest matching rule wins (length of the raw rule text,
+  the Google tie-breaker), ties prefer Allow; no matching rule or no
+  applicable group → allowed;
+- empty-value rules (``Disallow:``) are ignored (equivalent to
+  allow-everything per the RFC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DIRECTIVE_RE = r"^([A-Za-z-]+)\s*:"
+_VALUE_RE = r"^[A-Za-z-]+\s*:\s*(.*)$"
+
+
+def _like_pattern(path: Column) -> Column:
+    """robots path (with ``*`` wildcards) → LIKE body: escape the LIKE
+    metacharacters, then ``*`` → ``%``.  The trailing ``$`` anchor is
+    handled by the caller (it decides whether to append the ``%``)."""
+    p = F.regexp_replace(path, r"\$$", "")
+    p = F.replace(p, F.lit("\\"), F.lit("\\\\"))
+    p = F.replace(p, F.lit("%"), F.lit("\\%"))
+    p = F.replace(p, F.lit("_"), F.lit("\\_"))
+    return F.replace(p, F.lit("*"), F.lit("%"))
+
+
+def robots_rules(
+    df: DataFrame, *, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots.txt text) → one row per rule:
+    (host, group_id, agents array<string>, directive, path, rule_len).
+
+    Pure expressions + two windows: comment-strip / directive split are
+    regexes, group ids are a window running-sum over "first User-agent
+    line of a run" flags, agents attach by (host, group) join.  The
+    rule's group carries a SORTED agent array so downstream output is
+    deterministic under any partitioning."""
+    lines = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        )
+        .select(
+            "host",
+            "pos",
+            F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+        )
+        .select(
+            "host",
+            "pos",
+            F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1)).alias(
+                "directive"
+            ),
+            F.trim(F.regexp_extract("line", _VALUE_RE, 1)).alias("value"),
+        )
+        .where(F.col("directive").isin("user-agent", "allow", "disallow"))
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = lines.withColumn(
+        "group_id",
+        F.sum(
+            (
+                (F.col("directive") == "user-agent")
+                & (
+                    F.coalesce(F.lag("directive").over(w), F.lit(""))
+                    != "user-agent"
+                )
+            ).cast("int")
+        ).over(w),
+    )
+    agents = (
+        grouped.where(F.col("directive") == "user-agent")
+        .groupBy("host", "group_id")
+        .agg(F.sort_array(F.collect_set(F.lower("value"))).alias("agents"))
+    )
+    rules = grouped.where(
+        F.col("directive").isin("allow", "disallow") & (F.col("value") != "")
+    ).select(
+        "host",
+        "group_id",
+        "directive",
+        F.col("value").alias("path"),
+        F.length("value").alias("rule_len"),
+    )
+    return rules.join(agents, ["host", "group_id"]).select(
+        "host", "group_id", "agents", "directive", "path", "rule_len"
+    )
+
+
+def robots_allowed(
+    rules: DataFrame,
+    requests: DataFrame,
+    *,
+    agent: str,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """requests (host, path, …) → same rows + ``allowed`` boolean under
+    ``agent``.  The applicable group set per host is the agent's own
+    groups when any exist, else the ``*`` groups (the RFC most-specific
+    rule); the verdict is the longest matching rule's directive, ties
+    preferring Allow; no rule → allowed.
+
+    Shuffle shape at frontier scale: the rules side is one row per
+    (host, rule) — millions, not billions — and broadcast-joins to the
+    request stream on ``host``; the longest-match winner is a per-request
+    window over only the MATCHED rules (typically a handful)."""
+    a = F.lit(agent.lower())
+    per_host = rules.groupBy("host").agg(
+        F.max(F.array_contains("agents", a).cast("int")).alias("_has_agent")
+    )
+    applicable = (
+        rules.join(per_host, "host")
+        .where(
+            (F.array_contains("agents", a) & (F.col("_has_agent") == 1))
+            | (F.array_contains("agents", "*") & (F.col("_has_agent") == 0))
+        )
+        .select(
+            F.col("host").alias("_rhost"),
+            F.col("directive").alias("_rdir"),
+            "rule_len",
+            _like_pattern(F.col("path")).alias("_body"),
+            F.col("path").endswith("$").alias("_anchored"),
+        )
+    )
+    req = requests.withColumn("_rid", F.monotonically_increasing_id())
+    matched = req.select("_rid", host_col, path_col).join(
+        applicable, req[host_col] == applicable["_rhost"]
+    ).where(
+        F.when(
+            F.col("_anchored"), F.like(F.col(path_col), F.col("_body"))
+        ).otherwise(
+            F.like(F.col(path_col), F.concat(F.col("_body"), F.lit("%")))
+        )
+    )
+    w = Window.partitionBy("_rid").orderBy(
+        F.desc("rule_len"), F.asc("_rdir")
+    )
+    winners = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_rid", (F.col("_rdir") == "allow").alias("_allowed"))
+    )
+    # requests with no matching rule (or no applicable group at all)
+    # never reach `matched` — the left join default restores them as
+    # allowed, the RFC posture
+    return (
+        req.join(winners, "_rid", "left")
+        .withColumn("allowed", F.coalesce(F.col("_allowed"), F.lit(True)))
+        .select(*requests.columns, "allowed")
+    )
+
+
+def robots_rules_sql(
+    *,
+    robots_cte: str = "robots_src",
+    agent: str,
+    requests_cte: str = "robots_req",
+    prefix: str = "rb",
+) -> str:
+    """DuckDB CTE block mirroring robots_rules + robots_allowed
+    term-for-term (the pagerank_sql pattern).  Expects in-scope CTEs
+    ``robots_cte`` (host, robots_txt) and ``requests_cte`` (rid, host,
+    path); emits CTE ``{prefix}_verdict`` of (rid, allowed).  ``prefix``
+    namespaces the internal CTEs so one oracle can instantiate the
+    tower for several agents."""
+    a = agent.lower().replace("'", "''")
+    p = prefix
+    return f"""{p}_lines AS (
+      SELECT host, pos,
+             lower(regexp_extract(l, '{_DIRECTIVE_RE}', 1)) AS directive,
+             trim(regexp_extract(l, '{_VALUE_RE}', 1)) AS value
+      FROM (
+        SELECT host, u.pos AS pos,
+               trim(regexp_replace(
+                 string_split(robots_txt, chr(10))[u.pos], '#.*$', ''
+               )) AS l
+        FROM {robots_cte},
+             unnest(range(1, len(string_split(robots_txt, chr(10))) + 1))
+               AS u(pos)
+      )
+      WHERE lower(regexp_extract(l, '{_DIRECTIVE_RE}', 1))
+            IN ('user-agent', 'allow', 'disallow')
+    ),
+    {p}_flagged AS (
+      SELECT *, CASE WHEN directive = 'user-agent'
+                      AND COALESCE(LAG(directive) OVER
+                            (PARTITION BY host ORDER BY pos), '')
+                          <> 'user-agent'
+                     THEN 1 ELSE 0 END AS is_start
+      FROM {p}_lines
+    ),
+    {p}_grouped AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY host ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS group_id
+      FROM {p}_flagged
+    ),
+    {p}_agents AS (
+      SELECT host, group_id,
+             list_sort(list(DISTINCT lower(value))) AS agents
+      FROM {p}_grouped WHERE directive = 'user-agent'
+      GROUP BY host, group_id
+    ),
+    {p}_rules AS (
+      SELECT g.host, g.group_id, g.directive, g.value AS path,
+             length(g.value) AS rule_len, a.agents
+      FROM {p}_grouped g JOIN {p}_agents a USING (host, group_id)
+      WHERE g.directive IN ('allow', 'disallow') AND g.value <> ''
+    ),
+    {p}_hasagent AS (
+      SELECT host, MAX(CASE WHEN list_contains(agents, '{a}')
+                            THEN 1 ELSE 0 END) AS has_agent
+      FROM {p}_rules GROUP BY host
+    ),
+    {p}_applicable AS (
+      SELECT r.host, r.directive, r.path, r.rule_len,
+             replace(replace(replace(replace(
+               regexp_replace(r.path, '\\$$', ''),
+               '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%') AS body,
+             r.path LIKE '%$' AS anchored
+      FROM {p}_rules r JOIN {p}_hasagent h ON h.host = r.host
+      WHERE (list_contains(r.agents, '{a}') AND h.has_agent = 1)
+         OR (list_contains(r.agents, '*') AND h.has_agent = 0)
+    ),
+    {p}_matched AS (
+      SELECT q.rid, a.directive, a.rule_len
+      FROM {requests_cte} q LEFT JOIN {p}_applicable a
+        ON a.host = q.host
+       AND CASE WHEN a.anchored
+                THEN q.path LIKE a.body ESCAPE '\\'
+                ELSE q.path LIKE (a.body || '%') ESCAPE '\\' END
+    ),
+    {p}_ranked AS (
+      SELECT rid, directive,
+             ROW_NUMBER() OVER (PARTITION BY rid
+                                ORDER BY rule_len DESC, directive ASC) AS rn
+      FROM {p}_matched
+    ),
+    {p}_verdict AS (
+      SELECT rid, COALESCE(directive = 'allow', TRUE) AS allowed
+      FROM {p}_ranked WHERE rn = 1
+    )"""

@@ -1,0 +1,156 @@
+"""robots.txt policy (operators/robots): group parsing, agent
+selection, wildcard/anchor matching, longest-match tie-break, DuckDB
+mirror parity, codegen-only plans."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from psy_supabase_spark.operators import robots
+
+ROBOTS_A = """# corpus policy
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Disallow:
+
+User-agent: psybot
+User-agent: otherbot
+Disallow: /p*/x.html$
+Allow: /p
+Crawl-delay: 3
+"""
+
+ROBOTS_B = """User-agent: *
+Disallow: /
+Allow: /pub
+"""
+
+
+def _rules(spark):
+    df = spark.createDataFrame(
+        [("a.example", ROBOTS_A), ("b.example", ROBOTS_B)],
+        "host string, robots_txt string",
+    )
+    return robots.robots_rules(df)
+
+
+def test_rules_groups_and_agents(spark):
+    rows = _rules(spark).collect()
+    by = {(r.host, r.directive, r.path): r for r in rows}
+    # group 1 of a.example: the * group, empty Disallow ignored
+    r = by[("a.example", "disallow", "/private/")]
+    assert r.agents == ["*"] and r.group_id == 1
+    # group 2: BOTH consecutive user-agent lines share the group
+    r = by[("a.example", "disallow", "/p*/x.html$")]
+    assert r.agents == ["otherbot", "psybot"] and r.group_id == 2
+    # empty-value rule ignored, crawl-delay not a rule
+    assert ("a.example", "disallow", "") not in by
+    assert len([k for k in by if k[0] == "a.example"]) == 4
+
+
+def _requests(spark):
+    reqs = [
+        ("a.example", "/private/secret"),   # * group: disallow wins
+        ("a.example", "/private/ok/page"),  # allow longer than disallow
+        ("a.example", "/open"),             # no match -> allowed
+        ("c.example", "/anything"),         # no rules at all -> allowed
+        ("b.example", "/pub/x"),            # allow /pub beats disallow /
+        ("b.example", "/etc"),              # disallow /
+    ]
+    return spark.createDataFrame(reqs, "host string, path string")
+
+
+def test_allowed_star_group(spark):
+    got = {
+        (r.host, r.path): r.allowed
+        for r in robots.robots_allowed(
+            _rules(spark), _requests(spark), agent="unrelatedbot"
+        ).collect()
+    }
+    assert got == {
+        ("a.example", "/private/secret"): False,
+        ("a.example", "/private/ok/page"): True,
+        ("a.example", "/open"): True,
+        ("c.example", "/anything"): True,
+        ("b.example", "/pub/x"): True,
+        ("b.example", "/etc"): False,
+    }
+
+
+def test_allowed_specific_group_wildcard_anchor(spark):
+    reqs = spark.createDataFrame(
+        [
+            ("a.example", "/p7/x.html"),     # wildcard+anchor disallow (len 12 > 2)
+            ("a.example", "/p7/x.html?q"),   # anchor: no match -> allow /p
+            ("a.example", "/private/secret"),# * group NOT applicable to psybot
+        ],
+        "host string, path string",
+    )
+    got = {
+        r.path: r.allowed
+        for r in robots.robots_allowed(
+            _rules(spark), reqs, agent="PsyBot"
+        ).collect()
+    }
+    assert got == {
+        "/p7/x.html": False,
+        "/p7/x.html?q": True,
+        "/private/secret": True,
+    }
+
+
+def test_longest_match_tie_prefers_allow(spark):
+    txt = "User-agent: *\nDisallow: /dir/\nAllow: /dir*\n"
+    rules = robots.robots_rules(
+        spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    )
+    reqs = spark.createDataFrame([("h", "/dir/")], "host string, path string")
+    # both rules match /dir/ at rule_len 5 -> tie -> allow
+    assert robots.robots_allowed(rules, reqs, agent="x").collect()[0].allowed
+
+
+def test_duckdb_mirror_parity(spark):
+    """robots_rules_sql reproduces the EXACT verdict set for both agent
+    regimes over hosts with groups, wildcards, anchors and ties."""
+    reqs = [
+        ("a.example", "/private/secret"), ("a.example", "/private/ok/page"),
+        ("a.example", "/open"), ("a.example", "/p7/x.html"),
+        ("a.example", "/p7/x.html?q"), ("b.example", "/pub/x"),
+        ("b.example", "/etc"), ("c.example", "/lone"),
+    ]
+    rdf = spark.createDataFrame(reqs, "host string, path string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE robots_src (host VARCHAR, robots_txt VARCHAR)")
+    con.executemany(
+        "INSERT INTO robots_src VALUES (?, ?)",
+        [("a.example", ROBOTS_A), ("b.example", ROBOTS_B)],
+    )
+    con.execute("CREATE TABLE robots_req (rid INT, host VARCHAR, path VARCHAR)")
+    con.executemany(
+        "INSERT INTO robots_req VALUES (?, ?, ?)",
+        [(i, h, p) for i, (h, p) in enumerate(reqs)],
+    )
+    for agent in ("psybot", "nobody"):
+        got = {
+            (r.host, r.path): r.allowed
+            for r in robots.robots_allowed(
+                _rules(spark), rdf, agent=agent
+            ).collect()
+        }
+        sql = (
+            "WITH "
+            + robots.robots_rules_sql(agent=agent)
+            + "\nSELECT q.host, q.path, v.allowed FROM robots_req q "
+            "JOIN rb_verdict v USING (rid)"
+        )
+        want = {(h, p): a for h, p, a in con.execute(sql).fetchall()}
+        assert got == want, agent
+
+
+def test_plans_stay_jvm_side(spark):
+    rules = _rules(spark)
+    out = robots.robots_allowed(rules, _requests(spark), agent="x")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
