@@ -683,3 +683,48 @@ class PsyEngine:
 
         words, m_bits, k = seen
         return BL.filter_unseen(index, key_col, words, m_bits, k)
+
+    def robots_policy(self, path: str, **kw) -> DataFrame:
+        """robots.txt captures (their own WARC subset in a Common Crawl
+        snapshot) → the per-host rule table: read the shards, keep the
+        /robots.txt responses, decode bodies, parse directives into
+        (host, group, agents, directive, path) via the declarative
+        parser (operators/robots)."""
+        from pyspark.sql import functions as F
+
+        from .operators.robots import robots_rules
+        from .sources.warc import read_warc
+
+        recs = read_warc(self.spark, path, **kw).where(
+            F.col("target_uri").endswith("/robots.txt")
+            & (F.col("http_status") == 200)
+        )
+        src = recs.select(
+            F.lower(F.parse_url("target_uri", F.lit("HOST"))).alias("host"),
+            F.decode(F.col("payload").cast("binary"), "ISO-8859-1").alias(
+                "robots_txt"
+            ),
+        )
+        return robots_rules(src)
+
+    def frontier_allowed(
+        self, urls: DataFrame, rules: DataFrame, *, agent: str,
+        url_col: str = "url",
+    ) -> DataFrame:
+        """Frontier filtering: annotate a URL frame with the robots
+        verdict for `agent` (host/path split JVM-side, longest-match
+        decision map-side against the broadcast rule table); compose
+        with `filter_unseen` and `new_captures` for the full
+        politeness + novelty frontier pass."""
+        from pyspark.sql import functions as F
+
+        from .operators.robots import robots_allowed
+
+        parts = urls.withColumn(
+            "host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+        ).withColumn(
+            "path",
+            F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")),
+        )
+        out = robots_allowed(rules, parts, agent=agent)
+        return out.drop("host", "path")

@@ -16,6 +16,7 @@ from ..functions import charset as CHARSET
 from ..functions import text as TX
 from ..operators import bloom as BLOOM
 from ..operators import linkgraph as LINKGRAPH
+from ..operators import robots as ROBOTS
 from ..operators import textanalysis
 
 
@@ -451,6 +452,39 @@ def _cs_scenario_cols() -> tuple[F.Column, F.Column]:
     return h, b
 
 
+# robots.txt evidence grammar (one template → both engines): three
+# hosts h0/h1/h2, each with a * group carrying a host-specific prefix
+# Disallow + a longer anchored Allow, and a psybot group with a
+# wildcard+anchor Disallow — so group selection, wildcard translation,
+# anchor matching, and the longest-match tie all sit on the gated path.
+_ROBOTS_TEMPLATE = (
+    "# policy {j}\n"
+    "User-agent: *\n"
+    "Disallow: /p{j}\n"
+    "Allow: /p{j}/x.html$\n"
+    "\n"
+    "User-agent: psybot\n"
+    "Disallow: /p*/y$\n"
+)
+
+
+def _robots_txt_col(j: F.Column) -> F.Column:
+    parts = _ROBOTS_TEMPLATE.split("{j}")
+    items: list = [F.lit(parts[0])]
+    for p in parts[1:]:
+        items.append(j)
+        items.append(F.lit(p))
+    return F.concat(*items)
+
+
+def _robots_txt_sql(jexpr: str) -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    parts = _ROBOTS_TEMPLATE.split("{j}")
+    return "(" + f" || {jexpr} || ".join(q(p) for p in parts) + ")"
+
+
 def _cs_scenario_sql(qual: str = "a.") -> tuple[str, str]:
     def case(i: int) -> str:
         whens = " ".join(
@@ -579,7 +613,23 @@ def _bloom_url_sql(qual: str = "") -> str:
         SELECT unnest({BLOOM.bloom_positions_sql(_bloom_url_sql(), _BLOOM_M, _BLOOM_K)}) AS pos
         FROM documents WHERE doc_id % 2 = 0
       )
-    )
+    ),
+    -- robots.txt policy (r11): _ROBOTS_TEMPLATE grammar, two agents
+    rb_src AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 3 AS VARCHAR) AS host,
+             {_robots_txt_sql("CAST(doc_id % 3 AS VARCHAR)")} AS robots_txt
+      FROM documents
+    ),
+    rb_req AS (
+      SELECT doc_id AS rid, 'h' || CAST(doc_id % 3 AS VARCHAR) AS host,
+             '/p' || CAST(doc_id % 9 AS VARCHAR) ||
+             CASE WHEN doc_id % 2 = 0 THEN '/x.html' ELSE '/y' END AS path
+      FROM documents
+    ),
+    {ROBOTS.robots_rules_sql(robots_cte="rb_src", requests_cte="rb_req",
+                             agent="nobody", prefix="rbs")},
+    {ROBOTS.robots_rules_sql(robots_cte="rb_src", requests_cte="rb_req",
+                             agent="psybot", prefix="rbb")}
     SELECT a.doc_id,
            CAST(('0x' || substr(md5(cl.c), 1, 8)) AS BIGINT) AS fingerprint,
            CASE WHEN b.doc_id IS NULL OR len(a.t) = 0 THEN NULL
@@ -599,7 +649,9 @@ def _bloom_url_sql(qual: str = "") -> str:
                 ELSE COALESCE(sa_adm.adm, FALSE) END AS stream_admit,
            prf.pagerank AS pr_host_rank,
            list_has_all(bb.bl, {BLOOM.bloom_positions_sql(_bloom_url_sql('a.'), _BLOOM_M, _BLOOM_K)}) AS bloom_hit,
-           {CHARSET.sniff_charset_sql(*_cs_scenario_sql('a.'))} AS charset_verdict
+           {CHARSET.sniff_charset_sql(*_cs_scenario_sql('a.'))} AS charset_verdict,
+           rbs_v.allowed AS robots_allow_star,
+           rbb_v.allowed AS robots_allow_bot
     FROM toks a
     JOIN cleaned cl ON cl.doc_id = a.doc_id
     JOIN winnow w1 ON w1.doc_id = a.doc_id
@@ -618,6 +670,8 @@ def _bloom_url_sql(qual: str = "") -> str:
     LEFT JOIN sa_adm ON sa_adm.id = a.doc_id
     LEFT JOIN pr_final prf ON prf.host = 'h' || CAST(a.doc_id % 43 AS VARCHAR)
     CROSS JOIN bl_bits bb
+    JOIN rbs_verdict rbs_v ON rbs_v.rid = a.doc_id
+    JOIN rbb_verdict rbb_v ON rbb_v.rid = a.doc_id
     """,
 )
 def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +698,8 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom_hit                 operators/bloom (build+literal tier)  tests/test_bloom.py
     charset_verdict           functions/charset.sniff_charset       tests/test_charset.py
                               (full priority chain + alias fold)
+    robots_allow_star,        operators/robots (group parse +       tests/test_robots.py
+    robots_allow_bot          agent select + longest-match)
     ========================  ====================================  ==========================
 
     Run the localizer first; only if every pytest oracle is green does a
@@ -800,6 +856,39 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         CHARSET.sniff_charset(cs_headers, cs_body).alias("charset_verdict"),
     )
+    # robots_allow_star / robots_allow_bot: the REAL operators/robots
+    # parse + decision over the _ROBOTS_TEMPLATE grammar — star-group
+    # verdicts exercise prefix match + anchored-allow longest-match,
+    # psybot verdicts exercise agent-group selection + wildcard+anchor
+    from ..operators import robots as RB
+
+    rb_j = (F.col("doc_id") % 3).cast("string")
+    rb_src = (
+        docs.select(rb_j.alias("j"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), "j").alias("host"),
+            _robots_txt_col(F.col("j")).alias("robots_txt"),
+        )
+    )
+    rb_rules = RB.robots_rules(rb_src)
+    rb_reqs = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), rb_j).alias("host"),
+        F.concat(
+            F.lit("/p"),
+            (F.col("doc_id") % 9).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/x.html")).otherwise(
+                F.lit("/y")
+            ),
+        ).alias("path"),
+    )
+    rb_star = RB.robots_allowed(rb_rules, rb_reqs, agent="nobody").select(
+        "doc_id", F.col("allowed").alias("robots_allow_star")
+    )
+    rb_bot = RB.robots_allowed(rb_rules, rb_reqs, agent="psybot").select(
+        "doc_id", F.col("allowed").alias("robots_allow_bot")
+    )
     # bloom_hit: portable Bloom membership (operators/bloom) — the
     # filter is built DISTRIBUTED over the "previous crawl" (even
     # doc_ids' URLs) and served through the literal Catalyst tier; evens
@@ -852,6 +941,8 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(prj, "doc_id")
         .join(blm, "doc_id")
         .join(csd, "doc_id")
+        .join(rb_star, "doc_id")
+        .join(rb_bot, "doc_id")
         .withColumn("bm25_fq", F.coalesce("bm25_fq", F.lit(0.0)))
         .withColumn("stream_admit", stream_admit)
         .drop("_adm")

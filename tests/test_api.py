@@ -477,3 +477,35 @@ def test_new_captures_cross_snapshot(engine, spark):
     new = {r.url for r in engine.new_captures(today, seen).collect()}
     assert new.isdisjoint({f"u{i}" for i in range(50)})
     assert len(new) >= 25  # the 30 new digests minus at most a few fps
+
+
+def test_robots_policy_and_frontier_facades(engine, spark, tmp_path):
+    import gzip
+
+    robots_txt = b"User-agent: *\nDisallow: /nope\n"
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + robots_txt
+    rec = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: http://x.example/robots.txt\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode() + http + b"\r\n\r\n"
+    d = tmp_path / "rb"
+    d.mkdir()
+    (d / "r.warc.gz").write_bytes(gzip.compress(rec))
+    rules = engine.robots_policy(str(d))
+    assert [(r.host, r.directive, r.path) for r in rules.collect()] == [
+        ("x.example", "disallow", "/nope")
+    ]
+    urls = spark.createDataFrame(
+        [("http://x.example/nope/1",), ("http://x.example/ok",),
+         ("http://y.example/any",)],
+        "url string",
+    )
+    got = {r.url: r.allowed
+           for r in engine.frontier_allowed(urls, rules, agent="bot").collect()}
+    assert got == {
+        "http://x.example/nope/1": False,
+        "http://x.example/ok": True,
+        "http://y.example/any": True,
+    }
