@@ -269,3 +269,94 @@ def robots_rules_sql(
       SELECT rid, COALESCE(directive = 'allow', TRUE) AS allowed
       FROM {p}_ranked WHERE rn = 1
     )"""
+
+
+def robots_sitemaps(
+    df: DataFrame, *, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap_url) — ``Sitemap:`` lines are group-independent
+    per the spec, so this is a straight line-explode + regex filter
+    (the seed list a crawler feeds its frontier before any fetch)."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    ).select(
+        "host",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    return lines.where(
+        F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1)) == "sitemap"
+    ).select(
+        "host",
+        F.trim(F.regexp_extract("line", _VALUE_RE, 1)).alias("sitemap_url"),
+    ).where(F.col("sitemap_url") != "")
+
+
+def robots_crawl_delays(
+    rules_src: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, crawl_delay double) for the agent's applicable group —
+    the politeness interval a frontier scheduler rate-limits each host
+    by.  Group selection follows :func:`robots_allowed` (agent's own
+    groups beat ``*``); unparsable or absent delays drop out (callers
+    apply their own default)."""
+    df = rules_src
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host", "pos",
+        F.lower(
+            F.regexp_extract(
+                F.trim(F.regexp_replace("raw", "#.*$", "")), _DIRECTIVE_RE, 1
+            )
+        ).alias("directive"),
+        F.trim(
+            F.regexp_extract(
+                F.trim(F.regexp_replace("raw", "#.*$", "")), _VALUE_RE, 1
+            )
+        ).alias("value"),
+    ).where(
+        F.col("directive").isin("user-agent", "crawl-delay")
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = lines.withColumn(
+        "group_id",
+        F.sum(
+            (
+                (F.col("directive") == "user-agent")
+                & (
+                    F.coalesce(F.lag("directive").over(w), F.lit(""))
+                    != "user-agent"
+                )
+            ).cast("int")
+        ).over(w),
+    )
+    agents = (
+        grouped.where(F.col("directive") == "user-agent")
+        .groupBy("host", "group_id")
+        .agg(F.sort_array(F.collect_set(F.lower("value"))).alias("agents"))
+    )
+    delays = (
+        grouped.where(F.col("directive") == "crawl-delay")
+        .select("host", "group_id", F.col("value").cast("double").alias("crawl_delay"))
+        .where(F.col("crawl_delay").isNotNull())
+        .join(agents, ["host", "group_id"])
+    )
+    a = F.lit(agent.lower())
+    per_host = delays.groupBy("host").agg(
+        F.max(F.array_contains("agents", a).cast("int")).alias("_has_agent")
+    )
+    return (
+        delays.join(per_host, "host")
+        .where(
+            (F.array_contains("agents", a) & (F.col("_has_agent") == 1))
+            | (F.array_contains("agents", "*") & (F.col("_has_agent") == 0))
+        )
+        .groupBy("host")
+        .agg(F.min("crawl_delay").alias("crawl_delay"))
+    )

@@ -154,3 +154,19 @@ def test_plans_stay_jvm_side(spark):
     out = robots.robots_allowed(rules, _requests(spark), agent="x")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_sitemaps_and_crawl_delays(spark):
+    txt = (
+        "Sitemap: https://a.example/sm.xml\n"
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+        "User-agent: psybot\nCrawl-delay: 0.5\n"
+        "Sitemap: https://a.example/sm2.xml\n"
+    )
+    df = spark.createDataFrame([("a.example", txt)], "host string, robots_txt string")
+    sm = sorted(r.sitemap_url for r in robots.robots_sitemaps(df).collect())
+    assert sm == ["https://a.example/sm.xml", "https://a.example/sm2.xml"]
+    star = robots.robots_crawl_delays(df, agent="someone").collect()
+    assert [(r.host, r.crawl_delay) for r in star] == [("a.example", 2.0)]
+    bot = robots.robots_crawl_delays(df, agent="PsyBot").collect()
+    assert [(r.host, r.crawl_delay) for r in bot] == [("a.example", 0.5)]
