@@ -360,3 +360,41 @@ def robots_crawl_delays(
         .groupBy("host")
         .agg(F.min("crawl_delay").alias("crawl_delay"))
     )
+
+
+def parse_sitemap(
+    df: DataFrame, *, xml_col: str = "sitemap_xml", host_col: str = "host"
+) -> DataFrame:
+    """Sitemap XML → (host, url, lastmod, is_index): the frontier seed
+    extractor for the documents `robots_sitemaps` points at.  Handles
+    both ``<urlset>`` leaves and ``<sitemapindex>`` indirections (the
+    caller fetches index targets and recurses — I/O stays with the
+    caller).  Declarative: ``regexp_extract_all`` over the entry blocks
+    (sitemap's schema fixes one ``<loc>`` per entry, so per-entry
+    regexes are exact, not heuristic), entity-decoded per the spec's
+    escaping rules."""
+    is_index = F.col(xml_col).contains("<sitemapindex")
+    entry_tag = F.when(is_index, F.lit("sitemap")).otherwise(F.lit("url"))
+    blocks = F.expr(
+        f"regexp_extract_all({xml_col}, '(?s)<(?:sitemap|url)>(.*?)</(?:sitemap|url)>', 1)"
+    )
+    exploded = df.select(
+        F.col(host_col).alias("host"),
+        is_index.alias("is_index"),
+        entry_tag.alias("_tag"),
+        F.explode(blocks).alias("_block"),
+    )
+    unescape = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                ("&apos;", "'"), ("&amp;", "&")]  # &amp; LAST (spec order)
+    loc = F.regexp_extract("_block", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    for ent, ch in unescape:
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    return exploded.select(
+        "host",
+        loc.alias("url"),
+        F.nullif(
+            F.regexp_extract("_block", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1),
+            F.lit(""),
+        ).alias("lastmod"),
+        "is_index",
+    ).where(F.col("url") != "")

@@ -170,3 +170,38 @@ def test_sitemaps_and_crawl_delays(spark):
     assert [(r.host, r.crawl_delay) for r in star] == [("a.example", 2.0)]
     bot = robots.robots_crawl_delays(df, agent="PsyBot").collect()
     assert [(r.host, r.crawl_delay) for r in bot] == [("a.example", 0.5)]
+
+
+def test_parse_sitemap_urlset_and_index(spark):
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a.example/p?x=1&amp;y=2</loc>"
+        "<lastmod>2024-01-01</lastmod></url>"
+        "<url><loc> https://a.example/q </loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.example/sm1.xml</loc></sitemap>"
+        "<sitemap><loc>https://a.example/sm2.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.example", urlset), ("a.example", index)],
+        "host string, sitemap_xml string",
+    )
+    rows = robots.parse_sitemap(df).collect()
+    leaves = sorted((r.url, r.lastmod) for r in rows if not r.is_index)
+    assert leaves == [
+        ("https://a.example/p?x=1&y=2", "2024-01-01"),
+        ("https://a.example/q", None),
+    ]
+    idx = sorted(r.url for r in rows if r.is_index)
+    assert idx == ["https://a.example/sm1.xml", "https://a.example/sm2.xml"]
+    plan = robots.parse_sitemap(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_parse_sitemap_multiline_entries(spark):
+    xml = "<urlset>\n<url>\n  <loc>\n    https://a.example/ml\n  </loc>\n</url>\n</urlset>"
+    df = spark.createDataFrame([("h", xml)], "host string, sitemap_xml string")
+    assert [r.url for r in robots.parse_sitemap(df).collect()] == [
+        "https://a.example/ml"
+    ]
