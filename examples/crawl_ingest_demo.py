@@ -123,6 +123,26 @@ def main() -> int:
         f"({index.count()} members indexed)"
     )
 
+    # incremental-snapshot leg: treat the even-doc half as YESTERDAY's
+    # snapshot — build a digest Bloom filter over it (bitmap-bounded
+    # build, broadcast probe, no join) and let today's index
+    # anti-filter map-side BEFORE any payload byte moves; only
+    # genuinely-new content survives to fetch_records
+    from psy_supabase_spark.operators import bloom as BLOOM
+
+    digests = cdx.index_warc_members(spark, str(shard_dir), digest=True)
+    prev = digests.where(F.col("url").rlike("[02468]$"))
+    n_prev = max(prev.count(), 1)
+    m_bits, k = BLOOM.bloom_params(n_prev, 0.01)
+    seen = BLOOM.bloom_build(prev, "digest", m_bits, k)
+    new = BLOOM.filter_unseen(digests, "digest", seen, m_bits, k)
+    n_new = new.count()
+    print(
+        f"incremental snapshot: {n_new} new of {digests.count()} captures "
+        f"survive the seen-digest bloom (m={m_bits} bits, k={k}); "
+        f"fetch touches only those: {cdx.fetch_records(new).count()} records"
+    )
+
     # charset leg: sniff off the parser-surfaced HTTP Content-Type (BOM
     # and <meta> fallbacks inside), transcode split-path — the UTF-8
     # majority never leaves the JVM, only the latin-1 minority rides
