@@ -29,8 +29,8 @@ def with_hosts(
 ) -> DataFrame:
     """Edge list + (src_host, dst_host, intra): lowercase HOST via the
     JVM ``parse_url``; ``intra`` marks same-host edges (exact host
-    match — the conservative default; eTLD+1 grouping needs a public
-    suffix list and belongs to a caller that ships one).  Relative or
+    match — the conservative default; publisher-level grouping is
+    :func:`domain_degrees` via `functions/url.registrable_domain`).  Relative or
     unparseable link urls get NULL dst_host and intra=false."""
     src_host = F.lower(F.parse_url(F.col(src_col), F.lit("HOST")))
     dst_host = F.lower(F.parse_url(F.col(dst_col), F.lit("HOST")))
@@ -286,3 +286,43 @@ def pagerank_sql(
         f"{final_cte} AS (SELECT host, r AS pagerank FROM pr_r{iterations})"
     )
     return ",\n    ".join(parts)
+
+
+def domain_degrees(
+    links: DataFrame, *, suffixes: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Registrable-domain (eTLD+1) degree table — the publisher-level
+    rollup `host_degrees` couldn't do without a suffix list (the r10
+    caveat, closed by `functions/url.registrable_domain`): (domain,
+    out_degree, in_degree), hosts with no registrable domain (bare
+    TLDs, suffix-only hosts) dropped.  Same shuffle shape as
+    host_degrees — zipfian keys absorbed by map-side partial agg, the
+    hot-domain residual salts like dedup's hot ids."""
+    from ..functions.url import PUBLIC_SUFFIXES, registrable_domain
+
+    sfx = PUBLIC_SUFFIXES if suffixes is None else suffixes
+    hosted = with_hosts(links)
+    out_deg = (
+        hosted.select(
+            registrable_domain(F.col("src_host"), suffixes=sfx).alias("domain")
+        )
+        .where(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.count("*").alias("out_degree"))
+    )
+    in_deg = (
+        hosted.select(
+            registrable_domain(F.col("dst_host"), suffixes=sfx).alias("domain")
+        )
+        .where(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.count("*").alias("in_degree"))
+    )
+    return (
+        out_deg.join(in_deg, "domain", "full_outer")
+        .select(
+            "domain",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

@@ -16,7 +16,16 @@ from ..functions import charset as CHARSET
 from ..functions import text as TX
 from ..operators import bloom as BLOOM
 from ..operators import linkgraph as LINKGRAPH
+from ..functions import url as URLMOD
 from ..operators import robots as ROBOTS
+
+# the reg_domain evidence host (DuckDB spelling; mirror of the Spark
+# concat in doc_adjacent_stats)
+_RD_HOST_SQL = (
+    "('w' || CAST(a.doc_id % 5 AS VARCHAR) || CASE a.doc_id % 4"
+    " WHEN 0 THEN '.example.com' WHEN 1 THEN '.shop.co.uk'"
+    " WHEN 2 THEN '.github.io' ELSE '.site.org' END)"
+)
 from ..operators import textanalysis
 
 
@@ -650,6 +659,7 @@ def _bloom_url_sql(qual: str = "") -> str:
            prf.pagerank AS pr_host_rank,
            list_has_all(bb.bl, {BLOOM.bloom_positions_sql(_bloom_url_sql('a.'), _BLOOM_M, _BLOOM_K)}) AS bloom_hit,
            {CHARSET.sniff_charset_sql(*_cs_scenario_sql('a.'))} AS charset_verdict,
+           {URLMOD.registrable_domain_sql(_RD_HOST_SQL)} AS reg_domain,
            rbs_v.allowed AS robots_allow_star,
            rbb_v.allowed AS robots_allow_bot
     FROM toks a
@@ -700,6 +710,8 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                               (full priority chain + alias fold)
     robots_allow_star,        operators/robots (group parse +       tests/test_robots.py
     robots_allow_bot          agent select + longest-match)
+    reg_domain                functions/url.registrable_domain      tests/test_url.py
+                              (eTLD+1, PSL-subset longest match)
     ========================  ====================================  ==========================
 
     Run the localizer first; only if every pytest oracle is green does a
@@ -852,9 +864,23 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression is what's under test (the binary/latin-1 view leg is
     # gated through multimodal_features' warc_charset).
     cs_headers, cs_body = _cs_scenario_cols()
+    # reg_domain rides the same frame: eTLD+1 of a doc_id-derived host
+    # cycling default-rule / multi-label-suffix / private-registry /
+    # suffix-only branches through functions/url.registrable_domain
+    from ..functions.url import registrable_domain
+
+    _rd_host = F.concat(
+        F.lit("w"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(".example.com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(".shop.co.uk"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(".github.io"))
+        .otherwise(F.lit(".site.org")),
+    )
     csd = docs.select(
         "doc_id",
         CHARSET.sniff_charset(cs_headers, cs_body).alias("charset_verdict"),
+        registrable_domain(_rd_host).alias("reg_domain"),
     )
     # robots_allow_star / robots_allow_bot: the REAL operators/robots
     # parse + decision over the _ROBOTS_TEMPLATE grammar — star-group

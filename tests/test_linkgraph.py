@@ -163,3 +163,19 @@ def test_host_pagerank_tol_early_stop_matches_fixpoint(spark):
     early = {r.host: r.pagerank
              for r in linkgraph.host_pagerank(df, iterations=40, tol=0.0).collect()}
     assert early == fixed
+
+
+def test_domain_degrees_etld1(spark):
+    links = spark.createDataFrame(
+        [
+            ("http://news.bbc.co.uk/a", "http://sport.bbc.co.uk/b"),  # same eTLD+1
+            ("http://a.example.com/x", "http://user.github.io/y"),
+            ("http://co.uk/", "http://b.example.com/z"),  # suffix-only src dropped
+        ],
+        "target_uri string, link_url string",
+    )
+    deg = {r.domain: r for r in linkgraph.domain_degrees(links).collect()}
+    assert (deg["bbc.co.uk"].out_degree, deg["bbc.co.uk"].in_degree) == (1, 1)
+    assert deg["example.com"].out_degree == 1 and deg["example.com"].in_degree == 1
+    assert deg["user.github.io"].in_degree == 1
+    assert "co.uk" not in deg

@@ -62,3 +62,58 @@ def test_blocklist_pass_is_exchange_free(spark):
 
 def test_empty_blocklist_blocks_nothing(spark):
     assert blocklist_filter(_df(spark), []).count() == len(DOCS)
+
+
+# ---------------------------------------------------------- eTLD+1
+
+def test_registrable_domain_cases(spark):
+    from psy_supabase_spark.functions.url import registrable_domain
+
+    cases = [
+        ("news.BBC.co.uk", "bbc.co.uk"),          # multi-label suffix
+        ("a.b.example.com", "example.com"),       # default rule
+        ("example.com", "example.com"),           # already registrable
+        ("user.github.io", "user.github.io"),     # private registry
+        ("deep.user.github.io", "user.github.io"),
+        ("com", None),                            # bare TLD
+        ("co.uk", None),                          # host IS a suffix
+        ("localhost", None),                      # single label
+        ("w3.org", "w3.org"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r.d for r in df.select(registrable_domain("host").alias("d")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_registrable_domain_duckdb_parity(spark):
+    import duckdb
+
+    from psy_supabase_spark.functions.url import (
+        registrable_domain, registrable_domain_sql,
+    )
+
+    hosts = [
+        "news.bbc.co.uk", "x.y.z.com.au", "a.blogspot.com", "b.example.org",
+        "co.uk", "uk", "single", "app.herokuapp.com", "d.e.f.gov.uk",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = [r.d for r in df.select(registrable_domain("host").alias("d")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (host VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(h,) for h in hosts])
+    want = [r[0] for r in con.execute(
+        f"SELECT {registrable_domain_sql('host')} FROM t"
+    ).fetchall()]
+    assert got == want
+
+
+def test_registrable_domain_custom_suffixes_and_plan(spark):
+    from psy_supabase_spark.functions.url import registrable_domain
+
+    df = spark.createDataFrame([("a.b.custom.tld",)], "host string")
+    out = df.select(
+        registrable_domain("host", suffixes=("custom.tld",)).alias("d")
+    )
+    assert out.collect()[0].d == "b.custom.tld"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
