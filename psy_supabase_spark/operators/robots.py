@@ -398,3 +398,45 @@ def parse_sitemap(
         ).alias("lastmod"),
         "is_index",
     ).where(F.col("url") != "")
+
+
+def schedule_frontier(
+    urls: DataFrame,
+    delays: DataFrame,
+    *,
+    host_col: str = "host",
+    default_delay: float = 1.0,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Politeness-respecting fetch schedule: each URL gets a per-host
+    ``fetch_slot`` (0, 1, 2, … in deterministic url order) and a
+    ``fetch_offset_sec`` = slot × the host's crawl delay
+    (:func:`robots_crawl_delays` output; ``default_delay`` where a host
+    published none).  ``max_per_host`` truncates deep hosts so one
+    giant site cannot monopolize a crawl round — the dropped tail is
+    tomorrow's frontier.
+
+    All window + broadcast-join work: the delay table is one row per
+    host and broadcasts; the slot window partitions by host, which is
+    exactly the key the fetch fleet shards by anyway — the shuffle this
+    costs is the shuffle the crawler needs."""
+    d = delays.select(
+        F.col("host").alias("_dhost"), F.col("crawl_delay").alias("_delay")
+    )
+    w = Window.partitionBy(host_col).orderBy("url")
+    out = (
+        urls.join(d, urls[host_col] == d["_dhost"], "left")
+        .withColumn("fetch_slot", F.row_number().over(w) - 1)
+        .withColumn(
+            "fetch_offset_sec",
+            F.round(
+                F.col("fetch_slot")
+                * F.coalesce(F.col("_delay"), F.lit(float(default_delay))),
+                3,
+            ),
+        )
+        .drop("_dhost", "_delay")
+    )
+    if max_per_host is not None:
+        out = out.where(F.col("fetch_slot") < max_per_host)
+    return out

@@ -205,3 +205,24 @@ def test_parse_sitemap_multiline_entries(spark):
     assert [r.url for r in robots.parse_sitemap(df).collect()] == [
         "https://a.example/ml"
     ]
+
+
+def test_schedule_frontier_politeness(spark):
+    urls = spark.createDataFrame(
+        [("a", f"http://a/{i}") for i in range(4)]
+        + [("b", "http://b/0"), ("c", "http://c/0")],
+        "host string, url string",
+    )
+    delays = spark.createDataFrame(
+        [("a", 2.0), ("b", 0.5)], "host string, crawl_delay double"
+    )
+    rows = robots.schedule_frontier(urls, delays, max_per_host=3).collect()
+    by = {(r.host, r.fetch_slot): r.fetch_offset_sec for r in rows}
+    # host a: slots 0..2 at 2s spacing; slot 3 truncated by max_per_host
+    assert by[("a", 0)] == 0.0 and by[("a", 1)] == 2.0 and by[("a", 2)] == 4.0
+    assert ("a", 3) not in by
+    assert by[("b", 0)] == 0.0
+    # host c published no delay -> default applies on later slots; one
+    # url means slot 0 / offset 0 either way, and the row survives
+    assert by[("c", 0)] == 0.0
+    assert len(rows) == 5
