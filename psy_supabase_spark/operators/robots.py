@@ -152,31 +152,39 @@ def robots_allowed(
             F.col("path").endswith("$").alias("_anchored"),
         )
     )
-    req = requests.withColumn("_rid", F.monotonically_increasing_id())
-    matched = req.select("_rid", host_col, path_col).join(
-        applicable, req[host_col] == applicable["_rhost"]
-    ).where(
+    # ONE linear lineage, no back-join: _rid is minted once and flows
+    # through a single left join + groupBy (the operators/asof pattern
+    # — monotonically_increasing_id re-evaluated on two branches of a
+    # self-join is retry-UNSTABLE: a recomputed branch can assign
+    # different ids and mispair the join).  The full request row rides
+    # as a struct; _rid only keeps fully-duplicate rows distinct.
+    l = requests.select(
+        F.monotonically_increasing_id().alias("_rid"),
+        F.col(host_col).alias("_qhost"),
+        F.col(path_col).alias("_qpath"),
+        F.struct(*requests.columns).alias("_row"),
+    )
+    cand = l.join(applicable, l["_qhost"] == applicable["_rhost"], "left")
+    match_ok = F.col("_rhost").isNotNull() & F.when(
+        F.col("_anchored"), F.like(F.col("_qpath"), F.col("_body"))
+    ).otherwise(F.like(F.col("_qpath"), F.concat(F.col("_body"), F.lit("%"))))
+    # winner = max (rule_len, allow?) struct: lexicographic max IS the
+    # longest-match rule with ties preferring Allow; max ignores the
+    # non-matching (null) candidates, an all-null group -> NULL -> the
+    # RFC allowed-by-default posture
+    win = F.max(
         F.when(
-            F.col("_anchored"), F.like(F.col(path_col), F.col("_body"))
-        ).otherwise(
-            F.like(F.col(path_col), F.concat(F.col("_body"), F.lit("%")))
+            match_ok,
+            F.struct(
+                F.col("rule_len"),
+                (F.col("_rdir") == "allow").cast("int").alias("a"),
+            ),
         )
-    )
-    w = Window.partitionBy("_rid").orderBy(
-        F.desc("rule_len"), F.asc("_rdir")
-    )
-    winners = (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("_rid", (F.col("_rdir") == "allow").alias("_allowed"))
-    )
-    # requests with no matching rule (or no applicable group at all)
-    # never reach `matched` — the left join default restores them as
-    # allowed, the RFC posture
-    return (
-        req.join(winners, "_rid", "left")
-        .withColumn("allowed", F.coalesce(F.col("_allowed"), F.lit(True)))
-        .select(*requests.columns, "allowed")
+    ).alias("_w")
+    decided = cand.groupBy("_rid", "_row").agg(win)
+    return decided.select(
+        F.col("_row.*"),
+        F.coalesce(F.col("_w.a") == 1, F.lit(True)).alias("allowed"),
     )
 
 
