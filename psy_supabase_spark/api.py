@@ -715,16 +715,31 @@ class PsyEngine:
         verdict for `agent` (host/path split JVM-side, longest-match
         decision map-side against the broadcast rule table); compose
         with `filter_unseen` and `new_captures` for the full
-        politeness + novelty frontier pass."""
+        politeness + novelty frontier pass.
+
+        Rules match against PATH + '?' + QUERY (REP/Google semantics —
+        'Disallow: /*?sessionid=' must fire on query-bearing URLs, r11
+        ADVICE); temp columns are collision-safe so a pre-existing
+        host/path column on the input rides through untouched."""
         from pyspark.sql import functions as F
 
         from .operators.robots import robots_allowed
 
-        parts = urls.withColumn(
-            "host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
-        ).withColumn(
-            "path",
-            F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")),
+        q = F.parse_url(F.col(url_col), F.lit("QUERY"))
+        path = F.coalesce(
+            F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
         )
-        out = robots_allowed(rules, parts, agent=agent)
-        return out.drop("host", "path")
+        target = F.concat(
+            path,
+            F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(
+                F.lit("")
+            ),
+        )
+        parts = urls.withColumn(
+            "_fa_host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+        ).withColumn("_fa_path", target)
+        out = robots_allowed(
+            rules, parts, agent=agent,
+            host_col="_fa_host", path_col="_fa_path",
+        )
+        return out.drop("_fa_host", "_fa_path")

@@ -30,7 +30,12 @@ REP / RFC 9309 + the Google spec):
   the Google tie-breaker), ties prefer Allow; no matching rule or no
   applicable group → allowed;
 - empty-value rules (``Disallow:``) are ignored (equivalent to
-  allow-everything per the RFC).
+  allow-everything per the RFC) — but the GROUP still exists for the
+  most-specific-group rule: ``User-agent: good\nDisallow:`` means
+  agent ``good`` is allowed everywhere, NOT that it falls back to the
+  ``*`` group (r11 ADVICE);
+- lines split on ``\r?\n`` so CRLF robots.txt (the dominant wire
+  format) parses identically in both engines (r11 ADVICE).
 """
 
 from __future__ import annotations
@@ -63,11 +68,20 @@ def robots_rules(
     regexes, group ids are a window running-sum over "first User-agent
     line of a run" flags, agents attach by (host, group) join.  The
     rule's group carries a SORTED agent array so downstream output is
-    deterministic under any partitioning."""
+    deterministic under any partitioning.
+
+    A group whose only rules are empty-value (``Disallow:``) still
+    emits ONE row with null directive/path/rule_len — the group's
+    EXISTENCE drives :func:`robots_allowed`'s most-specific-group
+    selection even though it contributes no matchable rule (r11
+    ADVICE: deriving group existence from surviving rules turned the
+    standard allow-all carve-out into a total block)."""
     lines = (
         df.select(
             F.col(host_col).alias("host"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+            F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias(
+                "pos", "raw"
+            ),
         )
         .select(
             "host",
@@ -111,7 +125,8 @@ def robots_rules(
         F.col("value").alias("path"),
         F.length("value").alias("rule_len"),
     )
-    return rules.join(agents, ["host", "group_id"]).select(
+    # agents LEFT JOIN rules: rule-less groups survive as marker rows
+    return agents.join(rules, ["host", "group_id"], "left").select(
         "host", "group_id", "agents", "directive", "path", "rule_len"
     )
 
@@ -135,14 +150,19 @@ def robots_allowed(
     request stream on ``host``; the longest-match winner is a per-request
     window over only the MATCHED rules (typically a handful)."""
     a = F.lit(agent.lower())
+    # group EXISTENCE (incl. rule-less marker rows), not surviving rules,
+    # decides whether the agent has its own groups (r11 ADVICE)
     per_host = rules.groupBy("host").agg(
         F.max(F.array_contains("agents", a).cast("int")).alias("_has_agent")
     )
     applicable = (
         rules.join(per_host, "host")
         .where(
-            (F.array_contains("agents", a) & (F.col("_has_agent") == 1))
-            | (F.array_contains("agents", "*") & (F.col("_has_agent") == 0))
+            F.col("directive").isNotNull()
+            & (
+                (F.array_contains("agents", a) & (F.col("_has_agent") == 1))
+                | (F.array_contains("agents", "*") & (F.col("_has_agent") == 0))
+            )
         )
         .select(
             F.col("host").alias("_rhost"),
@@ -210,10 +230,12 @@ def robots_rules_sql(
       FROM (
         SELECT host, u.pos AS pos,
                trim(regexp_replace(
-                 string_split(robots_txt, chr(10))[u.pos], '#.*$', ''
+                 regexp_split_to_array(robots_txt, '\\r?\\n')[u.pos],
+                 '#.*$', ''
                )) AS l
         FROM {robots_cte},
-             unnest(range(1, len(string_split(robots_txt, chr(10))) + 1))
+             unnest(range(1,
+               len(regexp_split_to_array(robots_txt, '\\r?\\n')) + 1))
                AS u(pos)
       )
       WHERE lower(regexp_extract(l, '{_DIRECTIVE_RE}', 1))
@@ -239,10 +261,14 @@ def robots_rules_sql(
       GROUP BY host, group_id
     ),
     {p}_rules AS (
-      SELECT g.host, g.group_id, g.directive, g.value AS path,
+      -- agents LEFT JOIN rule rows: rule-less groups survive as marker
+      -- rows (null directive) so group EXISTENCE drives has_agent
+      SELECT a.host, a.group_id, g.directive, g.value AS path,
              length(g.value) AS rule_len, a.agents
-      FROM {p}_grouped g JOIN {p}_agents a USING (host, group_id)
-      WHERE g.directive IN ('allow', 'disallow') AND g.value <> ''
+      FROM {p}_agents a LEFT JOIN (
+        SELECT host, group_id, directive, value FROM {p}_grouped
+        WHERE directive IN ('allow', 'disallow') AND value <> ''
+      ) g ON g.host = a.host AND g.group_id = a.group_id
     ),
     {p}_hasagent AS (
       SELECT host, MAX(CASE WHEN list_contains(agents, '{a}')
@@ -256,8 +282,9 @@ def robots_rules_sql(
                '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%') AS body,
              r.path LIKE '%$' AS anchored
       FROM {p}_rules r JOIN {p}_hasagent h ON h.host = r.host
-      WHERE (list_contains(r.agents, '{a}') AND h.has_agent = 1)
-         OR (list_contains(r.agents, '*') AND h.has_agent = 0)
+      WHERE r.directive IS NOT NULL
+        AND ((list_contains(r.agents, '{a}') AND h.has_agent = 1)
+          OR (list_contains(r.agents, '*') AND h.has_agent = 0))
     ),
     {p}_matched AS (
       SELECT q.rid, a.directive, a.rule_len
@@ -287,7 +314,7 @@ def robots_sitemaps(
     (the seed list a crawler feeds its frontier before any fetch)."""
     lines = df.select(
         F.col(host_col).alias("host"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+        F.explode(F.split(F.col(text_col), r"\r?\n")).alias("raw"),
     ).select(
         "host",
         F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
@@ -310,26 +337,28 @@ def robots_crawl_delays(
     """(host, crawl_delay double) for the agent's applicable group —
     the politeness interval a frontier scheduler rate-limits each host
     by.  Group selection follows :func:`robots_allowed` (agent's own
-    groups beat ``*``); unparsable or absent delays drop out (callers
-    apply their own default)."""
+    groups beat ``*``, and the agent having ANY group — even one with
+    no Crawl-delay — means the ``*`` delay does NOT apply to it);
+    unparsable or absent delays drop out (callers apply their own
+    default).
+
+    Group ids are computed over the SAME line set :func:`robots_rules`
+    uses (user-agent + allow/disallow + crawl-delay): two groups
+    separated only by allow/disallow lines must NOT merge, or a later
+    group's Crawl-delay attaches to earlier agents (r11 ADVICE)."""
     df = rules_src
+    line = F.trim(F.regexp_replace("raw", "#.*$", ""))
     lines = df.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("pos", "raw"),
     ).select(
         "host", "pos",
-        F.lower(
-            F.regexp_extract(
-                F.trim(F.regexp_replace("raw", "#.*$", "")), _DIRECTIVE_RE, 1
-            )
-        ).alias("directive"),
-        F.trim(
-            F.regexp_extract(
-                F.trim(F.regexp_replace("raw", "#.*$", "")), _VALUE_RE, 1
-            )
-        ).alias("value"),
+        F.lower(F.regexp_extract(line, _DIRECTIVE_RE, 1)).alias("directive"),
+        F.trim(F.regexp_extract(line, _VALUE_RE, 1)).alias("value"),
     ).where(
-        F.col("directive").isin("user-agent", "crawl-delay")
+        F.col("directive").isin(
+            "user-agent", "allow", "disallow", "crawl-delay"
+        )
     )
     w = Window.partitionBy("host").orderBy("pos")
     grouped = lines.withColumn(
@@ -349,15 +378,19 @@ def robots_crawl_delays(
         .groupBy("host", "group_id")
         .agg(F.sort_array(F.collect_set(F.lower("value"))).alias("agents"))
     )
+    a = F.lit(agent.lower())
+    # group EXISTENCE (all groups, delay or not) decides the regime
+    per_host = agents.groupBy("host").agg(
+        F.max(F.array_contains("agents", a).cast("int")).alias("_has_agent")
+    )
     delays = (
         grouped.where(F.col("directive") == "crawl-delay")
-        .select("host", "group_id", F.col("value").cast("double").alias("crawl_delay"))
+        .select(
+            "host", "group_id",
+            F.col("value").cast("double").alias("crawl_delay"),
+        )
         .where(F.col("crawl_delay").isNotNull())
         .join(agents, ["host", "group_id"])
-    )
-    a = F.lit(agent.lower())
-    per_host = delays.groupBy("host").agg(
-        F.max(F.array_contains("agents", a).cast("int")).alias("_has_agent")
     )
     return (
         delays.join(per_host, "host")
@@ -408,17 +441,57 @@ def parse_sitemap(
     ).where(F.col("url") != "")
 
 
+def precap_frontier(
+    urls: DataFrame,
+    *,
+    host_col: str = "host",
+    url_col: str = "url",
+    cap: int,
+) -> DataFrame:
+    """Bound a frontier's per-host depth BEFORE any per-host window
+    runs: hosts at or under ``cap`` URLs pass through untouched; deeper
+    hosts keep a deterministic hash-selected subset of expected size
+    ``cap`` (keep iff ``pmod(xxhash64(url), n_host) < cap`` — uniform
+    over residues, seed fixed, so the same frontier always keeps the
+    same candidates).
+
+    This is the r11 scale fix for :func:`schedule_frontier`: the exact
+    slot window partitions by host, so a monster host (100M URLs on one
+    host is realistic) would otherwise sort its FULL depth through a
+    single task before ``max_per_host`` filters.  The pre-cap makes the
+    window input O(cap) per host.  Which ``max_per_host`` URLs of an
+    over-cap host fetch today is policy-free (the dropped tail is
+    tomorrow's frontier), so the hash selection loses nothing.
+
+    One extra map-side-combined count shuffle on host; the count table
+    (one row per host) joins back broadcast-ish."""
+    counts = urls.groupBy(F.col(host_col)).agg(F.count("*").alias("_sf_hn"))
+    return (
+        urls.join(counts, host_col)
+        .where(
+            (F.col("_sf_hn") <= cap)
+            | (
+                F.pmod(F.xxhash64(F.col(url_col)), F.col("_sf_hn"))
+                < F.lit(cap)
+            )
+        )
+        .drop("_sf_hn")
+    )
+
+
 def schedule_frontier(
     urls: DataFrame,
     delays: DataFrame,
     *,
     host_col: str = "host",
+    url_col: str = "url",
     default_delay: float = 1.0,
     max_per_host: int | None = None,
+    precap_slack: int = 8,
 ) -> DataFrame:
     """Politeness-respecting fetch schedule: each URL gets a per-host
-    ``fetch_slot`` (0, 1, 2, … in deterministic url order) and a
-    ``fetch_offset_sec`` = slot × the host's crawl delay
+    ``fetch_slot`` (0, 1, 2, … in deterministic ``url_col`` order) and
+    a ``fetch_offset_sec`` = slot × the host's crawl delay
     (:func:`robots_crawl_delays` output; ``default_delay`` where a host
     published none).  ``max_per_host`` truncates deep hosts so one
     giant site cannot monopolize a crawl round — the dropped tail is
@@ -427,13 +500,28 @@ def schedule_frontier(
     All window + broadcast-join work: the delay table is one row per
     host and broadcasts; the slot window partitions by host, which is
     exactly the key the fetch fleet shards by anyway — the shuffle this
-    costs is the shuffle the crawler needs."""
+    costs is the shuffle the crawler needs.
+
+    When ``max_per_host`` is set, hosts deeper than
+    ``max(max_per_host * precap_slack, 64)`` are first bounded by
+    :func:`precap_frontier` so the exact window never sorts a monster
+    host's full depth in one task; the slack (expected-size multiple of
+    the final cap) makes an under-fill vanishingly unlikely
+    (binomial tail ≤ e^-cap/8; the 64 floor covers tiny
+    ``max_per_host``).  Hosts at or under the pre-cap threshold are
+    scheduled EXACTLY as without it."""
+    src = urls
+    if max_per_host is not None:
+        cap = max(int(max_per_host) * precap_slack, 64)
+        src = precap_frontier(
+            urls, host_col=host_col, url_col=url_col, cap=cap
+        )
     d = delays.select(
         F.col("host").alias("_dhost"), F.col("crawl_delay").alias("_delay")
     )
-    w = Window.partitionBy(host_col).orderBy("url")
+    w = Window.partitionBy(host_col).orderBy(url_col)
     out = (
-        urls.join(d, urls[host_col] == d["_dhost"], "left")
+        src.join(d, src[host_col] == d["_dhost"], "left")
         .withColumn("fetch_slot", F.row_number().over(w) - 1)
         .withColumn(
             "fetch_offset_sec",

@@ -509,3 +509,29 @@ def test_robots_policy_and_frontier_facades(engine, spark, tmp_path):
         "http://x.example/ok": True,
         "http://y.example/any": True,
     }
+
+
+def test_frontier_allowed_matches_query_string(engine, spark):
+    """REP rules match path+query ('Disallow: /*?sessionid=' must fire
+    on query-bearing URLs), and pre-existing host/path columns on the
+    input survive untouched (r11 ADVICE)."""
+    from psy_supabase_spark.operators.robots import robots_rules
+
+    src = spark.createDataFrame(
+        [("x.example", "User-agent: *\nDisallow: /*?sessionid=\n")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(src)
+    urls = spark.createDataFrame(
+        [("http://x.example/p/x?sessionid=9", "keepme", "keptpath"),
+         ("http://x.example/p/x", "keepme2", "keptpath2")],
+        "url string, host string, path string",
+    )
+    out = engine.frontier_allowed(urls, rules, agent="bot")
+    assert set(out.columns) == {"url", "host", "path", "allowed"}
+    rows = {r.url: r for r in out.collect()}
+    assert rows["http://x.example/p/x?sessionid=9"].allowed is False
+    assert rows["http://x.example/p/x"].allowed is True
+    # the caller's own host/path columns ride through unchanged
+    assert rows["http://x.example/p/x"].host == "keepme2"
+    assert rows["http://x.example/p/x"].path == "keptpath2"

@@ -149,6 +149,93 @@ def test_duckdb_mirror_parity(spark):
         assert got == want, agent
 
 
+ROBOTS_CRLF = "User-agent: *\r\nDisallow: /private\r\nAllow: /private/ok$\r\n"
+ROBOTS_EMPTY_GROUP = "User-agent: good\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+
+
+def test_crlf_robots_parity(spark):
+    """CRLF line endings must not leak \\r into rule paths — and the
+    Spark and DuckDB spellings must agree verdict-for-verdict (r11
+    ADVICE: '$' matched before the \\r in Spark but RE2 kept it)."""
+    src = [("d.example", ROBOTS_CRLF)]
+    reqs = [("d.example", "/private/x"), ("d.example", "/private/ok"),
+            ("d.example", "/open")]
+    rules = robots.robots_rules(
+        spark.createDataFrame(src, "host string, robots_txt string")
+    )
+    assert sorted(
+        (r.directive, r.path) for r in rules.collect()
+    ) == [("allow", "/private/ok$"), ("disallow", "/private")]
+    rdf = spark.createDataFrame(reqs, "host string, path string")
+    got = {
+        r.path: r.allowed
+        for r in robots.robots_allowed(rules, rdf, agent="x").collect()
+    }
+    assert got == {"/private/x": False, "/private/ok": True, "/open": True}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE robots_src (host VARCHAR, robots_txt VARCHAR)")
+    con.executemany("INSERT INTO robots_src VALUES (?, ?)", src)
+    con.execute("CREATE TABLE robots_req (rid INT, host VARCHAR, path VARCHAR)")
+    con.executemany(
+        "INSERT INTO robots_req VALUES (?, ?, ?)",
+        [(i, h, p) for i, (h, p) in enumerate(reqs)],
+    )
+    sql = (
+        "WITH " + robots.robots_rules_sql(agent="x")
+        + "\nSELECT q.path, v.allowed FROM robots_req q "
+        "JOIN rb_verdict v USING (rid)"
+    )
+    assert dict(con.execute(sql).fetchall()) == got
+
+
+def test_empty_value_group_is_allow_all_not_fallback(spark):
+    """'User-agent: good / Disallow:' is the standard allow-all
+    carve-out: agent `good` HAS a group (all-allow), so the '*' total
+    block must NOT apply to it (r11 ADVICE)."""
+    src = [("h", ROBOTS_EMPTY_GROUP)]
+    rules = robots.robots_rules(
+        spark.createDataFrame(src, "host string, robots_txt string")
+    )
+    reqs = spark.createDataFrame([("h", "/anything")], "host string, path string")
+    assert robots.robots_allowed(rules, reqs, agent="good").collect()[0].allowed
+    assert not robots.robots_allowed(rules, reqs, agent="evil").collect()[0].allowed
+    # DuckDB mirror agrees for both regimes
+    con = duckdb.connect()
+    con.execute("CREATE TABLE robots_src (host VARCHAR, robots_txt VARCHAR)")
+    con.executemany("INSERT INTO robots_src VALUES (?, ?)", src)
+    con.execute("CREATE TABLE robots_req (rid INT, host VARCHAR, path VARCHAR)")
+    con.execute("INSERT INTO robots_req VALUES (0, 'h', '/anything')")
+    for agent, want in (("good", True), ("evil", False)):
+        sql = (
+            "WITH " + robots.robots_rules_sql(agent=agent)
+            + "\nSELECT v.allowed FROM rb_verdict v"
+        )
+        assert con.execute(sql).fetchone()[0] is want, agent
+
+
+def test_crawl_delay_group_separation(spark):
+    """Groups separated only by allow/disallow lines must not merge:
+    b's Crawl-delay cannot attach to a (r11 ADVICE)."""
+    txt = "User-agent: a\nDisallow: /x\nUser-agent: b\nCrawl-delay: 5\n"
+    df = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    assert robots.robots_crawl_delays(df, agent="a").collect() == []
+    got = robots.robots_crawl_delays(df, agent="b").collect()
+    assert [(r.host, r.crawl_delay) for r in got] == [("h", 5.0)]
+
+
+def test_crawl_delay_own_group_without_delay_beats_star(spark):
+    """An agent with its OWN group but no Crawl-delay gets NO delay
+    (callers default) — not the '*' group's delay."""
+    txt = (
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+        "User-agent: psybot\nDisallow: /y\n"
+    )
+    df = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    assert robots.robots_crawl_delays(df, agent="psybot").collect() == []
+    star = robots.robots_crawl_delays(df, agent="someone").collect()
+    assert [(r.host, r.crawl_delay) for r in star] == [("h", 2.0)]
+
+
 def test_plans_stay_jvm_side(spark):
     rules = _rules(spark)
     out = robots.robots_allowed(rules, _requests(spark), agent="x")
@@ -226,3 +313,48 @@ def test_schedule_frontier_politeness(spark):
     # url means slot 0 / offset 0 either way, and the row survives
     assert by[("c", 0)] == 0.0
     assert len(rows) == 5
+
+
+def test_schedule_frontier_url_col(spark):
+    """A frame whose URL column is not named 'url' schedules by the
+    named column (r11 ADVICE: orderBy was hardcoded)."""
+    urls = spark.createDataFrame(
+        [("a", "http://a/2"), ("a", "http://a/1")], "host string, link string"
+    )
+    delays = spark.createDataFrame([], "host string, crawl_delay double")
+    rows = robots.schedule_frontier(urls, delays, url_col="link").collect()
+    by = {r.link: r.fetch_slot for r in rows}
+    assert by == {"http://a/1": 0, "http://a/2": 1}
+
+
+def test_precap_bounds_monster_host(spark):
+    """A 10^6-URL host with max_per_host=100: the window input is
+    bounded by the pre-cap (expected 800 = 100*8 slack), and the final
+    schedule still has exactly 100 slots; hosts under the threshold are
+    scheduled exactly as without the cap."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(1_000_000).select(
+        F.lit("big").alias("host"),
+        F.concat(F.lit("http://big/"), F.col("id")).alias("url"),
+    )
+    small = spark.createDataFrame(
+        [("small", f"http://small/{i}") for i in range(5)],
+        "host string, url string",
+    )
+    urls = big.union(small)
+    capped = robots.precap_frontier(urls, cap=800)
+    n_big = capped.where(F.col("host") == "big").count()
+    # binomial around 800: generous 3x band, far below the 10^6 depth
+    assert 400 <= n_big <= 1600
+    assert capped.where(F.col("host") == "small").count() == 5
+    delays = spark.createDataFrame([("big", 0.5)], "host string, crawl_delay double")
+    sched = robots.schedule_frontier(urls, delays, max_per_host=100)
+    agg = {
+        r.host: (r.n, r.mx)
+        for r in sched.groupBy("host")
+        .agg(F.count("*").alias("n"), F.max("fetch_slot").alias("mx"))
+        .collect()
+    }
+    assert agg["big"] == (100, 99)
+    assert agg["small"] == (5, 4)
