@@ -98,6 +98,35 @@ def top_linked_hosts(links: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def _truncate_lineage(df: DataFrame, mode: str) -> DataFrame:
+    """Per-iteration lineage cut for the PageRank tower.
+
+    ``local``: ``localCheckpoint`` — partitions cached on executors,
+    fast, but NOT fault-tolerant (a lost executor mid-iteration kills
+    the job with no recompute path).  The right default on local[n]
+    and short towers.
+
+    ``reliable``: ``DataFrame.checkpoint`` against the session's
+    configured checkpoint dir (``spark.sparkContext.setCheckpointDir``,
+    an object-store/HDFS path on a real cluster — the operators/pq
+    sidecar pattern): partitions are written to the checkpoint FS, so
+    a 30+-iteration rank frame over 1e8 hosts survives executor churn.
+    Flip to this whenever the job outlives the executors it starts
+    with; see SCALE.md."""
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if not sc.getCheckpointDir():
+            raise ValueError(
+                "checkpoint='reliable' needs a checkpoint dir: call "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant "
+                "path>) first"
+            )
+        return df.checkpoint(eager=True)
+    raise ValueError(f"checkpoint must be 'local' or 'reliable': {mode!r}")
+
+
 def host_pagerank(
     edges: DataFrame,
     *,
@@ -106,6 +135,7 @@ def host_pagerank(
     iterations: int = 4,
     damping: float = 0.85,
     tol: float | None = None,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Host-level PageRank over the (src_host, dst_host) edge list —
     the crawl-quality / frontier-priority signal every large crawl
@@ -132,12 +162,17 @@ def host_pagerank(
     byte-identical DuckDB spelling, so the whole iteration tower is
     oracle-gateable.
 
-    Each iteration's rank frame is ``localCheckpoint``ed (eager) — the
+    Each iteration's rank frame is checkpointed (eager) — the
     connected_components lesson: persist alone caches DATA but the
     logical plan keeps nesting, and a deep iteration tower blows up
     Catalyst analysis (measured: heap OOM at ~40 rounds on a 3-node
     graph); the checkpoint truncates lineage to the materialized
-    partitions each round.
+    partitions each round.  ``checkpoint="local"`` (default, right for
+    local mode) uses ``localCheckpoint`` — fast but NOT fault-tolerant;
+    ``checkpoint="reliable"`` routes through ``DataFrame.checkpoint``
+    against the configured checkpoint dir so a long tower on a real
+    cluster survives executor loss (see :func:`_truncate_lineage` and
+    SCALE.md).
 
     Returns (host, pagerank) for every node of the graph (union of both
     endpoint sets); ranks sum to ~1 up to rounding.
@@ -151,6 +186,10 @@ def host_pagerank(
     stays the fixed-iteration default (tol=None) so the SQL tower's
     depth is static.
     """
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(
+            f"checkpoint must be 'local' or 'reliable': {checkpoint!r}"
+        )
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -170,9 +209,12 @@ def host_pagerank(
             [], "host string, pagerank double"
         )
     ew = e.join(outd.select(F.col("host").alias("src"), "outd"), "src").persist()
-    ranks = base.select(
-        "host", "outd", F.round(F.lit(1.0) / F.lit(n), 6).alias("r")
-    ).localCheckpoint(eager=True)
+    ranks = _truncate_lineage(
+        base.select(
+            "host", "outd", F.round(F.lit(1.0) / F.lit(n), 6).alias("r")
+        ),
+        checkpoint,
+    )
     base_term = F.lit(1.0 - damping) / F.lit(n)
     for _ in range(iterations):
         dang_row = ranks.where(F.col("outd").isNull()).agg(
@@ -190,19 +232,22 @@ def host_pagerank(
                 ).alias("c")
             )
         )
-        new = base.join(contrib, "host", "left").select(
-            "host",
-            "outd",
-            F.round(
-                base_term
-                + F.lit(damping)
-                * (
-                    F.coalesce(F.col("c").cast("double"), F.lit(0.0))
-                    + F.lit(dang) / F.lit(n)
-                ),
-                6,
-            ).alias("r"),
-        ).localCheckpoint(eager=True)
+        new = _truncate_lineage(
+            base.join(contrib, "host", "left").select(
+                "host",
+                "outd",
+                F.round(
+                    base_term
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c").cast("double"), F.lit(0.0))
+                        + F.lit(dang) / F.lit(n)
+                    ),
+                    6,
+                ).alias("r"),
+            ),
+            checkpoint,
+        )
         if tol is not None:
             delta = (
                 new.select("host", F.col("r").alias("r_new"))

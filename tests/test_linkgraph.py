@@ -165,6 +165,46 @@ def test_host_pagerank_tol_early_stop_matches_fixpoint(spark):
     assert early == fixed
 
 
+def test_host_pagerank_reliable_checkpoint(spark, tmp_path):
+    """checkpoint='reliable' (DataFrame.checkpoint against a real
+    checkpoint dir — the cluster fault-tolerance mode) produces ranks
+    identical to the localCheckpoint default, and fails fast with a
+    clear error when no checkpoint dir is configured."""
+    import pytest
+
+    edges = _pr_edges(60)
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    sc = spark.sparkContext
+    old = sc.getCheckpointDir()
+    try:
+        if old:  # isolate: prove the guard fires with NO dir configured
+            pass
+        else:
+            with pytest.raises(ValueError, match="checkpoint dir"):
+                linkgraph.host_pagerank(
+                    df, iterations=2, checkpoint="reliable"
+                ).collect()
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        rel = {
+            r.host: r.pagerank
+            for r in linkgraph.host_pagerank(
+                df, iterations=3, checkpoint="reliable"
+            ).collect()
+        }
+        loc = {
+            r.host: r.pagerank
+            for r in linkgraph.host_pagerank(
+                df, iterations=3, checkpoint="local"
+            ).collect()
+        }
+        assert rel == loc
+    finally:
+        if old:
+            sc.setCheckpointDir(old)
+    with pytest.raises(ValueError, match="local.*reliable|reliable"):
+        linkgraph.host_pagerank(df, checkpoint="bogus")
+
+
 def test_domain_degrees_etld1(spark):
     links = spark.createDataFrame(
         [
