@@ -941,10 +941,13 @@ def _linkgraph_bloom_section(spark, sf_dir: str) -> dict[str, object]:
     # serving shape: a probe plan is reused across batches; the literal
     # tier's 749-word array literal costs driver-side construction that
     # would otherwise dominate the sub-second execution being measured)
+    words_df = BL.bloom_build_words(prev, "url", m, k).persist()
+    words_df.count()  # materialize outside the timed probe window
     tiers = {
         "literal": probe.select(
             BL.bloom_contains_expr("url", words, m, k).alias("h")
         ),
+        "join": BL.bloom_contains_join(probe, "url", words_df, m, k),
         "udf": BL.bloom_contains_udf(probe, "url", words, m, k),
     }
     for tier, frame in tiers.items():
@@ -955,6 +958,29 @@ def _linkgraph_bloom_section(spark, sf_dir: str) -> dict[str, object]:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         extra[f"bloom_probe_{tier}_sec"] = round(best, 3)
+    words_df.unpersist()
+    # r12 mid-band pricing (m = 2^27, the join tier's design point: the
+    # plan literal would be 16 MB, so only the join and Arrow tiers
+    # serve here).  The word frame stays SPARSE (<= n_prev*k rows).
+    m_big, k_big = 1 << 27, 7
+    words_big_df = BL.bloom_build_words(prev, "url", m_big, k_big).persist()
+    extra["bloom_m27_words"] = int(words_big_df.count())
+    dense = [0] * (m_big // 32)
+    for r in words_big_df.collect():
+        dense[r["word_idx"]] = r["word"]
+    big_tiers = {
+        "join": BL.bloom_contains_join(probe, "url", words_big_df, m_big, k_big),
+        "udf": BL.bloom_contains_udf(probe, "url", dense, m_big, k_big),
+    }
+    for tier, frame in big_tiers.items():
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _run(frame)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        extra[f"bloom_m27_probe_{tier}_sec"] = round(best, 3)
+    words_big_df.unpersist()
     odds = docs.where(F.col("doc_id") % 2 == 1).select(url.alias("url"))
     n_odds = odds.count()
     n_fp = odds.where(BL.bloom_contains_expr("url", words, m, k)).count()
