@@ -71,11 +71,14 @@ def blocklist_filter(
 
 # A deliberately-small embedded public-suffix subset (the high-traffic
 # head of the Mozilla PSL: generic TLDs fall out of the default rule,
-# so only MULTI-LABEL suffixes and popular private registries need
-# listing).  Callers at crawl scale pass the full published list via
-# `suffixes=` — the expression shape is identical, only the literal
-# array grows.  No wildcard/exception rules (the PSL's `*.ck` / `!www.ck`
-# corner) — documented subset, like the robots REP subset.
+# so only MULTI-LABEL suffixes, wildcard/exception ccTLDs, and popular
+# private registries need listing).  Callers at crawl scale pass the
+# full published list via `suffixes=` (see
+# :func:`load_public_suffix_list`) — the expression shape is identical,
+# only the literal arrays grow.  Full PSL rule semantics (r12):
+# wildcard rules (`*.ck` — any single label under ck is itself a
+# public suffix) and exception rules (`!www.ck` — www.ck is
+# registrable despite the wildcard) follow the published algorithm.
 PUBLIC_SUFFIXES: tuple[str, ...] = (
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au",
@@ -89,7 +92,51 @@ PUBLIC_SUFFIXES: tuple[str, ...] = (
     "com.sg", "com.hk", "com.my", "co.id", "co.th", "in.th",
     "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
     "herokuapp.com", "appspot.com", "cloudfront.net", "web.app",
+    # the published PSL's wildcard ccTLDs + their exceptions
+    "*.bd", "*.ck", "!www.ck", "*.er", "*.jm", "*.kh", "*.mm",
+    "*.np", "*.pg",
 )
+
+
+def load_public_suffix_list(text: str) -> tuple[str, ...]:
+    """Parse the published Public Suffix List file format
+    (https://publicsuffix.org/list/): one rule per line, ``//``
+    comments and blank lines skipped, each line read up to the first
+    whitespace, lowercased.  Section markers (``===BEGIN ICANN
+    DOMAINS===`` etc.) are comments.  The result feeds
+    :func:`registrable_domain` / :func:`registrable_domain_sql` via
+    ``suffixes=`` — wildcard (``*.``) and exception (``!``) rules ride
+    through verbatim."""
+    rules: list[str] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rules.append(line.split()[0].lower())
+    return tuple(rules)
+
+
+def _psl_buckets(
+    suffixes: tuple[str, ...],
+) -> tuple[dict[int, list[str]], dict[int, list[str]], dict[int, list[str]]]:
+    """Partition PSL rules by kind and label count: literals keyed by
+    their label count, wildcards keyed by the FULL rule label count
+    (``*.ck`` → 2) carrying the tail after ``*.``, exceptions keyed by
+    their label count carrying the bare labels."""
+    lit: dict[int, list[str]] = {}
+    wild: dict[int, list[str]] = {}
+    exc: dict[int, list[str]] = {}
+    for s in suffixes:
+        s = s.lower()
+        if s.startswith("!"):
+            body = s[1:]
+            exc.setdefault(body.count(".") + 1, []).append(body)
+        elif s.startswith("*."):
+            tail = s[2:]
+            wild.setdefault(tail.count(".") + 2, []).append(tail)
+        else:
+            lit.setdefault(s.count(".") + 1, []).append(s)
+    return lit, wild, exc
 
 
 def registrable_domain(
@@ -102,27 +149,43 @@ def registrable_domain(
     ``user.github.io`` (private registry: each user is a distinct
     publisher).
 
-    PSL algorithm, simplified: the longest listed suffix matching the
-    host's tail labels wins and the registrable domain is that suffix
-    plus one label; unlisted TLDs use the default single-label rule.
-    A host that IS a suffix (or a bare TLD) comes back NULL — it has
-    no registrable domain.  Pure codegen: tail-label slices compared
-    against per-length literal arrays (one `F.lit(list)` each)."""
+    Full PSL algorithm (publicsuffix.org/list/): the matching rule
+    with the most labels wins — a literal rule matches the host's tail
+    labels exactly; a wildcard rule (``*.ck``) matches any single
+    label in the ``*`` position; an exception rule (``!www.ck``)
+    overrides every other match and its public suffix is the rule
+    minus the leftmost label.  No rule matching → the default
+    single-label rule.  The registrable domain is the public suffix
+    plus one label; a host that IS a public suffix comes back NULL.
+    Pure codegen: tail-label slices compared against per-length
+    literal arrays (one `F.lit(list)` each; a wildcard is one extra
+    label-count branch, an exception one trailing override)."""
     h = F.lower(_c(host))
     labels = F.split(h, r"\.")
     n = F.size(labels)
-    by_len: dict[int, list[str]] = {}
-    for s in suffixes:
-        by_len.setdefault(s.count(".") + 1, []).append(s)
-    suffix_len = F.lit(1)
-    for k in sorted(by_len):  # longest checked last -> wins the chain
-        tail_k = F.array_join(
+    lit, wild, exc = _psl_buckets(suffixes)
+
+    def tail(k: int) -> Column:
+        return F.array_join(
             F.slice(labels, F.greatest(n - F.lit(k) + 1, F.lit(1)), k), "."
         )
+
+    suffix_len = F.lit(1)
+    for k in sorted(set(lit) | set(wild)):  # longest last -> wins
+        cond = F.lit(False)
+        if k in lit:
+            cond = cond | F.array_contains(F.lit(sorted(lit[k])), tail(k))
+        if k in wild:
+            # `*` consumes exactly one label: the k-1 tail labels must
+            # equal the rule tail AND a label must exist in * position
+            cond = cond | F.array_contains(
+                F.lit(sorted(wild[k])), tail(k - 1)
+            )
+        suffix_len = F.when((n >= k) & cond, F.lit(k)).otherwise(suffix_len)
+    for j in sorted(exc):  # exceptions beat every other rule
         suffix_len = F.when(
-            (n >= k)
-            & F.array_contains(F.lit(sorted(by_len[k])), tail_k),
-            F.lit(k),
+            (n >= j) & F.array_contains(F.lit(sorted(exc[j])), tail(j)),
+            F.lit(j - 1),
         ).otherwise(suffix_len)
     reg_len = suffix_len + 1
     return F.when(
@@ -137,23 +200,39 @@ def registrable_domain(
 def registrable_domain_sql(
     expr: str, *, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES
 ) -> str:
-    """DuckDB mirror of :func:`registrable_domain` (same suffix subset,
-    same longest-match chain), for oracle composition."""
+    """DuckDB mirror of :func:`registrable_domain` (same rule set,
+    same longest-match chain, same wildcard/exception branches), for
+    oracle composition."""
     h = f"lower({expr})"
     labels = f"string_split({h}, '.')"
     n = f"len({labels})"
-    by_len: dict[int, list[str]] = {}
-    for s in suffixes:
-        by_len.setdefault(s.count(".") + 1, []).append(s)
-    out = "1"
-    for k in sorted(by_len):
-        lst = "[" + ", ".join(
-            "'" + s.replace("'", "''") + "'" for s in sorted(by_len[k])
+    lit, wild, exc = _psl_buckets(suffixes)
+
+    def sql_list(items: list[str]) -> str:
+        return "[" + ", ".join(
+            "'" + s.replace("'", "''") + "'" for s in sorted(items)
         ) + "]"
-        tail = f"array_to_string({labels}[greatest({n} - {k} + 1, 1):], '.')"
+
+    def tail(k: int) -> str:
+        return f"array_to_string({labels}[greatest({n} - {k} + 1, 1):], '.')"
+
+    out = "1"
+    for k in sorted(set(lit) | set(wild)):
+        conds = []
+        if k in lit:
+            conds.append(f"list_contains({sql_list(lit[k])}, {tail(k)})")
+        if k in wild:
+            conds.append(
+                f"list_contains({sql_list(wild[k])}, {tail(k - 1)})"
+            )
         out = (
-            f"CASE WHEN {n} >= {k} AND list_contains({lst}, {tail}) "
+            f"CASE WHEN {n} >= {k} AND ({' OR '.join(conds)}) "
             f"THEN {k} ELSE {out} END"
+        )
+    for j in sorted(exc):
+        out = (
+            f"CASE WHEN {n} >= {j} AND list_contains({sql_list(exc[j])}, "
+            f"{tail(j)}) THEN {j - 1} ELSE {out} END"
         )
     return (
         f"CASE WHEN {n} >= ({out}) + 1 THEN "

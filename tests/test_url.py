@@ -107,6 +107,103 @@ def test_registrable_domain_duckdb_parity(spark):
     assert got == want
 
 
+def test_psl_wildcard_and_exception_vectors(spark):
+    """The PSL documentation's own checkPublicSuffix test vectors for
+    the wildcard (*.mm, *.ck) and exception (!www.ck) rule classes —
+    in BOTH engines (r11 verdict: these rule kinds were documented
+    out)."""
+    import duckdb
+
+    from psy_supabase_spark.functions.url import (
+        registrable_domain, registrable_domain_sql,
+    )
+
+    cases = [
+        # unlisted TLD / default rule (PSL: "example", "example.example")
+        ("example", None),
+        ("example.example", "example.example"),
+        ("b.example.example", "example.example"),
+        # *.mm wildcard: any single label under mm is a public suffix
+        ("mm", None),
+        ("c.mm", None),
+        ("b.c.mm", "b.c.mm"),
+        ("a.b.c.mm", "b.c.mm"),
+        # *.ck with !www.ck exception
+        ("ck", None),
+        ("test.ck", None),
+        ("b.test.ck", "b.test.ck"),
+        ("a.b.test.ck", "b.test.ck"),
+        ("www.ck", "www.ck"),
+        ("www.www.ck", "www.ck"),
+        ("WwW.ck", "www.ck"),                     # case-insensitive
+        # listed literal (jp) still wins over nothing special
+        ("jp", None),
+        ("test.jp", "test.jp"),
+        ("www.test.jp", "test.jp"),
+        ("ac.jp", None),
+        ("test.ac.jp", "test.ac.jp"),
+        ("www.test.ac.jp", "test.ac.jp"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r.d for r in df.select(registrable_domain("host").alias("d")).collect()]
+    assert got == [want for _, want in cases]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (host VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(h,) for h, _ in cases])
+    want_sql = [r[0] for r in con.execute(
+        f"SELECT {registrable_domain_sql('host')} FROM t"
+    ).fetchall()]
+    assert got == want_sql
+
+
+def test_load_public_suffix_list_format(spark):
+    """Parses the published file format: // comments, sections, blank
+    lines, read-to-first-whitespace, wildcard/exception verbatim."""
+    from psy_supabase_spark.functions.url import (
+        load_public_suffix_list, registrable_domain,
+    )
+
+    text = (
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "// ck : https://en.wikipedia.org/wiki/.ck\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "\n"
+        "COM trailing-garbage-after-whitespace\n"
+        "co.uk\n"
+        "// ===END ICANN DOMAINS===\n"
+    )
+    rules = load_public_suffix_list(text)
+    assert rules == ("*.ck", "!www.ck", "com", "co.uk")
+    df = spark.createDataFrame(
+        [("a.b.ck",), ("www.ck",), ("x.example.co.uk",)], "host string"
+    )
+    got = [
+        r.d
+        for r in df.select(
+            registrable_domain("host", suffixes=rules).alias("d")
+        ).collect()
+    ]
+    assert got == ["a.b.ck", "www.ck", "example.co.uk"]
+
+
+def test_domain_degrees_wildcard_tld(spark):
+    """domain_degrees groups a wildcard-TLD host at the right level:
+    links from pages on a.shop.mm must roll up to shop's registrable
+    domain a.shop.mm (shop.mm is a public suffix under *.mm), not to
+    shop.mm (r11 verdict 'done when')."""
+    from psy_supabase_spark.operators.linkgraph import domain_degrees
+
+    links = spark.createDataFrame(
+        [("http://x.a.shop.mm/p1", "http://b.example.com/q"),
+         ("http://y.a.shop.mm/p2", "http://b.example.com/r")],
+        "target_uri string, link_url string",
+    )
+    got = {r.domain: (r.out_degree, r.in_degree)
+           for r in domain_degrees(links).collect()}
+    assert got == {"a.shop.mm": (2, 0), "example.com": (0, 2)}
+
+
 def test_registrable_domain_custom_suffixes_and_plan(spark):
     from psy_supabase_spark.functions.url import registrable_domain
 
