@@ -10,9 +10,12 @@ policy?" for billions of (A, U) pairs.
 
 Both are DECLARATIVE here — line explode + window-sum group
 assignment + LIKE-translated wildcard match + longest-match window —
-zero Python, so the decision runs map-side-ish at frontier scale and
-the whole grammar is DuckDB-mirrorable (:func:`robots_rules_sql`) and
-therefore driver-oracle-gateable.
+zero Python in any decision path, so the decision runs map-side-ish
+at frontier scale and the whole grammar is DuckDB-mirrorable
+(:func:`robots_rules_sql`) and therefore driver-oracle-gateable.
+(The ONE Arrow leg in this module is :func:`sitemap_xml`'s gzip
+decode — I/O-adjacent byte work, the WARC-decode shape, never on the
+per-request path.)
 
 Implemented semantics (the documented, deliberately-pinned subset of
 REP / RFC 9309 + the Google spec):
@@ -40,6 +43,7 @@ REP / RFC 9309 + the Google spec):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -477,6 +481,88 @@ def precap_frontier(
         )
         .drop("_sf_hn")
     )
+
+
+def sitemap_xml(
+    df: DataFrame,
+    *,
+    bytes_col: str = "payload",
+    host_col: str = "host",
+    max_bytes: int = 1 << 24,
+) -> DataFrame:
+    """Raw sitemap bytes → (host, sitemap_xml): gzipped payloads
+    (``sitemap.xml.gz``, magic ``1f 8b`` — the spec-sanctioned wire
+    format) stream through the bounded member walker
+    (`sources.warc.iter_gunzip_chunks`); plain XML passes through.
+    Output is capped at ``max_bytes`` decompressed (the sitemap spec's
+    own 50 MB limit class — and a bomb guard: memory is O(cap), never
+    O(expansion)).  One Arrow-batched leg (decompression is the same
+    I/O-adjacent shape as the WARC decode path); everything downstream
+    (:func:`parse_sitemap`) stays JVM-side."""
+    from ..sources.warc import iter_gunzip_chunks
+
+    cap = int(max_bytes)
+
+    @F.pandas_udf("string")
+    def _decode(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            if b is None:
+                out.append(None)
+                continue
+            raw = bytes(b)
+            if raw[:2] == b"\x1f\x8b":
+                chunks: list[bytes] = []
+                total = 0
+                for c in iter_gunzip_chunks(raw):
+                    take = c[: cap - total]
+                    chunks.append(take)
+                    total += len(take)
+                    if total >= cap:
+                        break
+                raw = b"".join(chunks)
+            else:
+                raw = raw[:cap]
+            out.append(raw.decode("utf-8", "replace"))
+        return pd.Series(out, dtype="object")
+
+    return df.select(
+        F.col(host_col).alias("host"),
+        _decode(F.col(bytes_col).cast("binary")).alias("sitemap_xml"),
+    )
+
+
+def resolve_sitemap_index(
+    df: DataFrame,
+    fetch,
+    *,
+    xml_col: str = "sitemap_xml",
+    host_col: str = "host",
+    max_depth: int = 2,
+) -> DataFrame:
+    """Follow ``<sitemapindex>`` indirections to their ``<urlset>``
+    leaves, bounded: (host, sitemap_xml) → (host, url, lastmod) leaf
+    rows from every level up to ``max_depth`` index hops.
+
+    ``fetch`` is caller-injected — ``fetch(targets)`` receives a
+    DataFrame of (host, url) index targets and returns (host,
+    sitemap_xml) for them (compose with :func:`sitemap_xml` for gz
+    payloads) — so I/O stays with the caller, the
+    `cdx.fetch_crawl_records` pattern.  The depth bound is the cycle
+    guard (a sitemap index can reference itself); targets still
+    unresolved at the bound are dropped."""
+    parsed = parse_sitemap(df, xml_col=xml_col, host_col=host_col)
+    leaves = parsed.where(~F.col("is_index")).select("host", "url", "lastmod")
+    idx = parsed.where(F.col("is_index")).select("host", "url")
+    for _ in range(max_depth):
+        if not idx.limit(1).count():
+            break
+        child = parse_sitemap(fetch(idx))
+        leaves = leaves.union(
+            child.where(~F.col("is_index")).select("host", "url", "lastmod")
+        )
+        idx = child.where(F.col("is_index")).select("host", "url")
+    return leaves
 
 
 def schedule_frontier(

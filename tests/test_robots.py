@@ -294,6 +294,75 @@ def test_parse_sitemap_multiline_entries(spark):
     ]
 
 
+def test_sitemap_xml_gz_and_plain(spark):
+    """sitemap.xml.gz (magic-sniffed) decodes through the bounded
+    member walker; plain XML passes through; the decompressed cap
+    holds."""
+    import gzip
+
+    xml = "<urlset><url><loc>https://a.example/z</loc></url></urlset>"
+    df = spark.createDataFrame(
+        [("a", bytearray(gzip.compress(xml.encode()))),
+         ("b", bytearray(xml.encode()))],
+        "host string, payload binary",
+    )
+    out = robots.sitemap_xml(df)
+    got = {r.host: r.sitemap_xml for r in out.collect()}
+    assert got == {"a": xml, "b": xml}
+    # bomb guard: a 1 MB expansion capped at 64 bytes stays 64 bytes
+    big = gzip.compress(b"x" * (1 << 20))
+    df2 = spark.createDataFrame(
+        [("c", bytearray(big))], "host string, payload binary"
+    )
+    capped = robots.sitemap_xml(df2, max_bytes=64).collect()[0].sitemap_xml
+    assert len(capped) == 64
+    # end-to-end: gz urlset -> parse_sitemap leaves
+    rows = robots.parse_sitemap(robots.sitemap_xml(df)).collect()
+    assert sorted(r.url for r in rows) == ["https://a.example/z"] * 2
+
+
+def test_resolve_sitemap_index_one_hop(spark):
+    """index -> leaf resolution through a caller-injected fetch, depth
+    bounded (a self-referencing index cannot loop)."""
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.example/sm1.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    leaf = (
+        "<urlset><url><loc>https://a.example/p1</loc>"
+        "<lastmod>2024-02-02</lastmod></url>"
+        "<url><loc>https://a.example/p2</loc></url></urlset>"
+    )
+    direct = "<urlset><url><loc>https://a.example/p0</loc></url></urlset>"
+    df = spark.createDataFrame(
+        [("a.example", index), ("a.example", direct)],
+        "host string, sitemap_xml string",
+    )
+    fetched = {"https://a.example/sm1.xml": leaf}
+
+    def fetch(targets):
+        rows = [(r.host, fetched.get(r.url, index)) for r in targets.collect()]
+        return spark.createDataFrame(rows, "host string, sitemap_xml string")
+
+    got = sorted(
+        (r.url, r.lastmod)
+        for r in robots.resolve_sitemap_index(df, fetch).collect()
+    )
+    assert got == [
+        ("https://a.example/p0", None),
+        ("https://a.example/p1", "2024-02-02"),
+        ("https://a.example/p2", None),
+    ]
+    # cycle guard: an index that always returns itself terminates with
+    # only the direct leaves
+    def fetch_cycle(targets):
+        rows = [(r.host, index) for r in targets.collect()]
+        return spark.createDataFrame(rows, "host string, sitemap_xml string")
+
+    got2 = [r.url for r in robots.resolve_sitemap_index(df, fetch_cycle).collect()]
+    assert got2 == ["https://a.example/p0"]
+
+
 def test_schedule_frontier_politeness(spark):
     urls = spark.createDataFrame(
         [("a", f"http://a/{i}") for i in range(4)]
