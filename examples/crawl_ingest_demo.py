@@ -123,24 +123,42 @@ def main() -> int:
         f"({index.count()} members indexed)"
     )
 
-    # incremental-snapshot leg: treat the even-doc half as YESTERDAY's
-    # snapshot — build a digest Bloom filter over it (bitmap-bounded
-    # build, broadcast probe, no join) and let today's index
-    # anti-filter map-side BEFORE any payload byte moves; only
-    # genuinely-new content survives to fetch_records
+    # incremental-crawl round: ONE facade call chains the legs a
+    # crawler runs each cycle — dedupe_captures (revisit collapse) →
+    # bloom filter_unseen (cross-snapshot novelty: the even-doc half
+    # plays YESTERDAY's snapshot) → frontier_allowed (robots policy) →
+    # schedule_frontier (politeness pacing, deep hosts pre-capped)
+    from psy_supabase_spark.api import PsyEngine
     from psy_supabase_spark.operators import bloom as BLOOM
+    from psy_supabase_spark.operators.robots import (
+        robots_crawl_delays, robots_rules,
+    )
 
+    engine = PsyEngine(spark, str(Path(out_dir) / "warehouse"))
     digests = cdx.index_warc_members(spark, str(shard_dir), digest=True)
     prev = digests.where(F.col("url").rlike("[02468]$"))
     n_prev = max(prev.count(), 1)
     m_bits, k = BLOOM.bloom_params(n_prev, 0.01)
-    seen = BLOOM.bloom_build(prev, "digest", m_bits, k)
-    new = BLOOM.filter_unseen(digests, "digest", seen, m_bits, k)
-    n_new = new.count()
+    seen = (BLOOM.bloom_build(prev, "digest", m_bits, k), m_bits, k)
+    robots_src = spark.createDataFrame(
+        [("example.com",
+          "User-agent: *\nDisallow: /doc/13\nCrawl-delay: 0.2\n")],
+        "host string, robots_txt string",
+    )
+    plan = engine.plan_crawl_round(
+        digests,
+        robots_rules(robots_src),
+        seen,
+        agent="demobot",
+        delays=robots_crawl_delays(robots_src, agent="demobot"),
+        max_per_host=120,
+    )
+    n_plan = plan.count()
     print(
-        f"incremental snapshot: {n_new} new of {digests.count()} captures "
-        f"survive the seen-digest bloom (m={m_bits} bits, k={k}); "
-        f"fetch touches only those: {cdx.fetch_records(new).count()} records"
+        f"plan_crawl_round: {n_plan} paced fetches of {digests.count()} "
+        f"captures survive novelty ∧ robots (m={m_bits} bits, k={k}; "
+        f"0.2 s/slot); fetch touches only those: "
+        f"{cdx.fetch_records(plan).count()} records"
     )
 
     # charset leg: sniff off the parser-surfaced HTTP Content-Type (BOM

@@ -743,3 +743,68 @@ class PsyEngine:
             host_col="_fa_host", path_col="_fa_path",
         )
         return out.drop("_fa_host", "_fa_path")
+
+    def plan_crawl_round(
+        self,
+        index: DataFrame,
+        rules: DataFrame,
+        seen: tuple[list[int], int, int] | None = None,
+        *,
+        agent: str,
+        delays: DataFrame | None = None,
+        default_delay: float = 1.0,
+        max_per_host: int | None = None,
+        url_col: str = "url",
+    ) -> DataFrame:
+        """ONE incremental crawl round, end-to-end — the composition a
+        crawler actually runs each cycle (every leg is individually
+        oracle-gated; this facade is the user-facing chaining):
+
+        1. `cdx.dedupe_captures` — collapse within-snapshot revisits
+           (same payload digest → earliest capture wins);
+        2. `bloom.filter_unseen` — drop payloads any PREVIOUS crawl's
+           filter has seen (``seen`` = (words, m_bits, k), merge
+           snapshots with `bloom_merge`; None skips the leg);
+        3. `frontier_allowed` — robots verdict for ``agent`` against
+           the parsed rule table (`robots_policy` output), rows the
+           policy forbids dropped;
+        4. `schedule_frontier` — politeness pacing: per-host
+           ``fetch_slot``/``fetch_offset_sec`` off the published crawl
+           delays (`robots_crawl_delays` output via ``delays``;
+           ``default_delay`` where a host published none), deep hosts
+           bounded by ``max_per_host`` (pre-capped before the slot
+           window, so a monster host never serializes one task).
+
+        Returns the paced fetch list: the surviving index rows +
+        ``fetch_slot`` + ``fetch_offset_sec``.  Feed it to
+        `fetch_crawl_records` slot-batch by slot-batch."""
+        from pyspark.sql import functions as F
+
+        from .operators import bloom as BL
+        from .operators.robots import schedule_frontier
+        from .sources.cdx import dedupe_captures
+
+        idx = dedupe_captures(index)
+        if seen is not None:
+            words, m_bits, k = seen
+            idx = BL.filter_unseen(idx, "digest", words, m_bits, k)
+        allowed = (
+            self.frontier_allowed(idx, rules, agent=agent, url_col=url_col)
+            .where(F.col("allowed"))
+            .drop("allowed")
+        )
+        if delays is None:
+            delays = self.spark.createDataFrame(
+                [], "host string, crawl_delay double"
+            )
+        hosted = allowed.withColumn(
+            "_cr_host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+        )
+        return schedule_frontier(
+            hosted,
+            delays,
+            host_col="_cr_host",
+            url_col=url_col,
+            default_delay=default_delay,
+            max_per_host=max_per_host,
+        ).drop("_cr_host")

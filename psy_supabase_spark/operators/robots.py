@@ -391,7 +391,8 @@ def robots_crawl_delays(
         grouped.where(F.col("directive") == "crawl-delay")
         .select(
             "host", "group_id",
-            F.col("value").cast("double").alias("crawl_delay"),
+            # try_cast: unparsable delays drop, never raise (ANSI-safe)
+            F.col("value").try_cast("double").alias("crawl_delay"),
         )
         .where(F.col("crawl_delay").isNotNull())
         .join(agents, ["host", "group_id"])
@@ -405,6 +406,81 @@ def robots_crawl_delays(
         .groupBy("host")
         .agg(F.min("crawl_delay").alias("crawl_delay"))
     )
+
+
+def robots_crawl_delays_sql(
+    *,
+    robots_cte: str = "robots_src",
+    agent: str,
+    prefix: str = "cd",
+) -> str:
+    """DuckDB CTE block mirroring :func:`robots_crawl_delays`
+    term-for-term (the robots_rules_sql pattern).  Expects an in-scope
+    CTE ``robots_cte`` (host, robots_txt); emits CTE
+    ``{prefix}_delay`` of (host, crawl_delay).  Group ids run over the
+    same four-directive line set as the Spark side (user-agent +
+    allow/disallow + crawl-delay) so allow/disallow lines keep groups
+    apart; agent-group existence comes from the agents table, not from
+    surviving delays."""
+    a = agent.lower().replace("'", "''")
+    p = prefix
+    return f"""{p}_lines AS (
+      SELECT host, pos,
+             lower(regexp_extract(l, '{_DIRECTIVE_RE}', 1)) AS directive,
+             trim(regexp_extract(l, '{_VALUE_RE}', 1)) AS value
+      FROM (
+        SELECT host, u.pos AS pos,
+               trim(regexp_replace(
+                 regexp_split_to_array(robots_txt, '\\r?\\n')[u.pos],
+                 '#.*$', ''
+               )) AS l
+        FROM {robots_cte},
+             unnest(range(1,
+               len(regexp_split_to_array(robots_txt, '\\r?\\n')) + 1))
+               AS u(pos)
+      )
+      WHERE lower(regexp_extract(l, '{_DIRECTIVE_RE}', 1))
+            IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+    ),
+    {p}_flagged AS (
+      SELECT *, CASE WHEN directive = 'user-agent'
+                      AND COALESCE(LAG(directive) OVER
+                            (PARTITION BY host ORDER BY pos), '')
+                          <> 'user-agent'
+                     THEN 1 ELSE 0 END AS is_start
+      FROM {p}_lines
+    ),
+    {p}_grouped AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY host ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS group_id
+      FROM {p}_flagged
+    ),
+    {p}_agents AS (
+      SELECT host, group_id,
+             list_sort(list(DISTINCT lower(value))) AS agents
+      FROM {p}_grouped WHERE directive = 'user-agent'
+      GROUP BY host, group_id
+    ),
+    {p}_hasagent AS (
+      SELECT host, MAX(CASE WHEN list_contains(agents, '{a}')
+                            THEN 1 ELSE 0 END) AS has_agent
+      FROM {p}_agents GROUP BY host
+    ),
+    {p}_delays AS (
+      SELECT g.host, g.group_id,
+             TRY_CAST(g.value AS DOUBLE) AS crawl_delay, a.agents
+      FROM {p}_grouped g JOIN {p}_agents a
+        ON a.host = g.host AND a.group_id = g.group_id
+      WHERE g.directive = 'crawl-delay'
+        AND TRY_CAST(g.value AS DOUBLE) IS NOT NULL
+    ),
+    {p}_delay AS (
+      SELECT d.host, MIN(d.crawl_delay) AS crawl_delay
+      FROM {p}_delays d JOIN {p}_hasagent h ON h.host = d.host
+      WHERE (list_contains(d.agents, '{a}') AND h.has_agent = 1)
+         OR (list_contains(d.agents, '*') AND h.has_agent = 0)
+      GROUP BY d.host
+    )"""
 
 
 def parse_sitemap(

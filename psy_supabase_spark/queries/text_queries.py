@@ -471,6 +471,7 @@ _ROBOTS_TEMPLATE = (
     "User-agent: *\n"
     "Disallow: /p{j}\n"
     "Allow: /p{j}/x.html$\n"
+    "Crawl-delay: 1{j}\n"
     "\n"
     "User-agent: psybot\n"
     "Disallow: /p*/y$\n"
@@ -638,7 +639,27 @@ def _bloom_url_sql(qual: str = "") -> str:
     {ROBOTS.robots_rules_sql(robots_cte="rb_src", requests_cte="rb_req",
                              agent="nobody", prefix="rbs")},
     {ROBOTS.robots_rules_sql(robots_cte="rb_src", requests_cte="rb_req",
-                             agent="psybot", prefix="rbb")}
+                             agent="psybot", prefix="rbb")},
+    -- frontier pacing (r12): crawl-delay parse mirror + slot window
+    {ROBOTS.robots_crawl_delays_sql(robots_cte="rb_src", agent="nobody",
+                                    prefix="frd")},
+    fr_req AS (
+      SELECT doc_id, 'h' || CAST(doc_id % 3 AS VARCHAR) AS host,
+             'http://h' || CAST(doc_id % 3 AS VARCHAR) || '.example/p/' ||
+             CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    fr_sched AS (
+      SELECT doc_id, host,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1 AS slot
+      FROM fr_req
+    ),
+    fr_final AS (
+      SELECT s.doc_id, CAST(s.slot AS BIGINT) AS frontier_slot,
+             ROUND(s.slot * COALESCE(d.crawl_delay, 1.0), 3)
+               AS frontier_offset_sec
+      FROM fr_sched s LEFT JOIN frd_delay d ON d.host = s.host
+    )
     SELECT a.doc_id,
            CAST(('0x' || substr(md5(cl.c), 1, 8)) AS BIGINT) AS fingerprint,
            CASE WHEN b.doc_id IS NULL OR len(a.t) = 0 THEN NULL
@@ -661,7 +682,9 @@ def _bloom_url_sql(qual: str = "") -> str:
            {CHARSET.sniff_charset_sql(*_cs_scenario_sql('a.'))} AS charset_verdict,
            {URLMOD.registrable_domain_sql(_RD_HOST_SQL)} AS reg_domain,
            rbs_v.allowed AS robots_allow_star,
-           rbb_v.allowed AS robots_allow_bot
+           rbb_v.allowed AS robots_allow_bot,
+           frf.frontier_slot AS frontier_slot,
+           frf.frontier_offset_sec AS frontier_offset_sec
     FROM toks a
     JOIN cleaned cl ON cl.doc_id = a.doc_id
     JOIN winnow w1 ON w1.doc_id = a.doc_id
@@ -682,6 +705,7 @@ def _bloom_url_sql(qual: str = "") -> str:
     CROSS JOIN bl_bits bb
     JOIN rbs_verdict rbs_v ON rbs_v.rid = a.doc_id
     JOIN rbb_verdict rbb_v ON rbb_v.rid = a.doc_id
+    JOIN fr_final frf ON frf.doc_id = a.doc_id
     """,
 )
 def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,7 +735,10 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots_allow_star,        operators/robots (group parse +       tests/test_robots.py
     robots_allow_bot          agent select + longest-match)
     reg_domain                functions/url.registrable_domain      tests/test_url.py
-                              (eTLD+1, PSL-subset longest match)
+                              (eTLD+1, full PSL rule semantics)
+    frontier_slot,            operators/robots (crawl-delay parse   tests/test_robots.py
+    frontier_offset_sec       + schedule_frontier pacing; the
+                              api.plan_crawl_round legs)
     ========================  ====================================  ==========================
 
     Run the localizer first; only if every pytest oracle is green does a
@@ -915,6 +942,28 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb_bot = RB.robots_allowed(rb_rules, rb_reqs, agent="psybot").select(
         "doc_id", F.col("allowed").alias("robots_allow_bot")
     )
+    # frontier_slot / frontier_offset_sec (r12): the politeness
+    # scheduler (operators/robots.schedule_frontier) paced by the REAL
+    # crawl-delay parser over the same robots grammar — the star group
+    # publishes Crawl-delay 1{j} (10/11/12 s), so slot order (per-host
+    # url window) AND the delay multiplication are both on the gated
+    # path; the facade api.plan_crawl_round chains exactly these legs.
+    fr_urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), rb_j).alias("fr_host"),
+        F.concat(
+            F.lit("http://h"), rb_j, F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("fr_url"),
+    )
+    fr_delays = RB.robots_crawl_delays(rb_src, agent="nobody")
+    frs = RB.schedule_frontier(
+        fr_urls, fr_delays, host_col="fr_host", url_col="fr_url"
+    ).select(
+        "doc_id",
+        F.col("fetch_slot").cast("long").alias("frontier_slot"),
+        F.col("fetch_offset_sec").alias("frontier_offset_sec"),
+    )
     # bloom_hit: portable Bloom membership (operators/bloom) — the
     # filter is built DISTRIBUTED over the "previous crawl" (even
     # doc_ids' URLs) and served through the literal Catalyst tier; evens
@@ -969,6 +1018,7 @@ def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(csd, "doc_id")
         .join(rb_star, "doc_id")
         .join(rb_bot, "doc_id")
+        .join(frs, "doc_id")
         .withColumn("bm25_fq", F.coalesce("bm25_fq", F.lit(0.0)))
         .withColumn("stream_admit", stream_admit)
         .drop("_adm")

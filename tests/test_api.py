@@ -511,6 +511,46 @@ def test_robots_policy_and_frontier_facades(engine, spark, tmp_path):
     }
 
 
+def test_plan_crawl_round_facade(engine, spark):
+    """dedupe_captures → filter_unseen → frontier_allowed →
+    schedule_frontier as one call: revisits collapse, seen digests
+    drop, robots-forbidden URLs drop, survivors get paced slots off
+    the host's published crawl delay."""
+    from psy_supabase_spark.operators import bloom as BL
+    from psy_supabase_spark.operators.robots import (
+        robots_crawl_delays, robots_rules,
+    )
+
+    src = spark.createDataFrame(
+        [("x.example", "User-agent: *\nDisallow: /nope\nCrawl-delay: 2\n")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(src)
+    delays = robots_crawl_delays(src, agent="bot")
+    index = spark.createDataFrame(
+        [
+            ("http://x.example/a", "d1", "20240101000000", "f1", 0),
+            ("http://x.example/b", "d1", "20240102000000", "f1", 100),  # revisit of d1
+            ("http://x.example/seen", "d2", "20240101000000", "f1", 200),
+            ("http://x.example/nope/x", "d3", "20240101000000", "f1", 300),
+            ("http://x.example/d", "d4", "20240101000000", "f1", 400),
+            ("http://x.example/c", "d5", "20240101000000", "f1", 500),
+        ],
+        "url string, digest string, timestamp string, filename string, offset long",
+    )
+    m, k = BL.bloom_params(100, 0.001)
+    seen = (BL.bloom_local(["d2"], m, k), m, k)
+    out = engine.plan_crawl_round(
+        index, rules, seen, agent="bot", delays=delays
+    )
+    got = {r.url: (r.fetch_slot, r.fetch_offset_sec) for r in out.collect()}
+    assert got == {
+        "http://x.example/a": (0, 0.0),
+        "http://x.example/c": (1, 2.0),
+        "http://x.example/d": (2, 4.0),
+    }
+
+
 def test_frontier_allowed_matches_query_string(engine, spark):
     """REP rules match path+query ('Disallow: /*?sessionid=' must fire
     on query-bearing URLs), and pre-existing host/path columns on the

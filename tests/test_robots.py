@@ -236,6 +236,46 @@ def test_crawl_delay_own_group_without_delay_beats_star(spark):
     assert [(r.host, r.crawl_delay) for r in star] == [("h", 2.0)]
 
 
+def test_crawl_delays_duckdb_parity(spark):
+    """robots_crawl_delays_sql reproduces the exact per-host delay set
+    for both agent regimes — group separation, own-group-without-delay,
+    CRLF, and unparsable values included."""
+    src = [
+        ("a.example", ROBOTS_A),                       # psybot group: delay 3
+        ("b.example", ROBOTS_B),                       # no delays at all
+        ("c.example", "User-agent: a\nDisallow: /x\nUser-agent: b\nCrawl-delay: 5\n"),
+        ("d.example", "User-agent: *\r\nCrawl-delay: 2.5\r\nDisallow: /x\r\n"),
+        ("e.example", "User-agent: *\nCrawl-delay: fast\n"),  # unparsable
+    ]
+    df = spark.createDataFrame(src, "host string, robots_txt string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE robots_src (host VARCHAR, robots_txt VARCHAR)")
+    con.executemany("INSERT INTO robots_src VALUES (?, ?)", src)
+    for agent in ("psybot", "a", "b", "nobody"):
+        got = sorted(
+            (r.host, r.crawl_delay)
+            for r in robots.robots_crawl_delays(df, agent=agent).collect()
+        )
+        sql = (
+            "WITH " + robots.robots_crawl_delays_sql(agent=agent)
+            + "\nSELECT host, crawl_delay FROM cd_delay"
+        )
+        want = sorted(con.execute(sql).fetchall())
+        assert got == want, agent
+    # spot-check semantics, not just parity: nobody gets only the true
+    # '*' delays; psybot's own group on a.example beats the void
+    star = dict(
+        (r.host, r.crawl_delay)
+        for r in robots.robots_crawl_delays(df, agent="nobody").collect()
+    )
+    assert star == {"d.example": 2.5}
+    bot = dict(
+        (r.host, r.crawl_delay)
+        for r in robots.robots_crawl_delays(df, agent="psybot").collect()
+    )
+    assert bot == {"a.example": 3.0, "d.example": 2.5}
+
+
 def test_plans_stay_jvm_side(spark):
     rules = _rules(spark)
     out = robots.robots_allowed(rules, _requests(spark), agent="x")
