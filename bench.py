@@ -1292,6 +1292,43 @@ def main() -> None:
         profile_base = dt if profile_base is None else min(profile_base, dt)
     gates_overhead = round(timings["text_profile"] - profile_base, 3)
 
+    # doc_adjacent_stats absorbed the r12 frontier-pacing evidence
+    # (crawl-delay parse mirror + schedule_frontier slots); price the
+    # leg alone so the absorbed cost stays a number (the mm pattern)
+    from psy_supabase_spark.operators import robots as _rb
+    from psy_supabase_spark.queries.text_queries import _robots_txt_col
+
+    _rb_j = (F.col("doc_id") % 3).cast("string")
+    _fr_src = (
+        docs.select(_rb_j.alias("j"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), "j").alias("host"),
+            _robots_txt_col(F.col("j")).alias("robots_txt"),
+        )
+    )
+    _fr_urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), _rb_j).alias("fr_host"),
+        F.concat(
+            F.lit("http://h"), _rb_j, F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("fr_url"),
+    )
+    frontier_leg = None
+    for _ in range(2):
+        t0 = time.time()
+        _run(
+            _rb.schedule_frontier(
+                _fr_urls,
+                _rb.robots_crawl_delays(_fr_src, agent="nobody"),
+                host_col="fr_host",
+                url_col="fr_url",
+            )
+        )
+        dt = time.time() - t0
+        frontier_leg = dt if frontier_leg is None else min(frontier_leg, dt)
+
     # attribution extras (r6 verdict #1): price the deliberate trades the
     # headline queries absorbed, the way salting was priced in r5.
     from psy_supabase_spark.operators import ivf as _ivf
@@ -1391,6 +1428,7 @@ def main() -> None:
         "embedding_neardup_route_broadcast_sec": nd_route_secs["broadcast"],
         "embedding_neardup_route_join_sec": nd_route_secs["join"],
         "text_profile_gates_overhead_sec": gates_overhead,
+        "doc_adjacent_frontier_leg_sec": round(frontier_leg, 3),
         "multimodal_base_extract_sec": round(mm_base, 3),
         # the multimodal-only residual under its own name (r10 verdict,
         # next #5): a real multimodal regression is visible here even

@@ -139,6 +139,114 @@ def _psl_buckets(
     return lit, wild, exc
 
 
+# Query parameters that never change the fetched content — tracking
+# beacons and session tokens (the Common Crawl / wayback urlkey
+# convention): stripped before the canonical key so the same page under
+# a million session ids collapses to ONE frontier/dedup identity.
+TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "jsessionid", "phpsessid", "sessionid",
+    "sid",
+)
+
+
+def canonical_url_key(
+    col: ColumnOrName, *, strip_params: tuple[str, ...] = TRACKING_PARAMS
+) -> Column:
+    """SURT-style canonical url key, JVM-side — the frontier/dedup
+    identity at crawl scale (``sources.cdx.surt_key`` is the
+    driver-side twin used inside the index builder's Arrow leg; this
+    expression is the one to dedup billions of URLs with, map-side,
+    no Python):
+
+    - scheme dropped; host lowercased, ``www.`` stripped, userinfo
+      stripped, default port (:80 http / :443 https) stripped, other
+      ports kept;
+    - host labels REVERSED and comma-joined (``com,example)`` — keys
+      sort by registered domain, which is what index pruning and
+      per-domain sampling need);
+    - path lowercased (empty → ``/``); fragment dropped (parse_url
+      never returns it in PATH/QUERY);
+    - query lowercased, split on ``&``, tracking/session params
+      (``strip_params``, matched on the name before ``=``) and empty
+      pairs dropped, remainder SORTED and rejoined — param order and
+      session noise never split a dedup group.
+
+    Non-URL input (no scheme) falls back to the lowercased raw string,
+    like ``surt_key``.  DuckDB mirror: :func:`canonical_url_key_sql`."""
+    u = _c(col)
+    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    auth = F.lower(F.coalesce(F.parse_url(u, F.lit("AUTHORITY")), F.lit("")))
+    hostport = F.element_at(F.split(auth, "@"), -1)
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = F.when(
+        proto == "http", F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        proto == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    hostname = F.regexp_replace(hostport, r":\d+$", "")
+    port = F.regexp_extract(hostport, r"(:\d+)$", 1)
+    rev = F.array_join(F.reverse(F.split(hostname, r"\.")), ",")
+    path = F.lower(F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.lower(F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit("")))
+    dropped = F.array(*[F.lit(p.lower()) for p in strip_params])
+    parts = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "")
+        & ~F.array_contains(dropped, F.element_at(F.split(p, "="), 1)),
+    )
+    qs = F.array_join(F.sort_array(parts), "&")
+    key = F.concat(
+        rev,
+        port,
+        F.lit(")"),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(
+        F.parse_url(u, F.lit("HOST")).isNotNull(), key
+    ).otherwise(F.lower(u))
+
+
+def canonical_url_key_sql(
+    expr: str, *, strip_params: tuple[str, ...] = TRACKING_PARAMS
+) -> str:
+    """DuckDB mirror of :func:`canonical_url_key` (regex splits instead
+    of parse_url — exact on well-formed absolute http(s) URLs, which is
+    the domain the gated grammar feeds both engines)."""
+    drop = "[" + ", ".join(
+        "'" + p.lower().replace("'", "''") + "'" for p in strip_params
+    ) + "]"
+    proto = f"lower(regexp_extract({expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    auth = f"lower(regexp_extract({expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))"
+    hostport = f"string_split({auth}, '@')[-1]"
+    hostport = f"regexp_replace({hostport}, '^www\\.', '')"
+    hostport = (
+        f"CASE WHEN {proto} = 'http' THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {proto} = 'https' THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END"
+    )
+    hostname = f"regexp_replace({hostport}, ':[0-9]+$', '')"
+    port = f"regexp_extract({hostport}, '(:[0-9]+)$', 1)"
+    rev = f"array_to_string(list_reverse(string_split({hostname}, '.')), ',')"
+    rawpath = f"lower(regexp_extract({expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1))"
+    path = f"CASE WHEN {rawpath} = '' THEN '/' ELSE {rawpath} END"
+    q = f"lower(regexp_extract({expr}, '\\?([^#]*)', 1))"
+    parts = (
+        f"list_filter(string_split({q}, '&'), "
+        f"p -> p <> '' AND NOT list_contains({drop}, string_split(p, '=')[1]))"
+    )
+    qs = f"array_to_string(list_sort({parts}), '&')"
+    key = (
+        f"({rev} || {port} || ')' || {path} || "
+        f"CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END)"
+    )
+    return (
+        f"CASE WHEN {auth} <> '' THEN {key} ELSE lower({expr}) END"
+    )
+
+
 def registrable_domain(
     host: ColumnOrName, *, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES
 ) -> Column:

@@ -204,6 +204,63 @@ def test_domain_degrees_wildcard_tld(spark):
     assert got == {"a.shop.mm": (2, 0), "example.com": (0, 2)}
 
 
+def test_canonical_url_key_cases(spark):
+    """The crawl-identity key: scheme/www/default-port/session noise
+    collapses, host reversed for domain-sorted pruning, query params
+    sorted — the urlkey convention, JVM-side."""
+    from psy_supabase_spark.functions.url import canonical_url_key
+
+    cases = [
+        ("http://www.Example.COM/Path?b=2&a=1", "com,example)/path?a=1&b=2"),
+        ("https://Example.com:443/x", "com,example)/x"),
+        ("http://example.com:80/x", "com,example)/x"),
+        ("http://example.com:8080/x", "com,example:8080)/x"),
+        ("http://user@host.org", "org,host)/"),
+        ("http://h.net/p?utm_source=feed&q=1&sessionid=abc", "net,h)/p?q=1"),
+        ("http://h.net/p?UTM_SOURCE=feed", "net,h)/p"),  # lowercased first
+        ("http://h.net/p?sessionid=a&fbclid=b", "net,h)/p"),
+        ("http://a.b.c/p#frag", "c,b,a)/p"),
+        ("not-a-url", "not-a-url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.k for r in df.select(canonical_url_key("url").alias("k")).collect()]
+    assert got == [want for _, want in cases]
+    plan = (
+        df.select(canonical_url_key("url").alias("k"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_canonical_url_key_duckdb_parity(spark):
+    import duckdb
+
+    from psy_supabase_spark.functions.url import (
+        canonical_url_key, canonical_url_key_sql,
+    )
+
+    urls = [
+        "http://www.Example.COM/Path?b=2&a=1&utm_campaign=x",
+        "https://Example.com:443/x?z=9",
+        "http://example.com:8080/A/B?sid=1",
+        "http://user:pw@host.org:80/p?a",
+        "http://h.net/p?sessionid=only",
+        "http://a.b.c/p#frag",
+        "http://a.b.c/p?q=1#frag",
+        "plainstring",
+        "HTTP://UPPER.NET/Q",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.k for r in df.select(canonical_url_key("url").alias("k")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    want = [r[0] for r in con.execute(
+        f"SELECT {canonical_url_key_sql('url')} FROM t"
+    ).fetchall()]
+    assert got == want
+
+
 def test_registrable_domain_custom_suffixes_and_plan(spark):
     from psy_supabase_spark.functions.url import registrable_domain
 

@@ -53,7 +53,8 @@ WIDE_MODES_PER_X = 1_000
 # families to 30× without paying for the whole matrix again):
 # SPARK_GRAFT_FAMILIES=docs,srp,ivf,wide,analytics — default all.
 ALL_FAMILIES = (
-    "docs", "srp", "ivf", "wide", "analytics", "warc", "cdx", "linkgraph"
+    "docs", "srp", "ivf", "wide", "analytics", "warc", "cdx", "linkgraph",
+    "frontier",
 )
 FAMILIES = frozenset(
     os.environ.get("SPARK_GRAFT_FAMILIES", ",".join(ALL_FAMILIES)).split(",")
@@ -356,6 +357,52 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             fam["pagerank_sec"] = round(best, 2)
 
+        if "frontier" in FAMILIES:
+            # monster-host frontier scheduling (r12): fx·250k URLs on
+            # ONE host + 10k urls over 1k normal hosts, max_per_host
+            # = 100.  The pre-window cap (precap_frontier) bounds the
+            # slot window's input to O(cap) per host, so the expected
+            # curve is the LINEAR count/filter scan (per-× ≲ 1), not
+            # the O(N log N) single-task sort the uncapped window
+            # would pay on the monster host's full depth.
+            from psy_supabase_spark.operators import robots as rb
+
+            urls = (
+                spark.range(250_000 * fx)
+                .select(
+                    F.lit("monster.example").alias("host"),
+                    F.concat(
+                        F.lit("http://monster.example/p/"), F.col("id")
+                    ).alias("url"),
+                )
+                .union(
+                    spark.range(10_000).select(
+                        F.concat(
+                            F.lit("h"), (F.col("id") % 1000).cast("string")
+                        ).alias("host"),
+                        F.concat(
+                            F.lit("http://h"),
+                            (F.col("id") % 1000).cast("string"),
+                            F.lit("/p/"),
+                            F.col("id"),
+                        ).alias("url"),
+                    )
+                )
+            )
+            delays = spark.createDataFrame(
+                [("monster.example", 0.5)],
+                "host string, crawl_delay double",
+            )
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                rb.schedule_frontier(
+                    urls, delays, max_per_host=100
+                ).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            fam["frontier_monster_sec"] = round(best, 2)
+
         out[f"x{fx}"] = fam
         print(f"-- x{fx}: {json.dumps(fam)}", file=sys.stderr)
 
@@ -384,6 +431,7 @@ def main() -> None:
                     "warc_sec",
                     "cdx_fetch_sec",
                     "pagerank_sec",
+                    "frontier_monster_sec",
                 )
                 if out["x1"].get(m, 0) > 0 and out[key].get(m, 0) > 0
             }
