@@ -469,9 +469,9 @@ def _cs_scenario_cols() -> tuple[F.Column, F.Column]:
 _ROBOTS_TEMPLATE = (
     "# policy {j}\n"
     "User-agent: *\n"
-    "Disallow: /p{j}\n"
+    "Disallow: /p{j}\r\n"   # CRLF line: the r12 \r?\n split is gated
     "Allow: /p{j}/x.html$\n"
-    "Crawl-delay: 1{j}\n"
+    "Crawl-delay: 1{j}\r\n"
     "\n"
     "User-agent: psybot\n"
     "Disallow: /p*/y$\n"
@@ -489,7 +489,13 @@ def _robots_txt_col(j: F.Column) -> F.Column:
 
 def _robots_txt_sql(jexpr: str) -> str:
     def q(s: str) -> str:
-        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+        return (
+            "'"
+            + s.replace("'", "''")
+            .replace("\r", "' || chr(13) || '")
+            .replace("\n", "' || chr(10) || '")
+            + "'"
+        )
 
     parts = _ROBOTS_TEMPLATE.split("{j}")
     return "(" + f" || {jexpr} || ".join(q(p) for p in parts) + ")"
