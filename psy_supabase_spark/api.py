@@ -755,6 +755,7 @@ class PsyEngine:
         default_delay: float = 1.0,
         max_per_host: int | None = None,
         url_col: str = "url",
+        dedup_canonical: bool = False,
     ) -> DataFrame:
         """ONE incremental crawl round, end-to-end — the composition a
         crawler actually runs each cycle (every leg is individually
@@ -765,10 +766,14 @@ class PsyEngine:
         2. `bloom.filter_unseen` — drop payloads any PREVIOUS crawl's
            filter has seen (``seen`` = (words, m_bits, k), merge
            snapshots with `bloom_merge`; None skips the leg);
-        3. `frontier_allowed` — robots verdict for ``agent`` against
+        3. (``dedup_canonical=True``) collapse URLs that share a
+           `canonical_url_key` — the same page under session ids /
+           tracking params / www-vs-bare schedules ONCE (smallest raw
+           URL wins, deterministically);
+        4. `frontier_allowed` — robots verdict for ``agent`` against
            the parsed rule table (`robots_policy` output), rows the
            policy forbids dropped;
-        4. `schedule_frontier` — politeness pacing: per-host
+        5. `schedule_frontier` — politeness pacing: per-host
            ``fetch_slot``/``fetch_offset_sec`` off the published crawl
            delays (`robots_crawl_delays` output via ``delays``;
            ``default_delay`` where a host published none), deep hosts
@@ -778,8 +783,10 @@ class PsyEngine:
         Returns the paced fetch list: the surviving index rows +
         ``fetch_slot`` + ``fetch_offset_sec``.  Feed it to
         `fetch_crawl_records` slot-batch by slot-batch."""
+        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
+        from .functions.url import canonical_url_key
         from .operators import bloom as BL
         from .operators.robots import schedule_frontier
         from .sources.cdx import dedupe_captures
@@ -788,6 +795,15 @@ class PsyEngine:
         if seen is not None:
             words, m_bits, k = seen
             idx = BL.filter_unseen(idx, "digest", words, m_bits, k)
+        if dedup_canonical:
+            w = Window.partitionBy(
+                canonical_url_key(F.col(url_col))
+            ).orderBy(url_col)
+            idx = (
+                idx.withColumn("_ck_rn", F.row_number().over(w))
+                .where(F.col("_ck_rn") == 1)
+                .drop("_ck_rn")
+            )
         allowed = (
             self.frontier_allowed(idx, rules, agent=agent, url_col=url_col)
             .where(F.col("allowed"))

@@ -549,6 +549,23 @@ def test_plan_crawl_round_facade(engine, spark):
         "http://x.example/c": (1, 2.0),
         "http://x.example/d": (2, 4.0),
     }
+    # dedup_canonical: the same page under tracking noise schedules once
+    # (smallest raw url wins); distinct canonical keys both survive
+    noisy = spark.createDataFrame(
+        [
+            ("http://x.example/c?utm_source=a", "e1", "1", "f1", 0),
+            ("http://x.example/c?utm_source=b", "e2", "1", "f1", 9),
+            ("http://x.example/d", "e3", "1", "f1", 5),
+        ],
+        "url string, digest string, timestamp string, filename string, offset long",
+    )
+    out2 = engine.plan_crawl_round(
+        noisy, rules, agent="bot", delays=delays, dedup_canonical=True
+    )
+    assert sorted(r.url for r in out2.collect()) == [
+        "http://x.example/c?utm_source=a",
+        "http://x.example/d",
+    ]
 
 
 def test_frontier_allowed_matches_query_string(engine, spark):
