@@ -709,7 +709,7 @@ class PsyEngine:
 
     def frontier_allowed(
         self, urls: DataFrame, rules: DataFrame, *, agent: str,
-        url_col: str = "url",
+        url_col: str = "url", host_out: str | None = None,
     ) -> DataFrame:
         """Frontier filtering: annotate a URL frame with the robots
         verdict for `agent` (host/path split JVM-side, longest-match
@@ -719,16 +719,23 @@ class PsyEngine:
 
         Rules match against PATH + '?' + QUERY (REP/Google semantics —
         'Disallow: /*?sessionid=' must fire on query-bearing URLs, r11
-        ADVICE); temp columns are collision-safe so a pre-existing
-        host/path column on the input rides through untouched."""
+        ADVICE); a bare-host URL's empty path normalizes to '/' (REP:
+        the homepage of a 'Disallow: /' host is blocked — parse_url
+        returns '' there, NOT null, so a coalesce alone misses it);
+        temp columns are collision-safe so a pre-existing host/path
+        column on the input rides through untouched.  ``host_out``
+        keeps the derived lowercase host under that name instead of
+        dropping it (callers that need the host again — the
+        plan_crawl_round scheduler — avoid a second parse_url pass)."""
         from pyspark.sql import functions as F
 
         from .operators.robots import robots_allowed
 
         q = F.parse_url(F.col(url_col), F.lit("QUERY"))
-        path = F.coalesce(
-            F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
-        )
+        path = F.parse_url(F.col(url_col), F.lit("PATH"))
+        path = F.when(
+            path.isNull() | (path == ""), F.lit("/")
+        ).otherwise(path)
         target = F.concat(
             path,
             F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(
@@ -742,6 +749,10 @@ class PsyEngine:
             rules, parts, agent=agent,
             host_col="_fa_host", path_col="_fa_path",
         )
+        if host_out is not None:
+            return out.withColumnRenamed("_fa_host", host_out).drop(
+                "_fa_path"
+            )
         return out.drop("_fa_host", "_fa_path")
 
     def plan_crawl_round(
@@ -804,8 +815,11 @@ class PsyEngine:
                 .where(F.col("_ck_rn") == 1)
                 .drop("_ck_rn")
             )
-        allowed = (
-            self.frontier_allowed(idx, rules, agent=agent, url_col=url_col)
+        hosted = (
+            self.frontier_allowed(
+                idx, rules, agent=agent, url_col=url_col,
+                host_out="_cr_host",
+            )
             .where(F.col("allowed"))
             .drop("allowed")
         )
@@ -813,9 +827,6 @@ class PsyEngine:
             delays = self.spark.createDataFrame(
                 [], "host string, crawl_delay double"
             )
-        hosted = allowed.withColumn(
-            "_cr_host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
-        )
         return schedule_frontier(
             hosted,
             delays,

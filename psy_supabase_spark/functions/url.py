@@ -98,6 +98,27 @@ PUBLIC_SUFFIXES: tuple[str, ...] = (
 )
 
 
+def _idna_ascii(rule: str) -> str | None:
+    """Wire-format (punycode) twin of a Unicode PSL rule, or None when
+    the rule is pure ASCII / un-encodable.  Uses the stdlib ``idna``
+    codec (IDNA 2003; the PSL publishes UTS-46/IDNA-2008 — the label
+    classes where the two differ are rare and fall back to the
+    Unicode-only rule)."""
+    if rule.isascii():
+        return None
+    prefix, body = ("!", rule[1:]) if rule.startswith("!") else ("", rule)
+    out: list[str] = []
+    for lab in body.split("."):
+        if lab in ("*", "") or lab.isascii():
+            out.append(lab)
+            continue
+        try:
+            out.append(lab.encode("idna").decode("ascii"))
+        except UnicodeError:
+            return None
+    return prefix + ".".join(out)
+
+
 def load_public_suffix_list(text: str) -> tuple[str, ...]:
     """Parse the published Public Suffix List file format
     (https://publicsuffix.org/list/): one rule per line, ``//``
@@ -106,13 +127,22 @@ def load_public_suffix_list(text: str) -> tuple[str, ...]:
     DOMAINS===`` etc.) are comments.  The result feeds
     :func:`registrable_domain` / :func:`registrable_domain_sql` via
     ``suffixes=`` — wildcard (``*.``) and exception (``!``) rules ride
-    through verbatim."""
+    through verbatim.
+
+    Unicode (IDN) rules are kept AND twinned with their punycode wire
+    form (``中国`` → ``xn--fiqs8s``): crawled hostnames arrive
+    ASCII-punycode, so without the twin every IDN suffix would
+    silently fall to the default single-label rule."""
     rules: list[str] = []
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("//"):
             continue
-        rules.append(line.split()[0].lower())
+        rule = line.split()[0].lower()
+        rules.append(rule)
+        twin = _idna_ascii(rule)
+        if twin is not None:
+            rules.append(twin)
     return tuple(rules)
 
 

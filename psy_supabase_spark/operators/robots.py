@@ -543,11 +543,20 @@ def precap_frontier(
     over-cap host fetch today is policy-free (the dropped tail is
     tomorrow's frontier), so the hash selection loses nothing.
 
+    NULL hosts (unparsable URLs) are one group like any other — the
+    count join is null-safe, so they are neither dropped (a plain
+    equality join would silently lose them) nor allowed to flood the
+    one window partition they share.
+
     One extra map-side-combined count shuffle on host; the count table
     (one row per host) joins back broadcast-ish."""
-    counts = urls.groupBy(F.col(host_col)).agg(F.count("*").alias("_sf_hn"))
+    counts = urls.groupBy(F.col(host_col).alias("_sf_h")).agg(
+        F.count("*").alias("_sf_hn")
+    )
     return (
-        urls.join(counts, host_col)
+        urls.join(
+            counts, F.col(host_col).eqNullSafe(F.col("_sf_h")), "left"
+        )
         .where(
             (F.col("_sf_hn") <= cap)
             | (
@@ -555,7 +564,7 @@ def precap_frontier(
                 < F.lit(cap)
             )
         )
-        .drop("_sf_hn")
+        .drop("_sf_h", "_sf_hn")
     )
 
 
@@ -626,14 +635,20 @@ def resolve_sitemap_index(
     payloads) — so I/O stays with the caller, the
     `cdx.fetch_crawl_records` pattern.  The depth bound is the cycle
     guard (a sitemap index can reference itself); targets still
-    unresolved at the bound are dropped."""
+    unresolved at the bound are dropped.
+
+    Each fetched level is persisted before anything branches off it:
+    the level feeds BOTH the next round's emptiness probe and the
+    returned leaves union, and without the persist a lazy fetch leg
+    (payload read + gunzip UDF) would re-execute once per downstream
+    action per level."""
     parsed = parse_sitemap(df, xml_col=xml_col, host_col=host_col)
     leaves = parsed.where(~F.col("is_index")).select("host", "url", "lastmod")
     idx = parsed.where(F.col("is_index")).select("host", "url")
     for _ in range(max_depth):
         if not idx.limit(1).count():
             break
-        child = parse_sitemap(fetch(idx))
+        child = parse_sitemap(fetch(idx)).persist()
         leaves = leaves.union(
             child.where(~F.col("is_index")).select("host", "url", "lastmod")
         )

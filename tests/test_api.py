@@ -586,6 +586,30 @@ def test_frontier_allowed_matches_query_string(engine, spark):
     )
     out = engine.frontier_allowed(urls, rules, agent="bot")
     assert set(out.columns) == {"url", "host", "path", "allowed"}
+    # bare-host and query-only URLs normalize their empty path to '/':
+    # the homepage of a fully-blocked host must be blocked (parse_url
+    # returns '' there, not null — a coalesce alone misses it)
+    blocked_src = spark.createDataFrame(
+        [("x.example", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    blocked_rules = robots_rules(blocked_src)
+    bare = spark.createDataFrame(
+        [("http://x.example",), ("http://x.example?q=1",),
+         ("http://x.example/",)],
+        "url string",
+    )
+    verdicts = {
+        r.url: r.allowed
+        for r in engine.frontier_allowed(
+            bare, blocked_rules, agent="bot"
+        ).collect()
+    }
+    assert verdicts == {
+        "http://x.example": False,
+        "http://x.example?q=1": False,
+        "http://x.example/": False,
+    }
     rows = {r.url: r for r in out.collect()}
     assert rows["http://x.example/p/x?sessionid=9"].allowed is False
     assert rows["http://x.example/p/x"].allowed is True

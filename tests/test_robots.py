@@ -457,6 +457,17 @@ def test_precap_bounds_monster_host(spark):
     # binomial around 800: generous 3x band, far below the 10^6 depth
     assert 400 <= n_big <= 1600
     assert capped.where(F.col("host") == "small").count() == 5
+    # NULL hosts are one group like any other: preserved (null-safe
+    # count join) and bounded, never silently dropped
+    with_null = small.union(
+        spark.createDataFrame(
+            [(None, "garbage-url"), (None, "garbage-url-2")],
+            "host string, url string",
+        )
+    )
+    kept = robots.precap_frontier(with_null, cap=800)
+    assert kept.where(F.col("host").isNull()).count() == 2
+    assert kept.count() == 7
     delays = spark.createDataFrame([("big", 0.5)], "host string, crawl_delay double")
     sched = robots.schedule_frontier(urls, delays, max_per_host=100)
     agg = {

@@ -175,6 +175,20 @@ def test_load_public_suffix_list_format(spark):
     )
     rules = load_public_suffix_list(text)
     assert rules == ("*.ck", "!www.ck", "com", "co.uk")
+    # Unicode (IDN) rules are twinned with their punycode wire form so
+    # crawled (ASCII) hostnames match the suffix
+    idn = load_public_suffix_list("中国\n*.テスト\n")
+    assert idn == ("中国", "xn--fiqs8s", "*.テスト", "*.xn--zckzah")
+    df2 = spark.createDataFrame(
+        [("shop.example.xn--fiqs8s",), ("a.b.xn--zckzah",)], "host string"
+    )
+    got2 = [
+        r.d
+        for r in df2.select(
+            registrable_domain("host", suffixes=idn).alias("d")
+        ).collect()
+    ]
+    assert got2 == ["example.xn--fiqs8s", "a.b.xn--zckzah"]
     df = spark.createDataFrame(
         [("a.b.ck",), ("www.ck",), ("x.example.co.uk",)], "host string"
     )
