@@ -1295,6 +1295,8 @@ def main() -> None:
     # doc_adjacent_stats absorbed the r12 frontier-pacing evidence
     # (crawl-delay parse mirror + schedule_frontier slots); price the
     # leg alone so the absorbed cost stays a number (the mm pattern)
+    from pyspark.sql import functions as F
+
     from psy_supabase_spark.operators import robots as _rb
     from psy_supabase_spark.queries.text_queries import _robots_txt_col
 
