@@ -1,0 +1,158 @@
+"""Portable HyperLogLog — crawl-scale approximate distinct counts.
+
+The 100 TB use case: "how many distinct (canonical) URLs / hosts /
+digests does this snapshot hold?" per shard, per host, per day — exact
+`count(distinct)` shuffles every key; an HLL sketch shuffles at most
+``m = 2^b`` register rows no matter how many keys flow in, and
+per-shard sketches MERGE by register-wise max (like `operators.bloom`'s
+word-OR union), so yesterday's sketch never recomputes.
+
+Spark ships `approx_count_distinct` (its own HLL++), but its registers
+are opaque and engine-private.  This module derives registers from
+**md5 via the repo's portable-hash convention** (the `operators/bloom`
+pattern): a DuckDB oracle reproduces every register — and therefore the
+exact estimate — bit-for-bit, so sketch correctness is cross-engine
+testable instead of taken on faith.
+
+Register derivation (classic Flajolet HLL, Flajolet et al. 2007):
+
+- ``h``  = first 15 hex digits of md5(key) as a 60-bit int;
+- ``bucket`` = h mod m  (low bits pick the register);
+- ``w``  = h div m  (the remaining W = 60-b bits);
+- ``rho`` = W - len(strip-leading-zeros(bin(w))) + 1 — the 1-based
+  position of w's highest set bit from the top of the W-bit window,
+  W+1 when w = 0.  String-based on BOTH engines (`bin` + regexp strip)
+  so there is no float-log2 rounding hazard anywhere.
+
+The register TABLE (bucket, rho) is the exact, hash-stable artifact;
+the scalar estimate (`hll_estimate`) is the standard bias-corrected
+formula applied driver-side to ≤ m collected rows — deterministic
+Python float math over identical registers, so both engines agree to
+the last bit there too.
+
+Relative error is the standard 1.04/sqrt(m): b=12 (4096 registers,
+~16 KB collected) gives ~1.6%.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+_HASH_BITS = 60  # 15 hex digits of md5: engine-portable signed-64-safe
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _pairs(registers):
+    """(bucket, rho) pairs from a register dict, Row list, or tuple
+    list (Rows from hll_registers index positionally: 0=bucket, 1=rho)."""
+    if isinstance(registers, dict):
+        return registers.items()
+    return ((r[0], r[1]) for r in registers)
+
+
+def hll_registers(
+    df: DataFrame, col: ColumnOrName, *, b: int = 12
+) -> DataFrame:
+    """Distributed sketch build → register frame (bucket int, rho int),
+    only buckets at least one key landed in (missing bucket = 0).
+    Map side: one md5 + arithmetic per key; the groupBy(bucket)
+    max-aggregation partial-combines each partition to ≤ 2^b rows, so
+    the shuffle is REGISTER-bounded regardless of key count (the
+    bloom_build_words shape).  Null keys drop (no identity)."""
+    if not 4 <= b <= 18:
+        raise ValueError(f"b must be in [4, 18]: {b}")
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    md = F.md5(_c(col))
+    h = F.conv(F.substring(md, 1, 15), 16, 10).cast("bigint")
+    bucket = (h % m).cast("int")
+    # shiftright, NOT `/`: Spark's `/` is DOUBLE division and a 60-bit
+    # int loses low bits past 2^53; m = 2^b makes the shift exact
+    w = F.shiftright(h, b)
+    rho = (
+        F.lit(w_bits)
+        - F.length(F.regexp_replace(F.bin(w), "^0+", ""))
+        + F.lit(1)
+    ).cast("int")
+    return (
+        df.where(_c(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_registers_sql(expr: str, *, b: int = 12) -> str:
+    """DuckDB SELECT-fragment mirroring :func:`hll_registers`
+    term-for-term: emits ``bucket, rho`` column expressions for the
+    caller to wrap in ``SELECT bucket, MAX(rho) AS rho FROM (...)
+    GROUP BY bucket`` (see tests for the composition)."""
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    h = f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+    bucket = f"CAST(({h}) % {m} AS INT)"
+    w = f"(({h}) // {m})"
+    rho = (
+        f"CAST({w_bits} - length(regexp_replace(bin({w}), '^0+', '')) + 1 "
+        f"AS INT)"
+    )
+    return f"{bucket} AS bucket, {rho} AS rho"
+
+
+def hll_estimate(registers, *, b: int = 12) -> float:
+    """Bias-corrected cardinality estimate off a register table —
+    standard HLL (alpha_m * m^2 / sum(2^-rho_j), linear counting below
+    2.5m when empty registers remain; the 60-bit hash space makes the
+    large-range correction irrelevant).  ``registers`` is any iterable
+    of (bucket, rho) pairs / Rows — the ≤ 2^b-row collect of
+    :func:`hll_registers`.  Pure driver-side float math over exact
+    integer registers: byte-identical for any engine that produced the
+    same registers."""
+    m = 1 << b
+    regs = [0] * m
+    for bucket, rho in _pairs(registers):
+        regs[bucket] = max(regs[bucket], rho)
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    z = sum(2.0 ** -x for x in regs)
+    e = alpha * m * m / z
+    zeros = regs.count(0)
+    if e <= 2.5 * m and zeros:
+        e = m * math.log(m / zeros)
+    return e
+
+
+def hll_merge(*register_tables) -> dict[int, int]:
+    """Union of same-b sketches by register-wise max — the
+    multi-shard / multi-snapshot composition (the `bloom_merge`
+    pattern; HLL union is exact: the merged sketch answers exactly as
+    one built over the concatenated inputs would).  Driver-side over
+    collected register rows; for a distributed merge just union the
+    register frames and re-aggregate ``max(rho)``."""
+    out: dict[int, int] = {}
+    for regs in register_tables:
+        for bucket, rho in _pairs(regs):
+            if rho > out.get(bucket, 0):
+                out[bucket] = rho
+    return out
+
+
+def approx_distinct(
+    df: DataFrame, col: ColumnOrName, *, b: int = 12
+) -> float:
+    """Convenience: build + collect + estimate in one call."""
+    return hll_estimate(hll_registers(df, col, b=b).collect(), b=b)

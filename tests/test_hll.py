@@ -1,0 +1,115 @@
+"""Portable HyperLogLog (operators/hll): register portability
+Spark/DuckDB/pure-python, estimate accuracy, merge exactness,
+register-bounded shuffle, codegen plan."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from psy_supabase_spark.operators import hll
+
+B = 10  # 1024 registers -> ~3.25% stddev; test band is generous
+
+
+def _keys(n, salt=""):
+    return [f"http://h{i}.example/p/{salt}{i}" for i in range(n)]
+
+
+def _df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "url string")
+
+
+def _py_registers(keys, b):
+    """Pure-python reference: identical md5 / bucket / rho derivation."""
+    m = 1 << b
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(k.encode()).hexdigest()[0:15], 16)
+        bucket = h % m
+        w = h >> b
+        rho = (60 - b) - (w.bit_length()) + 1
+        if rho > regs.get(bucket, 0):
+            regs[bucket] = rho
+    return regs
+
+
+def test_registers_match_reference_and_duckdb(spark):
+    keys = _keys(2000)
+    got = {
+        (r.bucket, r.rho)
+        for r in hll.hll_registers(_df(spark, keys), "url", b=B).collect()
+    }
+    assert got == set(_py_registers(keys, B).items())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    want = set(
+        con.execute(
+            f"SELECT bucket, MAX(rho) FROM "
+            f"(SELECT {hll.hll_registers_sql('url', b=B)} FROM t) "
+            f"GROUP BY bucket"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_estimate_accuracy_and_engine_identity(spark):
+    """~3.25% stddev at b=10; assert a generous 4-sigma band — and the
+    DuckDB-register estimate is BIT-identical (same registers, same
+    driver-side float math)."""
+    keys = _keys(50_000)
+    regs = hll.hll_registers(_df(spark, keys), "url", b=B).collect()
+    est = hll.hll_estimate(regs, b=B)
+    assert abs(est - 50_000) / 50_000 < 0.13
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    duck_regs = con.execute(
+        f"SELECT bucket, MAX(rho) FROM "
+        f"(SELECT {hll.hll_registers_sql('url', b=B)} FROM t) "
+        f"GROUP BY bucket"
+    ).fetchall()
+    assert hll.hll_estimate(duck_regs, b=B) == est
+
+
+def test_small_range_linear_counting(spark):
+    """Far below m the linear-counting branch gives near-exact counts."""
+    est = hll.approx_distinct(_df(spark, _keys(60)), "url", b=B)
+    assert abs(est - 60) < 4
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    keys = _keys(5000)
+    once = hll.approx_distinct(_df(spark, keys), "url", b=B)
+    thrice = hll.approx_distinct(_df(spark, keys * 3), "url", b=B)
+    assert once == thrice
+
+
+def test_merge_equals_joint_build(spark):
+    """Register-wise max union answers exactly like one sketch over the
+    concatenated corpora (the bloom_merge contract)."""
+    a, bkeys = _keys(3000, "a"), _keys(3000, "b")
+    ra = hll.hll_registers(_df(spark, a), "url", b=B).collect()
+    rb = hll.hll_registers(_df(spark, bkeys), "url", b=B).collect()
+    merged = hll.hll_merge(ra, rb)
+    joint = hll.hll_registers(_df(spark, a + bkeys), "url", b=B).collect()
+    assert merged == {r.bucket: r.rho for r in joint}
+    assert hll.hll_estimate(merged, b=B) == hll.hll_estimate(joint, b=B)
+
+
+def test_register_bound_and_plan(spark):
+    """The register frame never exceeds 2^b rows no matter the input,
+    nulls drop, and the build plan has no Python stage."""
+    df = _df(spark, _keys(20_000)).union(
+        spark.createDataFrame([(None,)], "url string")
+    )
+    regs = hll.hll_registers(df, "url", b=6)
+    assert regs.count() <= 64
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    with pytest.raises(ValueError):
+        hll.hll_registers(df, "url", b=30)
