@@ -987,6 +987,21 @@ def _linkgraph_bloom_section(spark, sf_dir: str) -> dict[str, object]:
     extra["bloom_fp_measured"] = (
         round(n_fp / n_odds, 5) if n_odds else 0.0
     )
+    # r12 HLL: distinct-url sketch priced, accuracy checked vs exact
+    # (the bloom fp pattern: the contract is measured, not assumed)
+    from psy_supabase_spark.operators import hll as HLL
+
+    n_exact = max(probe.distinct().count(), 1)
+    best = None
+    est = None
+    for _ in range(2):
+        t0 = time.time()
+        regs = HLL.hll_registers(probe, "url", b=12).collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+        est = HLL.hll_estimate(regs, b=12)
+    extra["hll_build_sec"] = round(best, 3)
+    extra["hll_est_err"] = round(abs(est - n_exact) / n_exact, 5)
     return extra
 
 

@@ -54,7 +54,7 @@ WIDE_MODES_PER_X = 1_000
 # SPARK_GRAFT_FAMILIES=docs,srp,ivf,wide,analytics — default all.
 ALL_FAMILIES = (
     "docs", "srp", "ivf", "wide", "analytics", "warc", "cdx", "linkgraph",
-    "frontier",
+    "frontier", "hll",
 )
 FAMILIES = frozenset(
     os.environ.get("SPARK_GRAFT_FAMILIES", ",".join(ALL_FAMILIES)).split(",")
@@ -403,6 +403,41 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             fam["frontier_monster_sec"] = round(best, 2)
 
+        if "hll" in FAMILIES:
+            # HLL distinct sketch (r12): key count grows 8·fx per base
+            # doc (all keys distinct by construction, so the true
+            # cardinality is known exactly); the register shuffle stays
+            # 2^12 rows at every factor, so the expected curve is the
+            # LINEAR md5 scan (per-× ≲ 1).  Accuracy is re-checked at
+            # every factor, not assumed from x1.
+            from psy_supabase_spark.operators import hll as HL
+
+            keys = base_docs.select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(0), F.lit(8 * fx - 1))).alias("j"),
+            ).select(
+                F.concat(
+                    F.lit("http://h"),
+                    (F.col("doc_id") % 997).cast("string"),
+                    F.lit(".example/p/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("-"),
+                    F.col("j").cast("string"),
+                ).alias("url")
+            )
+            n_true = keys.count()
+            best = None
+            est = None
+            for _ in range(2):
+                t0 = time.time()
+                regs = HL.hll_registers(keys, "url", b=12).collect()
+                dt = time.time() - t0
+                if best is None or dt < best:
+                    best = dt
+                est = HL.hll_estimate(regs, b=12)
+            fam["hll_sec"] = round(best, 2)
+            fam["hll_err"] = round(abs(est - n_true) / n_true, 4)
+
         out[f"x{fx}"] = fam
         print(f"-- x{fx}: {json.dumps(fam)}", file=sys.stderr)
 
@@ -432,6 +467,7 @@ def main() -> None:
                     "cdx_fetch_sec",
                     "pagerank_sec",
                     "frontier_monster_sec",
+                    "hll_sec",
                 )
                 if out["x1"].get(m, 0) > 0 and out[key].get(m, 0) > 0
             }
