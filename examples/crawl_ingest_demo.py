@@ -160,6 +160,11 @@ def main() -> int:
         f"0.2 s/slot); fetch touches only those: "
         f"{cdx.fetch_records(plan).count()} records"
     )
+    stats = engine.snapshot_stats(digests)
+    print(
+        "snapshot_stats (portable HLL, register-bounded): "
+        + ", ".join(f"{k.split('_')[-1]}≈{v:.0f}" for k, v in sorted(stats.items()))
+    )
 
     # charset leg: sniff off the parser-surfaced HTTP Content-Type (BOM
     # and <meta> fallbacks inside), transcode split-path — the UTF-8

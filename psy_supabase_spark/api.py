@@ -755,6 +755,42 @@ class PsyEngine:
             )
         return out.drop("_fa_host", "_fa_path")
 
+    def snapshot_stats(
+        self, index: DataFrame, *, b: int = 12,
+        cols: tuple[str, ...] = ("url", "digest"),
+    ) -> dict[str, float]:
+        """Approximate distinct counts over a crawl snapshot's index —
+        one portable-HLL sketch per column (`operators/hll`: register-
+        bounded shuffles, ≤2^b rows each, error ~1.04/sqrt(2^b)) plus
+        a host sketch derived from the url column.  The per-snapshot
+        cardinality card (distinct pages / payloads / hosts) every
+        crawl-ops dashboard starts with, without a single exact
+        count(distinct) shuffle."""
+        from pyspark.sql import functions as F
+
+        from .operators import hll as HL
+
+        out: dict[str, float] = {}
+        cached = index.persist()
+        try:
+            for c in cols:
+                if c in cached.columns:
+                    out[f"approx_distinct_{c}"] = HL.hll_estimate(
+                        HL.hll_registers(cached, c, b=b).collect(), b=b
+                    )
+            if "url" in cached.columns:
+                hosts = cached.select(
+                    F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias(
+                        "host"
+                    )
+                )
+                out["approx_distinct_host"] = HL.hll_estimate(
+                    HL.hll_registers(hosts, "host", b=b).collect(), b=b
+                )
+        finally:
+            cached.unpersist()
+        return out
+
     def plan_crawl_round(
         self,
         index: DataFrame,

@@ -568,6 +568,22 @@ def test_plan_crawl_round_facade(engine, spark):
     ]
 
 
+def test_snapshot_stats_hll(engine, spark):
+    """Approximate cardinality card over a snapshot index: near-exact
+    at small scale (linear-counting branch), host sketch derived from
+    the url column, absent columns skipped."""
+    idx = spark.createDataFrame(
+        [(f"http://h{i % 7}.example/p/{i}", f"d{i % 40}") for i in range(200)],
+        "url string, digest string",
+    )
+    stats = engine.snapshot_stats(idx)
+    assert abs(stats["approx_distinct_url"] - 200) < 12
+    assert abs(stats["approx_distinct_digest"] - 40) < 5
+    assert abs(stats["approx_distinct_host"] - 7) < 2
+    only_digest = engine.snapshot_stats(idx.select("digest"))
+    assert set(only_digest) == {"approx_distinct_digest"}
+
+
 def test_frontier_allowed_matches_query_string(engine, spark):
     """REP rules match path+query ('Disallow: /*?sessionid=' must fire
     on query-bearing URLs), and pre-existing host/path columns on the
