@@ -75,6 +75,12 @@ def surt_key(url: str) -> str:
         return url.lower()
     host, rest = m.group(1).lower(), (m.group(2) or "/").lower()
     host = host.rsplit("@", 1)[-1]
+    if host.startswith("["):
+        # IPv6 literal: the address's own ':'s are not a port separator
+        # and an IP has no labels to reverse — keep [addr](:port) as-is
+        i = host.find("]")
+        if i >= 0:
+            return host + ")" + (rest or "/")
     port = ""
     if ":" in host:
         host, _, port = host.partition(":")
@@ -94,15 +100,22 @@ def read_cdx(spark: SparkSession, path: str, *, glob: str | None = None) -> Data
         reader = reader.option("pathGlobFilter", glob)
     lines = reader.text(path).where(F.length(F.trim("value")) > 0)
     parts = F.split("value", " ", 3)
+    # malformed lines DROP (size guard) and malformed numbers NULL
+    # (try_cast) instead of failing the read — under Spark 4's default
+    # ANSI mode a bare element_at/cast throws, and one junk line in a
+    # multi-TB published index must not kill the job (the same
+    # resilience posture as the WARC record scanner); published CDX
+    # really does carry '-' placeholders (e.g. status on revisits).
+    lines = lines.where(F.size(parts) >= 3)
     j = F.from_json(F.element_at(parts, 3), _CDXJ_JSON_SCHEMA)
     return lines.select(
         F.element_at(parts, 1).alias("urlkey"),
         F.element_at(parts, 2).alias("timestamp"),
         j["url"].alias("url"),
         j["filename"].alias("filename"),
-        j["offset"].cast("bigint").alias("offset"),
-        j["length"].cast("bigint").alias("length"),
-        j["status"].cast("int").alias("status"),
+        j["offset"].try_cast("bigint").alias("offset"),
+        j["length"].try_cast("bigint").alias("length"),
+        j["status"].try_cast("int").alias("status"),
         j["mime"].alias("mime"),
         j["digest"].alias("digest"),
     )
@@ -124,8 +137,16 @@ def format_cdxj(index: DataFrame) -> DataFrame:
     if "digest" in index.columns:
         fields.append(F.col("digest"))
     j = F.to_json(F.struct(*fields))  # to_json drops null fields
+    # null urlkey/timestamp render as '-' (the format's placeholder):
+    # concat_ws SKIPS nulls, which would shift the line to 2 tokens and
+    # corrupt the published index on read-back
     return index.select(
-        F.concat_ws(" ", "urlkey", "timestamp", j).alias("value")
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("urlkey"), F.lit("-")),
+            F.coalesce(F.col("timestamp"), F.lit("-")),
+            j,
+        ).alias("value")
     )
 
 
@@ -156,7 +177,14 @@ def dedupe_captures(index: DataFrame) -> DataFrame:
 
 def _parse_member_head(decompressed_head: bytes) -> dict:
     """WARC header fields + HTTP status off the first record's
-    decompressed prefix (the index builder never holds a full payload)."""
+    decompressed prefix (the index builder never holds a full payload).
+
+    ``mime`` follows the PUBLISHED CDX convention: for
+    ``application/http`` records it is the HTTP payload's Content-Type
+    (``text/html``), not the WARC envelope's — a filter written for the
+    published index (``mime.startswith('text/html')``) must behave
+    identically on a locally built one.  Non-http records keep the WARC
+    Content-Type."""
     out: dict = {
         "warc_type": "", "url": "", "warc_date": "", "mime": "",
         "status": None,
@@ -183,6 +211,14 @@ def _parse_member_head(decompressed_head: bytes) -> dict:
             out["status"] = int(payload.split(b"\r\n", 1)[0].split()[1])
         except (IndexError, ValueError):
             pass
+        http_end = payload.find(b"\r\n\r\n")
+        http_hdr = payload[: http_end if http_end >= 0 else len(payload)]
+        m = re.search(
+            rb"(?im)^content-type:[ \t]*([^\r\n]+)", http_hdr
+        )
+        out["mime"] = (
+            m.group(1).decode("utf-8", "replace").strip() if m else ""
+        )
     return out
 
 
@@ -205,9 +241,16 @@ def index_warc_members(
     One binaryFile task per shard, same macro shape as `read_warc`.
 
     ``digest=True`` additionally computes the published index's payload
-    digest (``sha1:<base32>``, the Content-Length-framed payload bytes
-    hashed INCREMENTALLY — still O(chunk) memory) — the key the classic
-    CDX capture-dedup (`dedupe_captures`) groups on."""
+    digest (``sha1:<base32>``, hashed INCREMENTALLY — still O(chunk)
+    memory) — the key the classic CDX capture-dedup
+    (`dedupe_captures`) groups on.  Per the published
+    WARC-Payload-Digest convention the digest covers the HTTP ENTITY
+    BODY for ``application/http`` records (two captures of an
+    unchanged page must collapse even though their Date/Set-Cookie
+    response headers differ) and the whole Content-Length-framed
+    payload for everything else; records whose framing can't be
+    established inside the ``head_bytes`` retention get a null
+    digest (no evidence = no dedup, the dedupe_captures posture)."""
     import base64
     import hashlib
 
@@ -231,12 +274,21 @@ def index_warc_members(
                     fed_end = pos
                     broken = False
                     # incremental payload digest state: the window
-                    # [pay_start, pay_end) of the decompressed stream is
-                    # hashed chunk-by-chunk once the header block (and so
-                    # Content-Length) is known — nothing is buffered
+                    # [hash_start, pay_end) of the decompressed stream
+                    # is hashed chunk-by-chunk once the framing is known
+                    # — nothing is buffered.  hash_start is the WARC
+                    # payload start for plain records, the HTTP body
+                    # start for application/http ones (the published
+                    # WARC-Payload-Digest convention).  Discovery can
+                    # only happen while the head retention is still
+                    # growing (head mirrors the stream from 0 up to the
+                    # cap), so head + the current chunk always cover the
+                    # discovered range with no hole.
                     sha = hashlib.sha1() if digest else None
                     dec_pos = 0  # decompressed offset of the current chunk
                     pay_start = pay_end = None
+                    hash_start = None
+                    is_http = False
                     hashed_to = 0
                     try:
                         while not d.eof and fed_end < n:
@@ -246,33 +298,59 @@ def index_warc_members(
                             prev_head = len(head)
                             if prev_head < head_bytes:
                                 head += chunk[: head_bytes - prev_head]
-                            if sha is not None and pay_start is None:
-                                he = head.find(b"\r\n\r\n")
-                                if he >= 0:
-                                    m = re.search(
-                                        rb"(?im)^content-length:[ \t]*(\d+)[ \t]*$",
-                                        head[:he],
-                                    )
-                                    if m:
-                                        # Discovery happens in the chunk
-                                        # that completed the header, so
-                                        # dec_pos <= len(head): head +
-                                        # this chunk cover the stream
-                                        # from 0 with no hole — hash the
-                                        # head's share of the payload,
-                                        # the chunk loop below takes the
-                                        # rest from len(head) onward.
-                                        pay_start = he + 4
-                                        pay_end = pay_start + int(m.group(1))
-                                        sha.update(
-                                            head[pay_start : min(pay_end, len(head))]
+                            if sha is not None and hash_start is None:
+                                if pay_start is None:
+                                    he = head.find(b"\r\n\r\n")
+                                    if he >= 0:
+                                        # \r? before $: the header lines
+                                        # are CRLF-terminated, and in
+                                        # MULTILINE '$' matches before
+                                        # the \n only — without it every
+                                        # Content-Length that is not the
+                                        # LAST header fails to parse
+                                        m = re.search(
+                                            rb"(?im)^content-length:[ \t]*(\d+)[ \t]*\r?$",
+                                            head[:he],
                                         )
-                                        hashed_to = max(pay_start, min(pay_end, len(head)))
-                                    else:
-                                        sha = None  # no framing: no digest
-                                elif len(head) >= head_bytes:
-                                    sha = None  # header over the cap
-                            if sha is not None and pay_start is not None:
+                                        if m:
+                                            pay_start = he + 4
+                                            pay_end = pay_start + int(m.group(1))
+                                            is_http = bool(re.search(
+                                                rb"(?im)^content-type:[ \t]*application/http",
+                                                head[:he],
+                                            ))
+                                        else:
+                                            sha = None  # no framing
+                                    elif len(head) >= head_bytes:
+                                        sha = None  # header over the cap
+                                if sha is not None and pay_start is not None:
+                                    if not is_http:
+                                        hash_start = pay_start
+                                    elif (
+                                        len(head) >= pay_start + 5
+                                        or len(head) >= pay_end
+                                    ):
+                                        if head[pay_start : pay_start + 5] != b"HTTP/":
+                                            hash_start = pay_start
+                                        else:
+                                            hb = head.find(b"\r\n\r\n", pay_start)
+                                            if 0 <= hb and hb + 4 <= pay_end:
+                                                hash_start = hb + 4
+                                            elif hb < 0 and (
+                                                len(head) >= head_bytes
+                                                or len(head) >= pay_end
+                                            ):
+                                                sha = None  # headers over cap / malformed
+                                    elif len(head) >= head_bytes:
+                                        sha = None
+                                if sha is not None and hash_start is not None:
+                                    sha.update(
+                                        head[hash_start : min(pay_end, len(head))]
+                                    )
+                                    hashed_to = max(
+                                        hash_start, min(pay_end, len(head))
+                                    )
+                            if sha is not None and hash_start is not None:
                                 lo = max(hashed_to, dec_pos)
                                 hi = min(pay_end, dec_pos + len(chunk))
                                 if hi > lo:
@@ -434,6 +512,8 @@ def fetch_records(
                     for off, ln in sorted(
                         zip(grp["offset"], grp["length"])
                     ):
+                        if pd.isna(off) or pd.isna(ln):
+                            continue  # index row without a range: skip
                         f.seek(int(off))
                         window = f.read(int(ln))
                         ext = [0]
@@ -445,17 +525,23 @@ def fetch_records(
                             return _f.read(max(_ln, 1 << 16))
 
                         # stale-offset resync: try each member magic in
-                        # the window until one decompresses
+                        # the window until one decompresses; the
+                        # extension-read budget is PER TRY (a false
+                        # magic that burns the budget must not starve
+                        # the true member behind it)
                         rec = None
                         start = window.find(GZIP_MEMBER_MAGIC)
                         tries = 0
                         while start >= 0 and tries < 4 and rec is None:
+                            ext[0] = 0
                             rec = _decompress_one_member(
                                 window[start:], _more, member_cap
                             )
                             if rec is None:
-                                f.seek(int(off))  # rewind extension reads
-                                f.read(int(ln))
+                                # reposition past the window (extension
+                                # reads moved the cursor); a seek is
+                                # free, re-reading the window is not
+                                f.seek(int(off) + len(window))
                                 start = window.find(
                                     GZIP_MEMBER_MAGIC, start + 1
                                 )
@@ -478,7 +564,14 @@ def fetch_records(
                 finally:
                     f.close()
 
-    hits = index.select("filename", "offset", "length")
+    # rows without a fetchable range (read_cdx of a line with '-'
+    # placeholders) drop JVM-side — 'unrecoverable rows are skipped,
+    # never fail the fetch' includes them
+    hits = index.select("filename", "offset", "length").where(
+        F.col("filename").isNotNull()
+        & F.col("offset").isNotNull()
+        & F.col("length").isNotNull()
+    )
     hits = (
         hits.repartition(num_partitions, "filename")
         if num_partitions is not None

@@ -870,15 +870,23 @@ def test_wat_roundtrip_evidence_matches_grammar(spark):
 
 def test_index_digest_and_dedupe_captures(spark, tmp_path):
     """digest=True computes the published index's sha1:<base32> payload
-    digest incrementally; dedupe_captures keeps one capture per digest
+    digest incrementally — over the HTTP ENTITY BODY, so recrawls of an
+    unchanged page collapse even when their response headers (Date,
+    Set-Cookie) differ; dedupe_captures keeps one capture per digest
     (earliest timestamp), URL-agnostic."""
     import base64
     import hashlib
 
-    same = _http(b"<p>same payload</p>")
+    body = b"<p>same payload</p>"
+    same = _http(body)
+    # identical body, DIFFERENT response headers — the recrawl shape
+    recrawl = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Date: Tue, 02 Jan 2024 00:00:00 GMT\r\n\r\n" + body
+    )
     recs = [
         _record("response", same, uri="http://a.example/x", rid="<urn:uuid:a>"),
-        _record("response", same, uri="http://MIRROR.example/x", rid="<urn:uuid:b>"),
+        _record("response", recrawl, uri="http://MIRROR.example/x", rid="<urn:uuid:b>"),
         _record("response", _http(b"<p>other</p>"), uri="http://c.example/z",
                 rid="<urn:uuid:c>"),
     ]
@@ -886,7 +894,7 @@ def test_index_digest_and_dedupe_captures(spark, tmp_path):
     (tmp_path / "s.warc.gz").write_bytes(shard)
     idx = cdx.index_warc_members(spark, str(tmp_path), digest=True)
     rows = idx.orderBy("offset").collect()
-    want = "sha1:" + base64.b32encode(hashlib.sha1(same).digest()).decode()
+    want = "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
     assert rows[0].digest == want and rows[1].digest == want
     assert rows[2].digest is not None and rows[2].digest != want
     # identical payloads collapse to the first capture
@@ -914,8 +922,99 @@ def test_index_digest_spans_chunks(spark, tmp_path):
     rec = _record("response", payload, uri="http://big.example/")
     (tmp_path / "b.warc.gz").write_bytes(gzip.compress(rec, compresslevel=1))
     r = cdx.index_warc_members(spark, str(tmp_path), digest=True).collect()[0]
-    want = "sha1:" + base64.b32encode(hashlib.sha1(payload).digest()).decode()
+    want = "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
     assert r.digest == want
+
+
+def test_index_digest_content_length_not_last(spark, tmp_path):
+    """Real Common Crawl records carry headers AFTER Content-Length; the
+    CRLF-terminated line must still parse (the '$'-before-\\r trap) and
+    a non-http record must digest its whole payload."""
+    import base64
+    import hashlib
+
+    body = b"<p>ordered</p>"
+    http = _http(body)
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        f"WARC-Record-ID: <urn:uuid:o>\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"WARC-Target-URI: http://o.example/\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"\r\n"
+    ).encode()
+    fields = b"software: test\r\n"
+    meta = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: warcinfo\r\n"
+        f"Content-Length: {len(fields)}\r\n"
+        f"Content-Type: application/warc-fields\r\n"
+        f"\r\n"
+    ).encode()
+    shard = gzip.compress(hdr + http + b"\r\n\r\n", compresslevel=1)
+    shard += gzip.compress(meta + fields + b"\r\n\r\n", compresslevel=1)
+    (tmp_path / "o.warc.gz").write_bytes(shard)
+    rows = (
+        cdx.index_warc_members(spark, str(tmp_path), digest=True)
+        .orderBy("offset").collect()
+    )
+    assert rows[0].digest == (
+        "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
+    )
+    # non-http record: digest covers the whole framed payload
+    assert rows[1].digest == (
+        "sha1:" + base64.b32encode(hashlib.sha1(fields).digest()).decode()
+    )
+
+
+def test_index_mime_is_http_payload_type(spark, tmp_path):
+    """The mime column carries the HTTP payload Content-Type (published
+    CDX convention), not the WARC envelope's application/http."""
+    shard, _members = _three_record_shard()
+    (tmp_path / "s.warc.gz").write_bytes(shard)
+    idx = cdx.index_warc_members(spark, str(tmp_path)).collect()
+    assert all(r.mime == "text/html" for r in idx)
+
+
+def test_read_cdx_tolerates_junk_and_placeholders(spark, tmp_path):
+    """One malformed line in a published index must not kill the read
+    (ANSI mode throws on bare element_at/cast): short lines drop,
+    '-'/non-numeric fields null, and fetch_records skips rangeless
+    rows instead of crashing on NaN."""
+    good = (
+        'k1 20240101000000 {"url":"http://a/x","filename":"s.warc.gz",'
+        '"offset":"0","length":"10","status":"200"}'
+    )
+    revisit = (
+        'k2 20240102000000 {"url":"http://a/x","filename":"s.warc.gz",'
+        '"status":"-"}'
+    )
+    junk = "short-line"
+    (tmp_path / "i.cdx").write_text("\n".join([good, revisit, junk]) + "\n")
+    rows = cdx.read_cdx(spark, str(tmp_path)).orderBy("urlkey").collect()
+    assert [r.urlkey for r in rows] == ["k1", "k2"]
+    assert rows[0].offset == 0 and rows[0].status == 200
+    assert rows[1].offset is None and rows[1].status is None
+    # rangeless rows are skipped by the fetch, not fatal (shard absent
+    # too — the whole call must simply return nothing)
+    assert cdx.fetch_records(
+        cdx.read_cdx(spark, str(tmp_path)), warc_root=str(tmp_path)
+    ).count() == 0
+
+
+def test_surt_key_ipv6_and_format_cdxj_nulls(spark):
+    assert cdx.surt_key("http://[2001:db8::1]:8080/x") == "[2001:db8::1]:8080)/x"
+    assert cdx.surt_key("http://[2001:db8::1]/x") == "[2001:db8::1])/x"
+    # null urlkey/timestamp render as '-' so the line stays 3 tokens
+    idx = spark.createDataFrame(
+        [(None, None, "http://a/x", "s.warc.gz", 0, 10, 200, "text/html")],
+        "urlkey string, timestamp string, url string, filename string, "
+        "offset long, length long, status int, mime string",
+    )
+    line = cdx.format_cdxj(idx).collect()[0].value
+    assert line.startswith("- - {")
 
 
 def test_http_content_type_column_and_charset_composition(spark, tmp_path):
