@@ -197,7 +197,13 @@ def _parse_member_head(decompressed_head: bytes) -> dict:
         return out
     header = decompressed_head[start:hdr_end].decode("utf-8", "replace")
     fields: dict[str, str] = {}
+    lines: list[str] = []  # unfold LWS continuations (ISO 28500 grammar)
     for line in header.split("\r\n")[1:]:
+        if line[:1] in (" ", "\t") and lines:
+            lines[-1] += " " + line.strip()
+        else:
+            lines.append(line)
+    for line in lines:
         name, sep, value = line.partition(":")
         if sep:
             fields[name.strip().lower()] = value.strip()

@@ -44,6 +44,7 @@ Spark mapping (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -69,7 +70,9 @@ WARC_SCHEMA = (
 )
 
 
-def iter_gunzip_chunks(data: bytes, *, in_chunk: int = 1 << 16) -> Iterator[bytes]:
+def iter_gunzip_chunks(
+    data: bytes, *, in_chunk: int = 1 << 16, status: dict | None = None
+) -> Iterator[bytes]:
     """Decompress a stream of CONCATENATED gzip members (the Common
     Crawl record-per-member layout) INCREMENTALLY, yielding bounded
     chunks — the whole decompressed shard is never resident (a ~1 GB
@@ -78,9 +81,16 @@ def iter_gunzip_chunks(data: bytes, *, in_chunk: int = 1 << 16) -> Iterator[byte
     bomb; input is fed in ``in_chunk`` windows with no ``max_length``
     because zlib's ``unused_data`` accounting is only reliable in that
     mode).  A corrupt tail stops the stream after yielding what decoded
-    (resilience over raising, matching the malformed-record policy)."""
+    (resilience over raising, matching the malformed-record policy).
+
+    When a ``status`` dict is passed, ``status["members"]`` counts the
+    COMPLETED members and ``status["error"] = True`` records a corrupt
+    or truncated tail — so callers can distinguish a clean decode
+    (members ≥ 1, no error; possibly zero bytes for a gzipped empty
+    entity) from a failure that merely yielded nothing."""
     view = memoryview(data)
     pos, n = 0, len(data)
+    members = 0
     carry = b""  # unused_data handed from the previous member's tail feed
     while pos < n or carry:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
@@ -100,10 +110,19 @@ def iter_gunzip_chunks(data: bytes, *, in_chunk: int = 1 << 16) -> Iterator[byte
             if out:
                 yield out
         except zlib.error:
+            if status is not None:
+                status["error"] = True
+                status["members"] = members
             return  # corrupt member: keep what decoded, drop the tail
         if not d.eof:
+            if status is not None:
+                status["error"] = True
+                status["members"] = members
             return
+        members += 1
         carry = bytes(d.unused_data)  # next member starts here
+    if status is not None:
+        status["members"] = members
 
 
 def gunzip_members(data: bytes) -> bytes:
@@ -170,7 +189,17 @@ def scan_warc_stream(
             continue
         fields: dict[str, str] = {}
         header = bytes(buf[:hdr_end]).decode("utf-8", "replace")
+        # unfold LWS continuation lines (legal in the ISO 28500
+        # named-field grammar): a line starting with SP/HT extends the
+        # previous field's value — without this, a folded URI either
+        # vanishes or (if it contains ':') parses as a bogus new field
+        lines: list[str] = []
         for line in header.split("\r\n")[1:]:
+            if line[:1] in (" ", "\t") and lines:
+                lines[-1] += " " + line.strip()
+            else:
+                lines.append(line)
+        for line in lines:
             name, sep, value = line.partition(":")
             if sep:
                 fields[name.strip().lower()] = value.strip()
@@ -268,8 +297,10 @@ def _iter_zlib_chunks(
     Content-Encoding sibling of :func:`iter_gunzip_chunks`); stops at
     stream end or the first error, yielding what decoded.  When a
     ``status`` dict is passed, a mid-stream zlib error is recorded as
-    ``status["error"] = True`` so callers can distinguish a cleanly
-    ended (or merely truncated) stream from a corrupt one."""
+    ``status["error"] = True`` and ``status["eof"]`` records whether
+    the stream reached its own end marker — together they distinguish
+    a CLEAN decode (eof, no error; possibly zero bytes for an empty
+    entity) from a truncated or corrupt one."""
     d = zlib.decompressobj(wbits)
     view = memoryview(data)
     pos, n = 0, len(data)
@@ -283,9 +314,12 @@ def _iter_zlib_chunks(
         out = d.flush()
         if out:
             yield out
+        if status is not None:
+            status["eof"] = d.eof
     except zlib.error:
         if status is not None:
             status["error"] = True
+            status["eof"] = False
         return
 
 
@@ -301,8 +335,27 @@ def _drain_bounded(stream: Iterator[bytes], cap: int) -> tuple[bytes, int]:
     return b"".join(kept), total
 
 
+# HTTP wire-coding header probes (RFC 9112 allows any OWS after the
+# colon, and real crawl captures carry no-space and multi-space forms;
+# a literal 'name: value' substring check misses them and emits still-
+# encoded bytes as "decoded").  Heads are lowercased by the callers.
+_TE_CHUNKED_RE = re.compile(rb"(?m)^transfer-encoding:[ \t]*chunked\b")
+_CE_GZIP_RE = re.compile(rb"(?m)^content-encoding:[ \t]*(?:x-)?gzip\b")
+_CE_DEFLATE_RE = re.compile(rb"(?m)^content-encoding:[ \t]*deflate\b")
+
+
+def _http_body_encoded(head_lower: bytes) -> bool:
+    """True when the (lowercased) HTTP header block declares a wire
+    coding :func:`decode_http_body_bounded` can undo."""
+    return bool(
+        _TE_CHUNKED_RE.search(head_lower)
+        or _CE_GZIP_RE.search(head_lower)
+        or _CE_DEFLATE_RE.search(head_lower)
+    )
+
+
 def decode_http_body_bounded(
-    head_lower: bytes, body: bytes, cap: int
+    head_lower: bytes, body: bytes, cap: int, *, status: dict | None = None
 ) -> tuple[bytes, int]:
     """(stored_decoded_prefix, true_decoded_length) for a captured HTTP
     body, undoing chunked framing then gzip/deflate content coding with
@@ -310,33 +363,59 @@ def decode_http_body_bounded(
     over-cap remainder is counted but never held, so a pathological
     compression bomb costs O(cap), not O(decoded).  A body that fails
     to decode comes back as captured (best-effort, the malformed-record
-    policy)."""
-    if b"transfer-encoding: chunked" in head_lower:
+    policy).
+
+    ``status`` (optional out-param, the `_iter_zlib_chunks` pattern):
+    ``status["decode_error"] = True`` marks a corrupt or truncated
+    compressed stream (the returned bytes are a PARTIAL entity — a
+    caller presenting them as complete would lie), and
+    ``status["undecoded"] = True`` marks the no-decode fallback (the
+    returned bytes are the still-encoded capture, so the framed length
+    remains the truthful ``n_bytes``).  A cleanly decoded EMPTY entity
+    (servers do gzip zero-length bodies) returns ``(b"", 0)`` with
+    neither flag — success is detected from the stream state, not from
+    the byte count."""
+    def _flag(key: str) -> None:
+        if status is not None:
+            status[key] = True
+
+    if _TE_CHUNKED_RE.search(head_lower):
         body = dechunk_http_body(body)
-    if b"content-encoding: gzip" in head_lower:
-        kept, total = _drain_bounded(iter_gunzip_chunks(body), cap)
-        return (kept, total) if total else (body, len(body))
-    if b"content-encoding: deflate" in head_lower:
+    if _CE_GZIP_RE.search(head_lower):
+        st: dict = {}
+        kept, total = _drain_bounded(
+            iter_gunzip_chunks(body, status=st), cap
+        )
+        if st.get("members") and not st.get("error"):
+            return kept, total  # clean decode (even an empty entity)
+        _flag("decode_error")
+        if total:
+            return kept, total  # partial: corrupt/truncated mid-stream
+        _flag("undecoded")
+        return body, len(body)
+    if _CE_DEFLATE_RE.search(head_lower):
         # zlib-wrapped first, raw-deflate retry (the historical server
-        # quirk).  An attempt is ACCEPTED only when it decoded without a
-        # mid-stream zlib error — a raw-deflate body whose first two
-        # bytes happen to mimic a valid zlib header would otherwise
-        # decode a garbage prefix under MAX_WBITS and shadow the raw
-        # retry (matching split_http_payload's historical retry-on-error
-        # semantics).  If both attempts error, the larger partial wins
-        # (best-effort); if nothing decoded, the captured bytes stay.
+        # quirk).  An attempt is ACCEPTED only when its stream reached
+        # its own end marker without a zlib error — a raw-deflate body
+        # whose first two bytes happen to mimic a valid zlib header
+        # would otherwise decode a garbage prefix under MAX_WBITS and
+        # shadow the raw retry.  If both attempts fail, the larger
+        # partial wins (best-effort, flagged); if nothing decoded, the
+        # captured bytes stay (flagged undecoded).
         partial: tuple[bytes, int] = (b"", 0)
         for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
-            st: dict = {}
+            st = {}
             kept, total = _drain_bounded(
                 _iter_zlib_chunks(body, wbits, status=st), cap
             )
-            if total and not st.get("error"):
-                return kept, total
+            if st.get("eof") and not st.get("error"):
+                return kept, total  # clean decode (even an empty entity)
             if total > partial[1]:
                 partial = (kept, total)
+        _flag("decode_error")
         if partial[1]:
             return partial
+        _flag("undecoded")
         return body, len(body)
     return body, len(body)
 
@@ -359,6 +438,12 @@ def dechunk_http_body(body: bytes) -> bytes:
             size = int(size_field, 16)
         except ValueError:
             break
+        if size < 0:
+            # int(b'-6', 16) parses: a negative length line would make
+            # the position arithmetic loop forever while appending the
+            # near-full body each pass (attacker-controlled crawl data
+            # must never hang the executor) — treat as malformed
+            break
         framed = True
         if size == 0:
             break  # terminal chunk; trailers ignored
@@ -378,6 +463,7 @@ def read_wet(
     path: str,
     *,
     max_payload_bytes: int = 2 * 1024 * 1024,
+    glob: str | None = None,
 ) -> DataFrame:
     """WET shards → (target_uri, warc_date, text, n_bytes, truncated):
     Common Crawl's extracted-text sibling of WARC — same ISO 28500
@@ -390,15 +476,23 @@ def read_wet(
     UTF-8 codepoint; the decode strips the resulting replacement-char
     run off the tail of TRUNCATED rows only, so truncated text always
     ends on a clean codepoint."""
-    from pyspark.sql import functions as F
-
     raw = read_warc(
         spark,
         path,
         record_types=("conversion",),
         max_payload_bytes=max_payload_bytes,
         strip_http_headers=False,
+        glob=glob,
     )
+    return _wet_text_select(raw)
+
+
+def _wet_text_select(raw: DataFrame) -> DataFrame:
+    """Shared WET payload→text projection (batch and stream must stay
+    byte-identical twins; ONE spelling of the truncated-codepoint
+    hygiene guarantees it)."""
+    from pyspark.sql import functions as F
+
     decoded = F.col("payload").cast("string")
     text = F.when(
         F.col("truncated"), F.regexp_replace(decoded, "�+$", "")
@@ -636,12 +730,12 @@ def read_wet_stream(
     *,
     max_payload_bytes: int = 2 * 1024 * 1024,
     max_files_per_trigger: int | None = None,
+    glob: str | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`read_wet`: conversion records decoded to
-    text rows off a live WET shard directory, same truncated-codepoint
-    hygiene."""
-    from pyspark.sql import functions as F
-
+    text rows off a live WET shard directory — the SAME
+    `_wet_text_select` projection as the batch reader, so the twins
+    cannot drift."""
     raw = read_warc_stream(
         spark,
         path,
@@ -649,14 +743,9 @@ def read_wet_stream(
         max_payload_bytes=max_payload_bytes,
         strip_http_headers=False,
         max_files_per_trigger=max_files_per_trigger,
+        glob=glob,
     )
-    decoded = F.col("payload").cast("string")
-    text = F.when(
-        F.col("truncated"), F.regexp_replace(decoded, "�+$", "")
-    ).otherwise(decoded)
-    return raw.select(
-        "target_uri", "warc_date", text.alias("text"), "n_bytes", "truncated"
-    )
+    return _wet_text_select(raw)
 
 
 def make_warc_parser(
@@ -715,7 +804,12 @@ def make_warc_parser(
                     # record?  (stored_raw == min(clen, scan_valve))
                     capture_cut = stored_raw < clen
                     decoded = False
-                    if strip_http_headers and ctype.startswith("application/http"):
+                    decode_err = False
+                    # MIME types are case-insensitive: 'Application/HTTP'
+                    # is legal and written by some non-Heritrix tools
+                    if strip_http_headers and ctype.lower().startswith(
+                        "application/http"
+                    ):
                         raw = payload
                         status, payload = split_http_payload(raw)
                         # true body length = framed length minus the
@@ -732,18 +826,25 @@ def make_warc_parser(
                             )
                         if decode_http_body and head_len:
                             head_lower = raw[: head_len].lower()
-                            if (
-                                b"transfer-encoding: chunked" in head_lower
-                                or b"content-encoding: gzip" in head_lower
-                                or b"content-encoding: deflate" in head_lower
-                            ):
+                            if _http_body_encoded(head_lower):
                                 # undo wire codings: n_bytes becomes the
                                 # decoded entity length, retention stays
                                 # capped at the valve (bomb-safe)
+                                true_framed = n_bytes
+                                dst: dict = {}
                                 payload, n_bytes = decode_http_body_bounded(
-                                    head_lower, payload, max_payload_bytes
+                                    head_lower, payload, max_payload_bytes,
+                                    status=dst,
                                 )
-                                decoded = True
+                                decoded = not dst.get("undecoded")
+                                decode_err = dst.get("decode_error", False)
+                                if dst.get("undecoded"):
+                                    # the captured (still-encoded) bytes
+                                    # came back: the framed length stays
+                                    # the truthful n_bytes — a valve-cut
+                                    # 10 MB body must not report its
+                                    # 2 MiB stored prefix as the size
+                                    n_bytes = true_framed
                     else:
                         n_bytes = clen
                     truncated = n_bytes > max_payload_bytes
@@ -752,12 +853,14 @@ def make_warc_parser(
                     # Stored-vs-true guard: the flag must reflect what was
                     # actually STORED, not only the valve comparison — an
                     # HTTP header block over HTTP_HEAD_ALLOWANCE can leave
-                    # the stored body short of min(n_bytes, valve), and a
+                    # the stored body short of min(n_bytes, valve), a
                     # wire-decode of a capture the scan valve cut yields a
-                    # prefix of the true entity even when lengths agree.
+                    # prefix of the true entity even when lengths agree,
+                    # and a corrupt compressed stream's partial decode is
+                    # an incomplete body whatever the counters say.
                     if len(payload) < min(n_bytes, max_payload_bytes) or (
                         decoded and capture_cut
-                    ):
+                    ) or decode_err:
                         truncated = True
                     out["path"].append(fpath)
                     out["record_id"].append(fields.get("warc-record-id", ""))

@@ -641,6 +641,140 @@ def test_truncated_flag_reflects_stored_loss(spark, tmp_path):
     assert r.truncated  # the capture was cut: 'Z' was lost
 
 
+def test_dechunk_rejects_negative_chunk_size():
+    """int(b'-6', 16) parses: a negative chunk-length line previously
+    looped forever while growing memory (attacker-controlled crawl
+    data) — it must terminate and fall back to the captured bytes."""
+    body = b"-6\r\nattacker controlled\r\n0\r\n\r\n"
+    assert warc.dechunk_http_body(body) == body  # not framed: as captured
+    # negative size AFTER a valid chunk: keep what decoded, stop there
+    body2 = b"5\r\nhello\r\n-6\r\nx\r\n0\r\n\r\n"
+    assert warc.dechunk_http_body(body2) == b"hello"
+
+
+def test_gzip_decode_error_flags_truncated(spark, tmp_path):
+    """A gzip body corrupted mid-stream decodes to a PARTIAL entity:
+    the status reports decode_error and read_warc marks the row
+    truncated instead of presenting the prefix as complete."""
+    entity = b"x" * 50_000
+    gz = bytearray(gzip.compress(entity))
+    gz[len(gz) // 2] ^= 0xFF  # corrupt mid-stream
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + bytes(gz)
+    )
+    st: dict = {}
+    body, total = warc.decode_http_body_bounded(
+        http.split(b"\r\n\r\n")[0].lower(), bytes(gz), 1 << 21, status=st
+    )
+    assert st.get("decode_error") and 0 < total < len(entity)
+    rec = _record("response", http, uri="http://cut.example/")
+    (tmp_path / "c.warc.gz").write_bytes(gzip.compress(rec, compresslevel=1))
+    r = warc.read_warc(spark, str(tmp_path), decode_http_body=True).collect()[0]
+    assert r.truncated is True
+    assert 0 < r.n_bytes < len(entity)
+
+
+def test_gzip_empty_entity_decodes_clean():
+    """A valid gzip encoding of an EMPTY body is a clean decode, not a
+    failure: the body must come back empty, not as raw gzip magic."""
+    gz = gzip.compress(b"")
+    st: dict = {}
+    body, total = warc.decode_http_body_bounded(
+        b"content-encoding: gzip", gz, 1 << 20, status=st
+    )
+    assert (body, total) == (b"", 0)
+    assert not st.get("decode_error") and not st.get("undecoded")
+    # deflate sibling
+    zl = __import__("zlib").compress(b"")
+    body2, total2 = warc.decode_http_body_bounded(
+        b"content-encoding: deflate", zl, 1 << 20
+    )
+    assert (body2, total2) == (b"", 0)
+
+
+def test_undecodable_valve_cut_keeps_true_n_bytes(spark, tmp_path):
+    """Header claims gzip but the body isn't: the capture comes back
+    as-is (undecoded) and a valve-cut record keeps the TRUE framed body
+    length, not the stored-prefix length."""
+    entity = b"y" * 9_000  # "gzip" per header, plain bytes in fact
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + entity
+    )
+    rec = _record("response", http, uri="http://valve.example/")
+    (tmp_path / "v.warc.gz").write_bytes(gzip.compress(rec, compresslevel=1))
+    rows = warc.read_warc(
+        spark, str(tmp_path), decode_http_body=True, max_payload_bytes=1024
+    ).collect()
+    r = rows[0]
+    head_len = len(http) - len(entity)
+    assert r.n_bytes == len(http) - head_len  # true framed body length
+    assert r.truncated is True
+    assert len(bytes(r.payload)) <= 1024
+
+
+def test_wire_coding_headers_ows_variants(spark, tmp_path):
+    """RFC 9112 allows any (or no) whitespace after the header colon:
+    'Content-Encoding:gzip' must decode like 'Content-Encoding: gzip'."""
+    entity = b"<p>tight header</p>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding:gzip\r\n\r\n" + gzip.compress(entity)
+    )
+    rec = _record("response", http, uri="http://ows.example/")
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding:\tchunked\r\n\r\n"
+        b"5\r\nhello\r\n0\r\n\r\n"
+    )
+    rec2 = _record("response", chunked, uri="http://ows2.example/", rid="<urn:uuid:2>")
+    (tmp_path / "o.warc.gz").write_bytes(
+        gzip.compress(rec, compresslevel=1)
+        + gzip.compress(rec2, compresslevel=1)
+    )
+    rows = {
+        r.target_uri: r
+        for r in warc.read_warc(
+            spark, str(tmp_path), decode_http_body=True
+        ).collect()
+    }
+    assert bytes(rows["http://ows.example/"].payload) == entity
+    assert bytes(rows["http://ows2.example/"].payload) == b"hello"
+
+
+def test_mixed_case_application_http_strips(spark, tmp_path):
+    """MIME types are case-insensitive: 'Application/HTTP' records must
+    strip their HTTP envelope like lowercase ones."""
+    http = _http(b"<p>case</p>")
+    rec = _record(
+        "response", http, uri="http://case.example/",
+        ctype="Application/HTTP; msgtype=response",
+    )
+    (tmp_path / "m.warc.gz").write_bytes(gzip.compress(rec, compresslevel=1))
+    r = warc.read_warc(spark, str(tmp_path)).collect()[0]
+    assert bytes(r.payload) == b"<p>case</p>"
+    assert r.http_status == 200
+
+
+def test_folded_warc_header_unfolds():
+    """LWS continuation lines (legal ISO 28500) extend the previous
+    field instead of vanishing or parsing as a bogus new field."""
+    payload = b"body"
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://long.example\r\n"
+        b"  /folded/path\r\n"
+        b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+    )
+    recs = list(warc.scan_warc_stream(iter([hdr + payload + b"\r\n\r\n"])))
+    assert len(recs) == 1
+    fields, _body, _clen = recs[0]
+    assert fields["warc-target-uri"] == "http://long.example /folded/path"
+
+
 def test_warcinfo_repeated_field_last_wins(spark, tmp_path):
     """warc-fields payloads may legally repeat a field name; the info
     map dedups LAST-WINS instead of failing under Spark's default
