@@ -13,12 +13,14 @@ the WET conversion step of a crawl pipeline does:
    VIEW of the payload prefix (latin-1 maps bytes 1:1 to codepoints, so
    plain string regexes inspect binary safely inside codegen; no
    Python).  Unknowns fall back to utf-8, the WHATWG default posture.
-2. **Decode split-path** (`decode_text`): the UTF-8/ASCII majority
-   decodes with the built-in JVM `decode` (zero Python), and ONLY the
-   non-UTF-8 minority rides one Arrow-batched `mapInPandas` leg through
-   Python's codec registry (errors='replace') — at 100 TB the slow path
-   sees a quarter of the rows, and each side is a clean predicate-split
-   branch of the same scan (Catalyst reuses the scan subtree).
+2. **Decode split-path** (`decode_text`): the UTF-8 majority decodes
+   JVM-side (`make_valid_utf8` over the binary→string cast — zero
+   Python), and ONLY the non-UTF-8 minority rides one Arrow-batched
+   `mapInPandas` leg through Python's codec registry
+   (errors='replace') — at 100 TB the slow path sees a quarter of the
+   BYTES.  The two legs are filters of the same parent and each
+   executes it (Spark reuses exchanges, not arbitrary subtrees):
+   persist the parent when it is an expensive parse.
 
 The sniff is pure regex/CASE, so a SQL oracle reproduces it exactly
 (regex kept to the Java/RE2 common subset, the functions/pii rule);
@@ -39,20 +41,32 @@ ColumnOrName = Column | str
 
 # alias → canonical python codec name, lowercased (the tiny, load-bearing
 # subset of the WHATWG encoding label table; everything else passes
-# through lowercased and is validated at decode time)
+# through lowercased and is validated at decode time).  Directions
+# follow the PUBLISHED table, not codec-name aesthetics: the whole
+# latin-1/ascii label family decodes as windows-1252 (browsers and WET
+# converters do — pages labeled iso-8859-1 routinely carry 0x80-0x9F
+# windows-1252 punctuation, which a strict latin-1 codec turns into
+# invisible C1 controls), and gb2312 labels decode as GBK, its
+# superset (strict gb2312 replaces the GBK-extension characters real
+# 'gb2312' pages use).
 CHARSET_ALIASES: dict[str, str] = {
     "utf8": "utf-8",
     "utf_8": "utf-8",
-    "ascii": "us-ascii",
-    "latin-1": "iso-8859-1",
-    "latin1": "iso-8859-1",
-    "l1": "iso-8859-1",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "iso-8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "l1": "windows-1252",
+    "cp819": "windows-1252",
     "cp1252": "windows-1252",
     "win-1252": "windows-1252",
     "x-sjis": "shift_jis",
     "shift-jis": "shift_jis",
     "sjis": "shift_jis",
-    "gb-2312": "gb2312",
+    "gb2312": "gbk",
+    "gb-2312": "gbk",
+    "csgb2312": "gbk",
     "euc_jp": "euc-jp",
     "utf-16le": "utf-16-le",
     "utf-16be": "utf-16-be",
@@ -69,9 +83,20 @@ _BOM_UTF16_BE = "þÿ"
 
 # Java/RE2 common subset: no lookbehind, no backrefs.  charset labels
 # per the WHATWG grammar are [a-zA-Z0-9 ._-]; we accept the usual
-# quoted/unquoted parameter spellings.
-_CT_CHARSET_RE = r'charset\s*=\s*["\']?([a-zA-Z0-9._-]+)'
-_META_CHARSET_RE = r'<meta[^>]{0,200}?charset\s*=\s*["\']?([a-zA-Z0-9._-]+)'
+# quoted/unquoted parameter spellings.  The header probe anchors to
+# the Content-Type LINE (a charset= in some other header — a link URL,
+# a cookie — must not win), and the meta probe requires a delimiter
+# before `charset` (plain `data-charset=` attributes must not match)
+# and stays inside one tag ([^>]).  Known regex-fidelity subset: a
+# literal 'charset=' inside an unrelated <meta content="..."> value
+# still matches — full WHATWG prescan needs an attribute parser.
+_CT_CHARSET_RE = (
+    r'(?m)^content-type:[^\r\n]{0,200}?'
+    r'charset\s*=\s*["\']?([a-zA-Z0-9._-]+)'
+)
+_META_CHARSET_RE = (
+    r'<meta[^>]{0,200}?[\s;"\']charset\s*=\s*["\']?([a-zA-Z0-9._-]+)'
+)
 
 
 def _c(col: ColumnOrName) -> Column:
@@ -169,10 +194,14 @@ def decode_text(
       broken codec label falls back to utf-8-replace (never throws —
       a crawl always contains garbage labels).
 
-    A BOM that named the charset is stripped from the decoded text
-    (both paths), matching every WET converter's behavior.  The two
-    branches are predicate-splits of the same parent (Catalyst reuses
-    the scan) and re-union by name."""
+    Leading BOMs that named the charset are stripped from the decoded
+    text (ALL of them, both paths — the legs must agree on equivalent
+    content), matching every WET converter's behavior.
+
+    NOTE the two branches each execute the upstream plan (Spark has no
+    common-subtree reuse for a union of two filters; only shuffles get
+    ReusedExchange) — when the parent is expensive (a WARC parse),
+    persist/cache it before calling this, or the scan runs twice."""
     cs = F.coalesce(F.col(charset_col), F.lit("utf-8"))
     is_jvm = cs.isin(*_JVM_UTF8)
     # make_valid_utf8 over the byte-reinterpreting binary→string cast IS
@@ -183,9 +212,17 @@ def decode_text(
         _strip_bom(F.make_valid_utf8(F.col(payload_col).cast("string"))),
     )
 
+    # backticked names survive exotic field names; a pre-existing
+    # out_col is REPLACED (the withColumn semantics of the JVM leg)
     rest_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + f", {out_col} string"
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != out_col
+    ) + f", `{out_col}` string"
+
+    out_order = [
+        f.name for f in df.schema.fields if f.name != out_col
+    ] + [out_col]
 
     def _transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, str | None] = {}
@@ -210,11 +247,13 @@ def decode_text(
                 texts.append(t.lstrip("﻿"))
             out = pdf.copy()
             out[out_col] = texts
-            yield out
+            yield out[out_order]
 
     rest = df.where(~is_jvm).mapInPandas(_transcode, rest_schema)
     return jvm.unionByName(rest)
 
 
 def _strip_bom(text: Column) -> Column:
-    return F.regexp_replace(text, "^﻿", "")
+    # ALL leading U+FEFF, like the Python leg's lstrip — one-only would
+    # make the legs disagree on '﻿﻿X' content
+    return F.regexp_replace(text, "^﻿+", "")

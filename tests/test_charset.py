@@ -26,7 +26,8 @@ def test_sniff_priority_and_aliases(spark):
     assert _sniff(spark, ct, b"\xef\xbb\xbfhi") == "utf-8"
     assert _sniff(spark, ct, b"\xff\xfeh\x00") == "utf-16-le"
     assert _sniff(spark, ct, b"\xfe\xff\x00h") == "utf-16-be"
-    assert _sniff(spark, ct, meta) == "iso-8859-1"
+    # WHATWG direction: the latin-1 label family decodes as cp1252
+    assert _sniff(spark, ct, meta) == "windows-1252"
     assert _sniff(spark, "Content-Type: text/html\r\n", meta) == "shift_jis"
     # quoted + aliased header value
     assert _sniff(
@@ -39,7 +40,31 @@ def test_sniff_priority_and_aliases(spark):
         spark,
         "",
         b'<meta http-equiv="Content-Type" content="text/html; charset=gb-2312">',
-    ) == "gb2312"
+    ) == "gbk"  # WHATWG: gb2312 labels decode as GBK, its superset
+
+
+def test_sniff_header_anchors_to_content_type_line(spark):
+    """A charset= in some OTHER header (a link URL, a cookie) must not
+    win over the Content-Type line — and a block with no Content-Type
+    charset falls through to the meta/default chain."""
+    h = (
+        "Link: <http://e.x/p?charset=big5>; rel=alternate\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n"
+    )
+    assert _sniff(spark, h, b"<p>x</p>") == "utf-8"
+    h2 = "Link: <http://e.x/p?charset=big5>; rel=alternate\r\n"
+    assert _sniff(spark, h2, b'<meta charset="shift-jis">') == "shift_jis"
+
+
+def test_sniff_meta_requires_charset_attribute_delimiter(spark):
+    """'data-charset=...' is not a charset declaration, and a charset=
+    in a LATER tag (past the meta's '>') must not match."""
+    assert _sniff(
+        spark, "", b'<meta data-charset="big5" name="x"><p>y</p>'
+    ) == "utf-8"
+    assert _sniff(
+        spark, "", b'<meta name="a"><span>charset=big5</span>'
+    ) == "utf-8"
 
 
 def test_sniff_duckdb_parity(spark):
@@ -70,7 +95,7 @@ def test_sniff_duckdb_parity(spark):
         ).fetchall()
     ]
     assert got == want == [
-        "utf-8", "iso-8859-1", "euc-jp", "shift_jis", "utf-8",
+        "utf-8", "windows-1252", "euc-jp", "shift_jis", "utf-8",
         "windows-1252",
     ]
 

@@ -1192,6 +1192,6 @@ def test_http_content_type_column_and_charset_composition(spark, tmp_path):
         ),
     )
     out = {r.target_uri: r for r in CS.decode_text(sniffed).collect()}
-    assert out["http://x/latin"].charset == "iso-8859-1"
+    assert out["http://x/latin"].charset == "windows-1252"
     assert out["http://x/latin"].text == "café résumé"
     assert out["http://x/plain"].charset == "utf-8"
