@@ -758,38 +758,99 @@ class PsyEngine:
     def snapshot_stats(
         self, index: DataFrame, *, b: int = 12,
         cols: tuple[str, ...] = ("url", "digest"),
-    ) -> dict[str, float]:
+        by: tuple[str, ...] | None = None,
+    ) -> dict[str, float] | DataFrame:
         """Approximate distinct counts over a crawl snapshot's index —
         one portable-HLL sketch per column (`operators/hll`: register-
         bounded shuffles, ≤2^b rows each, error ~1.04/sqrt(2^b)) plus
         a host sketch derived from the url column.  The per-snapshot
         cardinality card (distinct pages / payloads / hosts) every
         crawl-ops dashboard starts with, without a single exact
-        count(distinct) shuffle."""
+        count(distinct) shuffle.
+
+        ``by`` (r12 verdict: per-group cards) switches to GROUPED
+        sketches and returns a small DataFrame of one row per group
+        with an ``approx_distinct_{col}`` column per sketched column.
+        Each ``by`` entry is an index column name or a derived key:
+        ``"host"`` (lower-cased URL host) / ``"day"`` (the CDX
+        timestamp's yyyyMMdd prefix).  The grouped build collects
+        n_groups × ≤2^b register rows per sketched column to the
+        driver for estimation — bound your group count accordingly
+        (days and TLDs yes, a million raw hosts no: keep
+        `operators.hll.hll_registers(..., by=...)`'s register frame
+        distributed instead)."""
         from pyspark.sql import functions as F
 
         from .operators import hll as HL
 
-        out: dict[str, float] = {}
         cached = index.persist()
         try:
-            for c in cols:
-                if c in cached.columns:
-                    out[f"approx_distinct_{c}"] = HL.hll_estimate(
-                        HL.hll_registers(cached, c, b=b).collect(), b=b
+            if by is None:
+                out: dict[str, float] = {}
+                for c in cols:
+                    if c in cached.columns:
+                        out[f"approx_distinct_{c}"] = HL.hll_estimate(
+                            HL.hll_registers(cached, c, b=b).collect(), b=b
+                        )
+                if "url" in cached.columns:
+                    hosts = cached.select(
+                        F.lower(
+                            F.parse_url(F.col("url"), F.lit("HOST"))
+                        ).alias("host")
                     )
-            if "url" in cached.columns:
-                hosts = cached.select(
-                    F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias(
-                        "host"
+                    out["approx_distinct_host"] = HL.hll_estimate(
+                        HL.hll_registers(hosts, "host", b=b).collect(), b=b
                     )
+                return out
+            keys = []
+            for k in by:
+                if k in cached.columns:
+                    keys.append(F.col(k))
+                elif k == "host" and "url" in cached.columns:
+                    keys.append(
+                        F.lower(
+                            F.parse_url(F.col("url"), F.lit("HOST"))
+                        ).alias("host")
+                    )
+                elif k == "day" and "timestamp" in cached.columns:
+                    keys.append(
+                        F.substring("timestamp", 1, 8).alias("day")
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown grouping key {k!r}: not an index "
+                        "column and not a derivable 'host'/'day'"
+                    )
+            sketch_cols = [c for c in cols if c in cached.columns]
+            base = cached.select(
+                *keys, *[F.col(c) for c in sketch_cols]
+            )
+            ests = {
+                c: HL.hll_estimate_by(
+                    HL.hll_registers(base, c, b=b, by=tuple(by)).collect(),
+                    by=tuple(by),
+                    b=b,
                 )
-                out["approx_distinct_host"] = HL.hll_estimate(
-                    HL.hll_registers(hosts, "host", b=b).collect(), b=b
-                )
+                for c in sketch_cols
+            }
+            # null-safe deterministic ordering (unparsable-URL hosts
+            # are a null group like any other)
+            all_keys = sorted(
+                {g for e in ests.values() for g in e},
+                key=lambda g: tuple(
+                    (x is None, x)
+                    for x in (g if isinstance(g, tuple) else (g,))
+                ),
+            )
+            rows = [
+                tuple([g] if len(by) == 1 else list(g))
+                + tuple(ests[c].get(g) for c in sketch_cols)
+                for g in all_keys
+            ]
+            names = list(by) + [f"approx_distinct_{c}" for c in sketch_cols]
+            return self.spark.createDataFrame(rows, names)
         finally:
             cached.unpersist()
-        return out
 
     def plan_crawl_round(
         self,
@@ -816,7 +877,15 @@ class PsyEngine:
         3. (``dedup_canonical=True``) collapse URLs that share a
            `canonical_url_key` — the same page under session ids /
            tracking params / www-vs-bare schedules ONCE (smallest raw
-           URL wins, deterministically);
+           URL wins; remaining columns break full-row ties, so the
+           winner is deterministic even when one raw URL survives
+           dedupe with several digests/timestamps).  Spelled as
+           ``groupBy(key).agg(min_by(struct(*cols), ordering))`` — an
+           aggregation partial-combines map-side, so a monster alias
+           group (one page under millions of session ids) never sorts
+           its full depth through a single window task (r12 verdict:
+           the old ``row_number`` window re-introduced exactly the
+           skew shape `precap_frontier` fixed for hosts);
         4. `frontier_allowed` — robots verdict for ``agent`` against
            the parsed rule table (`robots_policy` output), rows the
            policy forbids dropped;
@@ -830,7 +899,6 @@ class PsyEngine:
         Returns the paced fetch list: the surviving index rows +
         ``fetch_slot`` + ``fetch_offset_sec``.  Feed it to
         `fetch_crawl_records` slot-batch by slot-batch."""
-        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         from .functions.url import canonical_url_key
@@ -843,13 +911,23 @@ class PsyEngine:
             words, m_bits, k = seen
             idx = BL.filter_unseen(idx, "digest", words, m_bits, k)
         if dedup_canonical:
-            w = Window.partitionBy(
-                canonical_url_key(F.col(url_col))
-            ).orderBy(url_col)
+            # min_by over a groupBy, NOT a row_number window: partial
+            # aggregation bounds every partition's state regardless of
+            # how deep one canonical group runs.  The ordering struct
+            # leads with the raw URL (contract: smallest wins) and
+            # carries every remaining column as tie-breaker — CDX index
+            # columns are orderable scalars — so the surviving row is
+            # deterministic under any partitioning or retry.
+            cols = idx.columns
+            order = F.struct(
+                F.col(url_col), *[F.col(c) for c in cols if c != url_col]
+            )
             idx = (
-                idx.withColumn("_ck_rn", F.row_number().over(w))
-                .where(F.col("_ck_rn") == 1)
-                .drop("_ck_rn")
+                idx.groupBy(
+                    canonical_url_key(F.col(url_col)).alias("_ck")
+                )
+                .agg(F.min_by(F.struct(*cols), order).alias("_row"))
+                .select("_row.*")
             )
         hosted = (
             self.frontier_allowed(

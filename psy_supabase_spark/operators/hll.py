@@ -59,14 +59,28 @@ def _pairs(registers):
 
 
 def hll_registers(
-    df: DataFrame, col: ColumnOrName, *, b: int = 12
+    df: DataFrame,
+    col: ColumnOrName,
+    *,
+    b: int = 12,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distributed sketch build → register frame (bucket int, rho int),
     only buckets at least one key landed in (missing bucket = 0).
     Map side: one md5 + arithmetic per key; the groupBy(bucket)
     max-aggregation partial-combines each partition to ≤ 2^b rows, so
     the shuffle is REGISTER-bounded regardless of key count (the
-    bloom_build_words shape).  Null keys drop (no identity)."""
+    bloom_build_words shape).  Null keys drop (no identity).
+
+    ``by`` (r12 verdict: the module's own motivating use case —
+    "distinct URLs per host, per day" — needs group-keyed registers):
+    grouping column names prepended to the sketch key, giving ONE
+    register set per group — output (by…, bucket, rho), shuffle ≤
+    n_groups × 2^b rows, same partial-combine shape.  The register
+    FRAME stays the scale artifact; collect it for driver-side
+    estimation (:func:`hll_estimate_by`) only when n_groups × 2^b rows
+    fit the driver — per-host over millions of hosts should keep (or
+    store) the frame and estimate per-group downstream instead."""
     if not 4 <= b <= 18:
         raise ValueError(f"b must be in [4, 18]: {b}")
     m = 1 << b
@@ -82,10 +96,11 @@ def hll_registers(
         - F.length(F.regexp_replace(F.bin(w), "^0+", ""))
         + F.lit(1)
     ).cast("int")
+    keys = list(by)
     return (
         df.where(_c(col).isNotNull())
-        .select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
+        .select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
 
@@ -151,8 +166,40 @@ def hll_merge(*register_tables) -> dict[int, int]:
     return out
 
 
+def hll_estimate_by(rows, *, by: tuple[str, ...], b: int = 12) -> dict:
+    """Per-group estimates off a GROUPED register collect
+    (:func:`hll_registers` with ``by``): rows are (by…, bucket, rho)
+    positionally; returns {group_key: estimate} with the key a scalar
+    for one grouping column, a tuple otherwise.  Driver-side over ≤
+    n_groups × 2^b rows — the caller owns that bound (don't collect a
+    million-host sketch; keep the register frame distributed)."""
+    nk = len(by)
+    if not nk:
+        raise ValueError("by must name at least one grouping column")
+    groups: dict = {}
+    for r in rows:
+        key = r[0] if nk == 1 else tuple(r[:nk])
+        groups.setdefault(key, []).append((r[nk], r[nk + 1]))
+    return {k: hll_estimate(v, b=b) for k, v in groups.items()}
+
+
 def approx_distinct(
     df: DataFrame, col: ColumnOrName, *, b: int = 12
 ) -> float:
     """Convenience: build + collect + estimate in one call."""
     return hll_estimate(hll_registers(df, col, b=b).collect(), b=b)
+
+
+def approx_distinct_by(
+    df: DataFrame,
+    col: ColumnOrName,
+    *,
+    by: tuple[str, ...],
+    b: int = 12,
+) -> dict:
+    """Grouped convenience: build + collect + per-group estimate.
+    Collects ≤ n_groups × 2^b register rows — caller-bounded group
+    counts only (see :func:`hll_estimate_by`)."""
+    return hll_estimate_by(
+        hll_registers(df, col, b=b, by=by).collect(), by=by, b=b
+    )

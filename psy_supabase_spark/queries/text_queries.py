@@ -717,6 +717,13 @@ def _bloom_url_sql(qual: str = "") -> str:
 def doc_adjacent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprinting + A2 term-overlap, merged registry slot.
 
+    FROZEN as of r13 (r12 verdict #3: 45 exchanges; every added family
+    makes the plan slower to audit and easier to mask a regression in).
+    This slot accepts NO new oracle families: new evidence gates by
+    replacing a stale column here, or — preferred — via pytest-level
+    DuckDB parity (the tests/test_url.py / tests/test_hll.py pattern,
+    full cross-engine parity without a registry slot).
+
     TRIAGE MAP (r8 verdict #7) — this slot gates eight operators via
     column absorption (the 50-slot driver cap); a failing driver hash
     localizes to exactly one of these columns → operator → pytest oracle:

@@ -212,7 +212,12 @@ def _parse_member_head(decompressed_head: bytes) -> dict:
     out["warc_date"] = fields.get("warc-date", "")
     out["mime"] = fields.get("content-type", "")
     payload = decompressed_head[hdr_end + 4 :]
-    if out["mime"].startswith("application/http") and payload.startswith(b"HTTP/"):
+    # case-insensitive, matching make_warc_parser and the (?i) digest
+    # regex (r12 ADVICE: an 'Application/HTTP' record otherwise kept
+    # the WARC envelope mime + a null status)
+    if out["mime"].lower().startswith("application/http") and payload.startswith(
+        b"HTTP/"
+    ):
         try:
             out["status"] = int(payload.split(b"\r\n", 1)[0].split()[1])
         except (IndexError, ValueError):

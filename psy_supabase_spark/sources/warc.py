@@ -87,13 +87,23 @@ def iter_gunzip_chunks(
     COMPLETED members and ``status["error"] = True`` records a corrupt
     or truncated tail — so callers can distinguish a clean decode
     (members ≥ 1, no error; possibly zero bytes for a gzipped empty
-    entity) from a failure that merely yielded nothing."""
+    entity) from a failure that merely yielded nothing.  When the
+    failed tail follows ≥ 1 complete member, raised ``zlib.error``
+    (structurally INVALID bytes — truncation alone never raises, it
+    just stalls into the not-eof branch) and never produced a single
+    output byte, ``status["trailing_garbage"] = True`` additionally
+    marks that everything YIELDED is complete — junk/padding after the
+    last member, not a partially-decoded member (r12 ADVICE: callers
+    were forced to treat a fully-decoded entity with framed padding as
+    a partial decode).  A tail that merely ran out of input keeps the
+    plain error posture: it could be a real member's missing half."""
     view = memoryview(data)
     pos, n = 0, len(data)
     members = 0
     carry = b""  # unused_data handed from the previous member's tail feed
     while pos < n or carry:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        member_out = False  # did THIS member yield any output?
         try:
             while not d.eof:
                 if carry:
@@ -105,16 +115,23 @@ def iter_gunzip_chunks(
                     break  # stream ends mid-member (truncated tail)
                 out = d.decompress(feed)
                 if out:
+                    member_out = True
                     yield out
             out = d.flush()
             if out:
+                member_out = True
                 yield out
         except zlib.error:
             if status is not None:
                 status["error"] = True
                 status["members"] = members
+                if members and not member_out:
+                    status["trailing_garbage"] = True
             return  # corrupt member: keep what decoded, drop the tail
         if not d.eof:
+            # ran out of input mid-member: could be a real member's
+            # missing half even when it yielded nothing — truncation,
+            # never reclassified as padding
             if status is not None:
                 status["error"] = True
                 status["members"] = members
@@ -371,7 +388,11 @@ def decode_http_body_bounded(
     caller presenting them as complete would lie), and
     ``status["undecoded"] = True`` marks the no-decode fallback (the
     returned bytes are the still-encoded capture, so the framed length
-    remains the truthful ``n_bytes``).  A cleanly decoded EMPTY entity
+    remains the truthful ``n_bytes``), and
+    ``status["trailing_garbage"] = True`` marks a COMPLETE decode
+    whose Content-Length framing carried junk/padding after the last
+    gzip member — the returned entity is whole, not partial (r12
+    ADVICE).  A cleanly decoded EMPTY entity
     (servers do gzip zero-length bodies) returns ``(b"", 0)`` with
     neither flag — success is detected from the stream state, not from
     the byte count."""
@@ -386,8 +407,17 @@ def decode_http_body_bounded(
         kept, total = _drain_bounded(
             iter_gunzip_chunks(body, status=st), cap
         )
-        if st.get("members") and not st.get("error"):
-            return kept, total  # clean decode (even an empty entity)
+        if st.get("members"):
+            if not st.get("error"):
+                return kept, total  # clean decode (even an empty entity)
+            if st.get("trailing_garbage"):
+                # ≥ 1 complete member and the failed tail never
+                # produced a byte: junk/padding AFTER the entity
+                # inside its Content-Length framing (r12 ADVICE) —
+                # the entity itself decoded completely, so it is
+                # flagged (not silently clean) but NOT a partial
+                _flag("trailing_garbage")
+                return kept, total
         _flag("decode_error")
         if total:
             return kept, total  # partial: corrupt/truncated mid-stream

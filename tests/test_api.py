@@ -632,3 +632,137 @@ def test_frontier_allowed_matches_query_string(engine, spark):
     # the caller's own host/path columns ride through unchanged
     assert rows["http://x.example/p/x"].host == "keepme2"
     assert rows["http://x.example/p/x"].path == "keptpath2"
+
+
+def test_plan_crawl_round_canonical_dedup_skew_safe(engine, spark):
+    """The canonical-URL collapse is an AGGREGATION (min_by over
+    groupBy), not a row_number window (r12 verdict: a monster alias
+    group — one page under ~100× more session ids than any other —
+    must partial-combine map-side, never sort its full depth through a
+    single window task), and the survivors equal the old window
+    spelling row-for-row on a mixed fixture."""
+    from pyspark.sql import Window
+
+    from psy_supabase_spark.functions.url import canonical_url_key
+    from psy_supabase_spark.plans.explain import physical_plan
+
+    rules = spark.createDataFrame(
+        [("x.example", "User-agent: *\nAllow: /\n")],
+        "host string, robots_txt string",
+    )
+    from psy_supabase_spark.operators.robots import robots_rules
+
+    # one canonical group ~100x deeper than the rest (session-id noise)
+    monster = [
+        (f"http://x.example/page?sid={i:04d}", f"d{i}", "1", "f", i)
+        for i in range(200)
+    ]
+    rest = [
+        (f"http://x.example/p{i}", f"e{i}", "1", "f", i) for i in range(2)
+    ]
+    idx = spark.createDataFrame(
+        monster + rest,
+        "url string, digest string, timestamp string, filename string, offset long",
+    )
+    out = engine.plan_crawl_round(
+        idx, robots_rules(rules), agent="bot", dedup_canonical=True
+    )
+    plan = physical_plan(out)
+    assert "partial_min_by" in plan  # map-side combine bounds the group
+    rows = sorted(r.url for r in out.collect())
+    assert rows == [
+        "http://x.example/p0",
+        "http://x.example/p1",
+        "http://x.example/page?sid=0000",  # smallest raw URL wins
+    ]
+    # row-for-row identical to the window spelling on the deduped input
+    from psy_supabase_spark.sources.cdx import dedupe_captures
+
+    deduped = dedupe_captures(idx)
+    w = Window.partitionBy(canonical_url_key(F.col("url"))).orderBy(
+        "url", "timestamp", "digest"
+    )
+    want = sorted(
+        tuple(r)
+        for r in deduped.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .collect()
+    )
+    cols = deduped.columns
+    order = F.struct(F.col("url"), *[F.col(c) for c in cols if c != "url"])
+    got = sorted(
+        tuple(r)
+        for r in deduped.groupBy(canonical_url_key(F.col("url")).alias("_ck"))
+        .agg(F.min_by(F.struct(*cols), order).alias("_row"))
+        .select("_row.*")
+        .collect()
+    )
+    assert got == want
+
+
+def test_plan_crawl_round_canonical_dedup_deterministic_ties(engine, spark):
+    """One raw URL surviving dedupe with different digests/timestamps:
+    the full-row ordering struct breaks the tie deterministically (r12
+    ADVICE: the window's url-only orderBy picked an arbitrary row, so
+    which offset/length got fetched could vary per run)."""
+    from psy_supabase_spark.operators.robots import robots_rules
+
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("x.example", "User-agent: *\nAllow: /\n")],
+            "host string, robots_txt string",
+        )
+    )
+    # same raw url, distinct digests -> dedupe_captures keeps both;
+    # the canonical collapse must pick the SAME one every run
+    idx = spark.createDataFrame(
+        [
+            ("http://x.example/p", "zz", "20240101000000", "f2", 900),
+            ("http://x.example/p", "aa", "20240102000000", "f1", 100),
+        ],
+        "url string, digest string, timestamp string, filename string, offset long",
+    )
+    for _ in range(3):
+        rows = engine.plan_crawl_round(
+            idx, rules, agent="bot", dedup_canonical=True
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # smallest (url, digest, timestamp, ...) struct: the 'aa' row
+        assert (r.digest, r.offset) == ("aa", 100)
+
+
+def test_snapshot_stats_grouped(engine, spark):
+    """Per-group cardinality cards (r12 verdict): by=('host',) and
+    by=('day',) return one row per group with near-exact counts at
+    linear-counting scale; unknown keys raise."""
+    idx = spark.createDataFrame(
+        [
+            (
+                f"http://h{i % 3}.example/p/{i}",
+                f"d{i % 20}",
+                f"2024010{1 + i % 2}000000",
+            )
+            for i in range(120)
+        ],
+        "url string, digest string, timestamp string",
+    )
+    by_host = engine.snapshot_stats(idx, by=("host",)).collect()
+    got = {r.host: r for r in by_host}
+    assert sorted(got) == [
+        "h0.example", "h1.example", "h2.example",
+    ]
+    for h, r in got.items():
+        assert abs(r.approx_distinct_url - 40) < 5
+        # digests repeat across hosts: 20 distinct each
+        assert abs(r.approx_distinct_digest - 20) < 4
+    by_day = engine.snapshot_stats(idx, by=("day",)).collect()
+    days = {r.day: r.approx_distinct_url for r in by_day}
+    assert sorted(days) == ["20240101", "20240102"]
+    for v in days.values():
+        assert abs(v - 60) < 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.snapshot_stats(idx, by=("nope",))

@@ -478,3 +478,75 @@ def test_precap_bounds_monster_host(spark):
     }
     assert agg["big"] == (100, 99)
     assert agg["small"] == (5, 4)
+
+
+def test_delay_only_group_not_merged_into_star(spark):
+    """Two user-agent runs separated ONLY by a Crawl-delay line are
+    distinct groups (r12 ADVICE): agent `a` owns a delay-only
+    (allow-everything) group, so the `*` total block must NOT apply to
+    it — and the DuckDB spelling must agree for both regimes."""
+    src = [("h", "User-agent: a\nCrawl-delay: 5\n\nUser-agent: *\nDisallow: /\n")]
+    rules = robots.robots_rules(
+        spark.createDataFrame(src, "host string, robots_txt string")
+    )
+    # two groups parsed: a's marker row (null directive) + *'s block
+    by_gid = {
+        r.group_id: (r.agents, r.directive)
+        for r in rules.collect()
+    }
+    assert by_gid == {1: (["a"], None), 2: (["*"], "disallow")}
+    reqs = spark.createDataFrame([("h", "/x")], "host string, path string")
+    assert robots.robots_allowed(rules, reqs, agent="a").collect()[0].allowed
+    assert not robots.robots_allowed(rules, reqs, agent="z").collect()[0].allowed
+    # the delay still attaches to a, not to the * group (the two
+    # parsers derive the SAME groups from one file now)
+    df = spark.createDataFrame(src, "host string, robots_txt string")
+    assert [
+        (r.host, r.crawl_delay)
+        for r in robots.robots_crawl_delays(df, agent="a").collect()
+    ] == [("h", 5.0)]
+    assert robots.robots_crawl_delays(df, agent="z").collect() == []
+    con = duckdb.connect()
+    con.execute("CREATE TABLE robots_src (host VARCHAR, robots_txt VARCHAR)")
+    con.executemany("INSERT INTO robots_src VALUES (?, ?)", src)
+    con.execute("CREATE TABLE robots_req (rid INT, host VARCHAR, path VARCHAR)")
+    con.execute("INSERT INTO robots_req VALUES (0, 'h', '/x')")
+    for agent, want in (("a", True), ("z", False)):
+        sql = (
+            "WITH " + robots.robots_rules_sql(agent=agent)
+            + "\nSELECT v.allowed FROM rb_verdict v"
+        )
+        assert con.execute(sql).fetchone()[0] is want, agent
+
+
+def test_resolve_sitemap_index_nothing_persisted(spark, tmp_path):
+    """The per-level spill leaves NOTHING cached after the call returns
+    (r12 verdict: the old per-level persists accumulated in executor
+    storage for the session's lifetime), and each fetch leg executes
+    exactly once even when the leaves are materialized repeatedly."""
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.example/sm1.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    leaf = "<urlset><url><loc>https://a.example/p1</loc></url></urlset>"
+    df = spark.createDataFrame(
+        [("a.example", index)], "host string, sitemap_xml string"
+    )
+    calls = {"n": 0}
+
+    def fetch(targets):
+        calls["n"] += targets.count()
+        rows = [(r.host, leaf) for r in targets.collect()]
+        return spark.createDataFrame(rows, "host string, sitemap_xml string")
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    out = robots.resolve_sitemap_index(
+        df, fetch, scratch_dir=str(tmp_path / "lvl")
+    )
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    assert after - before == set()
+    # the fetch leg ran once (during the spill write), and re-collecting
+    # the leaves does not re-fire it
+    assert [r.url for r in out.collect()] == ["https://a.example/p1"]
+    assert [r.url for r in out.collect()] == ["https://a.example/p1"]
+    assert calls["n"] == 1

@@ -1195,3 +1195,58 @@ def test_http_content_type_column_and_charset_composition(spark, tmp_path):
     assert out["http://x/latin"].charset == "windows-1252"
     assert out["http://x/latin"].text == "café résumé"
     assert out["http://x/plain"].charset == "utf-8"
+
+
+def test_gzip_trailing_garbage_is_complete_entity(spark, tmp_path):
+    """A fully-decoded gzip body with junk/padding after the last
+    member INSIDE its Content-Length framing is a COMPLETE entity (r12
+    ADVICE: it was flagged decode_error and the record marked truncated
+    despite decoding completely) — flagged trailing_garbage, n_bytes =
+    the decoded length, truncated stays False."""
+    entity = b"w" * 10_000
+    gz = gzip.compress(entity) + b"\x00\x00PAD-NOT-GZIP\x00"
+    st: dict = {}
+    body, total = warc.decode_http_body_bounded(
+        b"content-encoding: gzip", gz, 1 << 21, status=st
+    )
+    assert (body, total) == (entity, len(entity))
+    assert st.get("trailing_garbage") is True
+    assert not st.get("decode_error") and not st.get("undecoded")
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gz
+    )
+    rec = _record("response", http, uri="http://pad.example/")
+    (tmp_path / "p.warc.gz").write_bytes(gzip.compress(rec, compresslevel=1))
+    r = warc.read_warc(spark, str(tmp_path), decode_http_body=True).collect()[0]
+    assert r.truncated is False
+    assert r.n_bytes == len(entity) and bytes(r.payload) == entity
+    # a genuinely TRUNCATED second member still flags decode_error:
+    # running out of input stalls (never raises), so it is never
+    # reclassified as padding — even when it yielded no output yet
+    cut = gzip.compress(b"a" * 5_000)
+    two = gzip.compress(b"b" * 5_000)
+    st2: dict = {}
+    body2, total2 = warc.decode_http_body_bounded(
+        b"content-encoding: gzip", cut + two[: len(two) // 2], 1 << 21,
+        status=st2,
+    )
+    assert st2.get("decode_error") and not st2.get("trailing_garbage")
+    assert total2 < 10_000
+
+
+def test_index_mime_mixed_case_application_http(spark, tmp_path):
+    """_parse_member_head matches application/http case-insensitively
+    (r12 ADVICE): an 'Application/HTTP' record gets the HTTP payload's
+    Content-Type as its mime and a parsed status, per the published CDX
+    convention — same as the lowercase spelling."""
+    rec = _record(
+        "response", _http(b"<p>case</p>", 301),
+        uri="http://case.example/x",
+        ctype="Application/HTTP; msgtype=response",
+    )
+    (tmp_path / "m.warc.gz").write_bytes(gzip.compress(rec, compresslevel=1))
+    idx = cdx.index_warc_members(spark, str(tmp_path), digest=True).collect()
+    assert len(idx) == 1
+    assert idx[0].mime == "text/html"
+    assert idx[0].status == 301
