@@ -6,10 +6,17 @@ T6 cleaning pipeline, the heavy relational/dedup/sessionization paths,
 and the composed 10-stage training pipeline) at $SPARK_GRAFT_SF_DIR
 (default sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Round-over-round discipline (r7):
+Round-over-round discipline (r7, protocol fixed r13):
 - a FROZEN calibration workload runs first (`extra.calib_sec`) so host
   drift can be separated from code cost — identical r6 code measured
   30.44 s at round-6 time and 33.60 s at round-7 start on this box;
+- r13 (r12 verdict #2: the session-bracket denominator contradicted
+  raw totals): a frozen ~0.1 s probe is interleaved before EVERY
+  headline repetition and `queries_calibrated` (median of
+  rep/adjacent-probe, on stdout AND in extras) is the cross-round
+  trend series; raw seconds remain the primary same-session signal
+  with an explicit ±30% host-drift band (`calib_spread`/`calib_drift`
+  quantify the box's own movement);
 - headline queries exercise the engine's SELF-TUNING defaults (auto IVF
   lists + nprobe sweep to recall ≥ 0.9, auto SemDeDup k, dim-aware SRP
   banding) and the chosen configs are echoed in extras;
@@ -122,6 +129,35 @@ def _calibration_runs(spark, n_runs: int = 5) -> list[float]:
         if i > 0:  # run 0 is the untimed JIT warmup
             runs.append(round(time.time() - t0, 3))
     return runs
+
+
+def _probe_run(spark) -> float:
+    """FROZEN per-query calibration probe (r12 verdict #2: the session-
+    bracketing calibration and the raw totals contradicted each other —
+    calib said the host was 1.3× faster while raw rose 3.6%, because the
+    denominator was sampled at the session's ENDS, not next to each
+    measurement).  Same workload family as :func:`_calibration_runs` at
+    1/4 the rows (~0.1 s): cheap enough to interleave before EVERY
+    headline repetition, fixed forever so per-query calibrated medians
+    (query_time / adjacent_probe_time) compare across rounds without a
+    shared-session denominator.  Never change the workload."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(0, 5_000_000, 1, 32)
+        .select(
+            (F.col("id") % 1000).alias("k"),
+            (F.pmod(F.xxhash64("id"), F.lit(1_000_000))).alias("h"),
+        )
+        .groupBy("k")
+        .agg(F.sum("h").alias("s"), F.count("*").alias("c"))
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    return time.time() - t0
 
 
 def _winnow_neardup(spark, sf_dir):
@@ -1168,12 +1204,26 @@ def main() -> None:
     # exactly where they're cheapest).
     noisy = {"dedup_minhash_lsh", "simhash_neardup", "embedding_neardup_lsh"}
     timings: dict[str, float] = {}
+    # r13 (r12 verdict #2): a fixed-work probe runs immediately BEFORE
+    # every repetition, so each query gets a host-speed denominator
+    # sampled next to it — queries_calibrated (median of dt/probe over
+    # the reps) is the cross-round trend series; raw stays the primary
+    # same-session signal.  One untimed probe first pays its JIT.
+    _probe_run(spark)
+    calibrated: dict[str, float] = {}
+    probe_meds: dict[str, float] = {}
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     for name in BENCH_QUERIES:
         best, reps = None, 0
+        ratios: list[float] = []
+        probes: list[float] = []
         while True:
+            probe = _probe_run(spark)
             t0 = time.time()
             _run((QUERIES.get(name) or LOCAL_QUERIES[name])(spark, sf_dir))
             dt = time.time() - t0
+            probes.append(probe)
+            ratios.append(dt / probe)
             best = dt if best is None else min(best, dt)
             reps += 1
             base = 3 if name in noisy else 2
@@ -1181,6 +1231,8 @@ def main() -> None:
                 continue
             break
         timings[name] = round(best, 3)
+        calibrated[name] = round(med(ratios), 2)
+        probe_meds[name] = round(med(probes), 3)
 
     ivf_timings, ivf_extra = _ivf_section(spark, sf_dir)
     timings.update(ivf_timings)
@@ -1413,12 +1465,26 @@ def main() -> None:
         "smalljoin_inposition_minus_fresh_secs": {
             k: round(timings[k] - v, 3) for k, v in smalljoin_fresh.items()
         },
-        # calib-relative per-query ratios (r7 verdict #4): the
-        # drift-normalized trend line — compare THESE across rounds,
-        # not raw seconds
+        # calib-relative per-query ratios (r7 verdict #4) — LEGACY
+        # series normalized by the session-bracket median; r12 verdict
+        # #2 showed this denominator can contradict raw totals (it
+        # samples the session's ends, not the moment of measurement).
+        # Kept for the r7-r12 trend line; cross-round claims should
+        # use queries_calibrated (adjacent-probe medians) instead.
         "queries_per_calib": {
             k: round(v / calib_sec, 3) for k, v in timings.items()
         },
+        # r13 protocol (r12 verdict #2): a frozen ~0.1 s probe runs
+        # immediately before every repetition; queries_calibrated is
+        # the per-query MEDIAN of (rep_time / adjacent_probe_time) —
+        # the denominator is sampled next to the numerator, so host
+        # drift inside the session cannot skew one series against the
+        # other.  query_probe_secs echoes the probe medians so the
+        # denominator's own drift is a number.  Also on stdout, so
+        # BENCH_r{N}.json carries BOTH series.
+        "probe_def": "range5M-hash-2agg noop, interleaved before every rep",
+        "query_probe_secs": probe_meds,
+        "queries_calibrated": calibrated,
         "semdedup_auto_n_clusters": _semdedup.default_n_clusters(emb.count()),
         "semdedup_fixed8_sec": round(semdedup_fixed8, 3),
         "fit_sample_premium_sec": fit_premium,
@@ -1468,6 +1534,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # second series (r12 verdict #2): per-query medians of
+        # rep_time / adjacent fixed-work probe — host-drift-free
+        "queries_calibrated": calibrated,
         "sf": float(sf),
         "extra_file": "BENCH_EXTRA.json",
     }

@@ -166,6 +166,93 @@ def hll_merge(*register_tables) -> dict[int, int]:
     return out
 
 
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    if m == 64:
+        return 0.709
+    if m == 32:
+        return 0.697
+    return 0.673
+
+
+def hll_estimates(
+    registers: DataFrame, *, by: tuple[str, ...] = (), b: int = 12
+) -> DataFrame:
+    """DISTRIBUTED estimates over a (grouped) register frame — the
+    unbounded-group-count path (r13): per-host cardinalities over 1e8
+    hosts never collect anything; the output is one row per group
+    (``by…, approx_distinct double``), noop-sinkable or joinable like
+    any frame.  (:func:`hll_estimate_by` remains the driver-side twin
+    for caller-bounded group counts.)
+
+    Same math as :func:`hll_estimate`, rearranged for exactness under
+    any partitioning: ``sum(2^-rho)`` over PRESENT registers is summed
+    as the exact integer ``sum(2^(rmax-rho))`` in DECIMAL(38,0)
+    (rho ∈ [1, rmax=49 at b=12] → each term ≤ 2^48, the sum is exact,
+    and 38 digits hold any group's total), missing registers
+    contribute ``zeros = m - count(*)`` exactly, and only then does ONE
+    double division / log run per group — so the estimate is
+    deterministic whatever order partitions combine in, and agrees
+    with the driver-side float math to the last few ulps (only the
+    int→double rounding point differs)."""
+    m = 1 << b
+    rmax = _HASH_BITS - b + 1
+    keys = list(by)
+    # expr spelling: the python shiftleft() binding takes only a
+    # literal int bit count; SQL shiftleft takes any int expression
+    pow2 = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - rho)")
+    agg = registers.groupBy(*keys).agg(
+        # coalesce: an EMPTY ungrouped frame still estimates 0 (the
+        # driver-side twin's all-zero-registers posture), not null
+        F.coalesce(
+            F.sum(pow2.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+        ).alias("_s"),
+        F.count("*").alias("_nz"),
+    )
+    zeros = (F.lit(m) - F.col("_nz")).cast("double")
+    z = F.col("_s").cast("double") / F.lit(float(2**rmax)) + zeros
+    raw = F.lit(_alpha(m) * m * m) / z
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*keys, est.alias("approx_distinct"))
+
+
+def hll_estimates_sql(
+    registers_cte: str, *, by: tuple[str, ...] = (), b: int = 12
+) -> str:
+    """DuckDB SELECT mirroring :func:`hll_estimates` term-for-term
+    over an in-scope (grouped) register CTE/table of (by…, bucket,
+    rho) — HUGEINT carries the exact integer sum.  Estimates agree
+    with Spark's to float-ulp level (assert with a 1e-12 relative
+    band, not bit equality: the two engines' ``ln`` may differ in the
+    last ulp)."""
+    m = 1 << b
+    rmax = _HASH_BITS - b + 1
+    # CAST every float literal: DuckDB parses bare decimal literals as
+    # DECIMAL (alpha's 16 digits overflow when multiplied by m), and
+    # the parity contract needs IEEE double arithmetic throughout
+    amm = f"CAST({_alpha(m) * m * m!r} AS DOUBLE)"
+    md = f"CAST({float(m)!r} AS DOUBLE)"
+    keys = ", ".join(by)
+    key_sel = f"{keys}, " if by else ""
+    group = f"GROUP BY {keys}" if by else ""
+    return f"""SELECT {key_sel}CASE
+      WHEN {amm} / z <= CAST({2.5 * m!r} AS DOUBLE) AND zeros > 0
+      THEN {md} * ln({md} / zeros)
+      ELSE {amm} / z END AS approx_distinct
+    FROM (
+      SELECT {key_sel}
+             CAST(SUM(CAST(1 AS HUGEINT) << ({rmax} - rho)) AS DOUBLE)
+               / CAST({float(2**rmax)!r} AS DOUBLE)
+               + CAST({m} - COUNT(*) AS DOUBLE) AS z,
+             CAST({m} - COUNT(*) AS DOUBLE) AS zeros
+      FROM {registers_cte} {group}
+    )"""
+
+
 def hll_estimate_by(rows, *, by: tuple[str, ...], b: int = 12) -> dict:
     """Per-group estimates off a GROUPED register collect
     (:func:`hll_registers` with ``by``): rows are (by…, bucket, rho)

@@ -167,3 +167,51 @@ def test_grouped_registers_duckdb_parity_and_estimates(spark):
     assert ests2[("h0", "20240101")] == ests["h0"]
     with pytest.raises(ValueError):
         hll.hll_estimate_by([], by=(), b=B)
+
+
+def test_distributed_estimates_match_driver_twin_and_duckdb(spark):
+    """hll_estimates (r13): per-group estimates computed ENTIRELY in
+    the engine (exact DECIMAL integer sum + one double division/log
+    per group — no driver collect, so group counts are unbounded).
+    Must agree with the driver-side twin and the DuckDB mirror to
+    float-ulp level on BOTH branches (linear counting + bias-corrected),
+    return 0 for an empty frame, and stay Python-free."""
+    rows = [(f"h{i % 3}", f"http://h{i % 3}.example/p/{i}") for i in range(900)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    regs = hll.hll_registers(df, "url", b=B, by=("host",))
+    got = {
+        r.host: r.approx_distinct
+        for r in hll.hll_estimates(regs, by=("host",), b=B).collect()
+    }
+    want = hll.hll_estimate_by(regs.collect(), by=("host",), b=B)
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert abs(got[k] - w) <= 1e-12 * w, k
+    # DuckDB mirror over the SAME register rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE regs (host VARCHAR, bucket INT, rho INT)")
+    con.executemany(
+        "INSERT INTO regs VALUES (?, ?, ?)",
+        [(r.host, r.bucket, r.rho) for r in regs.collect()],
+    )
+    duck = dict(
+        con.execute(
+            hll.hll_estimates_sql("regs", by=("host",), b=B)
+        ).fetchall()
+    )
+    for k, w in want.items():
+        assert abs(duck[k] - w) <= 1e-12 * w, k
+    # bias-corrected branch (50k keys >> 2.5m at b=10), ungrouped
+    big = hll.hll_registers(_df(spark, _keys(50_000)), "url", b=B)
+    dist = hll.hll_estimates(big, b=B).collect()[0].approx_distinct
+    drv = hll.hll_estimate(big.collect(), b=B)
+    assert abs(dist - drv) <= 1e-12 * drv
+    # empty frame -> 0 (the all-zero-registers posture), not null
+    empty = spark.createDataFrame([], "bucket int, rho int")
+    assert hll.hll_estimates(empty, b=B).collect()[0].approx_distinct == 0.0
+    # engine-only: no Python stage anywhere in the plan
+    plan = (
+        hll.hll_estimates(regs, by=("host",), b=B)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
