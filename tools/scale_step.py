@@ -438,6 +438,31 @@ def main() -> None:
             fam["hll_sec"] = round(best, 2)
             fam["hll_err"] = round(abs(est - n_true) / n_true, 4)
 
+            # grouped sketch + fully-distributed estimation (r13): one
+            # register set per host (997 hosts × 2^12 registers) and the
+            # per-group estimate computed IN-ENGINE (hll_estimates —
+            # exact DECIMAL sum + one double op per group, no collect);
+            # noop-sunk, so the number prices the whole distributed
+            # per-host cardinality card.  Expected curve: the same
+            # linear md5 scan; the register shuffle is fixed at
+            # ≤ 997 × 4096 rows whatever the key count.
+            hosts = keys.select(
+                F.regexp_extract("url", r"http://(h\d+)\.", 1).alias("host"),
+                "url",
+            )
+            best_g = None
+            for _ in range(2):
+                t0 = time.time()
+                HL.hll_estimates(
+                    HL.hll_registers(hosts, "url", b=12, by=("host",)),
+                    by=("host",),
+                    b=12,
+                ).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                if best_g is None or dt < best_g:
+                    best_g = dt
+            fam["hll_grouped_sec"] = round(best_g, 2)
+
         out[f"x{fx}"] = fam
         print(f"-- x{fx}: {json.dumps(fam)}", file=sys.stderr)
 
@@ -468,6 +493,7 @@ def main() -> None:
                     "pagerank_sec",
                     "frontier_monster_sec",
                     "hll_sec",
+                    "hll_grouped_sec",
                 )
                 if out["x1"].get(m, 0) > 0 and out[key].get(m, 0) > 0
             }
