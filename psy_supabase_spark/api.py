@@ -773,12 +773,14 @@ class PsyEngine:
         with an ``approx_distinct_{col}`` column per sketched column.
         Each ``by`` entry is an index column name or a derived key:
         ``"host"`` (lower-cased URL host) / ``"day"`` (the CDX
-        timestamp's yyyyMMdd prefix).  The grouped build collects
-        n_groups × ≤2^b register rows per sketched column to the
-        driver for estimation — bound your group count accordingly
-        (days and TLDs yes, a million raw hosts no: keep
-        `operators.hll.hll_registers(..., by=...)`'s register frame
-        distributed instead)."""
+        timestamp's yyyyMMdd prefix).  Estimation runs IN-ENGINE
+        (`operators.hll.hll_estimates` — exact DECIMAL register sum,
+        one double op per group, registers never leave the cluster);
+        only the finished per-group estimates collect, ONE row per
+        group per sketched column — so the driver bound is the group
+        count itself (days and TLDs trivially, a million hosts is
+        ~24 MB of rows; beyond that use `hll_estimates` directly and
+        keep the result frame distributed)."""
         from pyspark.sql import functions as F
 
         from .operators import hll as HL
@@ -825,14 +827,18 @@ class PsyEngine:
             base = cached.select(
                 *keys, *[F.col(c) for c in sketch_cols]
             )
-            ests = {
-                c: HL.hll_estimate_by(
-                    HL.hll_registers(base, c, b=b, by=tuple(by)).collect(),
+            nk = len(by)
+            ests = {}
+            for c in sketch_cols:
+                est_rows = HL.hll_estimates(
+                    HL.hll_registers(base, c, b=b, by=tuple(by)),
                     by=tuple(by),
                     b=b,
-                )
-                for c in sketch_cols
-            }
+                ).collect()
+                ests[c] = {
+                    (r[0] if nk == 1 else tuple(r[:nk])): r[nk]
+                    for r in est_rows
+                }
             # null-safe deterministic ordering (unparsable-URL hosts
             # are a null group like any other)
             all_keys = sorted(
