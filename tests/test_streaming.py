@@ -191,3 +191,74 @@ def test_stream_through_quality_gates_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.table("quality_s").collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_hll_registers_match_batch(spark, events_dir):
+    """Streaming HLL (r13): the register aggregation is streaming-legal
+    with sketch-bounded state — the drained stream's registers (and
+    therefore the estimate) are IDENTICAL to the batch sketch, global
+    and grouped."""
+    from psy_supabase_spark.operators import hll
+    from psy_supabase_spark.streaming import cardinality
+
+    key = F.col("user_id").cast("string")
+    stream = ingest.stream_events(spark, events_dir)
+    ingest.run_available_now(
+        cardinality.register_stream(stream, key, b=10), out_table="hll_regs_s"
+    )
+    got = {(r.bucket, r.rho) for r in spark.table("hll_regs_s").collect()}
+    batch = load_table(spark, SF, "events")
+    want_rows = hll.hll_registers(batch, key, b=10).collect()
+    assert got == {(r.bucket, r.rho) for r in want_rows}
+    assert hll.hll_estimate(list(got), b=10) == hll.hll_estimate(
+        want_rows, b=10
+    )
+    # grouped: one live register set per event_type
+    ingest.run_available_now(
+        cardinality.register_stream(stream, key, b=10, by=("event_type",)),
+        out_table="hll_regs_g",
+    )
+    got_g = {
+        (r.event_type, r.bucket, r.rho)
+        for r in spark.table("hll_regs_g").collect()
+    }
+    want_g = {
+        (r.event_type, r.bucket, r.rho)
+        for r in hll.hll_registers(batch, key, b=10, by=("event_type",)).collect()
+    }
+    assert got_g == want_g
+
+
+def test_stream_hll_fold_durable_registers(spark, events_dir, tmp_path):
+    """fold_registers_stream maintains a durable register TxTable across
+    micro-batches (update-mode deltas, union+max fold): after the
+    stream drains — in MULTIPLE batches — the table equals the batch
+    sketch exactly, and the in-engine estimate over it matches the
+    driver-side estimate of the batch registers."""
+    from psy_supabase_spark.operators import hll
+    from psy_supabase_spark.sources.txlog import TxTable
+    from psy_supabase_spark.streaming import cardinality
+
+    key = F.col("user_id").cast("string")
+    root = str(tmp_path / "hll_table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ingest.stream_events(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        cardinality.fold_registers_stream(
+            stream, key, table_root=root, checkpoint=ckpt, b=10
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tx = TxTable(spark, root)
+    assert tx.latest_version() >= 1  # multiple batches folded
+    got = tx.read().collect()
+    batch = load_table(spark, SF, "events")
+    want = hll.hll_registers(batch, key, b=10).collect()
+    assert {(r.bucket, r.rho) for r in got} == {
+        (r.bucket, r.rho) for r in want
+    }
+    dist = hll.hll_estimates(tx.read(), b=10).collect()[0].approx_distinct
+    drv = hll.hll_estimate(want, b=10)
+    assert abs(dist - drv) <= 1e-12 * drv
