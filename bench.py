@@ -1212,7 +1212,16 @@ def main() -> None:
     _probe_run(spark)
     calibrated: dict[str, float] = {}
     probe_meds: dict[str, float] = {}
-    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+
+    def med(xs: list[float]) -> float:
+        # TRUE median: even counts average the two middle values — the
+        # upper-middle shortcut would publish the WORSE rep's ratio for
+        # every 2-rep query (r13 review), a systematic upward bias the
+        # protocol text doesn't describe
+        s = sorted(xs)
+        h = len(s) // 2
+        return s[h] if len(s) % 2 else (s[h - 1] + s[h]) / 2
+
     for name in BENCH_QUERIES:
         best, reps = None, 0
         ratios: list[float] = []
@@ -1434,7 +1443,6 @@ def main() -> None:
     all_calib = sorted(calib_runs + calib_end_runs)
     calib_sec = all_calib[len(all_calib) // 2]
     calib_spread = round((all_calib[-1] - all_calib[0]) / calib_sec, 3)
-    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     calib_drift = round(med(calib_end_runs) / med(calib_runs), 3)
 
     total = round(sum(timings.values()), 3)

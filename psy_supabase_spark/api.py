@@ -823,7 +823,12 @@ class PsyEngine:
                         f"unknown grouping key {k!r}: not an index "
                         "column and not a derivable 'host'/'day'"
                     )
-            sketch_cols = [c for c in cols if c in cached.columns]
+            # a by-key is never also sketched: "distinct keys per that
+            # same key" is identically 1, and the duplicate column
+            # name would make every downstream reference ambiguous
+            sketch_cols = [
+                c for c in cols if c in cached.columns and c not in by
+            ]
             base = cached.select(
                 *keys, *[F.col(c) for c in sketch_cols]
             )
@@ -848,13 +853,31 @@ class PsyEngine:
                     for x in (g if isinstance(g, tuple) else (g,))
                 ),
             )
+            # a group with NO non-null keys in one sketched column
+            # estimates 0.0 (the empty-sketch posture), never null
             rows = [
                 tuple([g] if len(by) == 1 else list(g))
-                + tuple(ests[c].get(g) for c in sketch_cols)
+                + tuple(ests[c].get(g, 0.0) for c in sketch_cols)
                 for g in all_keys
             ]
-            names = list(by) + [f"approx_distinct_{c}" for c in sketch_cols]
-            return self.spark.createDataFrame(rows, names)
+            # explicit schema (key types from the projection itself):
+            # names-only inference crashes on an EMPTY index or an
+            # all-null key column — both realistic operational inputs
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField(k, base.schema[i].dataType, True)
+                    for i, k in enumerate(by)
+                ]
+                + [
+                    T.StructField(
+                        f"approx_distinct_{c}", T.DoubleType(), True
+                    )
+                    for c in sketch_cols
+                ]
+            )
+            return self.spark.createDataFrame(rows, schema)
         finally:
             cached.unpersist()
 

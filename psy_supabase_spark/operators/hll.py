@@ -135,16 +135,8 @@ def hll_estimate(registers, *, b: int = 12) -> float:
     regs = [0] * m
     for bucket, rho in _pairs(registers):
         regs[bucket] = max(regs[bucket], rho)
-    if m >= 128:
-        alpha = 0.7213 / (1 + 1.079 / m)
-    elif m == 64:
-        alpha = 0.709
-    elif m == 32:
-        alpha = 0.697
-    else:
-        alpha = 0.673
     z = sum(2.0 ** -x for x in regs)
-    e = alpha * m * m / z
+    e = _alpha(m) * m * m / z
     zeros = regs.count(0)
     if e <= 2.5 * m and zeros:
         e = m * math.log(m / zeros)
@@ -244,8 +236,11 @@ def hll_estimates_sql(
       THEN {md} * ln({md} / zeros)
       ELSE {amm} / z END AS approx_distinct
     FROM (
+      -- COALESCE mirrors the Spark twin's empty-frame posture: an
+      -- empty ungrouped table estimates 0.0, never NULL
       SELECT {key_sel}
-             CAST(SUM(CAST(1 AS HUGEINT) << ({rmax} - rho)) AS DOUBLE)
+             CAST(COALESCE(SUM(CAST(1 AS HUGEINT) << ({rmax} - rho)), 0)
+                  AS DOUBLE)
                / CAST({float(2**rmax)!r} AS DOUBLE)
                + CAST({m} - COUNT(*) AS DOUBLE) AS z,
              CAST({m} - COUNT(*) AS DOUBLE) AS zeros

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -658,22 +659,36 @@ def resolve_sitemap_index(
     guard (a sitemap index can reference itself); targets still
     unresolved at the bound are dropped.
 
-    Each fetched level is SPILLED to parquet under ``scratch_dir``
-    (default: a fresh OS temp dir) and read back, because the level
-    feeds BOTH the next round's emptiness probe and the returned
-    leaves union: without the spill a lazy fetch leg (payload read +
-    gunzip UDF) would re-execute once per downstream action per level.
-    Parquet-spill instead of ``persist()`` (r12 verdict: the old
-    per-level persists were never released and accumulated in executor
-    storage for the session's lifetime): nothing stays cached after
-    the call returns, the checkpoint survives executor loss, and the
-    caller may delete ``scratch_dir`` once the returned leaves are
-    materialized."""
+    Each fetched level is SPILLED to parquet under ``scratch_dir`` and
+    read back, because the level feeds BOTH the next round's emptiness
+    probe and the returned leaves union: without the spill a lazy
+    fetch leg (payload read + gunzip UDF) would re-execute once per
+    downstream action per level.  Parquet-spill instead of
+    ``persist()`` (r12 verdict: the old per-level persists were never
+    released and accumulated in executor storage for the session's
+    lifetime): nothing stays cached after the call returns, the
+    checkpoint survives executor loss, and the caller may delete
+    ``scratch_dir`` once the returned leaves are materialized.
+
+    ``scratch_dir`` defaults to a subdirectory of the session's
+    configured CHECKPOINT dir when one is set (the cluster-correct
+    location: parquet tasks commit executor-side, so the path must be
+    a shared filesystem), else a driver-local OS temp dir — correct on
+    local[n]; a multi-node deployment without a checkpoint dir MUST
+    pass a shared path (r13 review: a /tmp default would silently
+    read back only driver-local files on a real cluster)."""
     parsed = parse_sitemap(df, xml_col=xml_col, host_col=host_col)
     leaves = parsed.where(~F.col("is_index")).select("host", "url", "lastmod")
     idx = parsed.where(F.col("is_index")).select("host", "url")
     spark = df.sparkSession
-    base = scratch_dir or tempfile.mkdtemp(prefix="sitemap_levels_")
+    base = scratch_dir
+    if base is None:
+        ckpt = spark.sparkContext.getCheckpointDir()
+        base = (
+            f"{ckpt.rstrip('/')}/sitemap_levels_{uuid.uuid4().hex}"
+            if ckpt
+            else tempfile.mkdtemp(prefix="sitemap_levels_")
+        )
     for depth in range(max_depth):
         if not idx.limit(1).count():
             break

@@ -90,13 +90,17 @@ def iter_gunzip_chunks(
     entity) from a failure that merely yielded nothing.  When the
     failed tail follows ≥ 1 complete member, raised ``zlib.error``
     (structurally INVALID bytes — truncation alone never raises, it
-    just stalls into the not-eof branch) and never produced a single
-    output byte, ``status["trailing_garbage"] = True`` additionally
-    marks that everything YIELDED is complete — junk/padding after the
-    last member, not a partially-decoded member (r12 ADVICE: callers
-    were forced to treat a fully-decoded entity with framed padding as
-    a partial decode).  A tail that merely ran out of input keeps the
-    plain error posture: it could be a real member's missing half."""
+    just stalls into the not-eof branch), never produced a single
+    output byte, AND does not even begin with the gzip magic
+    (``1f 8b`` — per spec, bytes without it are not a gzip member at
+    all), ``status["trailing_garbage"] = True`` additionally marks
+    that everything YIELDED is complete — junk/padding after the last
+    member, not a partially-decoded member (r12 ADVICE: callers were
+    forced to treat a fully-decoded entity with framed padding as a
+    partial decode).  A tail that merely ran out of input, or that
+    carries the magic (a REAL member corrupted past its first bytes —
+    its payload is missing, r13 review), keeps the plain error
+    posture."""
     view = memoryview(data)
     pos, n = 0, len(data)
     members = 0
@@ -104,6 +108,7 @@ def iter_gunzip_chunks(
     while pos < n or carry:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         member_out = False  # did THIS member yield any output?
+        m_head = b""  # first bytes of THIS member's input (magic probe)
         try:
             while not d.eof:
                 if carry:
@@ -113,6 +118,8 @@ def iter_gunzip_chunks(
                     pos += len(feed)
                 else:
                     break  # stream ends mid-member (truncated tail)
+                if len(m_head) < 2:
+                    m_head += bytes(feed[: 2 - len(m_head)])
                 out = d.decompress(feed)
                 if out:
                     member_out = True
@@ -125,7 +132,7 @@ def iter_gunzip_chunks(
             if status is not None:
                 status["error"] = True
                 status["members"] = members
-                if members and not member_out:
+                if members and not member_out and m_head != b"\x1f\x8b":
                     status["trailing_garbage"] = True
             return  # corrupt member: keep what decoded, drop the tail
         if not d.eof:

@@ -766,3 +766,35 @@ def test_snapshot_stats_grouped(engine, spark):
 
     with _pytest.raises(ValueError):
         engine.snapshot_stats(idx, by=("nope",))
+
+
+def test_snapshot_stats_grouped_edge_inputs(engine, spark):
+    """Operational edge inputs (r13 review): an EMPTY index returns an
+    empty frame with the right schema (not an inference crash), a
+    by-key that is also a sketched column is excluded (never a
+    duplicate/ambiguous column, never the meaningless 'distinct key
+    per itself'), and a group with no non-null keys in one sketched
+    column estimates 0.0, not null."""
+    empty = spark.createDataFrame([], "url string, digest string")
+    out = engine.snapshot_stats(empty, by=("host",))
+    assert out.columns == [
+        "host", "approx_distinct_url", "approx_distinct_digest",
+    ]
+    assert out.count() == 0
+    # by-key overlaps cols: digest is grouped, not sketched
+    idx = spark.createDataFrame(
+        [(f"http://h{i % 2}.example/p/{i}", f"d{i % 4}") for i in range(40)],
+        "url string, digest string",
+    )
+    by_digest = engine.snapshot_stats(idx, by=("digest",))
+    assert by_digest.columns == ["digest", "approx_distinct_url"]
+    assert by_digest.count() == 4
+    # one host's digests all null -> 0.0 for that group, never null
+    mixed = spark.createDataFrame(
+        [("http://a.example/1", "d1"), ("http://a.example/2", "d2"),
+         ("http://b.example/1", None), ("http://b.example/2", None)],
+        "url string, digest string",
+    )
+    rows = {r.host: r for r in engine.snapshot_stats(mixed, by=("host",)).collect()}
+    assert rows["b.example"].approx_distinct_digest == 0.0
+    assert abs(rows["a.example"].approx_distinct_digest - 2) < 1

@@ -206,9 +206,15 @@ def test_distributed_estimates_match_driver_twin_and_duckdb(spark):
     dist = hll.hll_estimates(big, b=B).collect()[0].approx_distinct
     drv = hll.hll_estimate(big.collect(), b=B)
     assert abs(dist - drv) <= 1e-12 * drv
-    # empty frame -> 0 (the all-zero-registers posture), not null
+    # empty frame -> 0 (the all-zero-registers posture), not null —
+    # in BOTH engines (r13 review: the SQL mirror lacked the COALESCE)
     empty = spark.createDataFrame([], "bucket int, rho int")
     assert hll.hll_estimates(empty, b=B).collect()[0].approx_distinct == 0.0
+    con.execute("CREATE TABLE regs_empty (bucket INT, rho INT)")
+    assert (
+        con.execute(hll.hll_estimates_sql("regs_empty", b=B)).fetchone()[0]
+        == 0.0
+    )
     # engine-only: no Python stage anywhere in the plan
     plan = (
         hll.hll_estimates(regs, by=("host",), b=B)

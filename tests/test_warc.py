@@ -1250,3 +1250,19 @@ def test_index_mime_mixed_case_application_http(spark, tmp_path):
     assert len(idx) == 1
     assert idx[0].mime == "text/html"
     assert idx[0].status == 301
+
+
+def test_gzip_corrupt_second_member_with_magic_stays_partial():
+    """A REAL second member corrupted at its start (gzip magic present,
+    body mangled) is a missing-payload partial, NOT trailing padding
+    (r13 review): decode_error must fire so the record stays
+    truncated."""
+    first = gzip.compress(b"q" * 4_000)
+    second = bytearray(gzip.compress(b"r" * 4_000))
+    second[4:12] = b"\xff" * 8  # keep \x1f\x8b magic, mangle the header
+    st: dict = {}
+    body, total = warc.decode_http_body_bounded(
+        b"content-encoding: gzip", first + bytes(second), 1 << 21, status=st
+    )
+    assert st.get("decode_error") and not st.get("trailing_garbage")
+    assert total == 4_000  # only the first member's entity decoded
