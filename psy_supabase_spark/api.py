@@ -23,7 +23,7 @@ from .functions import json_ops
 from .functions import text as TX
 from .operators import ivf as ivf_ops
 from .operators import ml_udfs, topk, windows
-from .sources.tenancy import DEFAULT_TENANT, TenantStore
+from .sources.tenancy import DEFAULT_TENANT, TenantStore, sanitize_tenant_id
 
 INTERACTIONS = "interactions"
 KNOWLEDGE_BASE = "knowledge_base"
@@ -63,7 +63,7 @@ class PsyEngine:
         before this append would silently exclude the new rows from
         find_similar_documents; the next create_vector_index rebuilds."""
         self.store.append(KNOWLEDGE_BASE, docs.select("content", "embedding"), user_id=user_id)
-        self._ivf_indexes.pop(user_id, None)
+        self._ivf_indexes.pop(sanitize_tenant_id(user_id), None)
 
     # ---- scans (reference query.txt:109-138, database.py:282-314) ----
 
@@ -115,16 +115,28 @@ class PsyEngine:
 
     # ---- retrieval (reference query.txt:186-205, rag_processor.py:26-75) ----
 
+    # GEMM crossover: at ≥ this dim the GEMM kernels beat the expression
+    # folds by ~40× (SCALE.md §width validation).  ONE constant — the
+    # single-query and batch routes must flip kernels together.
+    _GEMM_MIN_DIM = 256
+
     @staticmethod
-    def _is_wide(kb: DataFrame) -> bool:
-        """One head probe: at ≥ dim 256 the GEMM kernels beat the
-        expression folds by ~40× (SCALE.md §width validation).  Facade
-        calls are per-request, so the probe job is acceptable here —
-        never inside a registered query plan."""
+    def _head_dim(kb: DataFrame) -> int | None:
+        """One head probe for the embedding width (None = no non-null
+        vectors).  Facade calls are per-request, so the probe job is
+        acceptable here — never inside a registered query plan.  The
+        single spelling shared by every width-routed facade (r13
+        review: three inline copies carried two copies of the 256
+        threshold)."""
         head = kb.select(F.size("embedding").alias("d")).where(
             F.col("embedding").isNotNull()
         ).head()
-        return head is not None and head["d"] >= 256
+        return None if head is None else int(head["d"])
+
+    @classmethod
+    def _is_wide(cls, kb: DataFrame) -> bool:
+        d = cls._head_dim(kb)
+        return d is not None and d >= cls._GEMM_MIN_DIM
 
     @staticmethod
     def _single_query_gemm(kb: DataFrame, query_vec: Sequence[float], k: int) -> DataFrame:
@@ -147,7 +159,7 @@ class PsyEngine:
         """J1 server semantics: cosine DISTANCE ASC LIMIT k.  Uses the IVF
         index when built (reference builds ivfflat but never routes queries
         through it — we fix that dead fast-path, SURVEY.md §3.1 step 8)."""
-        index = self._ivf_indexes.get(user_id)
+        index = self._ivf_indexes.get(sanitize_tenant_id(user_id))
         if index is not None:
             hits = ivf_ops.ivf_search(index, list(query_vec), k=k, id_col="content", vec_col="embedding")
             return hits.select("content", (F.lit(1.0) - F.col("similarity")).alias("distance"))
@@ -175,9 +187,13 @@ class PsyEngine:
 
     def create_vector_index(self, user_id: str, n_lists: int = 8) -> None:
         """X1: the reference's per-request `CREATE INDEX ivfflat` becomes
-        an explicit batch KMeans build (reference query.txt:208-226)."""
+        an explicit batch KMeans build (reference query.txt:208-226).
+        Indexes key on the SANITIZED tenant id — the partition the store
+        actually writes — so two raw spellings of one tenant share one
+        index and add_documents' invalidation always hits it (r13
+        review)."""
         kb = self.store.scan(KNOWLEDGE_BASE, user_id=user_id)
-        self._ivf_indexes[user_id] = ivf_ops.build_ivf(
+        self._ivf_indexes[sanitize_tenant_id(user_id)] = ivf_ops.build_ivf(
             kb, n_lists=n_lists, id_col="content", vec_col="embedding"
         )
 
@@ -209,23 +225,28 @@ class PsyEngine:
         deliberate opt-ins, not a default.  The reference has no batch path at all
         (one RPC per request, `rag_processor.py:45-65`); this is the
         serving shape its workload actually needs."""
+        if method not in ("auto", "lsh", "lsh_exact_k"):
+            # loud, not a silent fall-through to a different algorithm
+            # with different recall semantics (r13 review)
+            raise ValueError(
+                f"unknown method {method!r}: expected 'auto', 'lsh', or "
+                "'lsh_exact_k'"
+            )
         if method in ("lsh", "lsh_exact_k"):
             from .operators import lsh as lsh_ops
 
             kb = self.store.scan(KNOWLEDGE_BASE, user_id=user_id)
-            head = kb.select(F.size("embedding").alias("d")).where(
-                F.col("embedding").isNotNull()
-            ).head()
+            d = self._head_dim(kb)
             return lsh_ops.srp_topk(
                 kb,
                 queries,
                 k=k,
                 id_col="content",
                 vec_col="embedding",
-                dim=int(head["d"]) if head is not None else 64,
+                dim=d if d is not None else 64,
                 brute_fallback=(method == "lsh_exact_k"),
             ).select("query_id", F.col("content"), "similarity", "rank")
-        index = self._ivf_indexes.get(user_id)
+        index = self._ivf_indexes.get(sanitize_tenant_id(user_id))
         if index is not None:
             return ivf_ops.ivf_search_batch(
                 index, queries, k=k, nprobe=nprobe, id_col="content", vec_col="embedding"
@@ -234,14 +255,8 @@ class PsyEngine:
         # brute route picks the kernel by measured width: the expression
         # KNN's per-pair fold is the narrow-dim winner (no Python
         # boundary); at the reference's real widths (1536/2048) the GEMM
-        # twin wins by ~40× (SCALE.md §width validation).  One head probe
-        # per call — facade calls are per-request, not per-plan.
-        head = kb.select(F.size("embedding").alias("d")).where(
-            F.col("embedding").isNotNull()
-        ).head()
-        join_fn = (
-            topk.knn_join_gemm if head is not None and head["d"] >= 256 else topk.knn_join
-        )
+        # twin wins by ~40× (SCALE.md §width validation).
+        join_fn = topk.knn_join_gemm if self._is_wide(kb) else topk.knn_join
         return join_fn(kb, queries, k=k, corpus_id="content", corpus_vec="embedding").select(
             "query_id", F.col("content"), "similarity", "rank"
         )
@@ -269,9 +284,20 @@ class PsyEngine:
 
     def build_context(self, user_id: str, max_context_turns: int = 3) -> DataFrame:
         """W1: rolling conversation context (reference
-        utilities/text_utils.py:78-120)."""
+        utilities/text_utils.py:78-120).  interactionID is a
+        DETERMINISTIC per-tenant ordinal (row_number over created_at),
+        not monotonically_increasing_id — the latter re-evaluates per
+        action/retry and could hand the same row different ids across
+        collects (r13 review)."""
+        from pyspark.sql import Window
+
         df = self.store.scan(INTERACTIONS, user_id=user_id).withColumn(
-            "interactionID", F.monotonically_increasing_id()
+            "interactionID",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    "created_at", "question"
+                )
+            ),
         )
         return windows.rolling_context(
             df,
@@ -345,19 +371,44 @@ class PsyEngine:
         budget: int = 2048,
         col: str = "text",
         group_col: str = "source",
+        chunk_tokens: int | None = None,
+        overlap: int = 16,
     ) -> DataFrame:
         """Chunks packed into model-token budgets: BPE-exact counts feeding
-        the greedy per-group packer (operators/textanalysis)."""
-        from .functions import bpe
-        from .operators.textanalysis import pack_sequences
+        the greedy per-group packer (operators/textanalysis).
 
+        ``chunk_tokens`` routes documents through
+        `textanalysis.chunk_documents` FIRST (overlapping whitespace
+        windows, real chunk_idx), so a document longer than ``budget``
+        splits instead of riding through as one over-budget "chunk"
+        (r13 review: the default whole-doc path emits an oversized
+        sequence per pack_sequences' oversized-chunk rule — fine when
+        the caller pre-chunked, a trap otherwise).  Pick
+        ``chunk_tokens`` comfortably below ``budget`` — BPE counts run
+        ABOVE whitespace counts (subword splits), so budget//2 is a
+        safe default choice.  The default ``None`` keeps the
+        caller-pre-chunked contract."""
+        from .functions import bpe
+        from .operators.textanalysis import chunk_documents, pack_sequences
+
+        src = docs
+        text_col = col
+        if chunk_tokens is not None:
+            src = chunk_documents(
+                docs.select("doc_id", F.col(col).alias("text")),
+                chunk_tokens=chunk_tokens,
+                overlap=overlap,
+            ).join(docs.select("doc_id", group_col), "doc_id")
+            text_col = "chunk"
         # pack_sequences emits an all-long schema: derive a numeric group
         # key from the (possibly string) grouping column
-        chunks = docs.select(
+        chunks = src.select(
             F.xxhash64(F.col(group_col)).alias("group_key"),
             F.col("doc_id"),
-            F.lit(0).alias("chunk_idx"),
-            bpe.bpe_token_count(col, merges).alias("n_tokens"),
+            (F.col("chunk_idx") if chunk_tokens is not None else F.lit(0)).alias(
+                "chunk_idx"
+            ),
+            bpe.bpe_token_count(text_col, merges).alias("n_tokens"),
         )
         return pack_sequences(chunks, budget=budget, group_col="group_key", tokens_col="n_tokens")
 
@@ -689,12 +740,19 @@ class PsyEngine:
         snapshot) → the per-host rule table: read the shards, keep the
         /robots.txt responses, decode bodies, parse directives into
         (host, group, agents, directive, path) via the declarative
-        parser (operators/robots)."""
+        parser (operators/robots).
+
+        HTTP wire codings are decoded by DEFAULT (r13 review): a
+        robots.txt served with ``Content-Encoding: gzip`` would
+        otherwise parse as byte noise → zero rules → the RFC's
+        allowed-by-default posture, i.e. a silent politeness violation
+        on every path the host disallowed."""
         from pyspark.sql import functions as F
 
         from .operators.robots import robots_rules
         from .sources.warc import read_warc
 
+        kw.setdefault("decode_http_body", True)
         recs = read_warc(self.spark, path, **kw).where(
             F.col("target_uri").endswith("/robots.txt")
             & (F.col("http_status") == 200)
@@ -844,10 +902,17 @@ class PsyEngine:
                     (r[0] if nk == 1 else tuple(r[:nk])): r[nk]
                     for r in est_rows
                 }
+            # group universe from the BASE frame, not the register
+            # frames (r13 review: a group whose every sketched column
+            # is null appears in no register frame and would silently
+            # vanish from the card instead of carrying 0.0 rows);
             # null-safe deterministic ordering (unparsable-URL hosts
             # are a null group like any other)
             all_keys = sorted(
-                {g for e in ests.values() for g in e},
+                {
+                    (r[0] if nk == 1 else tuple(r))
+                    for r in base.select(*by).distinct().collect()
+                },
                 key=lambda g: tuple(
                     (x is None, x)
                     for x in (g if isinstance(g, tuple) else (g,))
@@ -951,12 +1016,20 @@ class PsyEngine:
             order = F.struct(
                 F.col(url_col), *[F.col(c) for c in cols if c != url_col]
             )
+            # NULL urls pass through un-collapsed (r13 review): a null
+            # canonical key is absence of evidence, not one shared
+            # identity — grouping them would silently discard all but
+            # one of N distinct (offset-fetchable) captures.
+            # canonical_url_key itself never nulls a NON-null url (it
+            # falls back to lower(url) for unparsable ones).
+            with_url = idx.where(F.col(url_col).isNotNull())
             idx = (
-                idx.groupBy(
+                with_url.groupBy(
                     canonical_url_key(F.col(url_col)).alias("_ck")
                 )
                 .agg(F.min_by(F.struct(*cols), order).alias("_row"))
                 .select("_row.*")
+                .unionByName(idx.where(F.col(url_col).isNull()))
             )
         hosted = (
             self.frontier_allowed(

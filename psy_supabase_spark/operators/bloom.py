@@ -314,5 +314,14 @@ def filter_unseen(
     """The incremental-crawl primitive: keep only rows whose key the
     filter has NOT seen (definitely-new — Bloom misses are exact; a
     false positive drops a genuinely-new row at the priced fp rate,
-    the standard recall/cost trade of frontier dedup)."""
-    return df.where(~bloom_contains_expr(col, words, m_bits, k))
+    the standard recall/cost trade of frontier dedup).
+
+    NULL keys pass through (r13 review): no digest = no membership
+    evidence = keep — the `cdx.dedupe_captures` posture.  Without the
+    guard, ``~NULL`` is NULL and the filter silently dropped every
+    null-key row, which empties an entire crawl round when the index
+    was built digest-less (`index_warc_members`' default)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return df.where(
+        c.isNull() | ~bloom_contains_expr(col, words, m_bits, k)
+    )

@@ -24,6 +24,22 @@ from pyspark.sql import functions as F
 
 DEFAULT_TENANT = "default"  # reference database.py:21-22
 
+# schemas of the two reference tables as the engine's own appends shape
+# them (entity columns + the append-added user_id/created_at): the
+# empty-warehouse scan fallback needs them because parquet cannot
+# represent a zero-file table (r13 review: a fresh engine crashed with
+# PATH_NOT_FOUND before the reference's default-KB fallback could apply)
+TABLE_SCHEMAS = {
+    "interactions": (
+        "context string, question string, answer string, metadata string, "
+        "user_id string, created_at timestamp"
+    ),
+    "knowledge_base": (
+        "content string, embedding array<double>, "
+        "user_id string, created_at timestamp"
+    ),
+}
+
 
 def sanitize_tenant_id(user_id: str) -> str:
     """Identifier sanitation parity (reference database.py:267-272):
@@ -63,8 +79,14 @@ class TenantStore:
 
     def scan(self, table: str, *, user_id: str | None = None) -> DataFrame:
         """S1-S3 scans; the user_id filter prunes to one partition
-        directory (the Spark spelling of schema isolation)."""
-        df = self.spark.read.parquet(self._path(table))
+        directory (the Spark spelling of schema isolation).  A table no
+        append has created yet scans as EMPTY (known schemas from
+        TABLE_SCHEMAS) — the reference's pre-first-insert posture, not
+        a PATH_NOT_FOUND crash (r13 review)."""
+        if not self.table_exists(table) and table in TABLE_SCHEMAS:
+            df = self.spark.createDataFrame([], TABLE_SCHEMAS[table])
+        else:
+            df = self.spark.read.parquet(self._path(table))
         if user_id is not None:
             df = df.where(F.col("user_id") == sanitize_tenant_id(user_id))
         return df

@@ -798,3 +798,156 @@ def test_snapshot_stats_grouped_edge_inputs(engine, spark):
     rows = {r.host: r for r in engine.snapshot_stats(mixed, by=("host",)).collect()}
     assert rows["b.example"].approx_distinct_digest == 0.0
     assert abs(rows["a.example"].approx_distinct_digest - 2) < 1
+
+
+def test_fresh_warehouse_scans_empty_not_crash(spark, tmp_path):
+    """A brand-new engine (no append ever) scans its tables as EMPTY
+    frames with the known schemas — the reference's pre-first-insert
+    posture — instead of raising PATH_NOT_FOUND (r13 review)."""
+    eng = PsyEngine(spark, str(tmp_path / "fresh_wh"))
+    assert eng.get_relevant_documents("nobody", [1.0, 0.0]).collect() == []
+    assert eng.get_conversation_history("nobody").collect() == []
+    assert eng.find_similar_documents("nobody", [1.0, 0.0]).collect() == []
+
+
+def test_ivf_index_keys_on_sanitized_tenant(spark, tmp_path):
+    """Two raw spellings of one tenant share one IVF index, so an
+    append under either spelling invalidates it (r13 review: a raw-id
+    key left a stale index that silently excluded new documents)."""
+    from pyspark.sql import functions as F
+
+    eng = PsyEngine(spark, str(tmp_path / "wh2"))
+    docs = spark.createDataFrame(
+        [(f"doc{i}", [float(i), 1.0]) for i in range(8)],
+        "content string, embedding array<double>",
+    )
+    eng.add_documents("user 1", docs)  # sanitizes to user_1
+    eng.create_vector_index("user 1", n_lists=2)
+    assert "user_1" in eng._ivf_indexes
+    extra = spark.createDataFrame(
+        [("newdoc", [100.0, 1.0])], "content string, embedding array<double>"
+    )
+    eng.add_documents("user_1", extra)  # same tenant, other spelling
+    assert eng._ivf_indexes == {}  # stale index invalidated
+    hits = eng.find_similar_documents("user 1", [100.0, 1.0], k=1).collect()
+    assert hits[0].content == "newdoc"
+
+
+def test_batch_method_validation(engine, spark):
+    """An unrecognized method raises instead of silently routing to a
+    different algorithm (r13 review)."""
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="unknown method"):
+        engine.find_similar_documents_batch("alice", queries, method="LSH")
+
+
+def test_plan_crawl_round_null_url_and_null_digest_pass_through(engine, spark):
+    """Null-evidence rows survive the dedup legs (r13 review): null
+    digests pass filter_unseen (no membership evidence — they are
+    offset-fetchable captures), and null URLs pass dedup_canonical
+    un-collapsed (a null key is not one shared identity)."""
+    from psy_supabase_spark.operators import bloom as BL
+    from psy_supabase_spark.operators.robots import robots_rules
+
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("x.example", "User-agent: *\nAllow: /\n")],
+            "host string, robots_txt string",
+        )
+    )
+    idx = spark.createDataFrame(
+        [
+            ("http://x.example/a", None, "1", "f", 0),
+            ("http://x.example/b", None, "1", "f", 100),
+            (None, "d1", "1", "f", 200),
+            (None, "d2", "1", "f", 300),
+        ],
+        "url string, digest string, timestamp string, filename string, offset long",
+    )
+    m, k = BL.bloom_params(10, 0.01)
+    seen = (BL.bloom_local(["dX"], m, k), m, k)
+    out = engine.plan_crawl_round(
+        idx, rules, seen, agent="bot", dedup_canonical=True
+    ).collect()
+    # both null-digest rows survived the bloom leg; both null-URL rows
+    # survived the canonical collapse (they drop later only because a
+    # null host has no robots verdict -> frontier keeps them: check)
+    urls = sorted((r.url or "~null") for r in out)
+    assert urls.count("http://x.example/a") == 1
+    assert urls.count("http://x.example/b") == 1
+
+
+def test_build_context_interaction_id_deterministic(engine):
+    """interactionID is a stable per-tenant ordinal: identical across
+    repeated collects (r13 review: monotonically_increasing_id could
+    re-evaluate differently per action)."""
+    a = {r.interactionID for r in engine.build_context("alice").collect()}
+    b = {r.interactionID for r in engine.build_context("alice").collect()}
+    assert a == b and min(a) == 1
+
+
+def test_pack_for_training_chunks_oversized_docs(engine, spark):
+    """chunk_tokens splits an over-budget document into real chunks
+    before packing (r13 review: the whole-doc path rode a 10x-budget
+    doc through as one oversized sequence)."""
+    big = " ".join(f"w{i}" for i in range(500))
+    docs = spark.createDataFrame(
+        [(0, big, "s1"), (1, "tiny doc", "s1")],
+        "doc_id long, text string, source string",
+    )
+    packed = engine.pack_for_training(
+        docs, merges=[], budget=100, chunk_tokens=50, overlap=10
+    )
+    rows = packed.collect()
+    # the over-budget doc arrives as MULTIPLE real chunks, not one
+    # oversized pseudo-chunk
+    assert len({(r.doc_id, r.chunk_idx) for r in rows if r.doc_id == 0}) > 1
+
+
+def test_robots_policy_decodes_wire_encoded_captures(engine, tmp_path):
+    """A robots.txt capture served with Content-Encoding: gzip parses
+    to its real rules (r13 review: without default decoding it parsed
+    as byte noise -> zero rules -> allowed-by-default, a silent
+    politeness violation)."""
+    import gzip
+
+    robots_txt = b"User-agent: *\nDisallow: /secret\n"
+    gz_body = gzip.compress(robots_txt)
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gz_body
+    )
+    rec = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: http://gz.example/robots.txt\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode() + http + b"\r\n\r\n"
+    d = tmp_path / "rbgz"
+    d.mkdir()
+    (d / "r.warc.gz").write_bytes(gzip.compress(rec))
+    rules = engine.robots_policy(str(d))
+    assert [(r.host, r.directive, r.path) for r in rules.collect()] == [
+        ("gz.example", "disallow", "/secret")
+    ]
+
+
+def test_snapshot_stats_group_with_no_registers_still_rows(engine, spark):
+    """A group whose EVERY sketched column is all-null appears in no
+    register frame but must still carry a 0.0 row in the card (r13
+    review: the group universe comes from the base frame, not the
+    register frames)."""
+    idx = spark.createDataFrame(
+        [("http://a.example/1", "d1"), ("http://b.example/1", None)],
+        "url string, digest string",
+    )
+    rows = {
+        r.host: r.approx_distinct_digest
+        for r in engine.snapshot_stats(
+            idx, by=("host",), cols=("digest",)
+        ).collect()
+    }
+    assert set(rows) == {"a.example", "b.example"}
+    assert rows["b.example"] == 0.0

@@ -185,3 +185,21 @@ def test_bloom_merge_equals_joint_build(spark):
     with pytest.raises(ValueError):
         bloom.bloom_merge(bloom.bloom_local(a, M, K), bloom.bloom_local(a, 2 * M, K))
     assert bloom.bloom_merge() == []
+
+
+def test_filter_unseen_null_keys_pass_through(spark):
+    """NULL keys carry no membership evidence and must pass (the
+    dedupe_captures posture) — ~NULL is NULL and silently dropped them
+    before (r13 review)."""
+    from psy_supabase_spark.operators import bloom
+
+    m, k = bloom.bloom_params(10, 0.01)
+    words = bloom.bloom_local(["seen"], m, k)
+    df = spark.createDataFrame(
+        [("seen",), ("new",), (None,)], "key string"
+    )
+    got = sorted(
+        (r.key or "~null")
+        for r in bloom.filter_unseen(df, "key", words, m, k).collect()
+    )
+    assert got == ["new", "~null"]
