@@ -291,11 +291,15 @@ class PsyEngine:
         collects (r13 review)."""
         from pyspark.sql import Window
 
+        # full-row tie-breakers: a multi-row append stamps ONE
+        # current_timestamp on all its rows, so created_at alone (or
+        # +question) still ties — every remaining column joins the
+        # ordering so the ordinal is total (r13 review)
         df = self.store.scan(INTERACTIONS, user_id=user_id).withColumn(
             "interactionID",
             F.row_number().over(
                 Window.partitionBy("user_id").orderBy(
-                    "created_at", "question"
+                    "created_at", "question", "answer", "context", "metadata"
                 )
             ),
         )
@@ -1021,15 +1025,29 @@ class PsyEngine:
             # identity — grouping them would silently discard all but
             # one of N distinct (offset-fetchable) captures.
             # canonical_url_key itself never nulls a NON-null url (it
-            # falls back to lower(url) for unparsable ones).
-            with_url = idx.where(F.col(url_col).isNotNull())
+            # falls back to lower(url) for unparsable ones).  Spelled
+            # as ONE pass — a null-url row gets a row-unique surrogate
+            # key (its full column tuple under a reserved prefix) —
+            # because a two-branch where/union would re-execute the
+            # whole upstream (dedupe_captures window + bloom probe)
+            # once per branch; byte-identical null-url rows collapsing
+            # together is the no-op case.
+            surrogate = F.concat_ws(
+                "\x00",
+                F.lit("\x00nourl"),
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x01null"))
+                    for c in cols
+                ],
+            )
+            ck = F.when(
+                F.col(url_col).isNotNull(),
+                canonical_url_key(F.col(url_col)),
+            ).otherwise(surrogate)
             idx = (
-                with_url.groupBy(
-                    canonical_url_key(F.col(url_col)).alias("_ck")
-                )
+                idx.groupBy(ck.alias("_ck"))
                 .agg(F.min_by(F.struct(*cols), order).alias("_row"))
                 .select("_row.*")
-                .unionByName(idx.where(F.col(url_col).isNull()))
             )
         hosted = (
             self.frontier_allowed(

@@ -321,7 +321,6 @@ def filter_unseen(
     guard, ``~NULL`` is NULL and the filter silently dropped every
     null-key row, which empties an entire crawl round when the index
     was built digest-less (`index_warc_members`' default)."""
-    c = F.col(col) if isinstance(col, str) else col
     return df.where(
-        c.isNull() | ~bloom_contains_expr(col, words, m_bits, k)
+        _c(col).isNull() | ~bloom_contains_expr(col, words, m_bits, k)
     )

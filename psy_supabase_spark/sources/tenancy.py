@@ -30,13 +30,18 @@ DEFAULT_TENANT = "default"  # reference database.py:21-22
 # represent a zero-file table (r13 review: a fresh engine crashed with
 # PATH_NOT_FOUND before the reference's default-KB fallback could apply)
 TABLE_SCHEMAS = {
+    # column ORDER matches a real partitioned read: file columns (entity
+    # + the append-added created_at) first, the user_id PARTITION column
+    # appended last by the parquet reader — fresh and populated
+    # warehouses must scan with identical positional schemas (r13
+    # review)
     "interactions": (
         "context string, question string, answer string, metadata string, "
-        "user_id string, created_at timestamp"
+        "created_at timestamp, user_id string"
     ),
     "knowledge_base": (
         "content string, embedding array<double>, "
-        "user_id string, created_at timestamp"
+        "created_at timestamp, user_id string"
     ),
 }
 
@@ -82,11 +87,18 @@ class TenantStore:
         directory (the Spark spelling of schema isolation).  A table no
         append has created yet scans as EMPTY (known schemas from
         TABLE_SCHEMAS) — the reference's pre-first-insert posture, not
-        a PATH_NOT_FOUND crash (r13 review)."""
-        if not self.table_exists(table) and table in TABLE_SCHEMAS:
-            df = self.spark.createDataFrame([], TABLE_SCHEMAS[table])
-        else:
+        a PATH_NOT_FOUND crash.  Detected by ATTEMPTING the read and
+        catching the reader's own path-not-found, not by probing the
+        local filesystem (r13 review: an os.path probe reads every
+        remote warehouse — s3a://, hdfs:// — as absent and would
+        silently scan populated tables as empty)."""
+        try:
             df = self.spark.read.parquet(self._path(table))
+        except Exception as e:  # AnalysisException on any filesystem
+            missing = "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+            if not (missing and table in TABLE_SCHEMAS):
+                raise
+            df = self.spark.createDataFrame([], TABLE_SCHEMAS[table])
         if user_id is not None:
             df = df.where(F.col("user_id") == sanitize_tenant_id(user_id))
         return df

@@ -808,6 +808,12 @@ def test_fresh_warehouse_scans_empty_not_crash(spark, tmp_path):
     assert eng.get_relevant_documents("nobody", [1.0, 0.0]).collect() == []
     assert eng.get_conversation_history("nobody").collect() == []
     assert eng.find_similar_documents("nobody", [1.0, 0.0]).collect() == []
+    # the empty fallback's POSITIONAL schema matches a populated
+    # partitioned read (partition column last) — a positional union of
+    # fresh and populated tenants must not swap columns (r13 review)
+    fresh_cols = eng.store.scan("interactions").columns
+    eng.add_interaction("u", context=None, question="q", answer="a")
+    assert eng.store.scan("interactions").columns == fresh_cols
 
 
 def test_ivf_index_keys_on_sanitized_tenant(spark, tmp_path):
