@@ -49,12 +49,18 @@ class PsyEngine:
         answer: str,
         metadata: str | None = None,
     ) -> None:
-        """S5: append one conversation turn; engine assigns created_at."""
+        """S5: append one conversation turn; engine assigns created_at
+        and a STORED per-tenant interaction_id at insert time — the
+        reference's SERIAL (query.txt:63, r13 verdict: assign-at-append
+        keeps ids stable across later appends and makes the
+        build_context read path sort-free)."""
         df = self.spark.createDataFrame(
             [(context, question, answer, metadata)],
             "context string, question string, answer string, metadata string",
         )
-        self.store.append(INTERACTIONS, df, user_id=user_id)
+        self.store.append(
+            INTERACTIONS, df, user_id=user_id, ordinal_col="interaction_id"
+        )
 
     def add_documents(self, user_id: str, docs: DataFrame) -> None:
         """S6: append (content, embedding) rows — native array column, no
@@ -284,29 +290,35 @@ class PsyEngine:
 
     def build_context(self, user_id: str, max_context_turns: int = 3) -> DataFrame:
         """W1: rolling conversation context (reference
-        utilities/text_utils.py:78-120).  interactionID is a
-        DETERMINISTIC per-tenant ordinal (row_number over created_at),
-        not monotonically_increasing_id — the latter re-evaluates per
-        action/retry and could hand the same row different ids across
-        collects (r13 review)."""
-        from pyspark.sql import Window
+        utilities/text_utils.py:78-120).  interactionID is the STORED
+        per-tenant ordinal `add_interaction` assigned at insert time
+        (the reference's SERIAL, query.txt:63) — the read path neither
+        re-sorts the tenant's full history by multi-KB text columns nor
+        renumbers when a later append lands (r13 verdict: the old
+        read-time row_number did both).  Legacy warehouses written
+        before the stored ordinal fall back to the deterministic
+        read-time ordinal (full-column ordering: a multi-row append
+        stamps ONE current_timestamp, so created_at alone ties)."""
+        df = self.store.scan(INTERACTIONS, user_id=user_id)
+        if "interaction_id" in df.columns:
+            df = df.withColumn(
+                "interactionID", F.col("interaction_id").cast("int")
+            )
+        else:  # pre-r14 files: no stored ordinal on disk
+            from pyspark.sql import Window
 
-        # full-row tie-breakers: a multi-row append stamps ONE
-        # current_timestamp on all its rows, so created_at alone (or
-        # +question) still ties — every remaining column joins the
-        # ordering so the ordinal is total (r13 review)
-        df = self.store.scan(INTERACTIONS, user_id=user_id).withColumn(
-            "interactionID",
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy(
-                    "created_at", "question", "answer", "context", "metadata"
-                )
-            ),
-        )
+            df = df.withColumn(
+                "interactionID",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        "created_at", "question", "answer", "context", "metadata"
+                    )
+                ),
+            )
         return windows.rolling_context(
             df,
             partition_by="user_id",
-            order_by=["created_at"],
+            order_by=["interactionID"],
             render=F.format_string("Q: %s A: %s", F.col("question"), F.col("answer")),
             n_turns=max_context_turns,
         )
@@ -1026,27 +1038,26 @@ class PsyEngine:
             # one of N distinct (offset-fetchable) captures.
             # canonical_url_key itself never nulls a NON-null url (it
             # falls back to lower(url) for unparsable ones).  Spelled
-            # as ONE pass — a null-url row gets a row-unique surrogate
-            # key (its full column tuple under a reserved prefix) —
-            # because a two-branch where/union would re-execute the
-            # whole upstream (dedupe_captures window + bloom probe)
-            # once per branch; byte-identical null-url rows collapsing
-            # together is the no-op case.
-            surrogate = F.concat_ws(
-                "\x00",
-                F.lit("\x00nourl"),
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x01null"))
-                    for c in cols
-                ],
-            )
+            # as ONE pass — a two-branch where/union would re-execute
+            # the whole upstream (dedupe_captures window + bloom probe)
+            # once per branch — over a TWO-column group key: non-null
+            # urls carry (_ck=canonical key, _nu=null) and group by the
+            # key; null-url rows carry (_ck=null, _nu=their full row
+            # STRUCT), so only byte-identical null-url rows collapse
+            # (the no-op case).  The struct IS the identity — no
+            # delimiter-joined strings, so no separator/sentinel
+            # ambiguity and no hash-collision window (r13 ADVICE: the
+            # old concat_ws surrogate could alias two distinct rows
+            # whose values contained the \\x00 separator).
+            row_struct = F.struct(*[F.col(c) for c in cols])
             ck = F.when(
                 F.col(url_col).isNotNull(),
                 canonical_url_key(F.col(url_col)),
-            ).otherwise(surrogate)
+            )
+            nu = F.when(F.col(url_col).isNull(), row_struct)
             idx = (
-                idx.groupBy(ck.alias("_ck"))
-                .agg(F.min_by(F.struct(*cols), order).alias("_row"))
+                idx.groupBy(ck.alias("_ck"), nu.alias("_nu"))
+                .agg(F.min_by(row_struct, order).alias("_row"))
                 .select("_row.*")
             )
         hosted = (

@@ -187,14 +187,26 @@ def hll_estimates(
     double division / log run per group — so the estimate is
     deterministic whatever order partitions combine in, and agrees
     with the driver-side float math to the last few ulps (only the
-    int→double rounding point differs)."""
+    int→double rounding point differs).
+
+    Duplicate (by…, bucket) rows are FOLDED internally (max rho per
+    bucket) before aggregating — so a register frame built by the
+    module's advertised merge pattern ("union the register frames")
+    estimates correctly even when the caller skipped the max
+    re-aggregation (r13 ADVICE: count(*) over duplicated buckets
+    inflated the occupied-register count, driving zeros negative).
+    The fold is idempotent on already-unique frames and sketch-sized
+    either way."""
     m = 1 << b
     rmax = _HASH_BITS - b + 1
     keys = list(by)
+    folded = registers.groupBy(*keys, "bucket").agg(
+        F.max("rho").alias("rho")
+    )
     # expr spelling: the python shiftleft() binding takes only a
     # literal int bit count; SQL shiftleft takes any int expression
     pow2 = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - rho)")
-    agg = registers.groupBy(*keys).agg(
+    agg = folded.groupBy(*keys).agg(
         # coalesce: an EMPTY ungrouped frame still estimates 0 (the
         # driver-side twin's all-zero-registers posture), not null
         F.coalesce(
@@ -220,7 +232,8 @@ def hll_estimates_sql(
     rho) — HUGEINT carries the exact integer sum.  Estimates agree
     with Spark's to float-ulp level (assert with a 1e-12 relative
     band, not bit equality: the two engines' ``ln`` may differ in the
-    last ulp)."""
+    last ulp).  Duplicate-bucket rows fold to max(rho) first, same as
+    the Spark twin (r13 ADVICE)."""
     m = 1 << b
     rmax = _HASH_BITS - b + 1
     # CAST every float literal: DuckDB parses bare decimal literals as
@@ -231,6 +244,7 @@ def hll_estimates_sql(
     keys = ", ".join(by)
     key_sel = f"{keys}, " if by else ""
     group = f"GROUP BY {keys}" if by else ""
+    fold_group = f"GROUP BY {keys}, bucket" if by else "GROUP BY bucket"
     return f"""SELECT {key_sel}CASE
       WHEN {amm} / z <= CAST({2.5 * m!r} AS DOUBLE) AND zeros > 0
       THEN {md} * ln({md} / zeros)
@@ -244,7 +258,11 @@ def hll_estimates_sql(
                / CAST({float(2**rmax)!r} AS DOUBLE)
                + CAST({m} - COUNT(*) AS DOUBLE) AS z,
              CAST({m} - COUNT(*) AS DOUBLE) AS zeros
-      FROM {registers_cte} {group}
+      FROM (
+        -- duplicate-bucket fold, the Spark twin's posture
+        SELECT {key_sel}bucket, MAX(rho) AS rho
+        FROM {registers_cte} {fold_group}
+      ) {group}
     )"""
 
 

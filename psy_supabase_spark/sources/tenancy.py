@@ -37,7 +37,7 @@ TABLE_SCHEMAS = {
     # review)
     "interactions": (
         "context string, question string, answer string, metadata string, "
-        "created_at timestamp, user_id string"
+        "created_at timestamp, interaction_id bigint, user_id string"
     ),
     "knowledge_base": (
         "content string, embedding array<double>, "
@@ -69,18 +69,53 @@ class TenantStore:
         """S8 parity (`get_schema_exists`, query.txt:17-26)."""
         return os.path.isdir(self._path(table))
 
-    def append(self, table: str, df: DataFrame, *, user_id: str) -> None:
+    def append(
+        self,
+        table: str,
+        df: DataFrame,
+        *,
+        user_id: str,
+        ordinal_col: str | None = None,
+    ) -> None:
         """S5/S6 sink parity: tenant-tagged append, server-side timestamp
         (reference add_interaction, query.txt:161-183).  Lazy 'DDL': the
-        first append creates the layout (S7 parity)."""
+        first append creates the layout (S7 parity).
+
+        ``ordinal_col`` (r13 verdict: the reference's SERIAL semantics,
+        assigned at INSERT) stamps a STORED per-tenant ordinal on the
+        batch: max existing ordinal for this tenant + a deterministic
+        1-based row_number within the batch (ordered by the batch's own
+        columns, so retries assign identically).  Monotone per tenant,
+        not gapless — exactly SERIAL's contract.  The max-probe is one
+        pruned-partition scan returning one scalar; the batch window is
+        a single task over the batch, which is fine because appends are
+        request-sized (the reference's INSERT ... VALUES path) — bulk
+        backfills should pre-assign the column themselves.  Contract:
+        one writer per tenant at a time (the reference gets this from
+        Postgres; a lake gets it from the ingest topology)."""
         tenant = sanitize_tenant_id(user_id)
-        (
-            df.withColumn("user_id", F.lit(tenant))
-            .withColumn("created_at", F.current_timestamp())
-            .write.mode("append")
-            .partitionBy("user_id")
-            .parquet(self._path(table))
+        out = df.withColumn("user_id", F.lit(tenant)).withColumn(
+            "created_at", F.current_timestamp()
         )
+        if ordinal_col is not None:
+            from pyspark.sql import Window
+
+            existing = self.scan(table, user_id=user_id)
+            start = 0
+            if ordinal_col in existing.columns:
+                head = existing.agg(F.max(ordinal_col).alias("mx")).head()
+                if head is not None and head["mx"] is not None:
+                    start = int(head["mx"])
+            out = out.withColumn(
+                ordinal_col,
+                (
+                    F.lit(start)
+                    + F.row_number().over(
+                        Window.orderBy(*[F.col(c) for c in df.columns])
+                    )
+                ).cast("long"),
+            )
+        out.write.mode("append").partitionBy("user_id").parquet(self._path(table))
 
     def scan(self, table: str, *, user_id: str | None = None) -> DataFrame:
         """S1-S3 scans; the user_id filter prunes to one partition
@@ -91,12 +126,23 @@ class TenantStore:
         catching the reader's own path-not-found, not by probing the
         local filesystem (r13 review: an os.path probe reads every
         remote warehouse — s3a://, hdfs:// — as absent and would
-        silently scan populated tables as empty)."""
+        silently scan populated tables as empty).  The catch is the
+        TYPED AnalysisException and the STABLE error class
+        (PATH_NOT_FOUND), not a message substring (r13 ADVICE: message
+        text varies by Spark version/locale, and a broad except could
+        misclassify an unrelated error as an empty table)."""
+        from pyspark.errors import AnalysisException
+
         try:
             df = self.spark.read.parquet(self._path(table))
-        except Exception as e:  # AnalysisException on any filesystem
-            missing = "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
-            if not (missing and table in TABLE_SCHEMAS):
+        except AnalysisException as e:
+            # getCondition is the 4.x name; getErrorClass its deprecated
+            # alias — probe both so either Spark lineage resolves it
+            get_cls = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            cond = get_cls() if get_cls is not None else None
+            if not (cond == "PATH_NOT_FOUND" and table in TABLE_SCHEMAS):
                 raise
             df = self.spark.createDataFrame([], TABLE_SCHEMAS[table])
         if user_id is not None:

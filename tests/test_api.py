@@ -894,6 +894,47 @@ def test_build_context_interaction_id_deterministic(engine):
     assert a == b and min(a) == 1
 
 
+def test_interaction_id_stored_stable_and_sortfree_read(spark, tmp_path):
+    """The per-tenant interactionID is ASSIGNED AT APPEND (the
+    reference's SERIAL, r13 verdict): ids of existing rows never change
+    when a later append lands, each append continues max+1 per tenant,
+    and the build_context READ path carries no window over the text
+    columns (the old read-time row_number re-sorted full history by
+    multi-KB tie-breakers on every call)."""
+    eng = PsyEngine(spark, str(tmp_path / "wh_ordinal"))
+    eng.add_interaction("alice", context=None, question="q1", answer="a1")
+    eng.add_interaction("alice", context=None, question="q2", answer="a2")
+    before = {
+        r.question: r.interactionID for r in eng.build_context("alice").collect()
+    }
+    assert before == {"q1": 1, "q2": 2}
+    # a subsequent append must EXTEND the sequence, never renumber
+    eng.add_interaction("alice", context=None, question="q3", answer="a3")
+    eng.add_interaction("bob", context=None, question="bq", answer="ba")
+    after = {
+        r.question: r.interactionID for r in eng.build_context("alice").collect()
+    }
+    assert after == {"q1": 1, "q2": 2, "q3": 3}
+    assert {
+        r.question: r.interactionID for r in eng.build_context("bob").collect()
+    } == {"bq": 1}  # per-tenant sequences are independent
+    # read path: the only window is rolling_context's, keyed on the
+    # stored ordinal — no windowspec orders by question/answer/etc.
+    plan = (
+        eng.build_context("alice")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    specs = [
+        seg.split("specifiedwindowframe")[0]
+        for seg in plan.split("windowspecdefinition")[1:]
+    ]
+    assert specs, "rolling_context window missing from the plan"
+    for spec in specs:  # partition + ordering clause only
+        assert "question" not in spec and "answer" not in spec, spec
+
+
 def test_pack_for_training_chunks_oversized_docs(engine, spark):
     """chunk_tokens splits an over-budget document into real chunks
     before packing (r13 review: the whole-doc path rode a 10x-budget

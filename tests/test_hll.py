@@ -221,3 +221,48 @@ def test_distributed_estimates_match_driver_twin_and_duckdb(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_estimates_fold_duplicate_buckets(spark):
+    """A register frame with DUPLICATE (by..., bucket) rows — the
+    module's advertised merge pattern applied as a bare union, without
+    the max re-aggregation — must estimate exactly like the folded
+    frame in BOTH engines (r13 ADVICE: count(*) over duplicates
+    inflated the occupied count and could drive zeros negative)."""
+    keys = _keys(600)
+    regs = hll.hll_registers(_df(spark, keys), "url", b=B)
+    want = hll.hll_estimate(regs.collect(), b=B)
+    # bare union: every bucket row appears twice, rho values diverge on
+    # the second copy (max must win, not last/first)
+    lowered = regs.select("bucket", F.greatest(F.col("rho") - 1, F.lit(1)).alias("rho"))
+    dup = regs.unionByName(lowered)
+    got = hll.hll_estimates(dup, b=B).collect()[0].approx_distinct
+    assert got == pytest.approx(want, rel=1e-12)
+    # grouped spelling, same contract
+    gregs = hll.hll_registers(
+        spark.createDataFrame(
+            [(f"h{i % 2}", u) for i, u in enumerate(keys)], "host string, url string"
+        ),
+        "url",
+        b=B,
+        by=("host",),
+    )
+    gwant = hll.hll_estimate_by(gregs.collect(), by=("host",), b=B)
+    gdup = gregs.unionByName(
+        gregs.select("host", "bucket", F.greatest(F.col("rho") - 1, F.lit(1)).alias("rho"))
+    )
+    ggot = {
+        r.host: r.approx_distinct
+        for r in hll.hll_estimates(gdup, by=("host",), b=B).collect()
+    }
+    for k, w in gwant.items():
+        assert ggot[k] == pytest.approx(w, rel=1e-12), k
+    # the DuckDB mirror folds identically
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dup_regs (bucket INT, rho INT)")
+    con.executemany(
+        "INSERT INTO dup_regs VALUES (?, ?)",
+        [(r.bucket, r.rho) for r in dup.collect()],
+    )
+    duck = con.execute(hll.hll_estimates_sql("dup_regs", b=B)).fetchone()[0]
+    assert duck == pytest.approx(want, rel=1e-12)
