@@ -1438,6 +1438,34 @@ def main() -> None:
         dt = time.time() - t0
         semdedup_fixed8 = dt if semdedup_fixed8 is None else min(semdedup_fixed8, dt)
 
+    # r14 (r13 verdict #3): the calibrated drift band.  queries_calibrated
+    # (adjacent-probe medians) is THE cross-round series — the session
+    # bracket below is diagnostics only (r13 showed bracket and probes
+    # can disagree: calib_runs/calib_end_runs carried a 1.45x warm-up
+    # slope while the per-query probes sat flat).  The acceptance band:
+    # per-query calibrated ratio vs the committed baseline > 1.3 =
+    # investigate, > 2.0 = weak.  The baseline file is re-stamped each
+    # round from the archived run so the band always compares one round
+    # back.
+    CAL_INVESTIGATE, CAL_WEAK = 1.3, 2.0
+    cal_baseline_file = Path(__file__).resolve().parent / "bench_calibrated_baseline.json"
+    cal_ratios: dict[str, float] = {}
+    cal_flags: dict[str, str] = {}
+    cal_base_round = None
+    if cal_baseline_file.exists():
+        with open(cal_baseline_file) as f:
+            cal_base = json.load(f)
+        cal_base_round = cal_base.get("round")
+        prev_cal = cal_base.get("queries_calibrated", {})
+        for name, cur in calibrated.items():
+            if name in prev_cal and prev_cal[name] > 0:
+                r = round(cur / prev_cal[name], 3)
+                cal_ratios[name] = r
+                if r > CAL_WEAK:
+                    cal_flags[name] = "weak"
+                elif r > CAL_INVESTIGATE:
+                    cal_flags[name] = "investigate"
+
     # end-bracket calibration: same frozen workload, after the last query
     calib_end_runs = _calibration_runs(spark)
     all_calib = sorted(calib_runs + calib_end_runs)
@@ -1493,6 +1521,18 @@ def main() -> None:
         "probe_def": "range5M-hash-2agg noop, interleaved before every rep",
         "query_probe_secs": probe_meds,
         "queries_calibrated": calibrated,
+        # r14 drift band (r13 verdict #3): ratios of this run's
+        # calibrated medians over the committed previous-round baseline
+        # (bench_calibrated_baseline.json); >1.3 investigate, >2.0 weak.
+        # Empty flags = every query inside the band.
+        "calibrated_band_def": (
+            f"cur/prev calibrated median vs r{cal_base_round} baseline; "
+            f">{CAL_INVESTIGATE} investigate, >{CAL_WEAK} weak; "
+            "queries_calibrated is the ONLY cross-round series — the "
+            "session bracket (calib_runs/calib_end_runs) is diagnostics"
+        ),
+        "calibrated_ratio_vs_prev": cal_ratios,
+        "calibrated_band_flags": cal_flags,
         "semdedup_auto_n_clusters": _semdedup.default_n_clusters(emb.count()),
         "semdedup_fixed8_sec": round(semdedup_fixed8, 3),
         "fit_sample_premium_sec": fit_premium,

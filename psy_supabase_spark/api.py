@@ -854,14 +854,24 @@ class PsyEngine:
         group per sketched column — so the driver bound is the group
         count itself (days and TLDs trivially, a million hosts is
         ~24 MB of rows; beyond that use `hll_estimates` directly and
-        keep the result frame distributed)."""
+        keep the result frame distributed).
+
+        The grouped card is ONE pass over the index (r13 verdict: the
+        old spelling scanned once per sketched column plus once for
+        the group universe): every sketched column unpivots to a
+        tagged (by…, col_tag, value) row — plus a per-row SENTINEL tag
+        so a group whose every sketched value is null still appears in
+        the card with 0.0 — and a single tag-grouped register build +
+        in-engine estimate serves all columns and the group universe
+        from one job, no persist needed.  Register shuffle stays
+        sketch-bounded (≤ n_groups × (n_cols+1) × 2^b rows)."""
         from pyspark.sql import functions as F
 
         from .operators import hll as HL
 
-        cached = index.persist()
-        try:
-            if by is None:
+        if by is None:
+            cached = index.persist()
+            try:
                 out: dict[str, float] = {}
                 for c in cols:
                     if c in cached.columns:
@@ -878,89 +888,109 @@ class PsyEngine:
                         HL.hll_registers(hosts, "host", b=b).collect(), b=b
                     )
                 return out
-            keys = []
-            for k in by:
-                if k in cached.columns:
-                    keys.append(F.col(k))
-                elif k == "host" and "url" in cached.columns:
-                    keys.append(
-                        F.lower(
-                            F.parse_url(F.col("url"), F.lit("HOST"))
-                        ).alias("host")
-                    )
-                elif k == "day" and "timestamp" in cached.columns:
-                    keys.append(
-                        F.substring("timestamp", 1, 8).alias("day")
-                    )
-                else:
-                    raise ValueError(
-                        f"unknown grouping key {k!r}: not an index "
-                        "column and not a derivable 'host'/'day'"
-                    )
-            # a by-key is never also sketched: "distinct keys per that
-            # same key" is identically 1, and the duplicate column
-            # name would make every downstream reference ambiguous
-            sketch_cols = [
-                c for c in cols if c in cached.columns and c not in by
-            ]
-            base = cached.select(
-                *keys, *[F.col(c) for c in sketch_cols]
-            )
-            nk = len(by)
-            ests = {}
-            for c in sketch_cols:
-                est_rows = HL.hll_estimates(
-                    HL.hll_registers(base, c, b=b, by=tuple(by)),
-                    by=tuple(by),
-                    b=b,
-                ).collect()
-                ests[c] = {
-                    (r[0] if nk == 1 else tuple(r[:nk])): r[nk]
-                    for r in est_rows
-                }
-            # group universe from the BASE frame, not the register
-            # frames (r13 review: a group whose every sketched column
-            # is null appears in no register frame and would silently
-            # vanish from the card instead of carrying 0.0 rows);
-            # null-safe deterministic ordering (unparsable-URL hosts
-            # are a null group like any other)
-            all_keys = sorted(
-                {
-                    (r[0] if nk == 1 else tuple(r))
-                    for r in base.select(*by).distinct().collect()
-                },
-                key=lambda g: tuple(
-                    (x is None, x)
-                    for x in (g if isinstance(g, tuple) else (g,))
-                ),
-            )
-            # a group with NO non-null keys in one sketched column
-            # estimates 0.0 (the empty-sketch posture), never null
-            rows = [
-                tuple([g] if len(by) == 1 else list(g))
-                + tuple(ests[c].get(g, 0.0) for c in sketch_cols)
-                for g in all_keys
-            ]
-            # explicit schema (key types from the projection itself):
-            # names-only inference crashes on an EMPTY index or an
-            # all-null key column — both realistic operational inputs
-            from pyspark.sql import types as T
+            finally:
+                cached.unpersist()
+        keys = []
+        for k in by:
+            if k in index.columns:
+                keys.append(F.col(k))
+            elif k == "host" and "url" in index.columns:
+                keys.append(
+                    F.lower(
+                        F.parse_url(F.col("url"), F.lit("HOST"))
+                    ).alias("host")
+                )
+            elif k == "day" and "timestamp" in index.columns:
+                keys.append(
+                    F.substring("timestamp", 1, 8).alias("day")
+                )
+            else:
+                raise ValueError(
+                    f"unknown grouping key {k!r}: not an index "
+                    "column and not a derivable 'host'/'day'"
+                )
+        # a by-key is never also sketched: "distinct keys per that
+        # same key" is identically 1, and the duplicate column
+        # name would make every downstream reference ambiguous
+        sketch_cols = [
+            c for c in cols if c in index.columns and c not in by
+        ]
+        base = index.select(*keys, *[F.col(c) for c in sketch_cols])
+        nk = len(by)
+        # unpivot + sentinel: one tagged row per (input row, sketched
+        # col) + one sentinel row per input row.  The sentinel carries
+        # a constant non-null value, so EVERY group owns at least one
+        # register row and the group universe rides the same job (r13
+        # review kept: an all-null-sketch group must card as 0.0, not
+        # vanish).  String-typed sketch values by construction (CDX
+        # index columns); the tag value never collides with a column
+        # name (\\x00 is not a legal identifier byte).
+        _GROUPS = "\x00groups"
+        tagged = base.select(
+            *by,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(_GROUPS).alias("t"), F.lit("").alias("v")
+                    ),
+                    *[
+                        F.struct(
+                            F.lit(c).alias("t"),
+                            F.col(c).cast("string").alias("v"),
+                        )
+                        for c in sketch_cols
+                    ],
+                )
+            ).alias("_tv"),
+        ).select(*by, F.col("_tv.t").alias("_tag"), F.col("_tv.v").alias("_v"))
+        est_rows = HL.hll_estimates(
+            HL.hll_registers(tagged, "_v", b=b, by=(*by, "_tag")),
+            by=(*by, "_tag"),
+            b=b,
+        ).collect()
+        ests: dict[str, dict] = {c: {} for c in sketch_cols}
+        groups = set()
+        for r in est_rows:
+            g = r[0] if nk == 1 else tuple(r[:nk])
+            tag = r[nk]
+            if tag == _GROUPS:
+                groups.add(g)
+            else:
+                ests[tag][g] = r[nk + 1]
+        # null-safe deterministic ordering (unparsable-URL hosts are a
+        # null group like any other)
+        all_keys = sorted(
+            groups,
+            key=lambda g: tuple(
+                (x is None, x)
+                for x in (g if isinstance(g, tuple) else (g,))
+            ),
+        )
+        # a group with NO non-null keys in one sketched column
+        # estimates 0.0 (the empty-sketch posture), never null
+        rows = [
+            tuple([g] if len(by) == 1 else list(g))
+            + tuple(ests[c].get(g, 0.0) for c in sketch_cols)
+            for g in all_keys
+        ]
+        # explicit schema (key types from the projection itself):
+        # names-only inference crashes on an EMPTY index or an
+        # all-null key column — both realistic operational inputs
+        from pyspark.sql import types as T
 
-            schema = T.StructType(
-                [
-                    T.StructField(k, base.schema[i].dataType, True)
-                    for i, k in enumerate(by)
-                ]
-                + [
-                    T.StructField(
-                        f"approx_distinct_{c}", T.DoubleType(), True
-                    )
-                    for c in sketch_cols
-                ]
-            )
-            return self.spark.createDataFrame(rows, schema)
-        finally:
-            cached.unpersist()
+        schema = T.StructType(
+            [
+                T.StructField(k, base.schema[i].dataType, True)
+                for i, k in enumerate(by)
+            ]
+            + [
+                T.StructField(
+                    f"approx_distinct_{c}", T.DoubleType(), True
+                )
+                for c in sketch_cols
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
 
     def plan_crawl_round(
         self,

@@ -666,9 +666,16 @@ def resolve_sitemap_index(
     downstream action per level.  Parquet-spill instead of
     ``persist()`` (r12 verdict: the old per-level persists were never
     released and accumulated in executor storage for the session's
-    lifetime): nothing stays cached after the call returns, the
-    checkpoint survives executor loss, and the caller may delete
-    ``scratch_dir`` once the returned leaves are materialized.
+    lifetime): nothing stays cached after the call returns and the
+    checkpoint survives executor loss.  Before returning, the leaf
+    set is EAGERLY materialized to ``{scratch}/leaves`` and every
+    ``level_*`` dir is deleted through the Hadoop filesystem of the
+    path itself (r13 verdict: the level spills accumulated across
+    calls in a long session — nothing in the repo ever cleaned them,
+    and the default path wasn't even returned); the returned frame
+    reads the one small leaves dir, which lives until the caller
+    deletes ``scratch_dir``.  When no index hop ever runs, nothing is
+    written at all and the lazy leaf projection returns as-is.
 
     ``scratch_dir`` defaults to a subdirectory of the session's
     configured CHECKPOINT dir when one is set (the cluster-correct
@@ -689,16 +696,27 @@ def resolve_sitemap_index(
             if ckpt
             else tempfile.mkdtemp(prefix="sitemap_levels_")
         )
+    levels: list[str] = []
     for depth in range(max_depth):
         if not idx.limit(1).count():
             break
         lvl = os.path.join(base, f"level_{depth}")
         parse_sitemap(fetch(idx)).write.mode("overwrite").parquet(lvl)
+        levels.append(lvl)
         child = spark.read.parquet(lvl)
         leaves = leaves.union(
             child.where(~F.col("is_index")).select("host", "url", "lastmod")
         )
         idx = child.where(F.col("is_index")).select("host", "url")
+    if levels:
+        final = os.path.join(base, "leaves")
+        leaves.write.mode("overwrite").parquet(final)
+        hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+        hconf = spark._jsc.hadoopConfiguration()
+        for lvl in levels:
+            p = hadoop_path(lvl)
+            p.getFileSystem(hconf).delete(p, True)
+        leaves = spark.read.parquet(final)
     return leaves
 
 

@@ -800,6 +800,43 @@ def test_snapshot_stats_grouped_edge_inputs(engine, spark):
     assert abs(rows["a.example"].approx_distinct_digest - 2) < 1
 
 
+def test_snapshot_stats_grouped_is_single_pass(engine, spark):
+    """The grouped card reads the index ONCE (r13 verdict: the old
+    spelling ran one register job per sketched column plus a distinct
+    collect for the group universe — 1 + n_cols + 1 scans of a 100 TB
+    index).  All sketches and the group universe now ride one tagged
+    job: the call issues at most 2 Spark jobs."""
+    idx = spark.createDataFrame(
+        [
+            (f"http://h{i % 3}.example/p/{i}", f"d{i % 20}", f"2024010{1 + i % 2}000000")
+            for i in range(120)
+        ],
+        "url string, digest string, timestamp string",
+    )
+    sc = spark.sparkContext
+    # AQE splits ONE action's shuffle stages into separate job ids, so
+    # job count only equals action count with it off — the invariant
+    # under test is "one action over the index", not stage scheduling
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("snap_single_pass", "grouped card job count")
+    try:
+        out = engine.snapshot_stats(idx, by=("host", "day"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    jobs = sc.statusTracker().getJobIdsForGroup("snap_single_pass")
+    assert 1 <= len(jobs) <= 2, jobs
+    # frame output unchanged vs the multi-pass spelling's contract
+    rows = {(r.host, r.day): r for r in out.collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert abs(r.approx_distinct_url - 20) < 4
+        # i walks a fixed residue class mod 6; digest = i % 20 cycles
+        # with period lcm(6,20)/6 = 10 distinct values per group
+        assert abs(r.approx_distinct_digest - 10) < 3
+
+
 def test_fresh_warehouse_scans_empty_not_crash(spark, tmp_path):
     """A brand-new engine (no append ever) scans its tables as EMPTY
     frames with the known schemas — the reference's pre-first-insert

@@ -550,3 +550,12 @@ def test_resolve_sitemap_index_nothing_persisted(spark, tmp_path):
     assert [r.url for r in out.collect()] == ["https://a.example/p1"]
     assert [r.url for r in out.collect()] == ["https://a.example/p1"]
     assert calls["n"] == 1
+    # the level spills are GONE after the call (r13 verdict: they
+    # accumulated across calls in a long session); only the one small
+    # materialized leaves dir remains until the caller deletes scratch
+    import os
+
+    scratch = tmp_path / "lvl"
+    assert sorted(
+        d for d in os.listdir(scratch) if not d.startswith(".")
+    ) == ["leaves"]
