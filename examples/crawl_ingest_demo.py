@@ -84,9 +84,12 @@ def main() -> int:
     shard_dir = Path(out_dir) / "shards"
     shard_dir.mkdir(parents=True, exist_ok=True)
     rows = docs.select("doc_id", "text").limit(200).collect()
-    blob = b"".join(_warc_record(r.doc_id, r.text) for r in rows)
-    (shard_dir / "demo-00000.warc.gz").write_bytes(blob)
-    print(f"shard: {len(rows)} records, {len(blob):,} bytes gzipped")
+    total_bytes = 0
+    for s in range(2):  # TWO shards: the streaming legs run multi-batch
+        blob = b"".join(_warc_record(r.doc_id, r.text) for r in rows[s::2])
+        (shard_dir / f"demo-{s:05d}.warc.gz").write_bytes(blob)
+        total_bytes += len(blob)
+    print(f"shards: {len(rows)} records / 2 files, {total_bytes:,} bytes gzipped")
 
     records = warc.read_warc(spark, str(shard_dir), decode_http_body=True)
     n_rec = records.count()
@@ -109,6 +112,55 @@ def main() -> int:
     q.awaitTermination()
     n_stream = spark.read.parquet(str(Path(out_dir) / "stream_records")).count()
     print(f"read_warc_stream: {n_stream} records via micro-batches (== batch: {n_stream == n_rec})")
+
+    # live-cardinality leg (r13): "how many distinct URLs per host has
+    # this crawl ingested SO FAR?" as a durable register table the
+    # stream folds per micro-batch (streaming/cardinality: state and
+    # fold are both sketch-bounded), estimated IN-ENGINE any time with
+    # hll_estimates — and exactly equal to the batch sketch of
+    # everything ingested (HLL's merge semantics; the equivalence is
+    # tested in test_streaming, demonstrated here on real shards)
+    from psy_supabase_spark.operators import hll as HLL
+    from psy_supabase_spark.sources.txlog import TxTable
+    from psy_supabase_spark.streaming.cardinality import fold_registers_stream
+
+    host_of = F.lower(F.parse_url(F.col("target_uri"), F.lit("HOST")))
+    card_root = str(Path(out_dir) / "card_regs")
+    q = (
+        fold_registers_stream(
+            warc.read_warc_stream(
+                spark, str(shard_dir), decode_http_body=True,
+                max_files_per_trigger=1,
+            ).select(host_of.alias("host"), "target_uri"),
+            "target_uri",
+            table_root=card_root,
+            checkpoint=str(Path(out_dir) / "card_ckpt"),
+            by=("host",),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    folded = TxTable(spark, card_root).read()
+    live_card = {
+        r.host: r.approx_distinct
+        for r in HLL.hll_estimates(folded, by=("host",)).collect()
+    }
+    batch_regs = {
+        (r.host, r.bucket, r.rho)
+        for r in HLL.hll_registers(
+            records.select(host_of.alias("host"), "target_uri"),
+            "target_uri",
+            by=("host",),
+        ).collect()
+    }
+    folded_regs = {(r.host, r.bucket, r.rho) for r in folded.collect()}
+    assert folded_regs == batch_regs, "stream fold != batch sketch"
+    print(
+        "streaming cardinality (durable HLL fold == batch sketch of all "
+        "ingested): "
+        + ", ".join(f"{h}≈{v:.0f}" for h, v in sorted(live_card.items()))
+    )
 
     # random-access leg: index the members once, then pull a filtered
     # record set by (filename, offset, length) — at crawl scale this is
