@@ -856,40 +856,58 @@ class PsyEngine:
         ~24 MB of rows; beyond that use `hll_estimates` directly and
         keep the result frame distributed).
 
-        The grouped card is ONE pass over the index (r13 verdict: the
-        old spelling scanned once per sketched column plus once for
-        the group universe): every sketched column unpivots to a
-        tagged (by…, col_tag, value) row — plus a per-row SENTINEL tag
-        so a group whose every sketched value is null still appears in
-        the card with 0.0 — and a single tag-grouped register build +
-        in-engine estimate serves all columns and the group universe
-        from one job, no persist needed.  Register shuffle stays
-        sketch-bounded (≤ n_groups × (n_cols+1) × 2^b rows)."""
+        BOTH cards are ONE pass over the index (r13 verdict: the old
+        spelling scanned once per sketched column plus once for the
+        group universe): every sketched column unpivots to a tagged
+        (by…, col_tag, value) row — the grouped card adds a per-row
+        SENTINEL tag so a group whose every sketched value is null
+        still appears with 0.0 — and a single tag-grouped register
+        build + in-engine estimate serves all columns (and the group
+        universe) from one job, no persist needed.  Register shuffle
+        stays sketch-bounded (≤ n_groups × (n_cols+1) × 2^b rows)."""
         from pyspark.sql import functions as F
 
         from .operators import hll as HL
 
         if by is None:
-            cached = index.persist()
-            try:
-                out: dict[str, float] = {}
-                for c in cols:
-                    if c in cached.columns:
-                        out[f"approx_distinct_{c}"] = HL.hll_estimate(
-                            HL.hll_registers(cached, c, b=b).collect(), b=b
-                        )
-                if "url" in cached.columns:
-                    hosts = cached.select(
+            # same one-pass tagged build as the grouped card below (no
+            # persist: the index is read once, full stop — r14, the
+            # r13 verdict's grouped-card fix applied to the scalar card
+            # too).  Estimation is in-engine per tag (hll_estimates —
+            # identical registers, so the estimate matches the old
+            # driver-side float math to float-ulp level).
+            tag_structs = [
+                F.struct(F.lit(c).alias("t"), F.col(c).cast("string").alias("v"))
+                for c in cols
+                if c in index.columns
+            ]
+            expected = [c for c in cols if c in index.columns]
+            if "url" in index.columns:
+                tag_structs.append(
+                    F.struct(
+                        F.lit("host").alias("t"),
                         F.lower(
                             F.parse_url(F.col("url"), F.lit("HOST"))
-                        ).alias("host")
+                        ).alias("v"),
                     )
-                    out["approx_distinct_host"] = HL.hll_estimate(
-                        HL.hll_registers(hosts, "host", b=b).collect(), b=b
-                    )
-                return out
-            finally:
-                cached.unpersist()
+                )
+                expected.append("host")
+            if not tag_structs:
+                return {}
+            tagged0 = index.select(
+                F.explode(F.array(*tag_structs)).alias("_tv")
+            ).select(F.col("_tv.t").alias("_tag"), F.col("_tv.v").alias("_v"))
+            got = {
+                r[0]: r[1]
+                for r in HL.hll_estimates(
+                    HL.hll_registers(tagged0, "_v", b=b, by=("_tag",)),
+                    by=("_tag",),
+                    b=b,
+                ).collect()
+            }
+            # an all-null column sketches EMPTY (no register rows) and
+            # cards as 0.0, the empty-sketch posture — never missing
+            return {f"approx_distinct_{c}": got.get(c, 0.0) for c in expected}
         keys = []
         for k in by:
             if k in index.columns:

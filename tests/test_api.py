@@ -827,6 +827,17 @@ def test_snapshot_stats_grouped_is_single_pass(engine, spark):
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
     jobs = sc.statusTracker().getJobIdsForGroup("snap_single_pass")
     assert 1 <= len(jobs) <= 2, jobs
+    # the ungrouped (scalar) card is one action too
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("snap_single_pass_scalar", "scalar card job count")
+    try:
+        scalar = engine.snapshot_stats(idx)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    sjobs = sc.statusTracker().getJobIdsForGroup("snap_single_pass_scalar")
+    assert len(sjobs) == 1, sjobs
+    assert abs(scalar["approx_distinct_url"] - 120) < 8
     # frame output unchanged vs the multi-pass spelling's contract
     rows = {(r.host, r.day): r for r in out.collect()}
     assert len(rows) == 6
