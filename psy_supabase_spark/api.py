@@ -295,24 +295,46 @@ class PsyEngine:
         (the reference's SERIAL, query.txt:63) — the read path neither
         re-sorts the tenant's full history by multi-KB text columns nor
         renumbers when a later append lands (r13 verdict: the old
-        read-time row_number did both).  Legacy warehouses written
-        before the stored ordinal fall back to the deterministic
-        read-time ordinal (full-column ordering: a multi-row append
-        stamps ONE current_timestamp, so created_at alone ties)."""
+        read-time row_number did both).
+
+        Three warehouse states, detected by ONE scalar probe over the
+        pruned tenant partition (map-side count, no sort — the old
+        ``in df.columns`` check was footer roulette: the canonical-
+        schema scan always surfaces the column, nulled for pre-r14
+        files, so presence says nothing about population):
+
+        - fully stamped (or empty): the stored ordinal IS the id —
+          sort-free read, stable across appends;
+        - pure legacy (no row stamped): the pre-r14 deterministic
+          read-time ordinal (full-column ordering — a multi-row append
+          stamps ONE current_timestamp, so created_at alone ties);
+        - mixed: legacy rows all predate the first stamped append
+          (append-docstring invariant), so the null-ordinal block
+          ranks first under its legacy ordering and stamped rows
+          follow in stored order — ids stay stable as appends land,
+          no migration rewrite needed."""
         df = self.store.scan(INTERACTIONS, user_id=user_id)
-        if "interaction_id" in df.columns:
+        probe = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("interaction_id").alias("stamped"),
+        ).head()
+        if probe["stamped"] == probe["n"]:  # fully stamped or empty
             df = df.withColumn(
                 "interactionID", F.col("interaction_id").cast("int")
             )
-        else:  # pre-r14 files: no stored ordinal on disk
+        else:
             from pyspark.sql import Window
 
+            legacy_order = ["created_at", "question", "answer", "context", "metadata"]
+            order = (
+                legacy_order
+                if probe["stamped"] == 0
+                else [F.col("interaction_id").asc_nulls_first(), *legacy_order]
+            )
             df = df.withColumn(
                 "interactionID",
                 F.row_number().over(
-                    Window.partitionBy("user_id").orderBy(
-                        "created_at", "question", "answer", "context", "metadata"
-                    )
+                    Window.partitionBy("user_id").orderBy(*order)
                 ),
             )
         return windows.rolling_context(

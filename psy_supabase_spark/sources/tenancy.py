@@ -92,7 +92,16 @@ class TenantStore:
         request-sized (the reference's INSERT ... VALUES path) — bulk
         backfills should pre-assign the column themselves.  Contract:
         one writer per tenant at a time (the reference gets this from
-        Postgres; a lake gets it from the ingest topology)."""
+        Postgres; a lake gets it from the ingest topology).
+
+        Legacy warehouses need no migration: pre-ordinal rows scan
+        with a null ordinal (canonical-schema read), ``max`` ignores
+        nulls so the first stamped append starts at 1, and readers
+        order the null block first (every legacy row predates the
+        first stamped append by construction — provided the tenant's
+        writers all stamp; a post-r14 append that SKIPS ``ordinal_col``
+        on an already-stamped table would break that invariant, which
+        is why `api.PsyEngine.add_interaction` always stamps)."""
         tenant = sanitize_tenant_id(user_id)
         out = df.withColumn("user_id", F.lit(tenant)).withColumn(
             "created_at", F.current_timestamp()
@@ -130,11 +139,23 @@ class TenantStore:
         TYPED AnalysisException and the STABLE error class
         (PATH_NOT_FOUND), not a message substring (r13 ADVICE: message
         text varies by Spark version/locale, and a broad except could
-        misclassify an unrelated error as an empty table)."""
+        misclassify an unrelated error as an empty table).
+
+        Known tables read under their CANONICAL schema, not footer
+        inference (r14): a warehouse whose files predate a column —
+        pre-r14 interactions have no ``interaction_id`` — otherwise
+        scans with whichever file's footer the reader samples, so the
+        stored ordinal could silently vanish (or surface) per call.
+        The explicit schema is O(1) (no footer merge), projects
+        missing columns as null deterministically, and pins the
+        column order fresh-vs-populated."""
         from pyspark.errors import AnalysisException
 
         try:
-            df = self.spark.read.parquet(self._path(table))
+            reader = self.spark.read
+            if table in TABLE_SCHEMAS:
+                reader = reader.schema(TABLE_SCHEMAS[table])
+            df = reader.parquet(self._path(table))
         except AnalysisException as e:
             # getCondition is the 4.x name; getErrorClass its deprecated
             # alias — probe both so either Spark lineage resolves it

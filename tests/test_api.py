@@ -983,6 +983,62 @@ def test_interaction_id_stored_stable_and_sortfree_read(spark, tmp_path):
         assert "question" not in spec and "answer" not in spec, spec
 
 
+def test_interaction_id_legacy_and_mixed_warehouse(spark, tmp_path):
+    """A warehouse written BEFORE the stored ordinal existed keeps
+    working without a migration rewrite: the canonical-schema scan
+    surfaces `interaction_id` as null (not footer roulette — a plain
+    parquet read picks whichever file's footer the reader samples, so
+    a mixed warehouse could drop the column or not per call), the
+    read path falls back to the deterministic legacy ordinal, and the
+    first stamped append EXTENDS the sequence with the legacy block
+    ranked first (every legacy row predates it by construction)."""
+    from psy_supabase_spark.sources.tenancy import TABLE_SCHEMAS
+
+    wh = str(tmp_path / "wh_legacy")
+    legacy = (
+        spark.createDataFrame(
+            [("c1", "q1", "a1", None), ("c2", "q2", "a2", None)],
+            "context string, question string, answer string, metadata string",
+        )
+        .withColumn("created_at", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+        .withColumn("user_id", F.lit("alice"))
+    )
+    legacy.write.partitionBy("user_id").parquet(wh + "/interactions")
+    eng = PsyEngine(spark, wh)
+    # canonical schema: the ordinal column is PRESENT and null, and the
+    # column order matches a fresh warehouse's positionally
+    scanned = eng.store.scan("interactions", user_id="alice")
+    expect_cols = [
+        f.split()[0] for f in TABLE_SCHEMAS["interactions"].split(", ")
+    ]
+    assert scanned.columns == expect_cols
+    assert [r["interaction_id"] for r in scanned.collect()] == [None, None]
+    # pure-legacy read: the pre-r14 deterministic ordinal
+    before = {
+        r.question: r.interactionID for r in eng.build_context("alice").collect()
+    }
+    assert before == {"q1": 1, "q2": 2}
+    # first stamped appends start at 1 (max over all-null ordinals) and
+    # the mixed read ranks the legacy block first — no renumbering of
+    # what a reader already saw
+    eng.add_interaction("alice", context=None, question="q3", answer="a3")
+    eng.add_interaction("alice", context=None, question="q4", answer="a4")
+    stored = {
+        r.question: r.interaction_id
+        for r in eng.store.scan("interactions", user_id="alice").collect()
+        if r.interaction_id is not None
+    }
+    assert stored == {"q3": 1, "q4": 2}
+    after = {
+        r.question: r.interactionID for r in eng.build_context("alice").collect()
+    }
+    assert after == {"q1": 1, "q2": 2, "q3": 3, "q4": 4}
+    # stable across repeated reads
+    assert after == {
+        r.question: r.interactionID for r in eng.build_context("alice").collect()
+    }
+
+
 def test_pack_for_training_chunks_oversized_docs(engine, spark):
     """chunk_tokens splits an over-budget document into real chunks
     before packing (r13 review: the whole-doc path rode a 10x-budget
