@@ -297,40 +297,50 @@ class PsyEngine:
         renumbers when a later append lands (r13 verdict: the old
         read-time row_number did both).
 
-        Three warehouse states, detected by ONE scalar probe over the
-        pruned tenant partition (map-side count, no sort — the old
-        ``in df.columns`` check was footer roulette: the canonical-
-        schema scan always surfaces the column, nulled for pre-r14
-        files, so presence says nothing about population):
+        Three warehouse states (the merged-footer scan makes the
+        column check DETERMINISTIC — a single-footer read could
+        surface or drop the column per call on a mixed warehouse):
 
-        - fully stamped (or empty): the stored ordinal IS the id —
-          sort-free read, stable across appends;
-        - pure legacy (no row stamped): the pre-r14 deterministic
-          read-time ordinal (full-column ordering — a multi-row append
-          stamps ONE current_timestamp, so created_at alone ties);
+        - no ``interaction_id`` column on disk, or no row stamped:
+          the pre-r14 deterministic read-time ordinal (full-column
+          ordering — a multi-row append stamps ONE current_timestamp,
+          so created_at alone ties);
+        - every row stamped (or empty): the stored ordinal IS the id
+          — sort-free read, stable across appends;
         - mixed: legacy rows all predate the first stamped append
           (append-docstring invariant), so the null-ordinal block
           ranks first under its legacy ordering and stamped rows
           follow in stored order — ids stay stable as appends land,
-          no migration rewrite needed."""
+          no migration rewrite needed.
+
+        The stamped/mixed split costs ONE scalar probe over the
+        pruned tenant partition (map-side count, no sort)."""
         df = self.store.scan(INTERACTIONS, user_id=user_id)
-        probe = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count("interaction_id").alias("stamped"),
-        ).head()
-        if probe["stamped"] == probe["n"]:  # fully stamped or empty
+        legacy_order = ["created_at", "question", "answer", "context", "metadata"]
+        order = None
+        if "interaction_id" not in df.columns:  # pure pre-r14 files
+            order = legacy_order
+        else:
+            probe = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("interaction_id").alias("stamped"),
+            ).head()
+            if probe["stamped"] != probe["n"]:
+                order = (
+                    legacy_order
+                    if probe["stamped"] == 0
+                    else [
+                        F.col("interaction_id").asc_nulls_first(),
+                        *legacy_order,
+                    ]
+                )
+        if order is None:  # fully stamped or empty
             df = df.withColumn(
                 "interactionID", F.col("interaction_id").cast("int")
             )
         else:
             from pyspark.sql import Window
 
-            legacy_order = ["created_at", "question", "answer", "context", "metadata"]
-            order = (
-                legacy_order
-                if probe["stamped"] == 0
-                else [F.col("interaction_id").asc_nulls_first(), *legacy_order]
-            )
             df = df.withColumn(
                 "interactionID",
                 F.row_number().over(
@@ -898,13 +908,23 @@ class PsyEngine:
             # too).  Estimation is in-engine per tag (hll_estimates —
             # identical registers, so the estimate matches the old
             # driver-side float math to float-ulp level).
+            # the URL-derived host OWNS the 'host' tag whenever a url
+            # column exists (the pre-r14 card's semantics: the derived
+            # sketch overwrote a same-named column's) — tagging both
+            # under 'host' would estimate the UNION of the two value
+            # sets, matching neither (r14 review)
+            derive_host = "url" in index.columns
             tag_structs = [
                 F.struct(F.lit(c).alias("t"), F.col(c).cast("string").alias("v"))
                 for c in cols
-                if c in index.columns
+                if c in index.columns and not (c == "host" and derive_host)
             ]
-            expected = [c for c in cols if c in index.columns]
-            if "url" in index.columns:
+            expected = [
+                c
+                for c in cols
+                if c in index.columns and not (c == "host" and derive_host)
+            ]
+            if derive_host:
                 tag_structs.append(
                     F.struct(
                         F.lit("host").alias("t"),

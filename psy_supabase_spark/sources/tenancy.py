@@ -107,11 +107,23 @@ class TenantStore:
             "created_at", F.current_timestamp()
         )
         if ordinal_col is not None:
+            from pyspark.errors import AnalysisException
             from pyspark.sql import Window
 
-            existing = self.scan(table, user_id=user_id)
             start = 0
-            if ordinal_col in existing.columns:
+            try:
+                existing = self.scan(table, user_id=user_id)
+            except AnalysisException:
+                # first-ever append to a table OUTSIDE TABLE_SCHEMAS:
+                # scan has no empty-frame fallback for it, but an
+                # ordinal sequence legitimately starts at 1 there too
+                # (r14 review: pre-ordinal append never scanned, so
+                # first appends never crashed)
+                existing = None
+            if (
+                existing is not None
+                and ordinal_col in existing.columns
+            ):
                 head = existing.agg(F.max(ordinal_col).alias("mx")).head()
                 if head is not None and head["mx"] is not None:
                     start = int(head["mx"])
@@ -141,20 +153,27 @@ class TenantStore:
         text varies by Spark version/locale, and a broad except could
         misclassify an unrelated error as an empty table).
 
-        Known tables read under their CANONICAL schema, not footer
-        inference (r14): a warehouse whose files predate a column —
-        pre-r14 interactions have no ``interaction_id`` — otherwise
-        scans with whichever file's footer the reader samples, so the
-        stored ordinal could silently vanish (or surface) per call.
-        The explicit schema is O(1) (no footer merge), projects
-        missing columns as null deterministically, and pins the
-        column order fresh-vs-populated."""
+        Known tables read with ``mergeSchema`` (r14): a warehouse whose
+        files disagree on columns — pre-r14 interactions have no
+        ``interaction_id``; `tenant_roundtrip` appends document-shaped
+        frames — otherwise scans with whichever ONE file's footer the
+        reader samples, so a column could silently vanish (or surface)
+        per call.  The merged read surfaces the union of every
+        footer's columns (absent-in-file values null), and the select
+        below pins the ORDER — canonical columns first in schema
+        order, extras after, name-sorted — because the parallel footer
+        merge appends new fields in whatever order partitions combine.
+        NOT a pinned canonical schema: that would silently mask any
+        non-canonical column already stored (r14 review).  Footer
+        merge is O(#files) driver work — fine for the two request-
+        sized tenant tables this store serves, not a pattern for the
+        crawl-scale tables elsewhere in the repo."""
         from pyspark.errors import AnalysisException
 
         try:
             reader = self.spark.read
             if table in TABLE_SCHEMAS:
-                reader = reader.schema(TABLE_SCHEMAS[table])
+                reader = reader.option("mergeSchema", "true")
             df = reader.parquet(self._path(table))
         except AnalysisException as e:
             # getCondition is the 4.x name; getErrorClass its deprecated
@@ -166,6 +185,19 @@ class TenantStore:
             if not (cond == "PATH_NOT_FOUND" and table in TABLE_SCHEMAS):
                 raise
             df = self.spark.createDataFrame([], TABLE_SCHEMAS[table])
+        else:
+            if table in TABLE_SCHEMAS:
+                from pyspark.sql.types import StructType
+
+                canon = [
+                    f.name for f in StructType.fromDDL(TABLE_SCHEMAS[table])
+                ]
+                present = set(df.columns)
+                ordered = [c for c in canon if c in present] + sorted(
+                    c for c in present if c not in set(canon)
+                )
+                if ordered != df.columns:
+                    df = df.select(*ordered)
         if user_id is not None:
             df = df.where(F.col("user_id") == sanitize_tenant_id(user_id))
         return df

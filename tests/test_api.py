@@ -582,6 +582,12 @@ def test_snapshot_stats_hll(engine, spark):
     assert abs(stats["approx_distinct_host"] - 7) < 2
     only_digest = engine.snapshot_stats(idx.select("digest"))
     assert set(only_digest) == {"approx_distinct_digest"}
+    # an index carrying BOTH a host column and url: the url-derived
+    # sketch owns the 'host' tag (r14 review: tagging both under one
+    # tag estimated the UNION of the two value sets, matching neither)
+    both = idx.withColumn("host", F.upper(F.lit("ONLY-ONE-VALUE")))
+    with_both = engine.snapshot_stats(both, cols=("digest", "host"))
+    assert abs(with_both["approx_distinct_host"] - 7) < 2
 
 
 def test_frontier_allowed_matches_query_string(engine, spark):
@@ -985,15 +991,13 @@ def test_interaction_id_stored_stable_and_sortfree_read(spark, tmp_path):
 
 def test_interaction_id_legacy_and_mixed_warehouse(spark, tmp_path):
     """A warehouse written BEFORE the stored ordinal existed keeps
-    working without a migration rewrite: the canonical-schema scan
-    surfaces `interaction_id` as null (not footer roulette — a plain
+    working without a migration rewrite: the merged-footer scan makes
+    the column set deterministic (not footer roulette — a plain
     parquet read picks whichever file's footer the reader samples, so
     a mixed warehouse could drop the column or not per call), the
     read path falls back to the deterministic legacy ordinal, and the
     first stamped append EXTENDS the sequence with the legacy block
     ranked first (every legacy row predates it by construction)."""
-    from psy_supabase_spark.sources.tenancy import TABLE_SCHEMAS
-
     wh = str(tmp_path / "wh_legacy")
     legacy = (
         spark.createDataFrame(
@@ -1005,14 +1009,13 @@ def test_interaction_id_legacy_and_mixed_warehouse(spark, tmp_path):
     )
     legacy.write.partitionBy("user_id").parquet(wh + "/interactions")
     eng = PsyEngine(spark, wh)
-    # canonical schema: the ordinal column is PRESENT and null, and the
-    # column order matches a fresh warehouse's positionally
+    # pure-legacy files carry no ordinal column at all — the scan
+    # reflects the disk truth (no phantom canonical columns), in
+    # canonical-first order
     scanned = eng.store.scan("interactions", user_id="alice")
-    expect_cols = [
-        f.split()[0] for f in TABLE_SCHEMAS["interactions"].split(", ")
+    assert scanned.columns == [
+        "context", "question", "answer", "metadata", "created_at", "user_id",
     ]
-    assert scanned.columns == expect_cols
-    assert [r["interaction_id"] for r in scanned.collect()] == [None, None]
     # pure-legacy read: the pre-r14 deterministic ordinal
     before = {
         r.question: r.interactionID for r in eng.build_context("alice").collect()
@@ -1033,10 +1036,60 @@ def test_interaction_id_legacy_and_mixed_warehouse(spark, tmp_path):
         r.question: r.interactionID for r in eng.build_context("alice").collect()
     }
     assert after == {"q1": 1, "q2": 2, "q3": 3, "q4": 4}
-    # stable across repeated reads
+    # stable across repeated reads; and the MIXED warehouse scan now
+    # surfaces the ordinal column deterministically (merged footers),
+    # null on the legacy rows
     assert after == {
         r.question: r.interactionID for r in eng.build_context("alice").collect()
     }
+    mixed = eng.store.scan("interactions", user_id="alice")
+    assert "interaction_id" in mixed.columns
+    assert sorted(
+        (r.question, r.interaction_id) for r in mixed.collect()
+    ) == [("q1", None), ("q2", None), ("q3", 1), ("q4", 2)]
+
+
+def test_tenant_scan_preserves_non_canonical_columns(spark, tmp_path):
+    """The merged-footer scan must NOT mask columns outside the
+    canonical schema (r14 review: a pinned-schema read silently
+    nulled every stored column when a caller appended a differently
+    shaped frame — `tenant_roundtrip` appends document rows into
+    'interactions'); extras ride after the canonical columns in a
+    deterministic name-sorted order."""
+    from psy_supabase_spark.sources.tenancy import TenantStore
+
+    store = TenantStore(spark, str(tmp_path / "wh_extra"))
+    docs = spark.createDataFrame(
+        [(1, "alpha", "en"), (2, "beta", "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    store.append("interactions", docs, user_id="alice")
+    got = store.scan("interactions", user_id="alice")
+    # canonical columns present on disk (created_at/user_id) first,
+    # extras after, name-sorted
+    assert got.columns == ["created_at", "user_id", "doc_id", "lang", "text"]
+    assert sorted((r.doc_id, r.text, r.lang) for r in got.collect()) == [
+        (1, "alpha", "en"),
+        (2, "beta", "de"),
+    ]
+
+
+def test_append_ordinal_to_unknown_table_first_write(spark, tmp_path):
+    """A FIRST append with ordinal_col to a table outside
+    TABLE_SCHEMAS starts the sequence at 1 instead of crashing on the
+    max-probe's PATH_NOT_FOUND (r14 review), and a second append
+    continues it — including when the ordinal column itself is
+    non-canonical."""
+    from psy_supabase_spark.sources.tenancy import TenantStore
+
+    store = TenantStore(spark, str(tmp_path / "wh_unknown"))
+    batch = spark.createDataFrame([("x",), ("y",)], "v string")
+    store.append("sidecar", batch, user_id="alice", ordinal_col="seq")
+    store.append("sidecar", batch, user_id="alice", ordinal_col="seq")
+    got = sorted(
+        r.seq for r in store.scan("sidecar", user_id="alice").collect()
+    )
+    assert got == [1, 2, 3, 4]
 
 
 def test_pack_for_training_chunks_oversized_docs(engine, spark):
