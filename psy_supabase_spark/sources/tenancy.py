@@ -202,6 +202,76 @@ class TenantStore:
             df = df.where(F.col("user_id") == sanitize_tenant_id(user_id))
         return df
 
+    def compact(
+        self,
+        table: str,
+        *,
+        user_id: str | None = None,
+        target_rows_per_file: int = 1_000_000,
+    ) -> int:
+        """Layout-preserving small-file compaction for the tenant store.
+
+        Every `append` writes at least one new parquet file per tenant
+        partition — the reference's per-request INSERT rate, which
+        Postgres absorbs in heap pages but a parquet lake turns into
+        thousands of KB-sized files whose open/footer cost comes to
+        dominate scan time (the classic small-file problem; on
+        Delta/Iceberg this is OPTIMIZE / rewrite_data_files).  The
+        generic `operators.scale.compact_partitions` is NOT usable
+        here: it rewrites the table flat, destroying the ``user_id=``
+        partition layout this store's pruning depends on.
+
+        Compacts each tenant partition IN PLACE: read the partition
+        dir (merged footers — legacy and stamped files coexist),
+        rewrite to ``ceil(rows / target_rows_per_file)`` files in a
+        dot-prefixed sibling dir (parquet readers ignore hidden dirs,
+        so a concurrent scan keeps seeing the old files until the
+        swap), then delete-and-rename through the path's own Hadoop
+        filesystem (cluster-correct: works on s3a://, hdfs://, not
+        just the driver's local disk).  The swap is NOT transactional
+        — parquet has no commit protocol; run under the store's
+        one-writer-per-tenant contract (Delta/Iceberg would make this
+        step ACID).  Row content, stored ordinals, and scan results
+        are byte-identical before/after (everything downstream orders
+        by stored columns, never file position).  Returns the data
+        file count across the compacted partitions."""
+        import math
+
+        spark = self.spark
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        root = hpath(self._path(table))
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):  # nothing appended yet: nothing to do
+            return 0
+        if user_id is not None:
+            parts = [f"user_id={sanitize_tenant_id(user_id)}"]
+        else:
+            parts = [
+                st.getPath().getName()
+                for st in fs.listStatus(root)
+                if st.isDirectory()
+                and st.getPath().getName().startswith("user_id=")
+            ]
+        total_files = 0
+        for part in parts:
+            src = f"{self._path(table)}/{part}"
+            if not fs.exists(hpath(src)):
+                continue
+            df = spark.read.option("mergeSchema", "true").parquet(src)
+            n_rows = df.count()
+            n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+            tmp = f"{self._path(table)}/.compact_{part}"
+            df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+            fs.delete(hpath(src), True)
+            fs.rename(hpath(tmp), hpath(src))
+            total_files += sum(
+                1
+                for st in fs.listStatus(hpath(src))
+                if st.getPath().getName().endswith(".parquet")
+            )
+        return total_files
+
     def register_view(self, table: str, *, user_id: str, view_name: str | None = None) -> str:
         """S9 parity (`ensure_user_schema_view`, database.py:253-265)."""
         name = view_name or f"{sanitize_tenant_id(user_id)}_{table}"

@@ -1092,6 +1092,87 @@ def test_append_ordinal_to_unknown_table_first_write(spark, tmp_path):
     assert got == [1, 2, 3, 4]
 
 
+def test_tenant_store_compact_preserves_layout_and_rows(spark, tmp_path):
+    """Per-request appends leave one tiny parquet file each (the
+    reference's INSERT rate becomes the lake's small-file problem);
+    `TenantStore.compact` rewrites a tenant partition in place —
+    layout, rows, stored ordinals, and scan results identical, file
+    count collapsed, other tenants untouched."""
+    import glob
+
+    from psy_supabase_spark.sources.tenancy import TenantStore
+
+    wh = str(tmp_path / "wh_compact")
+    store = TenantStore(spark, wh)
+    for i in range(5):
+        batch = spark.createDataFrame(
+            [(None, f"q{i}", f"a{i}", None)],
+            "context string, question string, answer string, metadata string",
+        )
+        store.append("interactions", batch, user_id="alice", ordinal_col="interaction_id")
+    store.append(
+        "interactions",
+        spark.createDataFrame(
+            [(None, "bq", "ba", None)],
+            "context string, question string, answer string, metadata string",
+        ),
+        user_id="bob",
+        ordinal_col="interaction_id",
+    )
+    alice_dir = wh + "/interactions/user_id=alice"
+    before_files = glob.glob(alice_dir + "/*.parquet")
+    assert len(before_files) >= 5
+    before_rows = sorted(
+        (r.question, r.interaction_id)
+        for r in store.scan("interactions", user_id="alice").collect()
+    )
+    n_after = store.compact("interactions", user_id="alice")
+    assert n_after == 1
+    assert len(glob.glob(alice_dir + "/*.parquet")) == 1
+    after_rows = sorted(
+        (r.question, r.interaction_id)
+        for r in store.scan("interactions", user_id="alice").collect()
+    )
+    assert after_rows == before_rows
+    # bob's partition untouched (same single file), and compact-all works
+    assert len(glob.glob(wh + "/interactions/user_id=bob/*.parquet")) == 1
+    assert store.compact("interactions") == 2  # one file per tenant
+    # a fresh store compacts to nothing instead of crashing
+    assert TenantStore(spark, str(tmp_path / "wh_none")).compact("interactions") == 0
+
+
+def test_tenant_store_compact_mixed_warehouse(spark, tmp_path):
+    """Compacting a MIXED warehouse (legacy pre-ordinal files + stamped
+    files) merges footers into uniform compacted files and leaves
+    build_context's output unchanged — legacy rows keep their null
+    ordinal and rank first."""
+    wh = str(tmp_path / "wh_compact_mixed")
+    legacy = (
+        spark.createDataFrame(
+            [("c1", "q1", "a1", None)],
+            "context string, question string, answer string, metadata string",
+        )
+        .withColumn("created_at", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+        .withColumn("user_id", F.lit("alice"))
+    )
+    legacy.write.partitionBy("user_id").parquet(wh + "/interactions")
+    eng = PsyEngine(spark, wh)
+    eng.add_interaction("alice", context=None, question="q2", answer="a2")
+    before = {
+        r.question: r.interactionID for r in eng.build_context("alice").collect()
+    }
+    assert before == {"q1": 1, "q2": 2}
+    assert eng.store.compact("interactions", user_id="alice") == 1
+    assert before == {
+        r.question: r.interactionID for r in eng.build_context("alice").collect()
+    }
+    # appends keep extending the stored sequence after compaction
+    eng.add_interaction("alice", context=None, question="q3", answer="a3")
+    assert {
+        r.question: r.interactionID for r in eng.build_context("alice").collect()
+    } == {"q1": 1, "q2": 2, "q3": 3}
+
+
 def test_pack_for_training_chunks_oversized_docs(engine, spark):
     """chunk_tokens splits an over-budget document into real chunks
     before packing (r13 review: the whole-doc path rode a 10x-budget
