@@ -54,7 +54,7 @@ WIDE_MODES_PER_X = 1_000
 # SPARK_GRAFT_FAMILIES=docs,srp,ivf,wide,analytics — default all.
 ALL_FAMILIES = (
     "docs", "srp", "ivf", "wide", "analytics", "warc", "cdx", "linkgraph",
-    "frontier", "hll",
+    "frontier", "hll", "compact",
 )
 FAMILIES = frozenset(
     os.environ.get("SPARK_GRAFT_FAMILIES", ",".join(ALL_FAMILIES)).split(",")
@@ -462,6 +462,56 @@ def main() -> None:
                 if best_g is None or dt < best_g:
                     best_g = dt
             fam["hll_grouped_sec"] = round(best_g, 2)
+
+        if "compact" in FAMILIES:
+            # tenant-store small-file compaction (r14): a partition
+            # fragmented into 200·fx one-row-group files (the
+            # per-request append steady state) vs the same rows after
+            # `TenantStore.compact`.  The fragmented scan pays one
+            # file open + footer parse per file, so its wall grows
+            # ~linearly with FILE COUNT at constant row count — the
+            # curve to watch is scan_frag/scan_after widening with fx
+            # while compact itself stays ~linear in rows written.
+            import shutil
+
+            from psy_supabase_spark.sources.tenancy import TenantStore
+
+            n_files = 200 * fx
+            wh = tempfile.mkdtemp(prefix=f"compact_x{fx}_")
+            store = TenantStore(spark, wh)
+            rows = spark.range(n_files).select(
+                F.lit(None).cast("string").alias("context"),
+                F.concat(F.lit("q"), F.col("id")).alias("question"),
+                F.concat(F.lit("a"), F.col("id")).alias("answer"),
+                F.lit(None).cast("string").alias("metadata"),
+                F.current_timestamp().alias("created_at"),
+                F.col("id").alias("interaction_id"),
+                F.lit("alice").alias("user_id"),
+            )
+            rows.repartition(n_files).write.partitionBy("user_id").parquet(
+                wh + "/interactions"
+            )
+
+            def _scan_wall() -> float:
+                best_s = None
+                for _ in range(2):
+                    t0 = time.time()
+                    store.scan("interactions", user_id="alice").agg(
+                        F.count("*"), F.max("interaction_id")
+                    ).collect()
+                    dt = time.time() - t0
+                    best_s = dt if best_s is None else min(best_s, dt)
+                return best_s
+
+            fam["compact_files_before"] = n_files
+            fam["compact_scan_frag_sec"] = round(_scan_wall(), 2)
+            t0 = time.time()
+            fam["compact_files_after"] = store.compact(
+                "interactions", user_id="alice"
+            )
+            fam["compact_sec"] = round(time.time() - t0, 2)
+            fam["compact_scan_after_sec"] = round(_scan_wall(), 2)
+            shutil.rmtree(wh, ignore_errors=True)
 
         out[f"x{fx}"] = fam
         print(f"-- x{fx}: {json.dumps(fam)}", file=sys.stderr)
