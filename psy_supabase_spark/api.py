@@ -861,6 +861,35 @@ class PsyEngine:
             )
         return out.drop("_fa_host", "_fa_path")
 
+    @staticmethod
+    def _hll_tag_card(
+        frame: DataFrame,
+        keys: tuple[str, ...],
+        tag_structs: list,
+        b: int,
+    ) -> list:
+        """One-pass tagged HLL card shared by both `snapshot_stats`
+        branches: explode each row into its (keys…, tag, value) facets,
+        build ONE tag-grouped register set, estimate in-engine, and
+        collect the finished (keys…, tag, estimate) rows — the only
+        thing that leaves the cluster.  Register shuffle is bounded by
+        n_groups × n_tags × 2^b whatever the input size."""
+        from pyspark.sql import functions as F
+
+        from .operators import hll as HL
+
+        tagged = frame.select(
+            *keys,
+            F.explode(F.array(*tag_structs)).alias("_tv"),
+        ).select(
+            *keys, F.col("_tv.t").alias("_tag"), F.col("_tv.v").alias("_v")
+        )
+        return HL.hll_estimates(
+            HL.hll_registers(tagged, "_v", b=b, by=(*keys, "_tag")),
+            by=(*keys, "_tag"),
+            b=b,
+        ).collect()
+
     def snapshot_stats(
         self, index: DataFrame, *, b: int = 12,
         cols: tuple[str, ...] = ("url", "digest"),
@@ -896,11 +925,18 @@ class PsyEngine:
         still appears with 0.0 — and a single tag-grouped register
         build + in-engine estimate serves all columns (and the group
         universe) from one job, no persist needed.  Register shuffle
-        stays sketch-bounded (≤ n_groups × (n_cols+1) × 2^b rows)."""
+        stays sketch-bounded (≤ n_groups × (n_cols+1) × 2^b rows).
+        Both branches share `_hll_tag_card` (one tagging scheme to
+        maintain — r14 review) and differ only in key columns and the
+        sentinel."""
         from pyspark.sql import functions as F
 
-        from .operators import hll as HL
+        def tag_struct(tag: str, value):
+            return F.struct(
+                F.lit(tag).alias("t"), value.cast("string").alias("v")
+            )
 
+        derived_host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
         if by is None:
             # same one-pass tagged build as the grouped card below (no
             # persist: the index is read once, full stop — r14, the
@@ -914,38 +950,20 @@ class PsyEngine:
             # under 'host' would estimate the UNION of the two value
             # sets, matching neither (r14 review)
             derive_host = "url" in index.columns
-            tag_structs = [
-                F.struct(F.lit(c).alias("t"), F.col(c).cast("string").alias("v"))
-                for c in cols
-                if c in index.columns and not (c == "host" and derive_host)
-            ]
             expected = [
                 c
                 for c in cols
                 if c in index.columns and not (c == "host" and derive_host)
             ]
+            tag_structs = [tag_struct(c, F.col(c)) for c in expected]
             if derive_host:
-                tag_structs.append(
-                    F.struct(
-                        F.lit("host").alias("t"),
-                        F.lower(
-                            F.parse_url(F.col("url"), F.lit("HOST"))
-                        ).alias("v"),
-                    )
-                )
+                tag_structs.append(tag_struct("host", derived_host))
                 expected.append("host")
             if not tag_structs:
                 return {}
-            tagged0 = index.select(
-                F.explode(F.array(*tag_structs)).alias("_tv")
-            ).select(F.col("_tv.t").alias("_tag"), F.col("_tv.v").alias("_v"))
             got = {
                 r[0]: r[1]
-                for r in HL.hll_estimates(
-                    HL.hll_registers(tagged0, "_v", b=b, by=("_tag",)),
-                    by=("_tag",),
-                    b=b,
-                ).collect()
+                for r in self._hll_tag_card(index, (), tag_structs, b)
             }
             # an all-null column sketches EMPTY (no register rows) and
             # cards as 0.0, the empty-sketch posture — never missing
@@ -955,11 +973,7 @@ class PsyEngine:
             if k in index.columns:
                 keys.append(F.col(k))
             elif k == "host" and "url" in index.columns:
-                keys.append(
-                    F.lower(
-                        F.parse_url(F.col("url"), F.lit("HOST"))
-                    ).alias("host")
-                )
+                keys.append(derived_host.alias("host"))
             elif k == "day" and "timestamp" in index.columns:
                 keys.append(
                     F.substring("timestamp", 1, 8).alias("day")
@@ -986,28 +1000,13 @@ class PsyEngine:
         # index columns); the tag value never collides with a column
         # name (\\x00 is not a legal identifier byte).
         _GROUPS = "\x00groups"
-        tagged = base.select(
-            *by,
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit(_GROUPS).alias("t"), F.lit("").alias("v")
-                    ),
-                    *[
-                        F.struct(
-                            F.lit(c).alias("t"),
-                            F.col(c).cast("string").alias("v"),
-                        )
-                        for c in sketch_cols
-                    ],
-                )
-            ).alias("_tv"),
-        ).select(*by, F.col("_tv.t").alias("_tag"), F.col("_tv.v").alias("_v"))
-        est_rows = HL.hll_estimates(
-            HL.hll_registers(tagged, "_v", b=b, by=(*by, "_tag")),
-            by=(*by, "_tag"),
-            b=b,
-        ).collect()
+        est_rows = self._hll_tag_card(
+            base,
+            tuple(by),
+            [tag_struct(_GROUPS, F.lit(""))]
+            + [tag_struct(c, F.col(c)) for c in sketch_cols],
+            b,
+        )
         ests: dict[str, dict] = {c: {} for c in sketch_cols}
         groups = set()
         for r in est_rows:
