@@ -586,6 +586,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming ≤ max_hamming via the pigeonhole
     band join: split into (max_hamming+1) bands — any qualifying pair MUST
@@ -594,12 +595,22 @@ def simhash_neardup_pairs(
     are exact-subdivided (:func:`simhash_subdivided`) — the valve keeps the
     completeness proof intact.
 
+    ``sketches``: precomputed (id, simhash) rows for exactly the docs in
+    ``docs`` — skips the gram pipeline here (the streaming filter
+    computes the sketch frame once per micro-batch and feeds every
+    consumer from it; r14 review measured the pipeline running up to 4×
+    per batch).  Caller owns the id-set equivalence.
+
     Band selectivity note (measured, tools/dedup_eval.py): Hamming ≤ 3
     over 32 bits targets Manku 2007's near-identical-page regime — on
     planted 5%-token-edit duplicates recall is ~0.08 while the Jaccard
     family scores 1.0.  Reach for this when you want CHEAP high-precision
     near-identical detection, not edit-tolerant near-dup."""
-    sh = simhash(docs, id_col=id_col, text_col=text_col)
+    sh = (
+        sketches
+        if sketches is not None
+        else simhash(docs, id_col=id_col, text_col=text_col)
+    )
     banded = simhash_banded(sh, max_hamming)
     sub = simhash_subdivided(banded, max_hamming, bucket_cap=bucket_cap)
     jk = ["band", "key", "sband", "skey"]

@@ -537,6 +537,7 @@ def srp_neardup_pairs(
     verify_route: str = "auto",
     n_rows: int | None = None,
     max_broadcast_bytes: int = 256 << 20,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs (cosine ≥ threshold) via SRP banding + exact verify.
 
@@ -587,9 +588,21 @@ def srp_neardup_pairs(
     active and n·dim·8 B fits the valve, using ``n_rows`` when the
     caller knows it (else one narrow count job).  Measured dim 1536 /
     10k rows / t=0.9: join 11.3 s → broadcast ~5 s.
+    ``signatures``: precomputed (id, sig) rows for exactly the rows in
+    ``corpus``, built under the SAME (dim, n_planes, seed) — skips the
+    signature GEMM here (the streaming filter computes it once per
+    micro-batch and feeds every consumer; r14 review).  Caller owns
+    both the id-set and the config equivalence; verification still
+    reads vectors from ``corpus``.
     """
-    planes = hyperplanes(dim, n_planes, seed)
-    sig = corpus.select(F.col(id_col).alias("id"), srp_signature_np(vec_col, planes).alias("sig"))
+    if signatures is not None:
+        sig = signatures
+    else:
+        planes = hyperplanes(dim, n_planes, seed)
+        sig = corpus.select(
+            F.col(id_col).alias("id"),
+            srp_signature_np(vec_col, planes).alias("sig"),
+        )
     banded = banded_rows(sig, n_planes, bands)
     counted = dedup.counted_buckets(banded, bucket_cap)
     banded = counted.drop("_bn")

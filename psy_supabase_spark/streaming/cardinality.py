@@ -70,6 +70,8 @@ def fold_registers_stream(
     checkpoint: str,
     b: int = 12,
     by: tuple[str, ...] = (),
+    vacuum_every: int = 64,
+    vacuum_retention_seconds: float = 3600.0,
 ):
     """``writeStream`` builder: maintain a DURABLE register table for a
     stream in flight.  Per micro-batch, the update-mode register deltas
@@ -78,6 +80,17 @@ def fold_registers_stream(
     ``TxTable(spark, table_root).read()`` and estimate with
     `hll_estimates` (grouped) or `hll_estimate` (collected); the table
     is exactly `hll_registers` of everything ingested so far.
+
+    Every ``vacuum_every``-th committed version also vacuums the table
+    (r14 review: each fold writes a fresh sketch-sized snapshot whose
+    predecessor's files nothing ever reclaimed — a batch-per-second
+    stream accumulated ~86k snapshot copies per day, unbounded growth
+    on exactly the forever-running streams this module advertises).
+    Retained history is bounded at ~``vacuum_retention_seconds`` of
+    versions; the retention window keeps the vacuum safe against the
+    fold's own in-flight staging (single-writer streams may pass a
+    smaller window).  Set ``vacuum_every=0`` to manage retention
+    externally.
 
     Returns the un-started builder (caller picks the trigger, the
     test/ops pattern everywhere in `streaming/`)."""
@@ -94,7 +107,9 @@ def fold_registers_stream(
             )
         else:
             merged = batch_df
-        tx.overwrite(merged)
+        new_v = tx.overwrite(merged)
+        if vacuum_every and new_v % vacuum_every == 0:
+            tx.vacuum(retention_seconds=vacuum_retention_seconds)
 
     return (
         register_stream(stream, col, b=b, by=by)

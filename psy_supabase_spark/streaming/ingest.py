@@ -238,8 +238,16 @@ def upsert_batch(store_path: str, key_col: str = "event_id", ts_col: str = "ts")
             if "PATH_NOT_FOUND" not in klass and "Path does not exist" not in str(e):
                 raise
             merged = new
+        # final tie-break: a full-row hash.  Without it, two same-key
+        # same-ts rows in ONE batch (redelivery-with-correction) rank
+        # nondeterministically, so a crash-replay of the batch could
+        # keep the OTHER row — exactly the non-idempotence this sink's
+        # contract rules out (r14 review).  The hash is arbitrary but
+        # REPLAY-STABLE: same rows, same winner, whatever the partition
+        # or task order.
+        row_hash = F.xxhash64(F.struct(*[F.col(c) for c in batch_df.columns]))
         w = Window.partitionBy(key_col).orderBy(
-            F.col(ts_col).desc(), F.col("_src").desc()
+            F.col(ts_col).desc(), F.col("_src").desc(), row_hash.desc()
         )
         latest = (
             merged.withColumn("_rn", F.row_number().over(w))

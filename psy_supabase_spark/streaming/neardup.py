@@ -48,6 +48,19 @@ from pyspark.sql import functions as F
 from ..operators import dedup, lsh
 from ..sources.txlog import TxTable
 
+# hard ceiling on the SRP verify's candidates-with-vectors broadcast
+# (~256 MB of vector payload): F.broadcast bypasses Spark's own size
+# refusal, so without a valve one degenerate index bucket could push
+# gigabytes into the driver (r14 review); over the cap the verify falls
+# back to a shuffle join — slower, never fatal
+SRP_VERIFY_BROADCAST_CAP = 256 << 20
+
+# every Nth counts commit vacuums superseded snapshot files past the
+# retention window — bounds the per-batch-overwritten counts table's
+# on-disk history on forever-running streams (r14 review)
+COUNTS_VACUUM_EVERY = 64
+COUNTS_VACUUM_RETENTION_SECONDS = 3600.0
+
 
 # ---- incremental (band, key, cnt, idx_version) counts machinery --------
 # shared by the SimHash (text) and SRP (embedding) admission filters: one
@@ -144,6 +157,13 @@ def fold_counts(
     if stamp_memo is not None:
         stamp_memo["counts_v"] = new_cv
         stamp_memo["idx_v"] = v_after
+    # periodic retention on the one table this machinery overwrites
+    # EVERY fold (r14 review: nothing ever reclaimed superseded counts
+    # snapshots, so a long-running stream grew the table's data dir
+    # without bound); the retention window keeps it safe against the
+    # admission filter's own in-flight commits
+    if new_cv > 0 and new_cv % COUNTS_VACUUM_EVERY == 0:
+        counts_tx.vacuum(retention_seconds=COUNTS_VACUUM_RETENTION_SECONDS)
 
 
 class _PendingFold:
@@ -151,12 +171,20 @@ class _PendingFold:
     per-batch counts overwrite is the second txlog commit in every batch
     and rewrites one row per OCCUPIED bucket (O(index buckets)), so at
     ``fold_every > 1`` the banded occupancy of up to K admitted batches
-    (all derived from localCheckpointed frames — safe to hold) accumulates
-    and folds in ONE commit.  Invariant between folds: counts-stamp lag ==
-    len(pending) (each process_batch appends exactly one index version);
-    any other lag means a crash/restart/rival writer — fold immediately,
-    and `fold_counts`'s v_before mismatch then takes its full-rebuild
-    path.  A crash loses only pending occupancy, never admitted data, and
+    accumulates and folds in ONE commit.  The held frames root in
+    localCheckpointed RDDs, whose blocks are NON-reliable: losing an
+    executor that held a pending batch's blocks before the fold makes
+    the union unrecoverable and FAILS THE STREAM (localCheckpoint
+    truncates lineage, so there is nothing to recompute from) — the
+    restart then takes the stamp-mismatch full-rebuild below, so the
+    cost is one stream restart + one counts rebuild, never admitted
+    data.  On deployments where an executor loss per K batches is
+    routine, set fold_every=1 (every batch folds immediately) or size
+    K to the executor-loss rate.  Invariant between folds: counts-stamp
+    lag == len(pending) (each process_batch appends exactly one index
+    version); any other lag means a crash/restart/rival writer — fold
+    immediately, and `fold_counts`'s v_before mismatch then takes its
+    full-rebuild path; a driver crash loses only pending occupancy, and
     the mismatch rule self-repairs on the next batch."""
 
     def __init__(self, fold_every: int):
@@ -259,7 +287,21 @@ class StreamingNearDupFilter:
     def admit(self, batch: DataFrame) -> DataFrame:
         """Docs from `batch` that survive both the index check and
         within-batch first-occurrence dedup.  Does NOT update the index."""
-        sh = dedup.simhash(batch, id_col=self.id_col, text_col=self.text_col)
+        return self._admit_with_sketches(batch)[0]
+
+    def _admit_with_sketches(
+        self, batch: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """(admitted, batch sketch frame).  The (id, simhash) frame is
+        computed ONCE per micro-batch and checkpointed — it feeds the
+        index check, the within-batch pair search, and (via
+        process_batch) the index append and the counts fold, which
+        previously each re-ran the full gram pipeline over the raw
+        text: up to 4 executions per batch, the dominant share of the
+        measured per-batch floor (r14 review)."""
+        sh = dedup.simhash(
+            batch, id_col=self.id_col, text_col=self.text_col
+        ).localCheckpoint(eager=True)
         banded = dedup.simhash_banded(sh, self.max_hamming)
         if self.index.latest_version() >= 0:
             idx = self.index.read().select(
@@ -296,19 +338,26 @@ class StreamingNearDupFilter:
             survivors = survivors.localCheckpoint(eager=True)
         else:
             survivors = batch
-        # within-batch: one representative (min id) per near-dup component
+        # within-batch: one representative (min id) per near-dup
+        # component, over the checkpointed sketches filtered to the
+        # survivors (no gram recompute)
+        sh_sur = sh.join(
+            survivors.select(F.col(self.id_col).alias("id")), "id", "semi"
+        )
         pairs = dedup.simhash_neardup_pairs(
             survivors,
             self.max_hamming,
             id_col=self.id_col,
             text_col=self.text_col,
             bucket_cap=self.bucket_cap,
+            sketches=sh_sur,
         )
         comp = dedup.connected_components(pairs)  # (id, component=min reachable)
         losers = comp.where(F.col("id") != F.col("component")).select("id")
-        return survivors.join(
+        admitted = survivors.join(
             losers, survivors[self.id_col] == losers.id, "left_anti"
         )
+        return admitted, sh
 
     def process_batch(self, batch: DataFrame, epoch_id: int | None = None) -> DataFrame:
         """The foreachBatch hook: decide, emit, THEN index — in that order.
@@ -327,13 +376,15 @@ class StreamingNearDupFilter:
         Appending to the index FIRST would invert the middle window into
         silent permanent loss: the replayed admit would reject docs whose
         sketches committed even though the sink never saw them."""
-        admitted = self.admit(batch)
+        admitted, sh = self._admit_with_sketches(batch)
         out = admitted.localCheckpoint(eager=True)  # decide BEFORE the index moves
         if self.sink is not None:
             self.sink(out, epoch_id)
-        sketches = dedup.simhash(out, id_col=self.id_col, text_col=self.text_col).select(
-            F.col("id").alias(self.id_col), "simhash"
-        )
+        # the batch's checkpointed sketch frame, filtered to the admitted
+        # ids — not a recompute of the gram pipeline over out's raw text
+        sketches = sh.join(
+            out.select(F.col(self.id_col).alias("id")), "id", "semi"
+        ).select(F.col("id").alias(self.id_col), "simhash")
         self.index.append(sketches)
         self._update_counts(sketches)
         return out
@@ -420,15 +471,30 @@ class StreamingEmbeddingNearDupFilter:
         # (same rule the batch operator and scale step use); explicit
         # n_planes/bands still win, and the legacy default stays 24p/8b
         # for small indexes.
-        if n_planes is None or bands is None:
+        if n_planes is None and bands is None:
             if expected_n is not None:
-                auto_planes, auto_bands = lsh.suggest_banding(
+                n_planes, bands = lsh.suggest_banding(
                     expected_n, threshold, dim=dim
                 )
             else:
-                auto_planes, auto_bands = 24, 8
-            n_planes = n_planes if n_planes is not None else auto_planes
-            bands = bands if bands is not None else auto_bands
+                n_planes, bands = 24, 8
+        elif n_planes is None or bands is None:
+            # a HALF-specified banding is a footgun, not a convenience:
+            # the old code merged the given value with an auto partner
+            # suggested for a DIFFERENT plane count (e.g. user
+            # n_planes=24 + auto bands=16 for the suggested 176 planes
+            # → 1-bit band keys whose buckets all blow the cap and get
+            # valved away — candidate generation silently collapses)
+            raise ValueError(
+                "pass both n_planes and bands, or neither (auto via "
+                "expected_n): a half-specified banding pairs your value "
+                "with a partner suggested for a different plane count"
+            )
+        if bands > n_planes or n_planes % bands:
+            raise ValueError(
+                f"bands ({bands}) must divide n_planes ({n_planes}): "
+                "banded_rows slices the signature into equal-width bands"
+            )
         self.index = TxTable(spark, index_path)
         self.counts = TxTable(spark, index_path.rstrip("/") + ".bucket_counts")
         # driver-side (counts_version, idx_version) memo: skips the
@@ -448,6 +514,71 @@ class StreamingEmbeddingNearDupFilter:
         self.vec_col = vec_col
         self.bucket_cap = bucket_cap
         self.planes = lsh.hyperplanes(dim, n_planes, seed)
+        self._check_or_stamp_banding(spark, index_path)
+
+    def _check_or_stamp_banding(self, spark, index_path: str) -> None:
+        """Fail LOUDLY when this filter's SRP config doesn't match the
+        signatures already stored at ``index_path`` (r14 review: the
+        docstring said retuning 'would orphan the index', but nothing
+        enforced it — a restart with a different expected_n re-banded
+        stored 24-element sigs at positions 1..176, whose NULLs
+        concat_ws silently drops, so index band keys could never match
+        batch keys and every cross-batch near-dup was ADMITTED).  The
+        config (dim, n_planes, bands, seed — everything baked into the
+        stored signatures or their banding) is stamped to a JSON
+        sidecar next to the index on FIRST construction and compared
+        on every later one, through the path's own Hadoop filesystem
+        (cluster filesystems included).  A pre-stamp index (built
+        before this guard) gets a width probe as a fallback: sig
+        length must equal n_planes."""
+        import json as _json
+
+        cfg = {
+            "dim": self.dim,
+            "n_planes": self.n_planes,
+            "bands": self.bands,
+            "seed": self.seed,
+        }
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            index_path.rstrip("/") + ".banding.json"
+        )
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            stream = fs.open(p)
+            try:
+                stored = _json.loads(
+                    jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                )
+            finally:
+                stream.close()
+            if stored != cfg:
+                raise ValueError(
+                    f"SRP banding mismatch at {index_path}: stored "
+                    f"{stored}, this filter {cfg} — the stored "
+                    "signatures are only searchable under the config "
+                    "that built them; reconstruct the index or match "
+                    "the stamp"
+                )
+            return
+        if self.index.latest_version() >= 0:
+            head = (
+                self.index.read().select(F.size("sig").alias("w")).head()
+            )
+            if head is not None and head["w"] != self.n_planes:
+                raise ValueError(
+                    f"index at {index_path} stores {head['w']}-plane "
+                    f"signatures but this filter is configured for "
+                    f"{self.n_planes} — reconstruct the index or match "
+                    "the original banding"
+                )
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(_json.dumps(cfg).encode()))
+        finally:
+            out.close()
 
     def _sig(self, df: DataFrame) -> DataFrame:
         return df.select(
@@ -460,6 +591,17 @@ class StreamingEmbeddingNearDupFilter:
 
     # -- pure decision function (static DF in/out): unit-testable
     def admit(self, batch: DataFrame) -> DataFrame:
+        return self._admit_with_sigs(batch)[0]
+
+    def _admit_with_sigs(
+        self, batch: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """(admitted, batch signature frame).  The (id, sig) GEMM runs
+        ONCE per micro-batch and checkpoints — it feeds the index-check
+        banding, the within-batch pair search, and (via process_batch)
+        the index append and the counts fold, which previously each
+        re-ran it (r14 review)."""
+        sig = self._sig(batch).localCheckpoint(eager=True)
         if self.index.latest_version() >= 0:
             idx = self.index.read()
             idx_banded = self._banded(idx.select(F.col(self.id_col).alias("id"), "sig"))
@@ -479,7 +621,7 @@ class StreamingEmbeddingNearDupFilter:
             # signatures that is the only viable join shape, and locally
             # it cuts the per-batch floor (sort-merge join stages on a
             # ~500-row batch cost ~1 s of pure scheduling)
-            batch_banded = self._banded(self._sig(batch))
+            batch_banded = self._banded(sig)
             cand = (
                 F.broadcast(batch_banded.alias("b"))
                 .join(idx_banded.alias("i"), ["band", "key"])
@@ -496,12 +638,35 @@ class StreamingEmbeddingNearDupFilter:
             sim = F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(
                 F.round(raw, 6)
             )
-            # candidates ≤ |batch| × bucket_cap (both bounded): broadcast
-            # them (with the batch vectors attached) onto the index-vector
-            # fetch — index vectors stream map-side, never shuffle
+            # candidates ≤ |batch| × bucket_cap per band — USUALLY small:
+            # broadcast them (with the batch vectors attached) onto the
+            # index-vector fetch so index vectors stream map-side, never
+            # shuffle.  But F.broadcast bypasses Spark's own size
+            # refusal, and a deep-yet-under-cap bucket (all-zero/NULL
+            # vectors from an upstream hiccup all land in one bucket)
+            # can put ~cap × dim × 8 B — gigabytes — into the broadcast
+            # and OOM the driver (r14 review).  cand is ids-only, so
+            # checkpoint it, COUNT it, and route: under the cap the
+            # broadcast shape, over it a plain shuffle join — slower,
+            # never fatal, and loud in the logs.
+            cand = cand.localCheckpoint(eager=True)
+            n_cand = cand.count()
+            cand_bytes = n_cand * (self.dim * 8 + 32)
+            if cand_bytes <= SRP_VERIFY_BROADCAST_CAP:
+                with_bv = F.broadcast(cand.join(F.broadcast(bv), "bid"))
+            else:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "SRP verify: %d candidates (~%d MB with vectors) "
+                    "exceed the broadcast cap — falling back to a "
+                    "shuffle join; check the index for degenerate "
+                    "vectors piling into one bucket",
+                    n_cand, cand_bytes >> 20,
+                )
+                with_bv = cand.join(bv, "bid")
             hit_ids = (
-                F.broadcast(cand.join(F.broadcast(bv), "bid"))
-                .join(iv, "iid")
+                with_bv.join(iv, "iid")
                 .where(sim >= self.threshold)
                 .select(F.col("bid").alias("id"))
                 .distinct()
@@ -521,7 +686,8 @@ class StreamingEmbeddingNearDupFilter:
         # hot_id_threshold=None: hot-id salting protects unbounded-corpus
         # verify joins from reducer skew; a micro-batch is bounded by
         # contract, and the default-on estimate costs a driver collect
-        # per batch for nothing
+        # per batch for nothing.  signatures= feeds the checkpointed
+        # per-batch GEMM (filtered to survivors) instead of re-running it
         pairs = lsh.srp_neardup_pairs(
             survivors,
             self.threshold,
@@ -533,23 +699,29 @@ class StreamingEmbeddingNearDupFilter:
             seed=self.seed,
             bucket_cap=self.bucket_cap,
             hot_id_threshold=None,
+            signatures=sig.join(
+                survivors.select(F.col(self.id_col).alias("id")), "id", "semi"
+            ),
         )
         comp = dedup.connected_components(pairs)
         losers = comp.where(F.col("id") != F.col("component")).select("id")
-        return survivors.join(
+        admitted = survivors.join(
             losers, survivors[self.id_col] == losers.id, "left_anti"
         )
+        return admitted, sig
 
     def process_batch(self, batch: DataFrame, epoch_id: int | None = None) -> DataFrame:
         """Decide → sink → append, exactly the SimHash filter's order and
         replay-idempotence argument (appending first would turn the
         sink-then-crash window into silent permanent loss)."""
-        admitted = self.admit(batch)
+        admitted, sig = self._admit_with_sigs(batch)
         out = admitted.localCheckpoint(eager=True)
         if self.sink is not None:
             self.sink(out, epoch_id)
-        store = out.select(self.id_col, self.vec_col).withColumn(
-            "sig", lsh.srp_signature_np(self.vec_col, self.planes)
+        # re-attach the batch's checkpointed signatures to the admitted
+        # vectors — not a third GEMM over them
+        store = out.select(self.id_col, self.vec_col).join(
+            sig.withColumnRenamed("id", self.id_col), self.id_col
         )
         self.index.append(store)
         if self.bucket_cap is not None:

@@ -8,8 +8,27 @@ Spark's arbitrary-stateful-processing hook, with an explicit GroupState
 holding the last N rendered turns per user.
 
 State size is strictly bounded (N strings per live key) and keys expire
-after ``state_ttl`` of event-time silence — the properties that keep the
-state store sane at 100 TB/day.
+after ``state_ttl`` of PROCESSING-time silence (ProcessingTimeTimeout —
+the wall clock of the running query, not event time; see the caveats
+below) — the properties that keep the state store sane at 100 TB/day.
+
+Caveats, stated rather than hidden (r14 review):
+
+- **Ordering is per-micro-batch.** Rows sort by (ts, event_id) WITHIN
+  each batch, but state rolls strictly forward across batches: an event
+  whose ts precedes a turn already rolled into state in an earlier
+  batch gets a context that includes that later turn, and the earlier
+  turn never enters any later event's context — divergent from the
+  batch `windows.rolling_context` answer.  Arrival order is the source
+  order here; a source that can reorder across micro-batch boundaries
+  (multi-partition Kafka) needs an upstream per-key sequencer if exact
+  batch parity is required.  The watermark bounds state, not ordering.
+- **Expiry is processing-time.** Under a fast historical backfill,
+  weeks of event time pass in seconds of wall time, so no key times
+  out and state holds every distinct key seen; expire-by-event-time
+  would need EventTimeTimeout + per-key timeout timestamps.  For
+  backfills, drain with availableNow (TTL off) and let the state be
+  discarded with the checkpoint, or run the batch operator instead.
 """
 
 from __future__ import annotations
@@ -41,8 +60,10 @@ def _make_update_context(state_ttl_ms: int | None):
     ) -> Iterable[pd.DataFrame]:
         """Per user: emit the concat of the previous ≤3 turns for every
         event (current row excluded — the W1 trap), then roll state
-        forward.  Rows within and across micro-batches are processed in
-        (ts, event_id) order; state carries only the trailing 3 turns."""
+        forward.  Rows are (ts, event_id)-ordered WITHIN the
+        micro-batch only; across batches state rolls forward in
+        arrival order (module docstring, ordering caveat).  State
+        carries only the trailing 3 turns."""
         (user_id,) = key
         if state.hasTimedOut:  # only reachable with a timeout conf enabled
             state.remove()

@@ -56,6 +56,25 @@ def test_upsert_tie_prefers_incoming_batch(spark, tmp_path):
     assert spark.read.parquet(store).head().value == 5.0
 
 
+def test_upsert_within_batch_tie_is_replay_stable(spark, tmp_path):
+    """Two same-key same-ts rows in ONE batch rank by a full-row hash,
+    so a crash-replay of the batch keeps the SAME winner (r14 review:
+    the old (ts, _src) ordering left the winner to partition order,
+    flipping values across replays — the exact non-idempotence the
+    sink's contract rules out)."""
+    store = str(tmp_path / "store")
+    apply = ingest.upsert_batch(store)
+    tie = _mk_batch(
+        spark,
+        [(1, "2024-01-01 10:00:00", 7, 5.0), (1, "2024-01-01 10:00:00", 7, 7.0)],
+    )
+    apply(tie, 0)
+    first = spark.read.parquet(store).head().value
+    for replay in range(3):  # same batch redelivered — winner must hold
+        apply(tie.repartition(4), 0)
+        assert spark.read.parquet(store).head().value == first
+
+
 def test_upsert_stream_end_to_end(spark, tmp_path):
     src = str(tmp_path / "src")
     store = str(tmp_path / "store")

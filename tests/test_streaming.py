@@ -262,3 +262,49 @@ def test_stream_hll_fold_durable_registers(spark, events_dir, tmp_path):
     dist = hll.hll_estimates(tx.read(), b=10).collect()[0].approx_distinct
     drv = hll.hll_estimate(want, b=10)
     assert abs(dist - drv) <= 1e-12 * drv
+
+
+def test_stream_hll_fold_vacuums_superseded_snapshots(spark, events_dir, tmp_path):
+    """The durable fold reclaims superseded snapshot files every
+    vacuum_every-th version (r14 review: each fold overwrites a fresh
+    sketch-sized snapshot and nothing ever deleted the predecessor's
+    files — unbounded on-disk growth on forever-running streams).
+    With vacuum_every=1 and zero retention (single writer), only the
+    LIVE snapshot's data dir survives the drain; the registers are
+    untouched by the cleanup."""
+    import glob as _glob
+
+    from psy_supabase_spark.operators import hll
+    from psy_supabase_spark.sources.txlog import TxTable
+    from psy_supabase_spark.streaming import cardinality
+
+    key = F.col("user_id").cast("string")
+    root = str(tmp_path / "hll_table_vac")
+    q = (
+        cardinality.fold_registers_stream(
+            spark.readStream.format("parquet")
+            .schema(load_table(spark, SF, "events").schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(events_dir),
+            key,
+            table_root=root,
+            checkpoint=str(tmp_path / "ckpt_vac"),
+            b=10,
+            vacuum_every=1,
+            vacuum_retention_seconds=0.0,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tx = TxTable(spark, root)
+    n_versions = tx.latest_version() + 1
+    assert n_versions >= 2  # multiple folds happened
+    data_dirs = [
+        d for d in _glob.glob(root + "/data/*") if not d.endswith("_SUCCESS")
+    ]
+    assert len(data_dirs) == 1, data_dirs  # only the live snapshot remains
+    want = hll.hll_registers(load_table(spark, SF, "events"), key, b=10).collect()
+    assert {(r.bucket, r.rho) for r in tx.read().collect()} == {
+        (r.bucket, r.rho) for r in want
+    }

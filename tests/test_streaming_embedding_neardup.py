@@ -251,3 +251,43 @@ def test_deferred_counts_fold_and_crash_catchup(spark, tmp_path):
         .collect()
     }
     assert got2 == want2
+
+
+def test_banding_config_guards(spark, tmp_path):
+    """r14 review hardening: (a) a half-specified banding raises
+    instead of pairing the given value with an auto partner suggested
+    for a different plane count; (b) a non-divisible pair raises; (c) a
+    restart whose SRP config differs from the stamp written by the
+    index's builder raises instead of silently mis-banding the stored
+    signatures (which admitted every cross-batch near-dup)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="half-specified"):
+        StreamingEmbeddingNearDupFilter(
+            spark, str(tmp_path / "idx_half"), dim=DIM, n_planes=24,
+            expected_n=100_000,
+        )
+    with pytest.raises(ValueError, match="divide"):
+        StreamingEmbeddingNearDupFilter(
+            spark, str(tmp_path / "idx_div"), dim=DIM, n_planes=24, bands=16
+        )
+    # build an index under one config, then restart under another
+    b = _base(7)
+    path = str(tmp_path / "idx_stamp")
+    filt = StreamingEmbeddingNearDupFilter(
+        spark, path, dim=DIM, threshold=0.95, n_planes=24, bands=8
+    )
+    filt.process_batch(_vecs(spark, [(0, b[0])]))
+    # same config reattaches fine (stamp match)
+    StreamingEmbeddingNearDupFilter(
+        spark, path, dim=DIM, threshold=0.95, n_planes=24, bands=8
+    )
+    with pytest.raises(ValueError, match="banding mismatch"):
+        StreamingEmbeddingNearDupFilter(
+            spark, path, dim=DIM, threshold=0.95, n_planes=32, bands=8
+        )
+    with pytest.raises(ValueError, match="banding mismatch"):
+        StreamingEmbeddingNearDupFilter(  # same shape, different seed
+            spark, path, dim=DIM, threshold=0.95, n_planes=24, bands=8,
+            seed=999,
+        )
