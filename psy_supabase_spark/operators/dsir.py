@@ -93,19 +93,40 @@ def bucket_logratio(
     """(bucket, logratio): 6-dp ``ln(p̂_b) − ln(q̂_b)`` with add-one
     smoothing — ``p̂_b = (c_b + 1)/(C + n_buckets)``.  Both sides spell
     the two logs separately (not ln of the quotient), so the oracle can
-    reproduce the exact doubles.  ≤ n_buckets rows by construction."""
+    reproduce the exact doubles.  ≤ n_buckets rows by construction.
+
+    Each corpus's featurization runs ONCE here: the sketch-sized
+    bucket-count frames collect in one job apiece, the totals sum from
+    the collected ints, and the joined frame is rebuilt driver-side
+    (r14 review: the old spelling ran two extra total-collect jobs and
+    left both featurizations inside the returned plan, so the
+    downstream scoring action re-featurized the raw corpus a third
+    time).  The log/round math stays in CATALYST on the same
+    expressions — identical doubles to the old plan and to the SQL
+    oracle."""
+    from pyspark.sql import types as T
+
     tc = _bucket_counts(target_feats)
-    rc = _bucket_counts(raw_feats)
-    t_total = tc.agg(F.sum("c")).collect()[0][0] or 0
-    r_total = rc.agg(F.sum("c")).collect()[0][0] or 0
-    joined = (
-        tc.withColumnRenamed("c", "ct")
-        .join(rc.withColumnRenamed("c", "cr"), "bucket", "full_outer")
-        .select(
-            "bucket",
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-            F.coalesce("cr", F.lit(0)).alias("cr"),
-        )
+    bucket_field = tc.schema["bucket"]
+    tc_rows = tc.collect()
+    rc_rows = _bucket_counts(raw_feats).collect()
+    t_total = sum(r["c"] for r in tc_rows)
+    r_total = sum(r["c"] for r in rc_rows)
+    counts: dict = {}
+    for r in tc_rows:
+        counts[r["bucket"]] = [r["c"], 0]
+    for r in rc_rows:
+        counts.setdefault(r["bucket"], [0, 0])[1] = r["c"]
+    spark = target_feats.sparkSession
+    joined = spark.createDataFrame(
+        [(b, ct, cr) for b, (ct, cr) in counts.items()],
+        T.StructType(
+            [
+                T.StructField("bucket", bucket_field.dataType, True),
+                T.StructField("ct", T.LongType(), True),
+                T.StructField("cr", T.LongType(), True),
+            ]
+        ),
     )
     logp = F.log((F.col("ct") + F.lit(1.0)) / F.lit(float(t_total + n_buckets)))
     logq = F.log((F.col("cr") + F.lit(1.0)) / F.lit(float(r_total + n_buckets)))

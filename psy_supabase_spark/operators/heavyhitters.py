@@ -403,8 +403,10 @@ def top_tokens(
     if len(cands) > max_candidates:
         raise ValueError(
             f"MG summary produced > max_candidates={max_candidates} "
-            f"candidates at capacity={capacity}; raise capacity (fewer, "
-            "tighter counters) or max_candidates"
+            f"candidates at capacity={capacity}; raise max_candidates, "
+            "or LOWER capacity (each partition emits up to `capacity` "
+            "counter rows, so more capacity means MORE merged "
+            "candidates, not fewer)"
         )
     if len(cands) >= k:
         kth_est = cands[k - 1][1]

@@ -244,7 +244,18 @@ def ppl_buckets(
     recomputed per run would silently shift the cut as the corpus
     grows).  NULL scores (< 2-token docs) bucket as 'unscored'.
     """
-    lo, hi = scored.approxQuantile(score_col, list(quantiles), relative_error)
+    qs = scored.approxQuantile(score_col, list(quantiles), relative_error)
+    if not qs:
+        # approxQuantile ignores nulls and returns [] when the column
+        # has NO non-null values (every doc < 2 tokens) — everything
+        # buckets 'unscored', with NaN thresholds to make the
+        # degenerate carve visible rather than an unpacking crash
+        # (r14 review)
+        return (
+            scored.withColumn(bucket_col, F.lit("unscored")),
+            (float("nan"), float("nan")),
+        )
+    lo, hi = qs
     c = F.col(score_col)
     out = scored.withColumn(
         bucket_col,
@@ -260,14 +271,19 @@ def collect_model(lm: BigramLM, *, max_rows: int = 5_000_000) -> dict:
     """Driver-side dict form of a BOUNDED model, for the stream-safe
     scorer.  Refuses unbounded models over ``max_rows`` total entries —
     train with vocab_cap/bigram_cap first (the same hard-ceiling contract
-    as :mod:`functions.bpe`'s word collect)."""
-    uni = {r["w"]: r["c"] for r in lm.unigrams.collect()}
-    big = {(r["w1"], r["w2"]): r["c"] for r in lm.bigrams.collect()}
-    if len(uni) + len(big) > max_rows:
+    as :mod:`functions.bpe`'s word collect).  The refusal counts BEFORE
+    collecting (r14 review: a post-collect check cannot prevent the
+    driver OOM it exists for — a web-scale uncapped model died in the
+    collect the valve was guarding); two count jobs are noise next to
+    any collect worth valving."""
+    n = lm.unigrams.count() + lm.bigrams.count()
+    if n > max_rows:
         raise ValueError(
-            f"collect_model: {len(uni) + len(big)} model rows > max_rows={max_rows}; "
+            f"collect_model: {n} model rows > max_rows={max_rows}; "
             "train with vocab_cap/bigram_cap to bound the model first"
         )
+    uni = {r["w"]: r["c"] for r in lm.unigrams.collect()}
+    big = {(r["w1"], r["w2"]): r["c"] for r in lm.bigrams.collect()}
     return {"uni": uni, "big": big, "total": lm.total}
 
 

@@ -52,12 +52,15 @@ def _featurizer(text_col: str, n_features: int):
     from pyspark.ml.feature import HashingTF, SQLTransformer
 
     # tokenize with the ENGINE's spelling (functions.text.tokenize) so the
-    # classifier sees the same tokens every other text operator sees
+    # classifier sees the same tokens every other text operator sees;
+    # coalesce first — a NULL text otherwise tokenizes to a NULL array
+    # that HashingTF's UDF NPEs on, failing the whole job (r14 review:
+    # every sibling operator scores a null doc as empty instead)
     tok = SQLTransformer(
         statement=(
-            "SELECT *, filter(split(trim(regexp_replace(lower("
+            "SELECT *, filter(split(trim(regexp_replace(lower(coalesce("
             + text_col
-            + "), '[^a-z0-9'']+', ' ')), ' '), x -> x != '') AS _clf_toks FROM __THIS__"
+            + ", '')), '[^a-z0-9'']+', ' ')), ' '), x -> x != '') AS _clf_toks FROM __THIS__"
         )
     )
     tf = HashingTF(inputCol="_clf_toks", outputCol="_clf_features", numFeatures=n_features)
@@ -80,9 +83,22 @@ def weak_labels_from_gates(
     a family that fails (or passes) everything — e.g. C4's
     terminal-punctuation rule on a corpus of unpunctuated lines — makes
     the labels single-class and the fit degenerate.  Check the label
-    balance before training (the tests do)."""
+    balance before training (the tests do).
+
+    ``gate_overrides`` are GOPHER knobs (`quality.gopher_quality_flags`
+    kwargs); passing them without 'gopher' in ``families`` raises
+    rather than silently training on default labels (r14 review — C4's
+    flags expose no knobs through this API).  A NULL text labels 0.0
+    (fails the gates), never NULL (which LogisticRegression.fit would
+    reject for the whole corpus)."""
     from ..functions import quality as Q
 
+    if gate_overrides and "gopher" not in families:
+        raise ValueError(
+            f"gate_overrides {sorted(gate_overrides)} only apply to the "
+            "'gopher' family, which is not in families — labels would "
+            "silently ignore them"
+        )
     parts = []
     if "gopher" in families:
         parts.append(Q.gopher_quality_flags(F.col(text_col), **gate_overrides)["passes"])
@@ -93,7 +109,9 @@ def weak_labels_from_gates(
     label = parts[0]
     for p in parts[1:]:
         label = label & p
-    return docs.withColumn(label_col, label.cast("double"))
+    return docs.withColumn(
+        label_col, F.coalesce(label.cast("double"), F.lit(0.0))
+    )
 
 
 def train_quality_classifier(

@@ -75,6 +75,14 @@ def _fit_centers(
         raise ValueError("semdedup: empty corpus")
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]
+    if x.size == 0:
+        # every sampled vector was zero-norm (a failed upstream
+        # embedding job writing zeros): say so, instead of the opaque
+        # rng.integers(0) crash inside the k-means seeder (r14 review)
+        raise ValueError(
+            "semdedup: fit sample contains only zero-norm vectors — "
+            "cosine geometry is undefined; check the embedding column"
+        )
     return [list(map(float, c)) for c in ivf._spherical_kmeans(x, n_clusters, seed, 8)]
 
 
@@ -179,10 +187,14 @@ def semdedup_pairs(
 
     assigned = corpus.select(id_col, vec_col).mapInPandas(assign_carry, schema=asg_schema)
 
+    # id columns keep the CORPUS id type (r14 review: a hardcoded
+    # LongType broke string-keyed corpora at Arrow conversion, while
+    # assign_with_sim above deliberately preserves corpus.schema[id_col])
+    id_type = corpus.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField("id_a", LongType(), False),
-            StructField("id_b", LongType(), False),
+            StructField("id_a", id_type, False),
+            StructField("id_b", id_type, False),
             StructField("sim", DoubleType(), False),
             StructField("centroid_id", IntegerType(), False),
         ]
@@ -197,9 +209,15 @@ def semdedup_pairs(
                 "raise n_clusters (the paper scales k with corpus size) or cluster_cap"
             )
         if n < 2:
+            empty_ids = pdf[id_col].iloc[:0]  # exact dtype of the real ids
             return pd.DataFrame(
-                {"id_a": [], "id_b": [], "sim": [], "centroid_id": []}
-            ).astype({"id_a": "int64", "id_b": "int64", "sim": "float64", "centroid_id": "int32"})
+                {
+                    "id_a": empty_ids,
+                    "id_b": empty_ids,
+                    "sim": pd.Series([], dtype="float64"),
+                    "centroid_id": pd.Series([], dtype="int32"),
+                }
+            )
         ids = pdf[id_col].to_numpy()
         m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         nrm = np.linalg.norm(m, axis=1)

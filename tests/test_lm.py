@@ -232,3 +232,19 @@ def test_stream_twin_parity_on_unicode_edge_cases(spark):
     twin = {r["doc_id"]: r["avg_logprob"] for r in twin_df.collect()}
     for k, (n, score) in batch.items():
         assert twin[k] == score, (k, nasty[k], n, score, twin[k])
+
+
+def test_ppl_buckets_all_null_scores(spark):
+    """r14 review: approxQuantile returns [] when every score is null
+    (all docs < 2 tokens) — everything buckets 'unscored' with NaN
+    thresholds instead of an unpacking crash."""
+    model = lm.train_bigram_lm(
+        spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    )
+    scored = lm.score_documents(
+        spark.createDataFrame([(1, "word"), (2, "")], "doc_id long, text string"),
+        model,
+    )
+    out, (lo, hi) = lm.ppl_buckets(scored, score_col="avg_logprob")
+    assert {r.ppl_bucket for r in out.collect()} == {"unscored"}
+    assert math.isnan(lo) and math.isnan(hi)

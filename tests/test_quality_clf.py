@@ -135,3 +135,36 @@ def test_pinned_weight_scoring_counts_every_occurrence(spark):
         ).collect()
     }
     assert got[1] > got[0]  # occurrences accumulate, not set-membership
+
+
+def test_null_text_scores_and_labels_instead_of_crashing(spark, separable):
+    """r14 review: a NULL text doc NPE'd HashingTF's UDF (the
+    SQLTransformer tokenized NULL to a NULL array) and nulled the weak
+    label (which LogisticRegression.fit rejects corpus-wide).  Null
+    text now tokenizes as empty, labels 0.0, and scores like any
+    empty doc."""
+    labeled = quality_clf.weak_labels_from_gates(separable)
+    model = quality_clf.train_quality_classifier(labeled)
+    with_null = separable.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(999, None)], "doc_id long, text string")
+    )
+    lbl = quality_clf.weak_labels_from_gates(with_null)
+    assert (
+        lbl.where(F.col("doc_id") == 999).head().label == 0.0
+    )  # fails the gates, never NULL
+    scored = quality_clf.score_quality(with_null, model)
+    row = scored.where(F.col("doc_id") == 999).head()
+    assert row.quality_prob is not None  # scored, not crashed
+    # a fully-null corpus even trains (degenerate but loud elsewhere)
+    assert scored.count() == with_null.count()
+
+
+def test_gate_overrides_without_gopher_family_raise(spark, separable):
+    """r14 review: overrides silently dropped when 'gopher' was not in
+    families — the caller trained on different labels than configured."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gopher"):
+        quality_clf.weak_labels_from_gates(
+            separable, families=("c4",), min_doc_words=10
+        )

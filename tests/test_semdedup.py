@@ -232,3 +232,37 @@ def test_semdedup_auto_clusters(spark):
 
     # n_clusters=None must fit (floor 16, clamped to n by the kmeans) and run
     assert semdedup_pairs(df, 0.99, n_clusters=None).count() >= 0
+
+
+def test_string_ids_supported(spark):
+    """r14 review: the pair schema hardcoded LongType ids while
+    assign_with_sim preserved the corpus id type — string-keyed
+    corpora crashed at Arrow conversion.  Pairs and the dedup keep
+    rule now carry the corpus id type end to end."""
+    rows = [
+        ("url-a", [1.0, 0.0]),
+        ("url-b", [1.0, 0.001]),   # near-dup of url-a
+        ("url-c", [0.0, 1.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    pairs = semdedup.semdedup_pairs(
+        corpus, eps=0.99, centers=[[1.0, 0.0], [0.0, 1.0]]
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("url-a", "url-b")}
+    kept = semdedup.semdedup(
+        corpus, eps=0.99, centers=[[1.0, 0.0], [0.0, 1.0]]
+    )
+    assert {r.vec_id for r in kept.collect()} <= {"url-a", "url-b", "url-c"}
+    assert "url-c" in {r.vec_id for r in kept.collect()}
+
+
+def test_all_zero_fit_sample_raises_loudly(spark):
+    """r14 review: an all-zero embedding sample crashed deep inside the
+    k-means seeder with rng.integers(0); now a named error."""
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="zero-norm"):
+        semdedup.semdedup_pairs(corpus, n_clusters=2)
