@@ -21,12 +21,13 @@ accumulating sketch index, composed inside ``foreachBatch``:
 
 Micro-batch sizing: per-batch wall ≈ FLOOR + rows/MARGINAL (both measured
 every bench round: `stream_*_floor_sec_per_batch`,
-`stream_*_marginal_*_per_sec` — ~2 s / ~290 vecs/s embedding, ~3.6 s /
-~180 docs/s text at fold_every=8 on the bench box).  The floor is Spark
-fixed cost (scheduling + the amortized txlog commits + the survivors
-checkpoint), so a trigger should deliver at least floor·marginal rows per
-batch (≳600 vectors / ≳650 docs here) or the floor dominates; see
-SCALE.md "Micro-batch sizing rule".
+`stream_*_marginal_*_per_sec` — ~2.2 s / ~540 vecs/s embedding, ~3.1 s /
+~420 docs/s text at fold_every=8 on the bench box, after the r14
+sketch-once refactor).  The floor is Spark fixed cost (scheduling + the
+amortized txlog commits + the sketch and survivors checkpoints), so a
+trigger should deliver at least floor·marginal rows per batch (≳1200
+vectors / ≳1300 docs here) or the floor dominates; see SCALE.md
+"Micro-batch sizing rule".
 
 Scale: the index join shuffles only (band, key, simhash) rows — 4 narrow
 rows per indexed doc, independent of document size.  On a real cluster the
