@@ -227,7 +227,16 @@ def ngram_jaccard_pairs(
         )
     a = inv.select(F.col("id").alias("id_a"), "gram")
     b = inv.select(F.col("id").alias("id_b"), "gram")
-    cand_grams = a.join(b, "gram").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "gram")
+    # merge hint (r14 opt, the minhash_lsh_pairs rationale): both sides
+    # are the same gram pipeline ending in the df_cap window's (gram)
+    # exchange; broadcast would run that pipeline twice, sort-merge
+    # reads ONE ReusedExchange — and at corpus scale the planner picks
+    # SMJ here anyway.
+    cand_grams = (
+        a.join(b.hint("merge"), "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "gram")
+    )
     shared = cand_grams.groupBy("id_a", "id_b").agg(F.count("*").alias("shared"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
@@ -410,9 +419,19 @@ def minhash_lsh_pairs(
     banded = minhash_banded(sig, bands)
     counted = counted_buckets(banded, bucket_cap)
     banded = counted.drop("_bn")
+    # merge hint (r14 opt): both sides of this self-join are the SAME
+    # gram→signature→window subtree.  Left to size estimates the planner
+    # broadcasts one side, which computes that whole pipeline TWICE (a
+    # BroadcastExchange cannot reuse the other side's shuffle Exchange);
+    # forcing sort-merge lets the b-side read a ReusedExchange of the
+    # valve window's (band, key) shuffle — the partitioning AND sort the
+    # join needs are already established there, so the hint costs nothing
+    # and halves the signature work.  At corpus scale the planner picks
+    # SMJ anyway (banded rows ≫ broadcast threshold), so this only pins
+    # the local/mid-scale plan to the scale shape.
     cands = (
         banded.alias("a")
-        .join(banded.alias("b"), ["band", "key"])
+        .join(banded.alias("b").hint("merge"), ["band", "key"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -617,6 +636,12 @@ def simhash_neardup_pairs(
     a = sub.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"), *jk)
     b = sub.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"), *jk)
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # (r14 opt note: a merge hint here — the minhash_lsh_pairs treatment —
+    # was tried and REVERTED: the simhash sketch pipeline is one cheap
+    # aggregate, so recomputing it under a broadcast build costs less
+    # than the extra sort+shuffle the hint adds (A/B same-session: 3.35 s
+    # vs 3.74 s, 5.1 vs 5.5 cpu-s at sf0.1), and at corpus scale the
+    # planner picks SMJ by size anyway — the hint had no scale benefit.)
     return (
         a.join(b, jk)
         .where(F.col("id_a") < F.col("id_b"))

@@ -109,8 +109,15 @@ def train_bigram_lm(
     toks = docs.select(F.explode(_token_array(text_col)).alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c"))
     # the ONLY training-time action: one aggregate scalar (computed
-    # BEFORE capping so probabilities keep the true denominator)
-    total = int(uni.agg(F.sum("c")).collect()[0][0] or 0)
+    # BEFORE capping so probabilities keep the true denominator).
+    # r14 opt: Σ unigram counts ≡ the corpus token count, so sum the
+    # per-doc token-array SIZES map-side instead of paying the token
+    # explode + (w) shuffle a second time just for this scalar —
+    # integer-identical (size(NULL) is NULL and a null text explodes to
+    # zero rows, so both spellings skip it), one pass, no exchange.
+    total = int(
+        docs.select(F.sum(F.size(_token_array(text_col)))).collect()[0][0] or 0
+    )
     big = (
         _bigram_rows(
             docs.select(F.lit(0).alias("_id"), F.col(text_col)),

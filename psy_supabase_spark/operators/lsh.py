@@ -416,6 +416,7 @@ def _broadcast_verify_pairs(
     vec_col: str,
     dim: int,
     max_broadcast_bytes: int,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, _raw double) for candidate pairs, scored against a
     BROADCAST corpus matrix — the small-corpus verify route.
@@ -444,7 +445,19 @@ def _broadcast_verify_pairs(
     Unique-id contract: the route raises on duplicate ids — searchsorted
     maps each id to one matrix row, so the join route's
     one-scored-row-per-duplicate behavior is not reproducible here;
-    callers with duplicated ids must use verify_route='join'."""
+    callers with duplicated ids must use verify_route='join'.
+
+    ``exact_fold`` (r14 opt): compute dots and norms with a SEQUENTIAL
+    left-to-right fold over the dimensions (vectorized across pairs,
+    ordered across dims) instead of einsum/np.linalg.norm.  Every
+    multiply and add then IEEE-rounds in exactly the order of the
+    narrow-dim Catalyst spelling (``zip_with`` + ``aggregate`` with a
+    0.0 seed, ``sqrt`` of the self-fold for the norm, one
+    ``dot/(na*nb)`` division), so the raw score is BIT-IDENTICAL to
+    functions/vector.dot — what makes narrow dims eligible for this
+    route at all (pinned in tests/test_gemm_search.py).  ~64 array ops
+    per batch instead of one einsum: still vectorized across the pair
+    axis, unmeasurable next to the einsum at narrow dims."""
     spark = corpus.sparkSession
     max_rows = max(1, max_broadcast_bytes // (dim * 8))
     tbl = (
@@ -487,7 +500,15 @@ def _broadcast_verify_pairs(
             "verify route requires unique ids; use verify_route='join'"
         )
     mat = np.ascontiguousarray(mat[order])
-    norms = np.linalg.norm(mat, axis=1)
+    if exact_fold:
+        # sqrt of the sequential self-fold — bit-identical to
+        # functions/vector.l2_norm's aggregate(0.0, acc + x*x)
+        acc = np.zeros(len(mat))
+        for d in range(mat.shape[1]):
+            acc += mat[:, d] * mat[:, d]
+        norms = np.sqrt(acc)
+    else:
+        norms = np.linalg.norm(mat, axis=1)
     bc = spark.sparkContext.broadcast((ids_sorted, mat, norms))
 
     id_t = corpus.schema[id_col].dataType.simpleString()
@@ -510,7 +531,15 @@ def _broadcast_verify_pairs(
                 ii = np.flatnonzero(ok)
                 for s in range(0, len(ii), step):
                     jj = ii[s : s + step]
-                    dots = np.einsum("ij,ij->i", M[ia[jj]], M[ib[jj]])
+                    A, B = M[ia[jj]], M[ib[jj]]
+                    if exact_fold:
+                        # sequential dim fold, vectorized across pairs —
+                        # bit-identical to the zip_with+aggregate spelling
+                        dots = np.zeros(len(jj))
+                        for d in range(A.shape[1]):
+                            dots += A[:, d] * B[:, d]
+                    else:
+                        dots = np.einsum("ij,ij->i", A, B)
                     denom = nrm[ia[jj]] * nrm[ib[jj]]
                     with np.errstate(divide="ignore", invalid="ignore"):
                         raw[jj] = np.where(denom > 0, dots / denom, np.nan)
@@ -584,10 +613,15 @@ def srp_neardup_pairs(
     ships the corpus matrix once and scores bare id-pairs in place
     (:func:`_broadcast_verify_pairs`) — strictly cheaper whenever the
     matrix fits ``max_broadcast_bytes``, and row-identical to the join
-    route (pinned in tests).  "auto" broadcasts iff the Arrow kernel is
-    active and n·dim·8 B fits the valve, using ``n_rows`` when the
-    caller knows it (else one narrow count job).  Measured dim 1536 /
-    10k rows / t=0.9: join 11.3 s → broadcast ~5 s.
+    route (pinned in tests).  "auto" broadcasts iff n·dim·8 B fits the
+    valve, using ``n_rows`` when the caller knows it (else one
+    parquet-metadata-cheap count job).  Kernel follows the width:
+    einsum GEMM at Arrow widths, exact sequential fold at narrow
+    widths (r14 opt — bit-identical to the narrow join route's
+    zip_with+aggregate spelling, so auto no longer excludes narrow
+    dims).  Measured dim 1536 / 10k rows / t=0.9: join 11.3 s →
+    broadcast ~5 s.  Duplicate-id corpora must pass "join" (the
+    broadcast route raises — unique-id contract).
     ``signatures``: precomputed (id, sig) rows for exactly the rows in
     ``corpus``, built under the SAME (dim, n_planes, seed) — skips the
     signature GEMM here (the streaming filter computes it once per
@@ -607,9 +641,12 @@ def srp_neardup_pairs(
     counted = dedup.counted_buckets(banded, bucket_cap)
     banded = counted.drop("_bn")
     # ids-only candidate join (vector payloads never ride the band shuffle)
+    # merge hint (r14 opt, the dedup.minhash_lsh_pairs rationale): both
+    # sides are one signature→window subtree; broadcast computes it
+    # twice, sort-merge reuses the valve window's (band, key) exchange.
     cands = (
         banded.alias("a")
-        .join(banded.alias("b"), ["band", "key"])
+        .join(banded.alias("b").hint("merge"), ["band", "key"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -636,20 +673,24 @@ def srp_neardup_pairs(
     if verify_route not in ("auto", "join", "broadcast"):
         raise ValueError(f"unknown verify_route {verify_route!r}")
     if verify_route == "auto":
-        if not verify_arrow:
-            verify_route = "join"
-        else:
-            n_est = n_rows if n_rows is not None else corpus.count()
-            verify_route = (
-                "broadcast" if n_est * dim * 8 <= max_broadcast_bytes else "join"
-            )
-    elif verify_route == "broadcast" and not verify_arrow:
-        raise ValueError(
-            "verify_route='broadcast' needs the Arrow kernel (dim >= 256 "
-            "or verify_arrow=True): the narrow-dim expression fold is the "
-            "oracle-pinned spelling and differs from numpy in the last ulp"
+        # r14 opt: narrow dims are broadcast-eligible too — the
+        # exact-fold kernel reproduces the Catalyst zip_with+aggregate
+        # fold bit for bit (sequential across dims, IEEE-identical ops),
+        # so the last-ulp objection that used to gate this route to the
+        # Arrow widths is gone.  The n·dim·8 B valve still decides; the
+        # count is parquet-metadata cheap when ``n_rows`` wasn't passed.
+        n_est = n_rows if n_rows is not None else corpus.count()
+        verify_route = (
+            "broadcast" if n_est * dim * 8 <= max_broadcast_bytes else "join"
         )
     if verify_route == "broadcast":
+        # kernel choice: einsum GEMM at Arrow widths (the wide join
+        # route's own kernel — routes stay row-identical), exact
+        # sequential fold at narrow widths (bit-identical to the narrow
+        # join route's expression spelling).  One posture note: a vector
+        # containing NaN scores NULL here (as the wide kernel always
+        # did), while the narrow join route lets the NaN ride into the
+        # >= comparison — identical on any corpus without NaN payloads.
         scored = _broadcast_verify_pairs(
             corpus,
             cands,
@@ -657,6 +698,7 @@ def srp_neardup_pairs(
             vec_col=vec_col,
             dim=dim,
             max_broadcast_bytes=max_broadcast_bytes,
+            exact_fold=not verify_arrow,
         )
         braw = F.col("_raw")
         bsim = F.when(F.isnan(braw), F.lit(None).cast("double")).otherwise(

@@ -148,6 +148,11 @@ def winnow_neardup_pairs(
         )
     a = fps.select(F.col("id").alias("id_a"), "fp")
     b = fps.select(F.col("id").alias("id_b"), "fp")
+    # (r14 opt note: a merge hint here was tried and REVERTED — A/B
+    # same-session at sf0.1: 1.61 s → 1.83 s.  The broadcast build does
+    # rerun the mapInPandas sketch, but that costs less locally than the
+    # hint's extra sort+shuffle, and at corpus scale the planner picks
+    # SMJ by size anyway, so the hint bought nothing there either.)
     return (
         a.join(b, "fp")
         .where(F.col("id_a") < F.col("id_b"))

@@ -700,6 +700,11 @@ class StreamingEmbeddingNearDupFilter:
             seed=self.seed,
             bucket_cap=self.bucket_cap,
             hot_id_threshold=None,
+            # join, not auto (r14): a micro-batch may legitimately carry
+            # duplicate ids (re-sends), which the broadcast route rejects
+            # by contract; join is duplicate-safe and skips the per-batch
+            # count + driver matrix fetch auto would now pay here
+            verify_route="join",
             signatures=sig.join(
                 survivors.select(F.col(self.id_col).alias("id")), "id", "semi"
             ),

@@ -665,11 +665,47 @@ def test_broadcast_verify_valves(spark):
     )
     assert auto_small == join_rows
 
-    with pytest.raises(ValueError, match="Arrow kernel"):
-        lsh.srp_neardup_pairs(emb.limit(10), 0.5, verify_route="broadcast")
-
     with pytest.raises(ValueError, match="verify_route"):
         lsh.srp_neardup_pairs(emb.limit(10), 0.5, verify_route="bogus")
+
+
+def test_broadcast_verify_narrow_dim_exact_fold_parity(spark):
+    """r14 opt: narrow dims are broadcast-eligible via the exact-fold
+    kernel, which must be BIT-identical to the narrow join route's
+    Catalyst zip_with+aggregate spelling — exact equality on the 6-dp
+    similarities (not approx), including a zero vector scoring NULL on
+    both routes and the auto route resolving to the same rows."""
+    from pyspark.sql import functions as F
+
+    from psy_supabase_spark.operators import lsh
+    from psy_supabase_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    zero = spark.createDataFrame(
+        [(900001, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    corpus = emb.unionByName(zero)
+    join_rows = sorted(
+        (r.id_a, r.id_b, r.similarity)
+        for r in lsh.srp_neardup_pairs(corpus, 0.3, verify_route="join").collect()
+    )
+    bc_rows = sorted(
+        (r.id_a, r.id_b, r.similarity)
+        for r in lsh.srp_neardup_pairs(
+            corpus, 0.3, verify_route="broadcast"
+        ).collect()
+    )
+    auto_rows = sorted(
+        (r.id_a, r.id_b, r.similarity)
+        for r in lsh.srp_neardup_pairs(corpus, 0.3).collect()
+    )
+    assert bc_rows == join_rows  # exact equality, similarity included
+    assert auto_rows == join_rows
+    assert len(join_rows) > 0
+    # the zero vector reached candidates but scored NULL → dropped
+    assert not any(a == 900001 or b == 900001 for a, b, _ in join_rows)
 
 
 def test_broadcast_verify_rejects_duplicate_ids(spark):
