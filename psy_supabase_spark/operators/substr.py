@@ -87,23 +87,36 @@ def duplicated_window_rows(
         .where(F.col(f"t.w{length - 1}").isNotNull())
         .select("id", "pos", F.xxhash64(*[f"t.w{k}" for k in range(length)]).alias("gh"))
     )
-    hdup = (
-        wins_light.groupBy("gh")
-        .agg(F.count("*").alias("_hn"))
+    # r14 opt: both "occurs ≥ 2 times" tests are WINDOW filters, not
+    # aggregate+rejoin.  The old spelling built hdup = groupBy(gh) and
+    # joined it back — two branches over the posexplode pipeline (the
+    # aggregate's partial stage below its exchange defeats subtree
+    # reuse, so the pipeline ran twice; and a broadcast build of hdup
+    # recomputed it wholesale).  A count window over (gh) is ONE
+    # subtree and one exchange — the same partitioning the join needed
+    # anyway — measured 4.29 s → 1.92 s at sf0.1/L=20, row-identical.
+    # Skew: a gram duplicated 10⁹ times already routed all its
+    # occurrences to one reducer in the join spelling; the window sorts
+    # and spills the same group (the cap_buckets trade, documented
+    # there).  Same treatment for the phase-2 string-verify count.
+    wh = Window.partitionBy("gh")
+    cand = (
+        wins_light.withColumn("_hn", F.count(F.lit(1)).over(wh))
         .where(F.col("_hn") >= 2)
-        .select("gh")
+        .drop("_hn")
+        .join(toks, "id")
     )
-    cand = wins_light.join(hdup, "gh").join(toks, "id")
     cand_g = cand.select(
         "id",
         "pos",
         F.array_join(F.slice(F.col("arr"), F.col("pos") + 1, length), " ").alias("gram"),
     )
-    counted = cand_g.groupBy("gram").agg(
-        F.count("*").alias("_n"),
-        F.min(F.struct("id", "pos")).alias("_first"),
-    ).where(F.col("_n") >= 2)
-    dup = cand_g.join(counted, "gram")
+    wg = Window.partitionBy("gram")
+    dup = (
+        cand_g.withColumn("_n", F.count(F.lit(1)).over(wg))
+        .withColumn("_first", F.min(F.struct("id", "pos")).over(wg))
+        .where(F.col("_n") >= 2)
+    )
     if keep_first:
         dup = dup.where(
             (F.col("id") != F.col("_first.id")) | (F.col("pos") != F.col("_first.pos"))
