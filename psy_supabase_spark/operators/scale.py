@@ -23,6 +23,50 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def spread_for_compute(df: DataFrame, *, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition an UNDER-partitioned input ahead of an
+    expensive per-row stage; no-op when the input already has at least
+    cluster parallelism (r14 opt, guide §2.5 "input skew: repartition
+    immediately after the read").
+
+    Why: a small/compacted parquet table arrives as 1-few scan splits (a
+    2 MB file is one row group — scan-split knobs cannot divide it), so
+    every map-side stage BELOW the first exchange (regex pipelines, gram
+    explodes, Arrow/pandas stages, partial aggregates) runs on 1-few
+    cores no matter how wide the cluster is — measured at sf0.1: the
+    WARC evidence leg wall ≈ its single-core cpu (2.0 s), text_profile
+    at parallelism ~2 of 32.  One tiny round-robin exchange (table-sized,
+    here MBs) unlocks the full width.
+
+    Scale posture: at 100 TB the scan has thousands of splits, the
+    partition probe sees ≥ parallelism, and this is a literal no-op — so
+    the helper never adds a corpus-wide shuffle where the input is
+    already wide.  Determinism under retries is Spark's own
+    sort-before-repartition (SPARK-23207, on by default).  Streaming
+    frames pass through untouched (no partition probe on an unbounded
+    plan).
+
+    NOT a blanket fix — apply only where a measured-heavy map stage sits
+    below the first exchange.  Each spread task carries a fixed cost
+    (~0.15 cpu-s of codegen/task setup, ~0.3 cpu-s more if the stage
+    crosses the Python boundary — measured with an identity mapInPandas
+    at 32 partitions: ~9 cpu-s/run of pure protocol floor), so light
+    stages REGRESS under it (measured at sf0.1: blob features 0.57 →
+    0.95 s, WAT leg 0.36 → 0.60 s, media sniff 0.73 → 1.60 s), and
+    spread-at-load regressed join/agg-shaped queries outright
+    (revenue_by_nation 1.89×, events_hourly_rollup 2.13×,
+    training_pipeline 1.44×).  The wins it IS wired into:
+    text_profile 3.44 → 2.55 s, response_clean 1.76 → 1.39 s, the
+    multimodal WARC evidence leg 2.49 → 1.19 s."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

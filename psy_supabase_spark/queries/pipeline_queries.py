@@ -531,9 +531,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     | media_width/height  | PNG IHDR / MP4 tkhd parsing           | test_multimodal.py::test_sniff_mp4_tkhd_dims |
     | media_sample_rate.. | WAV fmt / MP3 frame-header parsing    | test_multimodal.py::test_sniff_wav_fmt_chunk, test_sniff_mp3_frame_header |
     """
+    from ..operators.scale import spread_for_compute
+
+    # r14 opt (guide §2.5/§4): the WARC evidence leg is the slot's
+    # dominant stage and its mapInPandas inherits the scan's split
+    # count, so an under-split input runs the gzip/parse harness
+    # near-serial (measured at sf0.1: leg wall ~= its single-core
+    # cpu-seconds, 2.49 s; spread -> 1.19 s, and the full slot drops
+    # with it).  Only THIS leg is spread: the other three legs'
+    # Python stages are light (0.4-0.7 s), and fanning them out was
+    # measured to cost more in fixed per-task Python overhead
+    # (~0.3 cpu-s/task) than their work — blob 0.57->0.95 s, wat
+    # 0.36->0.60 s, media 0.73->1.60 s.  No-op when the scan is
+    # already wide (the 100 TB case).  Perf-only: row values, the
+    # oracle families, and the frozen-slot policy are untouched.
     docs = load_table(spark, sf_dir, "documents")
     features = multimodal.extract_blob_features(multimodal.attach_blobs(docs))
-    evidence = warc_roundtrip_evidence(docs)
+    evidence = warc_roundtrip_evidence(spread_for_compute(docs))
     wat = wat_roundtrip_evidence(docs)
     media = media_sniff_evidence(docs)
 

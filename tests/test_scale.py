@@ -189,3 +189,32 @@ def test_aqe_declines_skew_split_when_agg_consumes_join_partitioning(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_spread_for_compute_widens_narrow_input_values_unchanged(spark):
+    # a 1-partition frame spreads to cluster parallelism; the rows are
+    # exactly the same multiset (the helper is perf-only)
+    df = spark.range(0, 1000, 1, 1).select(
+        "id", (F.col("id") % 7).alias("k")
+    )
+    out = scale.spread_for_compute(df)
+    assert df.rdd.getNumPartitions() == 1
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+
+def test_spread_for_compute_noops_on_wide_input(spark):
+    # an input at (or above) cluster parallelism passes through with NO
+    # added exchange — the 100 TB posture: a real scan has plenty of
+    # splits, so the helper must never add a corpus-wide shuffle there
+    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism)
+    out = scale.spread_for_compute(wide)
+    assert out is wide
+    assert "Exchange" not in physical_plan(out)
+
+
+def test_spread_for_compute_passes_streaming_frames_through(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.range(10).write.parquet(src)
+    stream = spark.readStream.schema("id long").parquet(src)
+    assert scale.spread_for_compute(stream) is stream
