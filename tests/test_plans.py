@@ -38,8 +38,18 @@ def test_topk_never_global_sorts(spark):
 
 def test_response_clean_is_shuffle_free(spark):
     # the 10-pass cleaning pipeline is a pure staged projection over a
-    # union — any Exchange would mean an accidental repartition crept in
-    assert_plan_lacks(QUERIES["response_clean"](spark, SF), "Exchange")
+    # union — a hash/range Exchange would mean an accidental repartition
+    # crept in.  The r14 spread_for_compute RoundRobin repartition is the
+    # ONE deliberate exception (scale-adaptive parallelism for the
+    # single-row-group local inputs; no-op when the scan is already wide),
+    # so the assertion pins "no keyed shuffle" rather than "no Exchange".
+    plan = physical_plan(QUERIES["response_clean"](spark, SF))
+    keyed = [
+        line.strip()[:120]
+        for line in plan.splitlines()
+        if "Exchange" in line and "RoundRobinPartitioning" not in line
+    ]
+    assert not keyed, f"accidental keyed Exchange: {keyed}"
 
 
 def test_topic_classify_is_map_side(spark):
