@@ -169,7 +169,27 @@ def score_documents(
     cluster-wide and oracle-checkable (registry convention).
     """
     maybe_b = F.broadcast if lm.bounded else (lambda df: df)
-    rows = _bigram_rows(docs, id_col=id_col, text_col=text_col)
+    # r15 opt (guide §2.4): one corpus relation carries BOTH the bigram
+    # rows and the zero-bigram docs.  The old spelling derived bigram rows
+    # (dropping <2-token docs) and then LEFT-joined a second docs scan
+    # back on id just to resurrect them — a corpus re-scan plus a
+    # sort-merge join with TWO id-hash exchanges.  explode_outer keeps
+    # every doc in the exploded relation instead: arrays_zip emits one
+    # trailing (w1=last token, w2=NULL) element per non-empty doc and
+    # explode_outer turns empty/NULL arrays into a single all-NULL row,
+    # so every doc owns >= 1 row and the groupBy(id) already covers the
+    # docs the join used to re-attach.  Marker rows (w2 NULL) match
+    # neither model join (NULL equi-keys never match), contribute no
+    # term (term is NULL off the bigram predicate; decimal SUM skips
+    # NULLs), and are excluded from the conditional count — output
+    # row-identical (pinned in tests), one scan and one join fewer.
+    arr = F.col("arr")
+    zipped = F.arrays_zip(arr.alias("w1"), F.slice(arr, 2, F.size(arr)).alias("w2"))
+    rows = (
+        docs.select(F.col(id_col).alias("id"), _token_array(text_col).alias("arr"))
+        .select("id", F.explode_outer(zipped).alias("t"))
+        .select("id", F.col("t.w1").alias("w1"), F.col("t.w2").alias("w2"))
+    )
     total = float(max(lm.total, 1))
     # backoff log-prob per vocabulary word, derived from the model at
     # score time (alpha is a scoring knob, so it cannot be baked in)
@@ -187,26 +207,27 @@ def score_documents(
     # term precedence: seen bigram > seen-w2 backoff > OOV floor (add-one
     # on the unseen word so the log stays finite); the floor stays a JVM
     # log+round expression so its last-ulp behavior matches the oracle's
-    term = F.coalesce(
-        F.col("_blp"),
-        F.col("_ulp"),
-        F.round(F.log(F.lit(alpha * 1.0 / total)), 6),
+    is_bigram = F.col("w2").isNotNull()
+    term = F.when(
+        is_bigram,
+        F.coalesce(
+            F.col("_blp"),
+            F.col("_ulp"),
+            F.round(F.log(F.lit(alpha * 1.0 / total)), 6),
+        ),
     )
+    n_bigrams = F.sum(is_bigram.cast("long"))
     scored = joined.groupBy("id").agg(
-        F.count("*").alias("n_bigrams"),
+        n_bigrams.alias("n_bigrams"),
         F.round(
-            F.sum(term.cast("decimal(20,6)")).cast("double") / F.count("*"), 6
+            F.sum(term.cast("decimal(20,6)")).cast("double") / n_bigrams, 6
         ).alias("avg_logprob"),
     )
-    base = docs.select(F.col(id_col).alias("id"))
-    return (
-        base.join(scored, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-            F.col("avg_logprob"),
-            F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
-        )
+    return scored.select(
+        F.col("id").alias(id_col),
+        F.col("n_bigrams"),
+        F.col("avg_logprob"),
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
     )
 
 

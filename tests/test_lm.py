@@ -107,6 +107,30 @@ def test_empty_and_whitespace_docs(spark):
     assert out[2]["n_bigrams"] == 1
 
 
+def test_score_covers_every_doc_in_one_scan(spark, tiny, tmp_path):
+    """r15 opt: zero-bigram docs ride the outer-exploded relation itself
+    (explode_outer's trailing/NULL rows), replacing the old re-scan of
+    docs + LEFT join back on id.  Pin the contract — every input doc
+    appears exactly once, zero-bigram docs with (0, NULL) — and the
+    shape: scoring a parquet input against a local-corpus model reads
+    the parquet exactly ONCE (the old spelling read it twice)."""
+    model = lm.train_bigram_lm(tiny)  # LocalTableScan model — no parquet
+    src = str(tmp_path / "docs")
+    _docs(spark, [(0, "a b"), (1, "b"), (2, ""), (3, "a c a")]).write.parquet(src)
+    docs = spark.read.parquet(src)
+    out = lm.score_documents(docs, model)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[1]["n_bigrams"] == 0 and rows[1]["avg_logprob"] is None
+    assert rows[2]["n_bigrams"] == 0 and rows[2]["avg_logprob"] is None
+    assert rows[0]["n_bigrams"] == 1 and rows[3]["n_bigrams"] == 2
+    # AdaptiveSparkPlan.toString() prints BOTH the final and the initial
+    # plan; count scans in the final section only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+
+
 def test_duckdb_oracle_parity_sf0001(spark):
     import duckdb
 
