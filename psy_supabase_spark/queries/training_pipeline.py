@@ -199,16 +199,79 @@ STAGE_ORDER = [
 ]
 
 
+# Size gate for the materialize-once docs intermediate (r15 opt; guide
+# §3.3 "materialising an intermediate truncates the plan" / §5): the
+# composed DAG's ~6 branches re-derive the documents scan ~19 times at
+# runtime (r14 executed-plan census) — at 100 TB that is 19 corpus
+# passes, and each branch's pre-shuffle map work additionally runs at
+# the SCAN's parallelism (1 task for a small compacted table).  Spilling
+# docs once to scratch parquet (repartitioned to cluster width) inside
+# the timed region converts that to 1 write + 19 cheap wide scans.  The
+# r14 fifth session measured the UNCONDITIONAL spill at +17% at sf0.1
+# (0.6 MB input: the fixed write+read cost exceeds the serial map work
+# it parallelizes), so the spill is GATED on the scan's estimated input
+# bytes: below the threshold the DAG keeps its r14 shape bit for bit.
+# The default threshold comes from the measured crossover on the
+# Caesar-scaled corpus (tools/scale_step.py `tp` family, r15:
+# direct-vs-materialized at 1x/3x/10x sf0.1) — see OPTIMIZATION_r15.md;
+# production justification: at real corpus sizes (GB-PB) the gate is
+# always open and the threshold's only job is to keep fixed spill costs
+# off tiny inputs.  SPARK_GRAFT_TP_MAT_MIN_BYTES overrides (0 forces
+# the spill on, a huge value forces it off — the A/B lever).
+_MAT_MIN_BYTES_DEFAULT = 4 * 2**20
+
+
+def _tp_mat_min_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_TP_MAT_MIN_BYTES", _MAT_MIN_BYTES_DEFAULT)
+    )
+
+
+def _docs_scan_bytes(docs: DataFrame) -> int:
+    """Catalyst's own size estimate for the scan — the file index's byte
+    total, one driver-side call (no per-file RPC fan-out at scale)."""
+    return int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def _materialize_docs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Spill ``docs`` once to scratch parquet at cluster-width layout and
+    return the read-back — the fault-tolerant shared input every branch
+    scans (the `operators.robots.resolve_sitemap_index` spill pattern:
+    parquet, not ``persist``/``localCheckpoint``, so the intermediate
+    survives executor loss and nothing stays pinned in storage memory).
+    The path is keyed on the Spark applicationId: repeated calls in one
+    session overwrite one directory (bounded scratch growth), and a new
+    session can never read a previous session's spill — every run
+    recomputes from the source parquet (no cross-run caching).  Scratch
+    base is the session checkpoint dir when set (the cluster-correct
+    shared location), else the driver-local temp dir (local mode)."""
+    import tempfile
+
+    sc = spark.sparkContext
+    ckpt = sc.getCheckpointDir()
+    base = ckpt.rstrip("/") if ckpt else tempfile.gettempdir()
+    path = f"{base}/tp_docs_spill_{sc.applicationId}"
+    docs.repartition(sc.defaultParallelism).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def build_prefix(spark: SparkSession, sf_dir: str, upto: str = "reshape") -> DataFrame:
     """The training_pipeline DAG truncated after stage ``upto`` (a name
     from :data:`STAGE_ORDER`).  ``training_pipeline`` itself is
     ``build_prefix(..., "reshape")``, so the registered query and the
     per-stage bench prefixes can never drift apart.  Eager driver-side
-    work (the LM model's train-time count scalar) only happens when its
-    stage is included, so prefix timings charge it to the lm_score
-    stage."""
+    work (the LM model's train-time count scalar, and — above the size
+    gate — the materialize-once docs spill) only happens when its stage
+    is included, so prefix timings charge it where it belongs."""
     k = STAGE_ORDER.index(upto)
     docs = load_table(spark, sf_dir, "documents")
+    if k >= 2 and _docs_scan_bytes(docs) >= _tp_mat_min_bytes():
+        # k >= 2 is where the DAG starts fanning out over docs (near-dup
+        # + decontam + LM + span branches); a 0/1-stage prefix scans docs
+        # at most twice and the spill could only lose
+        docs = _materialize_docs(spark, docs)
     out = docs
 
     if k >= 1:

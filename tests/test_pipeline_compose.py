@@ -113,3 +113,23 @@ def test_training_pipeline_prefix_contract(spark):
     full = TP.training_pipeline(spark, SF)
     assert {r[0] for r in full.select("doc_id").collect()} == ids_by_stage[-1]
     assert full.columns == TP.build_prefix(spark, SF, "reshape").columns
+
+
+def test_training_pipeline_materialize_gate_row_identical(spark, monkeypatch):
+    """r15 opt: above the input-size gate, build_prefix spills docs once
+    to scratch parquet and every branch scans the read-back (guide
+    §3.3/§5 — 1 write + N cheap scans instead of N corpus scans).  The
+    oracle SFs never trip the gate (bytes threshold), so pin here that
+    the forced-on spill path is ROW-IDENTICAL to the direct path on the
+    full composed query, and that the default gate stays off at test
+    scale (the sf0.1 bench keeps its r14 shape)."""
+    from psy_supabase_spark.queries import training_pipeline as TP
+
+    docs = load_table(spark, SF, "documents")
+    assert TP._docs_scan_bytes(docs) < TP._MAT_MIN_BYTES_DEFAULT
+
+    direct = TP.build_prefix(spark, SF, "reshape").collect()
+    monkeypatch.setenv("SPARK_GRAFT_TP_MAT_MIN_BYTES", "0")
+    spilled = TP.build_prefix(spark, SF, "reshape").collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(direct, key=key) == sorted(spilled, key=key)
