@@ -54,7 +54,7 @@ WIDE_MODES_PER_X = 1_000
 # SPARK_GRAFT_FAMILIES=docs,srp,ivf,wide,analytics — default all.
 ALL_FAMILIES = (
     "docs", "srp", "ivf", "wide", "analytics", "warc", "cdx", "linkgraph",
-    "frontier", "hll", "compact",
+    "frontier", "hll", "compact", "tp", "stream",
 )
 FAMILIES = frozenset(
     os.environ.get("SPARK_GRAFT_FAMILIES", ",".join(ALL_FAMILIES)).split(",")
@@ -512,6 +512,155 @@ def main() -> None:
             fam["compact_sec"] = round(time.time() - t0, 2)
             fam["compact_scan_after_sec"] = round(_scan_wall(), 2)
             shutil.rmtree(wh, ignore_errors=True)
+
+        if "tp" in FAMILIES:
+            # training_pipeline materialize-once gate (r15 opt; guide
+            # §3.3/§5): the composed DAG re-derives the documents scan
+            # ~19 times at runtime, so above the size gate build_prefix
+            # spills docs once to scratch parquet (cluster-width layout)
+            # and every branch scans the read-back.  Price BOTH paths at
+            # each factor — the env override is the A/B lever (1<<60
+            # forces direct, 0 forces the spill) — so the crossover that
+            # justifies the default threshold is a committed measurement,
+            # not an assertion.  Also check row-identity of the two
+            # paths at this factor (sorted md5-of-row hash), since the
+            # oracle SFs never trip the gate.
+            import shutil as _sh
+
+            from psy_supabase_spark.queries import training_pipeline as TP
+
+            tp_dir = tempfile.mkdtemp(prefix=f"scale_tp{fx}_")
+            scaled_documents(base_docs, fx).write.parquet(
+                tp_dir + "/documents.parquet"
+            )
+            fam["tp_docs_bytes"] = sum(
+                f.stat().st_size
+                for f in Path(tp_dir + "/documents.parquet").glob("*.parquet")
+            )
+            saved_env = os.environ.get("SPARK_GRAFT_TP_MAT_MIN_BYTES")
+            hashes = {}
+            for label, env in (("direct", str(1 << 60)), ("materialized", "0")):
+                os.environ["SPARK_GRAFT_TP_MAT_MIN_BYTES"] = env
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    TP.build_prefix(spark, tp_dir, "reshape").write.mode(
+                        "overwrite"
+                    ).format("noop").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                fam[f"tp_{label}_sec"] = round(best, 2)
+                df = TP.build_prefix(spark, tp_dir, "reshape")
+                hashes[label] = (
+                    df.select(
+                        F.md5(F.concat_ws("\x1f", *df.columns)).alias("h")
+                    )
+                    .agg(F.count("*").alias("n"), F.sum(F.crc32("h")).alias("s"))
+                    .collect()[0]
+                )
+            if saved_env is None:
+                os.environ.pop("SPARK_GRAFT_TP_MAT_MIN_BYTES", None)
+            else:
+                os.environ["SPARK_GRAFT_TP_MAT_MIN_BYTES"] = saved_env
+            fam["tp_rows_match"] = (
+                hashes["direct"]["n"] == hashes["materialized"]["n"]
+                and hashes["direct"]["s"] == hashes["materialized"]["s"]
+            )
+            # gate check with the gate's OWN estimator (Catalyst scan
+            # stats), not raw file bytes — they can disagree near the
+            # threshold
+            fam["tp_gate_default_trips"] = bool(
+                TP._docs_scan_bytes(
+                    spark.read.parquet(tp_dir + "/documents.parquet")
+                )
+                >= TP._MAT_MIN_BYTES_DEFAULT
+            )
+            _sh.rmtree(tp_dir, ignore_errors=True)
+
+        if "stream" in FAMILIES:
+            # streaming near-dup filters (r15, r14 verdict #7): the r14
+            # sketch-once rework's 97→419 docs/s / 145→541 vecs/s claims
+            # lived only in OPTIMIZATION prose — price BOTH stateful
+            # filters per factor under bench.py's own 10-batch/floor/
+            # marginal protocol (10·fx single-file micro-batches, empty-
+            # batch floor at final index size, marginal = batched wall −
+            # batches × floor) so the marginal throughput FLOOR is a
+            # committed, re-runnable curve.
+            import shutil as _sh
+
+            from psy_supabase_spark.streaming.neardup import (
+                StreamingEmbeddingNearDupFilter,
+                StreamingNearDupFilter,
+            )
+
+            n_b = 10 * fx
+            sdocs = docs if docs is not None else spark.read.parquet(
+                _persist(scaled_documents(base_docs, fx), f"sdocs{fx}")
+            )
+            semb = emb if emb is not None else spark.read.parquet(
+                _persist(
+                    synthetic_embeddings(
+                        spark, EMB_PER_X * fx, 64, n_modes=MODES_PER_X * fx, seed=64
+                    ),
+                    f"semb{fx}",
+                )
+            )
+            n_docs_s, n_emb_s = sdocs.count(), semb.count()
+            fam["stream_n_docs"], fam["stream_n_emb"] = n_docs_s, n_emb_s
+            fam["stream_batches"] = n_b
+            for label, frame, n_rows, mk in (
+                (
+                    "emb",
+                    semb,
+                    n_emb_s,
+                    lambda p: StreamingEmbeddingNearDupFilter(
+                        spark, p, threshold=0.9, fold_every=8, expected_n=n_emb_s
+                    ),
+                ),
+                (
+                    "text",
+                    sdocs,
+                    n_docs_s,
+                    lambda p: StreamingNearDupFilter(spark, p, fold_every=8),
+                ),
+            ):
+                src = tempfile.mkdtemp(prefix=f"scale_stream_{label}{fx}_")
+                frame.repartition(n_b).write.parquet(src + "/src")
+                filt = mk(src + "/idx")
+                walls: list[float] = []
+
+                def _timed(df, e, _f=filt, _w=walls):
+                    b0 = time.time()
+                    _f.process_batch(df, e)
+                    _w.append(time.time() - b0)
+
+                t0 = time.time()
+                q = (
+                    spark.readStream.schema(frame.schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(src + "/src")
+                    .writeStream.foreachBatch(_timed)
+                    .option("checkpointLocation", src + "/ckpt")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                wall = time.time() - t0
+                empty = spark.createDataFrame([], frame.schema)
+                floor = None
+                for _ in range(2):
+                    f0 = time.time()
+                    filt.process_batch(empty)
+                    dt = time.time() - f0
+                    floor = dt if floor is None else min(floor, dt)
+                marginal = sum(walls) - len(walls) * floor
+                fam[f"stream_{label}_wall_sec"] = round(wall, 2)
+                fam[f"stream_{label}_floor_sec_per_batch"] = round(floor, 3)
+                fam[f"stream_{label}_rows_per_sec"] = round(n_rows / wall, 1)
+                fam[f"stream_{label}_marginal_rows_per_sec"] = (
+                    round(n_rows / marginal, 1) if marginal > 0 else None
+                )
+                _sh.rmtree(src, ignore_errors=True)
 
         out[f"x{fx}"] = fam
         print(f"-- x{fx}: {json.dumps(fam)}", file=sys.stderr)
