@@ -263,22 +263,40 @@ def compact_partitions(
     *,
     target_rows_per_file: int = 1_000_000,
 ) -> int:
-    """Small-file compaction for an append-heavy parquet store (streaming
-    ingest writes one file per micro-batch per partition; thousands of
-    KB-files destroy scan throughput at 100 TB — the classic fix is a
-    periodic rewrite to ~target-size files).  Returns the file count after
-    compaction.  On Delta/Iceberg this is OPTIMIZE / rewrite_data_files;
-    the parquet spelling is read → repartition → overwrite."""
+    """Small-file compaction for a FLAT (unpartitioned) append-heavy
+    parquet store (streaming ingest writes one file per micro-batch;
+    thousands of KB-files destroy scan throughput at 100 TB — the classic
+    fix is a periodic rewrite to ~target-size files).  Returns the file
+    count after compaction.  On Delta/Iceberg this is OPTIMIZE /
+    rewrite_data_files; the parquet spelling is read → repartition →
+    overwrite-and-swap.
+
+    Scope (r15, r14 verdict #3): this helper rewrites the store FLAT and
+    repartitions the WHOLE store (a full shuffle) — correct only for
+    unpartitioned micro-batch sinks.  For a `user_id=`-partitioned
+    tenant store use :meth:`sources.tenancy.TenantStore.compact`, which
+    rewrites per partition, preserves the pruning layout, and shuffles
+    one partition at a time.  The swap here goes through the path's own
+    Hadoop filesystem (the TenantStore.compact spelling — works on
+    s3a://, hdfs://, not just the driver's local disk) but is still NOT
+    transactional: parquet has no commit protocol, so run it under a
+    one-writer contract; a concurrent reader can catch the
+    delete-rename window (Delta/Iceberg make this step ACID)."""
     import math
-    import os
 
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-    df.repartition(n_files).write.mode("overwrite").parquet(path + "._compact")
-    # swap: parquet has no atomic commit — Delta/Iceberg do this transactionally
-    import shutil
-
-    shutil.rmtree(path)
-    os.rename(path + "._compact", path)
-    return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    tmp = path.rstrip("/") + "._compact"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    # swap through the path's own filesystem (cluster-correct); NOT atomic
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(path), True)
+    fs.rename(hpath(tmp), hpath(path))
+    return sum(
+        1
+        for st in fs.listStatus(hpath(path))
+        if st.getPath().getName().endswith(".parquet")
+    )
