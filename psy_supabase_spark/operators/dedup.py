@@ -231,9 +231,14 @@ def ngram_jaccard_pairs(
     # are the same gram pipeline ending in the df_cap window's (gram)
     # exchange; broadcast would run that pipeline twice, sort-merge
     # reads ONE ReusedExchange — and at corpus scale the planner picks
-    # SMJ here anyway.
+    # SMJ here anyway.  Same adjudication lever as minhash_lsh_pairs:
+    # SPARK_GRAFT_MINHASH_MERGE_HINT=0 disables (r15).
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_MINHASH_MERGE_HINT", "1") != "0":
+        b = b.hint("merge")
     cand_grams = (
-        a.join(b.hint("merge"), "gram")
+        a.join(b, "gram")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "gram")
     )
@@ -429,9 +434,18 @@ def minhash_lsh_pairs(
     # and halves the signature work.  At corpus scale the planner picks
     # SMJ anyway (banded rows ≫ broadcast threshold), so this only pins
     # the local/mid-scale plan to the scale shape.
+    # SPARK_GRAFT_MINHASH_MERGE_HINT=0 disables (r15 adjudication lever;
+    # the r14 driver cold run measured −18% on this hint while the
+    # builder's same-session A/B measured a win — see OPTIMIZATION_r15.md
+    # for the cold-JVM re-adjudication that decided the default).
+    import os as _os
+
+    b_side = banded.alias("b")
+    if _os.environ.get("SPARK_GRAFT_MINHASH_MERGE_HINT", "1") != "0":
+        b_side = b_side.hint("merge")
     cands = (
         banded.alias("a")
-        .join(banded.alias("b").hint("merge"), ["band", "key"])
+        .join(b_side, ["band", "key"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
