@@ -227,12 +227,14 @@ def ngram_jaccard_pairs(
         )
     a = inv.select(F.col("id").alias("id_a"), "gram")
     b = inv.select(F.col("id").alias("id_b"), "gram")
-    # merge hint (r14 opt, the minhash_lsh_pairs rationale): both sides
-    # are the same gram pipeline ending in the df_cap window's (gram)
-    # exchange; broadcast would run that pipeline twice, sort-merge
-    # reads ONE ReusedExchange — and at corpus scale the planner picks
-    # SMJ here anyway.  Same adjudication lever as minhash_lsh_pairs:
-    # SPARK_GRAFT_MINHASH_MERGE_HINT=0 disables (r15).
+    # merge hint (r14 opt, re-adjudicated r15 verdict #2 and KEPT —
+    # unlike minhash_lsh_pairs, whose hint was reverted): both sides are
+    # the same gram pipeline ending in the df_cap window's (gram)
+    # exchange.  With the hint the executed plan runs one query stage
+    # fewer (8 vs 9) and cold-JVM cpu drops 36.2 → 33.0 cpu-s (min-of-3
+    # walls 7.01 → 6.26 s); at corpus scale the planner picks SMJ here
+    # anyway.  SPARK_GRAFT_MINHASH_MERGE_HINT=0 disables (the A/B
+    # lever; evidence in adjudicate_minhash_r15.json).
     import os as _os
 
     if _os.environ.get("SPARK_GRAFT_MINHASH_MERGE_HINT", "1") != "0":
@@ -424,28 +426,25 @@ def minhash_lsh_pairs(
     banded = minhash_banded(sig, bands)
     counted = counted_buckets(banded, bucket_cap)
     banded = counted.drop("_bn")
-    # merge hint (r14 opt): both sides of this self-join are the SAME
-    # gram→signature→window subtree.  Left to size estimates the planner
-    # broadcasts one side, which computes that whole pipeline TWICE (a
-    # BroadcastExchange cannot reuse the other side's shuffle Exchange);
-    # forcing sort-merge lets the b-side read a ReusedExchange of the
-    # valve window's (band, key) shuffle — the partitioning AND sort the
-    # join needs are already established there, so the hint costs nothing
-    # and halves the signature work.  At corpus scale the planner picks
-    # SMJ anyway (banded rows ≫ broadcast threshold), so this only pins
-    # the local/mid-scale plan to the scale shape.
-    # SPARK_GRAFT_MINHASH_MERGE_HINT=0 disables (r15 adjudication lever;
-    # the r14 driver cold run measured −18% on this hint while the
-    # builder's same-session A/B measured a win — see OPTIMIZATION_r15.md
-    # for the cold-JVM re-adjudication that decided the default).
-    import os as _os
-
-    b_side = banded.alias("b")
-    if _os.environ.get("SPARK_GRAFT_MINHASH_MERGE_HINT", "1") != "0":
-        b_side = b_side.hint("merge")
+    # NO merge hint here (r15 adjudication of the r14 hint, verdict #2):
+    # the r14 rationale claimed forcing SMJ would let the b-side read a
+    # ReusedExchange of the valve window's (band, key) shuffle.  The
+    # executed (isFinalPlan=true) plans show NO stage reuse either way
+    # (13 query stages with and without the hint — the hot-estimate
+    # branch between the window and the join changes the b-side subtree,
+    # so the exchanges never canonicalize equal), and the cold-JVM A/B
+    # under the driver bench's protocol (fresh JVM, probe, min of 3,
+    # noop sink; tools/adjudicate_minhash_hint.py) measured the hint at
+    # 5.81 s vs 4.11 s without — the r14 driver regression reproduced.
+    # At corpus scale the planner picks SMJ by size anyway, so dropping
+    # the hint costs nothing at 100 TB and wins at every measured SF
+    # (committed evidence: adjudicate_minhash_r15.json, plans/r15/
+    # dedup_minhash_lsh_executed_*.txt).  Contrast ngram_jaccard_pairs,
+    # where the same hint KEEPS a measured win — its two sides really do
+    # share one canonical subtree.
     cands = (
         banded.alias("a")
-        .join(b_side, ["band", "key"])
+        .join(banded.alias("b"), ["band", "key"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

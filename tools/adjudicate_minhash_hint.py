@@ -66,8 +66,11 @@ def main() -> None:
         runs.append(round(dt, 3))
         ratios.append(round(dt / p, 2))
 
+    # executed-plan dump: the noop write runs its OWN QueryExecution, so
+    # the df's plan would stay isFinalPlan=false — execute the df itself
+    # (pairs output is small at these SFs) and dump ITS final plan
     df = q()
-    df.write.mode("overwrite").format("noop").save()
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     stats = {
