@@ -655,12 +655,18 @@ def simhash_neardup_pairs(
     # than the extra sort+shuffle the hint adds (A/B same-session: 3.35 s
     # vs 3.74 s, 5.1 vs 5.5 cpu-s at sf0.1), and at corpus scale the
     # planner picks SMJ by size anyway — the hint had no scale benefit.)
+    # r15 opt (guide §2.3, shuffle fewer bytes): the Hamming test is a
+    # per-row function of (ha, hb), so apply it BEFORE the pair-distinct
+    # — the dropDuplicates exchange then carries only QUALIFYING pairs
+    # instead of every band-collision candidate (the band join is a
+    # recall device; at Hamming ≤ 3 most candidates fail the check).
+    # Row-identical: hamming is functionally determined by (id_a, id_b),
+    # so filtering before or after the distinct keeps the same pair set.
     return (
         a.join(b, jk)
-        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("id_a") < F.col("id_b")) & (ham <= max_hamming))
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
     )
 
 
