@@ -199,26 +199,28 @@ STAGE_ORDER = [
 ]
 
 
-# Size gate for the materialize-once docs intermediate (r15 opt; guide
-# §3.3 "materialising an intermediate truncates the plan" / §5): the
-# composed DAG's ~6 branches re-derive the documents scan ~19 times at
-# runtime (r14 executed-plan census) — at 100 TB that is 19 corpus
-# passes, and each branch's pre-shuffle map work additionally runs at
-# the SCAN's parallelism (1 task for a small compacted table).  Spilling
-# docs once to scratch parquet (repartitioned to cluster width) inside
-# the timed region converts that to 1 write + 19 cheap wide scans.  The
-# r14 fifth session measured the UNCONDITIONAL spill at +17% at sf0.1
-# (0.6 MB input: the fixed write+read cost exceeds the serial map work
-# it parallelizes), so the spill is GATED on the scan's estimated input
-# bytes: below the threshold the DAG keeps its r14 shape bit for bit.
-# The default threshold comes from the measured crossover on the
-# Caesar-scaled corpus (tools/scale_step.py `tp` family, r15:
-# direct-vs-materialized at 1x/3x/10x sf0.1) — see OPTIMIZATION_r15.md;
-# production justification: at real corpus sizes (GB-PB) the gate is
-# always open and the threshold's only job is to keep fixed spill costs
-# off tiny inputs.  SPARK_GRAFT_TP_MAT_MIN_BYTES overrides (0 forces
-# the spill on, a huge value forces it off — the A/B lever).
-_MAT_MIN_BYTES_DEFAULT = 4 * 2**20
+# Size gate for the materialize-once docs intermediate (r15, verdict
+# #1).  The composed DAG's ~6 branches re-derive the documents scan ~19
+# times at runtime (r14 executed-plan census); the r14 verdict asked for
+# a gated spill of docs to scratch parquet so large inputs pay 1 write +
+# 19 cheap scans.  The r15 pricing (tools/scale_step.py `tp` family,
+# committed in SCALE_STEP_EXTRA.json: direct vs materialized at
+# 1×/3×/10×/30× the sf0.1 corpus, row-identity cross-checked at every
+# factor) found the materialized path LOSES at every measurable factor
+# (x1 +4.6%, x3 +10.3%, x10 +9.5%, x30 see sidecar) — and first
+# principles say it cannot win on I/O arithmetic: the spill materializes
+# the RAW SCAN itself, so every branch re-reads the same bytes either
+# way and the write is pure overhead; the narrow-scan parallelism
+# motivation also evaporates exactly where spill cost matters (a >128 MB
+# parquet input already splits into wide scan tasks).  A materialized
+# intermediate only wins when it embeds shared DERIVED work (e.g. a
+# tokenized relation — future work, see OPTIMIZATION_r15.md "Not yet
+# optimized").  So the DEFAULT keeps the spill OFF at any input size;
+# the machinery stays as an explicit operator opt-in
+# (SPARK_GRAFT_TP_MAT_MIN_BYTES=<bytes>; 0 forces the spill on — the
+# A/B lever) for I/O regimes a local box cannot reproduce (e.g. remote
+# object-store scans with fast local scratch).
+_MAT_MIN_BYTES_DEFAULT = 1 << 60
 
 
 def _tp_mat_min_bytes() -> int:

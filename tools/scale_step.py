@@ -514,17 +514,16 @@ def main() -> None:
             shutil.rmtree(wh, ignore_errors=True)
 
         if "tp" in FAMILIES:
-            # training_pipeline materialize-once gate (r15 opt; guide
-            # §3.3/§5): the composed DAG re-derives the documents scan
-            # ~19 times at runtime, so above the size gate build_prefix
-            # spills docs once to scratch parquet (cluster-width layout)
-            # and every branch scans the read-back.  Price BOTH paths at
-            # each factor — the env override is the A/B lever (1<<60
-            # forces direct, 0 forces the spill) — so the crossover that
-            # justifies the default threshold is a committed measurement,
-            # not an assertion.  Also check row-identity of the two
-            # paths at this factor (sorted md5-of-row hash), since the
-            # oracle SFs never trip the gate.
+            # training_pipeline materialize-once gate (r15, verdict #1):
+            # price the direct vs the forced-spill path at each factor —
+            # the env override is the A/B lever (1<<60 forces direct, 0
+            # forces the spill) — so the gate's default is a committed
+            # measurement, not an assertion.  Outcome (r15): the spill
+            # LOSES at every measured factor (it re-materializes the raw
+            # scan, saving nothing per branch), so the default threshold
+            # keeps it OFF; this family remains the re-runnable curve.
+            # Also check row-identity of the two paths at this factor
+            # (md5-of-row hash), since the default gate never trips.
             import shutil as _sh
 
             from psy_supabase_spark.queries import training_pipeline as TP
