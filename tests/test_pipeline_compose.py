@@ -116,13 +116,13 @@ def test_training_pipeline_prefix_contract(spark):
 
 
 def test_training_pipeline_materialize_gate_row_identical(spark, monkeypatch):
-    """r15 opt: above the input-size gate, build_prefix spills docs once
-    to scratch parquet and every branch scans the read-back (guide
-    §3.3/§5 — 1 write + N cheap scans instead of N corpus scans).  The
-    oracle SFs never trip the gate (bytes threshold), so pin here that
-    the forced-on spill path is ROW-IDENTICAL to the direct path on the
-    full composed query, and that the default gate stays off at test
-    scale (the sf0.1 bench keeps its r14 shape)."""
+    """r15: build_prefix carries a materialize-once docs spill behind an
+    input-size gate whose DEFAULT keeps it OFF at any size (the r15
+    pricing found no winning regime locally — see training_pipeline.py
+    and OPTIMIZATION_r15.md §1); SPARK_GRAFT_TP_MAT_MIN_BYTES=0 is the
+    operator opt-in.  Pin that the forced-on spill path is ROW-IDENTICAL
+    to the direct path on the full composed query, and that the default
+    gate stays off (the bench keeps its r14 shape)."""
     from psy_supabase_spark.queries import training_pipeline as TP
 
     docs = load_table(spark, SF, "documents")
